@@ -1,38 +1,573 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md section 2
+through the engine package
+(``nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark``), applied to the
+driver's TPC-H-ish testdata (FIXTURES.md section 3 maps the trip-table roles
+onto orders/lineitem).  ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL.
+
+Determinism policy (so value-hashes match the oracle):
+- money/double aggregations go through ``exact_sum``/``exact_avg`` — exact
+  DECIMAL summation cast back to double (fp addition order never matters);
+- no ROUND on raw doubles (HALF_UP-vs-HALF_EVEN tie behavior differs between
+  engines); raw double arithmetic on identical inputs is bit-deterministic;
+- every dedup/top-k uses a total order (explicit tie-breaker columns).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.functions.decode import (
+    decode_map,
+    decode_via_broadcast_join,
+)
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.functions.keys import (
+    surrogate_key,
+)
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.functions.money import (
+    exact_avg,
+    exact_sum,
+    guarded_ratio,
+)
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.functions.datetime import (
+    month_key,
+    month_start,
+    to_day,
+)
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.dedup import (
+    distinct_on,
+)
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.merge import (
+    append_if_absent,
+    upsert_by_key,
+)
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.watermark import (
+    max_scalar,
+)
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.sources.readers import (
+    read_events,
+)
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.quality.dbt_tests import (
+    relationship_failures,
+    unique_failures,
+)
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.streaming.windows import (
+    session_stats_batch,
+    tumbling_counts_batch,
+)
+
+# id -> name decode maps for the TPC-H-ish corpus (playing the role of the
+# reference's vendor/ratecode/payment CASE chains, F1-F3)
+RETURNFLAG_MAP = {"R": "Returned", "A": "Accepted", "N": "Not returned"}
+LINESTATUS_MAP = {"O": "Open", "F": "Finalized"}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":  # ns-precision timestamps need the legacy long path
+        return read_events(spark, f"{sf_dir}/events.parquet")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# entry: flagship query (smoke @ sf0.001)
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Monthly revenue summary (gold_monthly analog, A2) on sf0.001."""
+    return q_monthly_summary(spark, "/root/testdata/sf0.001")
 
+
+# --------------------------------------------------------------------------
+# silver-style transform: P2 projection + F1-F3 decode + F6 clean + F7/F8
+# derived cols + P7 domain filter + W1 DISTINCT ON
+# --------------------------------------------------------------------------
+
+def q_silver_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_linestatus").isin("O", "F")).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_shipdate",
+        decode_map("l_returnflag", RETURNFLAG_MAP).alias("returnflag_desc"),
+        F.abs(F.coalesce(F.col("l_extendedprice"), F.lit(0.0))).alias("extendedprice"),
+        (
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * (F.lit(1.0) + F.col("l_tax"))
+        ).alias("charge"),
+        surrogate_key(["l_orderkey", "l_linenumber"]).alias("unique_line_id"),
+    )
+    first_per_order = distinct_on(
+        base, ["l_orderkey"], [F.col("l_shipdate"), F.col("l_linenumber")]
+    )
+    return first_per_order.drop("l_shipdate")
+
+
+ORACLE_SILVER_CLEAN = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate,
+         CASE l_returnflag WHEN 'R' THEN 'Returned' WHEN 'A' THEN 'Accepted'
+              WHEN 'N' THEN 'Not returned' ELSE 'Unknown' END AS returnflag_desc,
+         ABS(COALESCE(l_extendedprice, 0)) AS extendedprice,
+         l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+         MD5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR))
+             AS unique_line_id
+  FROM lineitem
+  WHERE l_linestatus IN ('O', 'F')
+)
+SELECT l_orderkey, l_linenumber, l_quantity, returnflag_desc, extendedprice,
+       charge, unique_line_id
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                               ORDER BY l_shipdate, l_linenumber) AS rn
+  FROM base
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# gold aggregates A1-A5
+# --------------------------------------------------------------------------
+
+def q_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(to_day("l_shipdate").alias("ship_date")).agg(
+        F.count(F.lit(1)).alias("total_items"),
+        exact_sum("l_quantity").alias("total_qty"),
+        exact_sum("l_extendedprice").alias("total_revenue"),
+        exact_avg("l_extendedprice").alias("avg_price"),
+        exact_avg("l_quantity").alias("avg_qty"),
+    )
+
+
+ORACLE_DAILY_SUMMARY = """
+SELECT CAST(l_shipdate AS DATE) AS ship_date,
+       COUNT(*) AS total_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(l_extendedprice) AS avg_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(l_quantity) AS avg_qty
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_monthly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(month_start("o_orderdate").alias("revenue_month")).agg(
+        exact_sum("o_totalprice").alias("total_monthly_revenue"),
+        F.count(F.lit(1)).alias("total_monthly_orders"),
+        exact_avg("o_totalprice").alias("avg_order_value"),
+    )
+
+
+ORACLE_MONTHLY_SUMMARY = """
+SELECT date_trunc('month', o_orderdate) AS revenue_month,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_monthly_revenue,
+       COUNT(*) AS total_monthly_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(o_totalprice) AS avg_order_value
+FROM orders GROUP BY 1
+"""
+
+
+def q_zone_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        month_start("l_shipdate").alias("ship_month"), F.col("l_suppkey")
+    ).agg(
+        exact_sum("l_extendedprice").alias("supp_revenue"),
+        F.count(F.lit(1)).alias("supp_items"),
+    )
+
+
+ORACLE_ZONE_SUMMARY = """
+SELECT date_trunc('month', l_shipdate) AS ship_month, l_suppkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS supp_revenue,
+       COUNT(*) AS supp_items
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_vendor_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        decode_map("l_returnflag", RETURNFLAG_MAP).alias("returnflag_desc")
+    ).agg(
+        F.count(F.lit(1)).alias("total_items"),
+        exact_sum("l_extendedprice").alias("total_revenue"),
+        exact_sum("l_quantity").alias("total_qty"),
+        exact_avg("l_quantity").alias("avg_qty"),
+        exact_avg("l_extendedprice").alias("avg_price"),
+    )
+
+
+ORACLE_VENDOR_SUMMARY = """
+SELECT CASE l_returnflag WHEN 'R' THEN 'Returned' WHEN 'A' THEN 'Accepted'
+            WHEN 'N' THEN 'Not returned' ELSE 'Unknown' END AS returnflag_desc,
+       COUNT(*) AS total_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(l_extendedprice) AS avg_price
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_payment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: COALESCE'd decoded group key + guarded ratio-of-sums (discount%
+    of revenue plays the reference's tip% of revenue)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec2 = "decimal(18,2)"
+    agg = li.groupBy(
+        F.coalesce(
+            decode_map("l_linestatus", LINESTATUS_MAP, default=None), F.lit("Unknown")
+        ).alias("status_desc")
+    ).agg(
+        F.count(F.lit(1)).alias("total_items"),
+        exact_sum("l_extendedprice").alias("total_revenue"),
+        F.sum(
+            F.col("l_extendedprice").cast(dec2) * F.col("l_discount").cast(dec2)
+        ).cast("double").alias("total_discount_amt"),
+    )
+    return agg.withColumn(
+        "discount_percent", guarded_ratio("total_discount_amt", "total_revenue")
+    )
+
+
+ORACLE_PAYMENT_SUMMARY = """
+WITH agg AS (
+  SELECT COALESCE(CASE l_linestatus WHEN 'O' THEN 'Open'
+                       WHEN 'F' THEN 'Finalized' END, 'Unknown') AS status_desc,
+         COUNT(*) AS total_items,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_discount_amt
+  FROM lineitem GROUP BY 1
+)
+SELECT *,
+       CASE WHEN total_revenue <= 0 THEN 0
+            ELSE total_discount_amt / total_revenue * 100 END AS discount_percent
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# incremental filters P3/P4/P6
+# --------------------------------------------------------------------------
+
+TARGET_MONTH = "1998-03"
+
+
+def q_month_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 month-equality incremental filter (becomes partition pruning on a
+    month-partitioned table)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(month_key("l_shipdate") == F.lit(TARGET_MONTH)).select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
+    )
+
+
+ORACLE_MONTH_FILTER = f"""
+SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+FROM lineitem WHERE strftime(l_shipdate, '%Y-%m') = '{TARGET_MONTH}'
+"""
+
+
+def q_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P6: scalar-MAX watermark folded into a pushable literal filter.
+    Keeps orders from the month of the latest order onward (the '>=' re-opens
+    the current month, P6 semantics)."""
+    orders = _t(spark, sf_dir, "orders")
+    wm = max_scalar(orders.select(month_start("o_orderdate").alias("m")), "m")
+    return orders.filter(month_start("o_orderdate") >= F.lit(wm)).select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+
+ORACLE_WATERMARK_FILTER = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+WHERE date_trunc('month', o_orderdate) >=
+      (SELECT MAX(date_trunc('month', o_orderdate)) FROM orders)
+"""
+
+
+# --------------------------------------------------------------------------
+# merge strategies S8/S9/S11
+# --------------------------------------------------------------------------
+
+ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+              "o_orderdate", "o_orderpriority"]
+
+
+def _delta_last_month(orders: DataFrame) -> DataFrame:
+    """Synthetic delta: latest month's orders, repriced and status-flagged."""
+    wm = max_scalar(orders.select(month_start("o_orderdate").alias("m")), "m")
+    return (
+        orders.filter(month_start("o_orderdate") >= F.lit(wm))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("o_orderstatus", F.lit("R"))
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/S9: merge-on-unique-key == delete+insert == anti-join + union."""
+    orders = _t(spark, sf_dir, "orders").select(*ORDER_COLS)
+    return upsert_by_key(orders, _delta_last_month(orders), ["o_orderkey"])
+
+
+ORACLE_MERGE_UPSERT = """
+WITH delta AS (
+  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders
+  WHERE date_trunc('month', o_orderdate) >=
+        (SELECT MAX(date_trunc('month', o_orderdate)) FROM orders)
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM delta
+"""
+
+
+def q_append_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 conflict-ignore append: conflicting keys keep the target's row,
+    only genuinely-new keys append."""
+    orders = _t(spark, sf_dir, "orders").select(*ORDER_COLS)
+    delta = (
+        orders.filter(F.col("o_orderkey") % 4 < 2)
+        .withColumn(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 2 == 0, F.col("o_orderkey") + F.lit(100000000)
+            ).otherwise(F.col("o_orderkey")),
+        )
+        .withColumn("o_orderstatus", F.lit("NEW"))
+    )
+    return append_if_absent(orders, delta, ["o_orderkey"])
+
+
+ORACLE_APPEND_IF_ABSENT = """
+WITH delta AS (
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey + 100000000
+              ELSE o_orderkey END AS o_orderkey,
+         o_custkey, 'NEW' AS o_orderstatus, o_totalprice, o_orderdate,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 4 < 2
+)
+SELECT * FROM orders
+UNION ALL
+SELECT * FROM delta WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders)
+"""
+
+
+# --------------------------------------------------------------------------
+# quality operators J1/Q2/Q4 + GX-style single-pass metrics
+# --------------------------------------------------------------------------
+
+def q_referential_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4/J1 relationships test: lineitem rows whose order is missing
+    (expected empty — returned rows are the failures, dbt semantics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return relationship_failures(li, "l_orderkey", orders, "o_orderkey").select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+ORACLE_REFERENTIAL_CHECK = """
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE l_orderkey IS NOT NULL
+  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+"""
+
+
+def q_unique_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 unique test: keys violating uniqueness, with multiplicities."""
+    li = _t(spark, sf_dir, "lineitem")
+    return unique_failures(li, "l_orderkey")
+
+
+ORACLE_UNIQUE_CHECK = """
+SELECT l_orderkey, COUNT(*) AS n_rows FROM lineitem
+GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/G3-G6 as one single-pass aggregation: row count + per-expectation
+    unexpected fractions (GX 'mostly' basis: non-null values for range/set
+    checks, all rows for not-null)."""
+    li = _t(spark, sf_dir, "lineitem")
+    n_all = F.count(F.lit(1))
+    qty = F.col("l_quantity")
+    disc = F.col("l_discount")
+    flag = F.col("l_returnflag")
+    return li.agg(
+        n_all.alias("n_rows"),
+        (
+            F.sum(F.when(qty.isNull(), 1).otherwise(0)).cast("double")
+            / n_all.cast("double") * 100
+        ).alias("qty_null_pct"),
+        (
+            F.sum(F.when((qty < 1) | (qty > 50), 1).otherwise(0)).cast("double")
+            / F.count(qty).cast("double") * 100
+        ).alias("qty_range_unexpected_pct"),
+        (
+            F.sum(F.when(disc < 0, 1).otherwise(0)).cast("double")
+            / F.count(disc).cast("double") * 100
+        ).alias("disc_negative_pct"),
+        (
+            F.sum(F.when(~flag.isin("R", "A", "N"), 1).otherwise(0)).cast("double")
+            / F.count(flag).cast("double") * 100
+        ).alias("flag_inset_unexpected_pct"),
+    )
+
+
+ORACLE_QUALITY_METRICS = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) * 100 AS qty_null_pct,
+       CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(l_quantity) AS DOUBLE) * 100 AS qty_range_unexpected_pct,
+       CAST(SUM(CASE WHEN l_discount < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(l_discount) AS DOUBLE) * 100 AS disc_negative_pct,
+       CAST(SUM(CASE WHEN l_returnflag NOT IN ('R','A','N') THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(l_returnflag) AS DOUBLE) * 100 AS flag_inset_unexpected_pct
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# J3 star-join decode via broadcast dims
+# --------------------------------------------------------------------------
+
+def q_decode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: customer -> nation -> region star join, both dims broadcast;
+    per-region customer counts + exact balance sums."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), F.col("n_regionkey") == region["r_regionkey"])
+    )
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        exact_sum("c_acctbal").alias("total_acctbal"),
+    )
+
+
+ORACLE_DECODE_JOIN = """
+SELECT r_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# event-time windows (streaming surface, batch-checkable)
+# --------------------------------------------------------------------------
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts_batch(_t(spark, sf_dir, "events"), "5 minutes")
+
+
+ORACLE_TUMBLING_WINDOW = """
+SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)) AS TIMESTAMP)
+           AS window_start,
+       CAST(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 + 300 AS BIGINT)) AS TIMESTAMP)
+           AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap) + rollup."""
+    return session_stats_batch(_t(spark, sf_dir, "events"), 30.0)
+
+
+ORACLE_SESSIONIZATION = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                   OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+FROM sessions GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "silver_clean": q_silver_clean,
+        "daily_summary": q_daily_summary,
+        "monthly_summary": q_monthly_summary,
+        "zone_summary": q_zone_summary,
+        "vendor_summary": q_vendor_summary,
+        "payment_summary": q_payment_summary,
+        "month_filter": q_month_filter,
+        "watermark_filter": q_watermark_filter,
+        "merge_upsert": q_merge_upsert,
+        "append_if_absent": q_append_if_absent,
+        "referential_check": q_referential_check,
+        "unique_check": q_unique_check,
+        "quality_metrics": q_quality_metrics,
+        "decode_join": q_decode_join,
+        "tumbling_window": q_tumbling_window,
+        "sessionization": q_sessionization,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "silver_clean": ORACLE_SILVER_CLEAN,
+        "daily_summary": ORACLE_DAILY_SUMMARY,
+        "monthly_summary": ORACLE_MONTHLY_SUMMARY,
+        "zone_summary": ORACLE_ZONE_SUMMARY,
+        "vendor_summary": ORACLE_VENDOR_SUMMARY,
+        "payment_summary": ORACLE_PAYMENT_SUMMARY,
+        "month_filter": ORACLE_MONTH_FILTER,
+        "watermark_filter": ORACLE_WATERMARK_FILTER,
+        "merge_upsert": ORACLE_MERGE_UPSERT,
+        "append_if_absent": ORACLE_APPEND_IF_ABSENT,
+        "referential_check": ORACLE_REFERENTIAL_CHECK,
+        "unique_check": ORACLE_UNIQUE_CHECK,
+        "quality_metrics": ORACLE_QUALITY_METRICS,
+        "decode_join": ORACLE_DECODE_JOIN,
+        "tumbling_window": ORACLE_TUMBLING_WINDOW,
+        "sessionization": ORACLE_SESSIONIZATION,
+    }

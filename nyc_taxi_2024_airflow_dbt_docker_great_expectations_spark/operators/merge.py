@@ -1,0 +1,65 @@
+"""Incremental merge strategies (reference S8/S9/S11 — dbt incremental
+materializations and the conflict-ignore metadata insert).
+
+In the reference these are three distinct dbt/SQL mechanisms:
+
+- ``incremental`` merge on ``unique_key`` (bronze/gold models, e.g.
+  ``dbt/nyc_taxi/models/bronze/bronze_yellow_tripdata.sql:1-5``)
+- ``delete+insert`` on ``unique_trip_id``
+  (``dbt/nyc_taxi/models/silver/silver_yellow_tripdata.sql:1-5``)
+- ``INSERT ... ON CONFLICT DO NOTHING``
+  (``dags/nyc_taxi_pipeline.py:122-126``)
+
+In Spark all three collapse onto one primitive: **anti-join the target against
+the delta on the key, then unionByName**.  Merge and delete+insert are the
+same operation; conflict-ignore is the mirror image (anti-join the *delta*).
+
+Scale notes (100 TB): the delta is normally a single month — small relative to
+the target — so the anti-join broadcasts the delta's keys (AQE picks
+broadcast-hash automatically when the key side fits; we hint it explicitly).
+For a huge *partitioned* target, rewriting only affected partitions via
+dynamic partition overwrite (``month_partition_overwrite``) avoids touching
+the other 99% of the table entirely — that is the strategy that survives
+1000x growth.  On Delta/Iceberg deployments ``MERGE INTO`` replaces the
+read-modify-write; the logical semantics here are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def upsert_by_key(target: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
+    """Rows of ``target`` not matched by ``delta`` on ``keys``, plus all of
+    ``delta`` — the merge/delete+insert primitive (S8/S9).
+
+    NULL-safe on the join keys (a NULL-keyed target row survives unless the
+    delta also carries a NULL key), matching SQL ``DELETE WHERE key IN (...)``
+    + insert semantics closely enough for the reference's non-null keys.
+    """
+    delta_keys = F.broadcast(delta.select(*keys).distinct())
+    kept = target.join(delta_keys, on=keys, how="left_anti")
+    return kept.unionByName(delta.select(*target.columns))
+
+
+# dbt calls the same thing "merge" for bronze/gold; keep an explicit alias so
+# plans read like the reference's materialization configs.
+merge_on_key = upsert_by_key
+
+
+def append_if_absent(target: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
+    """``INSERT ... ON CONFLICT (key) DO NOTHING`` (S11): keep the target's
+    version of conflicting keys, append only genuinely new delta rows."""
+    new_rows = delta.join(
+        F.broadcast(target.select(*keys).distinct()), on=keys, how="left_anti"
+    )
+    return target.unionByName(new_rows.select(*target.columns))
+
+
+def month_partition_overwrite(df: DataFrame, path: str, month_col: str = "month") -> None:
+    """Idempotent month re-load (S10): with
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set in session.py),
+    overwriting writes replace only the partitions present in ``df`` — the
+    Spark-native form of the reference's DELETE-month-then-COPY
+    (``dags/nyc_taxi_pipeline.py:130-135``)."""
+    df.write.mode("overwrite").partitionBy(month_col).parquet(path)

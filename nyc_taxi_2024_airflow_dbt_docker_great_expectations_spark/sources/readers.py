@@ -1,0 +1,82 @@
+"""Sources (reference S1-S6).
+
+The reference hand-rolls bounded-memory ingest: pyarrow ``iter_batches`` of
+100k rows, pandas column normalization, lossy ``Int64`` coercion, CSV
+serialization into Postgres ``COPY`` (``dags/nyc_taxi_pipeline.py:138-157``).
+Under Spark the whole loop disappears: a schema'd parquet scan is already
+columnar, batched, pipelined, and parallel across executors — at 100 TB the
+scan parallelism is the file/row-group split count, no driver involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..schema import TRIP_COLUMNS, TRIP_INT_COLUMNS, TRIP_SCHEMA
+
+
+def normalize_columns(df: DataFrame) -> DataFrame:
+    """S2: lowercase all column names (reference dags/nyc_taxi_pipeline.py:144)."""
+    return df.toDF(*[c.lower() for c in df.columns])
+
+
+def coerce_int_columns(df: DataFrame, columns=TRIP_INT_COLUMNS) -> DataFrame:
+    """S3: lossy int coercion — bad values become NULL, matching
+    ``pd.to_numeric(errors='coerce').astype('Int64')``
+    (reference dags/nyc_taxi_pipeline.py:148-150).  Requires ANSI off
+    (session.py) so failed casts yield NULL instead of raising."""
+    out = df
+    for c in columns:
+        if c in out.columns:
+            out = out.withColumn(c, F.col(c).cast("int"))
+    return out
+
+
+def read_trip_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S1+S2+S3: monthly trip parquet scan, normalized to the canonical
+    19-column schema (reference dags/nyc_taxi_pipeline.py:117,138-150)."""
+    df = normalize_columns(spark.read.parquet(path))
+    df = coerce_int_columns(df)
+    cast = [
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        for f in TRIP_SCHEMA.fields
+        if f.name in df.columns
+    ]
+    return df.select(*cast)
+
+
+def read_events(spark: SparkSession, path: str, ts_col: str = "ts") -> DataFrame:
+    """Read an event table whose timestamp column may be parquet
+    TIMESTAMP(NANOS) — a physical type Spark's vectorized reader rejects
+    outright ([PARQUET_TYPE_ILLEGAL]).  Strategy: read nanos as raw int64
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microseconds
+    with *integer* division (``DIV 1000`` — a double division would lose
+    precision above 2^53 ns, i.e. for any epoch after 1970).  DuckDB/pyarrow
+    truncate ns->us the same way, so results are comparable.
+    """
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    field = dict(df.dtypes).get(ts_col)
+    if field in ("bigint", "long"):
+        df = df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} DIV 1000"))
+        )
+    return df
+
+
+def read_csv_seed(spark: SparkSession, path: str) -> DataFrame:
+    """S5: the CI seed CSV source (reference
+    dbt/nyc_taxi/seeds/mock_yellow_tripdata.csv + dbt_project.yml:38-43).
+    Schema is declared, never inferred; ``\\N`` is the NULL sentinel the
+    reference's COPY path uses (dags/nyc_taxi_pipeline.py:153-156)."""
+    df = (
+        spark.read.option("header", True)
+        .option("nullValue", "\\N")
+        .schema(TRIP_SCHEMA)
+        .csv(path)
+    )
+    return df.select(*[c for c in TRIP_COLUMNS])

@@ -1,0 +1,76 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators import (
+    append_if_absent,
+    distinct_on,
+    max_scalar,
+    upsert_by_key,
+    watermark_filter,
+    watermark_filter_month_reopen,
+)
+
+
+def test_upsert_by_key(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, v string, x double"
+    )
+    delta = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k int, v string, x double"
+    )
+    out = {r["k"]: r["v"] for r in upsert_by_key(target, delta, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 4: "d"}  # delta wins on conflict
+
+
+def test_upsert_idempotent(spark):
+    """Applying the same delta twice yields the same table (S8/S9/S10 parity)."""
+    target = spark.createDataFrame([(1, "a")], "k int, v string")
+    delta = spark.createDataFrame([(1, "A"), (2, "b")], "k int, v string")
+    once = upsert_by_key(target, delta, ["k"])
+    twice = upsert_by_key(once, delta, ["k"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_append_if_absent(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    delta = spark.createDataFrame([(2, "CONFLICT"), (3, "c")], "k int, v string")
+    out = {r["k"]: r["v"] for r in append_if_absent(target, delta, ["k"]).collect()}
+    assert out == {1: "a", 2: "b", 3: "c"}  # target wins on conflict
+
+
+def test_distinct_on_total_order(spark):
+    df = spark.createDataFrame(
+        [(1, 2, "x"), (1, 1, "keep"), (2, 5, "only")], "k int, o int, v string"
+    )
+    out = {r["k"]: r["v"] for r in distinct_on(df, ["k"], [F.col("o")]).collect()}
+    assert out == {1: "keep", 2: "only"}
+
+
+def test_watermark_filters(spark):
+    src = spark.createDataFrame(
+        [("2024-01-01 10:00:00",), ("2024-02-01 10:00:00",), ("2024-03-01 10:00:00",)],
+        "t string",
+    ).select(F.col("t").cast("timestamp").alias("t"))
+
+    # no target -> pass-through (first-run semantics)
+    assert watermark_filter(src, None, "t").count() == 3
+
+    tgt = spark.createDataFrame([("2024-02-01 10:00:00",)], "t string").select(
+        F.col("t").cast("timestamp").alias("t")
+    )
+    assert watermark_filter(src, tgt, "t").count() == 1  # strictly greater
+
+    # month-reopen: >= month of the max -> Feb and Mar survive
+    tgt2 = tgt.select(F.date_trunc("month", "t").alias("m"))
+    out = watermark_filter_month_reopen(src, tgt2, "t", "m")
+    assert out.count() == 2
+
+    # empty target -> 1900-01-01 default keeps everything
+    empty = spark.createDataFrame([], "m timestamp")
+    assert watermark_filter_month_reopen(src, empty, "t", "m").count() == 3
+
+
+def test_max_scalar_empty(spark):
+    empty = spark.createDataFrame([], "x int")
+    assert max_scalar(empty, "x") is None
