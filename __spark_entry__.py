@@ -58,6 +58,18 @@ from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.streaming.windows
     session_stats_batch,
     tumbling_counts_batch,
 )
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions import (
+    cosine_topk,
+    exact_dedup_keys,
+    fingerprints,
+    lang_id,
+    minhash_lsh_pairs,
+    neardup_pairs,
+    ngram_jaccard_pairs,
+    quality_scores,
+    simhash_pairs,
+    text_stats,
+)
 
 # id -> name decode maps for the TPC-H-ish corpus (playing the role of the
 # reference's vendor/ratecode/payment CASE chains, F1-F3)
@@ -527,6 +539,338 @@ FROM sessions GROUP BY 1, 2
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# extension operators: text analysis (documents table)
+# --------------------------------------------------------------------------
+
+DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_TEXT_STATS = f"""
+SELECT doc_id,
+       CAST(length(trim(text)) AS INTEGER) AS n_chars,
+       CAST(len({DUCK_TOKS}) AS INTEGER) AS n_tokens,
+       CAST(list_sum(list_transform({DUCK_TOKS}, t -> length(t))) AS DOUBLE)
+           / CAST(len({DUCK_TOKS}) AS DOUBLE) AS avg_token_len,
+       CAST(len(list_distinct({DUCK_TOKS})) AS INTEGER) AS n_unique_tokens,
+       CAST(len(list_distinct({DUCK_TOKS})) AS DOUBLE)
+           / CAST(len({DUCK_TOKS}) AS DOUBLE) AS unique_ratio
+FROM documents
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+_QS_STOP = "('the','a','an','and','or','of','to','in','is','it')"
+
+ORACLE_QUALITY_SCORES = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(length(trim(text)) AS INTEGER) AS n_chars,
+         CAST(len({DUCK_TOKS}) AS INTEGER) AS n_tokens,
+         CAST(length(trim(text))
+              - length(regexp_replace(trim(text), '[^a-zA-Z0-9\\s]', '', 'g'))
+              AS DOUBLE) / CAST(length(trim(text)) AS DOUBLE) AS punct_ratio,
+         CAST(length(trim(text))
+              - length(regexp_replace(trim(text), '[0-9]', '', 'g'))
+              AS DOUBLE) / CAST(length(trim(text)) AS DOUBLE) AS digit_ratio,
+         CAST(len(list_filter({DUCK_TOKS}, t -> lower(t) IN {_QS_STOP}))
+              AS DOUBLE) / CAST(len({DUCK_TOKS}) AS DOUBLE) AS stopword_ratio
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, punct_ratio, digit_ratio, stopword_ratio,
+       (1.0 - least(1.0, punct_ratio * 4.0) * 0.25
+            - least(1.0, digit_ratio * 4.0) * 0.25)
+       * (0.5 + least(0.5, stopword_ratio * 2.0)) AS quality_score
+FROM base
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _hits(words):
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"CAST(len(list_filter({DUCK_TOKS}, t -> lower(t) IN ({lst}))) AS INTEGER)"
+
+
+ORACLE_LANG_ID = f"""
+WITH h AS (
+  SELECT doc_id, text,
+         {_hits(("the", "and", "with", "from", "this"))} AS hits_en,
+         {_hits(("el", "los", "las", "que", "una"))} AS hits_es,
+         {_hits(("der", "die", "und", "nicht", "ein"))} AS hits_de,
+         {_hits(("le", "les", "et", "dans", "une"))} AS hits_fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+            WHEN hits_en >= hits_es AND hits_en >= hits_de
+                 AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+            WHEN hits_es >= hits_de AND hits_es >= hits_fr
+                 AND hits_es > 0 THEN 'es'
+            WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+            WHEN hits_fr > 0 THEN 'fr'
+            ELSE 'und' END AS detected_lang,
+       hits_en, hits_es, hits_de, hits_fr
+FROM h
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(_t(spark, sf_dir, "documents"), k=5)
+
+
+DUCK_SHINGLES_5 = (
+    "list_distinct(list_transform(range(1, len(" + DUCK_TOKS + ") - 3), "
+    "i -> array_to_string((" + DUCK_TOKS + ")[i:i+4], ' ')))"
+)
+
+ORACLE_FINGERPRINTS = f"""
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_md5,
+       CASE WHEN len({DUCK_TOKS}) < 5 THEN NULL
+            ELSE list_min(list_transform({DUCK_SHINGLES_5}, s -> md5(s)))
+       END AS min_shingle_hash
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# extension operators: dedup family (documents table)
+# --------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_keys(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_md5,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+DUCK_SHINGLES_3 = (
+    "list_distinct(list_transform(range(1, len(" + DUCK_TOKS + ") - 1), "
+    "i -> array_to_string((" + DUCK_TOKS + ")[i:i+2], ' ')))"
+)
+
+_DUCK_PAIR_JACCARD = f"""
+sh AS (
+  SELECT doc_id, {DUCK_SHINGLES_3} AS shingles
+  FROM documents
+  WHERE len({DUCK_TOKS}) >= 3
+),
+post AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+),
+pair_j AS (
+  SELECT id_a, id_b,
+         CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
+  FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+           COUNT(*) AS n_inter
+    FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+  )
+)
+"""
+
+
+def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.6
+    )
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH {_DUCK_PAIR_JACCARD}
+SELECT id_a, id_b, jaccard FROM pair_j WHERE jaccard >= 0.6
+"""
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), k=3, num_hashes=12, bands=4,
+        threshold=0.5,
+    )
+
+
+def _duck_sig(j: int) -> str:
+    return (
+        f"list_min(list_transform(shingles, s -> md5('{j}:' || s)))"
+    )
+
+
+_DUCK_BANDS = ", ".join(
+    "md5('" + str(b) + "|' || " + " || '|' || ".join(_duck_sig(b * 3 + r) for r in range(3)) + ")"
+    for b in range(4)
+)
+
+ORACLE_MINHASH = f"""
+WITH {_DUCK_PAIR_JACCARD},
+bands AS (
+  SELECT doc_id, unnest([{_DUCK_BANDS}]) AS band_key FROM sh
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, p.jaccard
+FROM cand c JOIN pair_j p ON c.id_a = p.id_a AND c.id_b = p.id_b
+WHERE p.jaccard >= 0.5
+"""
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+_DUCK_SIMBITS = ", ".join(
+    "CASE WHEN list_sum(list_transform(" + DUCK_TOKS + ", t -> CASE WHEN "
+    f"substr(md5(t), {j + 1}, 1) IN ('1','3','5','7','9','b','d','f') "
+    "THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END"
+    for j in range(32)
+)
+
+ORACLE_SIMHASH = f"""
+WITH sims AS (
+  SELECT doc_id, concat({_DUCK_SIMBITS}) AS sig FROM documents
+),
+banded AS (
+  SELECT doc_id, sig,
+         substr(sig, 1, 4) AS b0,\n         substr(sig, 5, 4) AS b1,\n         substr(sig, 9, 4) AS b2,\n         substr(sig, 13, 4) AS b3,\n         substr(sig, 17, 4) AS b4,\n         substr(sig, 21, 4) AS b5,\n         substr(sig, 25, 4) AS b6,\n         substr(sig, 29, 4) AS b7
+  FROM sims
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a JOIN banded b
+    ON a.doc_id < b.doc_id
+   AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3 OR a.b4 = b.b4 OR a.b5 = b.b5 OR a.b6 = b.b6 OR a.b7 = b.b7)
+)
+SELECT id_a, id_b,
+       CAST(list_sum(list_transform(range(1, 33),
+            i -> CASE WHEN substr(sig_a, CAST(i AS INTEGER), 1)
+                       <> substr(sig_b, CAST(i AS INTEGER), 1)
+                 THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+FROM cand
+WHERE list_sum(list_transform(range(1, 33),
+      i -> CASE WHEN substr(sig_a, CAST(i AS INTEGER), 1)
+                 <> substr(sig_b, CAST(i AS INTEGER), 1)
+           THEN 1 ELSE 0 END)) <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# extension operators: embedding similarity search (embeddings table)
+# --------------------------------------------------------------------------
+
+N_QUERY_VECS = 5
+
+_DUCK_COS = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(q.qe[CAST(i AS INTEGER)] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(range(1, 65), i -> "
+    "CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(range(1, 65), i -> "
+    "CAST(q.qe[CAST(i AS INTEGER)] AS DOUBLE) * CAST(q.qe[CAST(i AS INTEGER)] AS DOUBLE)))))"
+)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, qs, k=10)
+
+
+ORACLE_EMBEDDING_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+),
+scored AS (
+  SELECT q.qid AS query_id, e.vec_id, {_DUCK_COS} AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.qid
+)
+SELECT query_id, vec_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+ORACLE_EMBEDDING_NEARDUP = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, 65), i ->
+           CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+           * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(range(1, 65), i ->
+              CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+              * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, 65), i ->
+                CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)))))
+         AS cosine_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.45
+"""
+
+
+# --------------------------------------------------------------------------
+# capability supersets: rollup + top-k (W2)
+# --------------------------------------------------------------------------
+
+def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        exact_sum("l_extendedprice").alias("total_revenue"),
+    )
+
+
+ORACLE_ROLLUP_SUMMARY = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+
+
+ORACLE_TOPK_ORDERS = """
+SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -549,6 +893,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_join": q_decode_join,
         "tumbling_window": q_tumbling_window,
         "sessionization": q_sessionization,
+        "text_stats": q_text_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "embedding_topk": q_embedding_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "rollup_summary": q_rollup_summary,
+        "topk_orders": q_topk_orders,
     }
 
 
@@ -570,4 +926,16 @@ def oracle_sql() -> dict[str, str]:
         "decode_join": ORACLE_DECODE_JOIN,
         "tumbling_window": ORACLE_TUMBLING_WINDOW,
         "sessionization": ORACLE_SESSIONIZATION,
+        "text_stats": ORACLE_TEXT_STATS,
+        "quality_scores": ORACLE_QUALITY_SCORES,
+        "lang_id": ORACLE_LANG_ID,
+        "fingerprints": ORACLE_FINGERPRINTS,
+        "exact_dedup": ORACLE_EXACT_DEDUP,
+        "ngram_jaccard_dedup": ORACLE_NGRAM_JACCARD,
+        "minhash_dedup": ORACLE_MINHASH,
+        "simhash_dedup": ORACLE_SIMHASH,
+        "embedding_topk": ORACLE_EMBEDDING_TOPK,
+        "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+        "rollup_summary": ORACLE_ROLLUP_SUMMARY,
+        "topk_orders": ORACLE_TOPK_ORDERS,
     }

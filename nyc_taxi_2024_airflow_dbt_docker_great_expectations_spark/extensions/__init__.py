@@ -5,3 +5,26 @@
 - ``text``: language-ID, quality scoring, token counting, fingerprinting
 - ``multimodal``: opaque binary columns + Pandas-UDF decode plumbing
 """
+
+from .dedup import (  # noqa: F401
+    exact_dedup_keys,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_table,
+)
+from .similarity import (  # noqa: F401
+    cosine_topk,
+    hyperplane_lsh_buckets,
+    lsh_topk,
+    neardup_pairs,
+)
+from .text import (  # noqa: F401
+    fingerprints,
+    lang_id,
+    quality_scores,
+    text_stats,
+    token_count,
+    word_shingles,
+)

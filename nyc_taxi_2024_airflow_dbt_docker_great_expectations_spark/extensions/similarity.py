@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.  The
+  query set is broadcast (it's small); each partition of the corpus computes
+  its local scores, and only the per-query top-k rows survive the final
+  shuffle (window + filter).  Linear scan, embarrassingly parallel — at
+  100 TB this is the *verification* path, not the serving path.
+- ``hyperplane_lsh_buckets`` / ``lsh_topk``: the scale path — random
+  hyperplane (sign) LSH.  The planes are derived deterministically from md5
+  (no RNG, reproducible across engines/runs), each vector gets a b-bit
+  bucket; candidates are restricted to equal buckets (optionally multi-probe
+  by Hamming-adjacent buckets).  Bucketing turns a quadratic scan into a
+  hash-partitioned equi-join.
+
+All arithmetic is explicit double-precision in a fixed fold order so scores
+are bit-deterministic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold sum of elementwise products (fixed order -> deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _to_double(a), _to_double(b)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k neighbors per query vector by cosine similarity.
+
+    ``queries``: (query_id, embedding).  Broadcast-joined against the corpus;
+    ties broken by corpus id for total determinism; self-matches excluded
+    when ids collide.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+        )
+    )
+    scored = corpus.crossJoin(q).filter(F.col(id_col) != F.col("__qid")).select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
+def neardup_pairs(corpus: DataFrame, threshold: float,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """All pairs with cosine >= threshold (embedding near-dup dedup).
+    Brute-force half-matrix; pair LSH bucketing in front at scale."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """±1 hyperplanes derived from md5 — reproducible everywhere, no RNG."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_lsh_buckets(corpus: DataFrame, n_planes: int = 8,
+                           dim: int = 64, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """(id, bucket) where bucket is the n-bit sign pattern of the vector
+    against the deterministic hyperplanes."""
+    planes = deterministic_planes(n_planes, dim)
+    v = _to_double(F.col(vec_col))
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in planes[p]])
+        proj = dot(v, plane)
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return corpus.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_planes: int = 8, dim: int = 64, id_col: str = "vec_id",
+             vec_col: str = "embedding", query_id_col: str = "query_id") -> DataFrame:
+    """ANN top-k: exact cosine ranking restricted to the query's LSH bucket.
+    Recall < 1.0 by construction; raise n_planes for smaller buckets or
+    multi-probe for higher recall."""
+    cb = hyperplane_lsh_buckets(corpus, n_planes, dim, id_col, vec_col)
+    qb = hyperplane_lsh_buckets(
+        queries, n_planes, dim, query_id_col, vec_col
+    ).withColumnRenamed(query_id_col, "__qid")
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+    ).join(qb, "__qid")
+    c = corpus.join(cb, id_col)
+    scored = c.join(F.broadcast(q), "bucket").filter(
+        F.col(id_col) != F.col("__qid")
+    ).select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )

@@ -1,0 +1,161 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure built-in column expressions (JVM-side, codegen-friendly): tokenize,
+token stats, quality scoring, language ID, fingerprinting.  No Python UDFs —
+at 100 TB the difference between a codegen'd regexp and a row-at-a-time UDF
+is the whole job budget.
+
+Determinism: every score is integer-count arithmetic / fixed-order double
+ops, so results are bit-stable and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Small distinctive stopword families for the lang-ID heuristic.  Deliberately
+# disjoint sets (no 'la' which is es+fr, etc.).
+LANG_STOPWORDS = {
+    "en": ("the", "and", "with", "from", "this"),
+    "es": ("el", "los", "las", "que", "una"),
+    "de": ("der", "die", "und", "nicht", "ein"),
+    "fr": ("le", "les", "et", "dans", "une"),
+}
+
+CJK_PATTERN = "[\\u4e00-\\u9fff]"
+
+EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text -> array<string>."""
+    return F.split(F.trim(_c(col)), "\\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Token count; empty/blank text counts 0 (split('') yields [''])."""
+    t = F.trim(_c(col))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, "\\s+")))
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles -> array<string>.  Documents shorter
+    than k tokens yield an empty array."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        )
+    )
+
+
+def _count_matching(toks: Column, values: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(v) for v in values])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token/char statistics (token counting operator)."""
+    toks = tokens(text_col)
+    t = F.trim(F.col(text_col))
+    n_toks = token_count(text_col)
+    return df.select(
+        id_col,
+        F.length(t).alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        (
+            F.aggregate(
+                F.transform(toks, lambda x: F.length(x)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / n_toks.cast("double")
+        ).alias("avg_token_len"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / n_toks.cast("double")
+        ).alias("unique_ratio"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document-quality signals (length, punctuation density,
+    digit density, stopword ratio) + a combined [0,1]-ish score.  The usual
+    pre-training corpus filter: cheap, scan-local, shuffle-free."""
+    t = F.trim(F.col(text_col))
+    n_chars = F.length(t)
+    toks = tokens(text_col)
+    n_toks = token_count(text_col)
+    punct = n_chars - F.length(F.regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))
+    digits = n_chars - F.length(F.regexp_replace(t, "[0-9]", ""))
+    stop_hits = _count_matching(toks, EN_STOPWORDS)
+    punct_ratio = punct.cast("double") / n_chars.cast("double")
+    digit_ratio = digits.cast("double") / n_chars.cast("double")
+    stop_ratio = stop_hits.cast("double") / n_toks.cast("double")
+    score = (
+        F.lit(1.0)
+        - F.least(F.lit(1.0), punct_ratio * 4.0)
+        * F.lit(0.25)
+        - F.least(F.lit(1.0), digit_ratio * 4.0) * F.lit(0.25)
+    ) * (F.lit(0.5) + F.least(F.lit(0.5), stop_ratio * 2.0))
+    return df.select(
+        id_col,
+        n_chars.alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: CJK codepoints -> zh; else the stopword family
+    with the most hits (deterministic preference order en > es > de > fr on
+    ties; 'und' = undetermined when nothing hits)."""
+    toks = tokens(text_col)
+    hits = {lang: _count_matching(toks, words) for lang, words in LANG_STOPWORDS.items()}
+    best = (
+        F.when(_c(text_col).rlike(CJK_PATTERN), F.lit("zh"))
+        .when(
+            (hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"])
+            & (hits["en"] >= hits["fr"]) & (hits["en"] > 0), F.lit("en"))
+        .when((hits["es"] >= hits["de"]) & (hits["es"] >= hits["fr"])
+              & (hits["es"] > 0), F.lit("es"))
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] > 0), F.lit("de"))
+        .when(hits["fr"] > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    return df.select(
+        id_col,
+        best.alias("detected_lang"),
+        *[hits[lang].alias(f"hits_{lang}") for lang in LANG_STOPWORDS],
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 k: int = 5) -> DataFrame:
+    """Document fingerprints:
+
+    - ``content_md5``: md5 of whitespace-normalized lowercase text (exact-dup
+      key);
+    - ``min_shingle_hash``: minimum md5 over word k-gram shingles — a 1-perm
+      MinHash, the building block of the winnowing/LSH family.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), "\\s+", " "))
+    sh = word_shingles(text_col, k)
+    return df.select(
+        id_col,
+        F.md5(norm).alias("content_md5"),
+        F.when(F.size(sh) == 0, F.lit(None).cast("string")).otherwise(
+            F.array_min(F.transform(sh, lambda s: F.md5(s)))
+        ).alias("min_shingle_hash"),
+    )

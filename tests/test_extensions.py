@@ -1,0 +1,190 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions import (
+    cosine_topk,
+    exact_dedup_keys,
+    fingerprints,
+    lang_id,
+    lsh_topk,
+    minhash_lsh_pairs,
+    neardup_pairs,
+    ngram_jaccard_pairs,
+    quality_scores,
+    simhash_pairs,
+    text_stats,
+    word_shingles,
+)
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.multimodal import (
+    decode_image_meta,
+    frame_sample,
+    media_stats,
+    parse_image_header,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "completely different words entirely unrelated text here now"),
+        (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (5, "short text"),
+        (6, "el perro que corre por la calle una vez"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_shingles(spark, docs):
+    out = docs.select("doc_id", word_shingles("text", 3).alias("sh")).collect()
+    by_id = {r["doc_id"]: r["sh"] for r in out}
+    assert "the quick brown" in by_id[1]
+    assert len(by_id[1]) == 7  # 9 tokens -> 7 trigrams, all distinct
+    assert by_id[5] == []      # shorter than k
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup_keys(docs)
+    dup = out.filter(F.col("n_copies") > 1).collect()
+    assert len(dup) == 1
+    assert dup[0]["canonical_id"] == 1 and dup[0]["n_copies"] == 2
+    assert out.count() == 5  # 6 docs, one collapsed
+
+
+def test_ngram_jaccard_finds_neardup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, k=3, threshold=0.3).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0       # exact dup
+    assert (1, 2) in pairs and 0.4 < pairs[(1, 2)] < 0.8  # near dup
+    assert (2, 4) in pairs
+    assert not any(3 in p or 5 in p or 6 in p for p in pairs)
+
+
+def test_minhash_lsh_catches_exact_and_near(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs(docs, k=3, threshold=0.3).collect()}
+    # exact dup must always collide in every band
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    # verified jaccard means zero false positives vs the exact operator
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, k=3, threshold=0.3).collect()}
+    for p, j in pairs.items():
+        assert p in exact and abs(exact[p] - j) < 1e-12
+
+
+def test_simhash_exact_dup_distance_zero(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert pairs.get((1, 4)) == 0  # identical text -> identical simhash
+
+
+def test_text_stats_and_quality(spark, docs):
+    st = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    assert st[1]["n_tokens"] == 9
+    assert st[1]["n_unique_tokens"] == 8  # 'the' twice
+    assert st[5]["n_tokens"] == 2
+
+    qs = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    assert qs[1]["stopword_ratio"] == pytest.approx(2 / 9)  # 'the' x2
+    assert 0.0 <= qs[1]["quality_score"] <= 1.0
+    assert qs[1]["punct_ratio"] == 0.0
+
+
+def test_lang_id_heuristic(spark, docs):
+    out = {r["doc_id"]: r["detected_lang"] for r in lang_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[6] == "es"    # el/que/una hits
+    assert out[5] == "und"   # no stopword hits at all
+    zh = spark.createDataFrame([(9, "你好世界")], "doc_id long, text string")
+    assert lang_id(zh).first()["detected_lang"] == "zh"
+
+
+def test_fingerprints(spark, docs):
+    fp = {r["doc_id"]: r for r in fingerprints(docs, k=3).collect()}
+    assert fp[1]["content_md5"] == fp[4]["content_md5"]
+    assert fp[1]["min_shingle_hash"] == fp[4]["min_shingle_hash"]
+    assert fp[1]["content_md5"] != fp[2]["content_md5"]
+    assert fp[5]["min_shingle_hash"] is None  # too short for shingles
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),    # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),    # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),   # opposite of 0
+        (4, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk(spark, vectors):
+    qs = vectors.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(vectors, qs, k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in rows] == [1, 4]
+    assert rows[0]["cosine_sim"] == pytest.approx(0.9 / math.sqrt(0.81 + 0.01))
+    assert rows[0]["rank"] == 1
+
+
+def test_neardup_pairs_embedding(spark, vectors):
+    out = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+           for r in neardup_pairs(vectors, threshold=0.9).collect()}
+    assert list(out) == [(0, 1)]
+
+
+def test_lsh_topk_subset_of_exact(spark, vectors):
+    qs = vectors.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ann = cosine_topk(vectors, qs, k=3).collect()
+    lsh = lsh_topk(vectors, qs, k=3, n_planes=4, dim=4).collect()
+    exact_ids = {r["vec_id"] for r in ann}
+    for r in lsh:
+        # ANN results are a subset of the corpus and scored identically
+        assert r["cosine_sim"] <= max(x["cosine_sim"] for x in ann) + 1e-12
+    # the query's own bucket contains at least itself-adjacent vectors
+    assert len(lsh) <= 3
+
+
+# --- multimodal plumbing ---------------------------------------------------
+
+PNG_1x2 = (
+    b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+    + (1).to_bytes(4, "big") + (2).to_bytes(4, "big") + b"\x08\x06\x00\x00\x00"
+)
+
+
+def test_parse_image_header_png():
+    assert parse_image_header(PNG_1x2) == ("png", 1, 2)
+    assert parse_image_header(b"garbage") == ("unknown", None, None)
+    assert parse_image_header(None) == (None, None, None)
+
+
+def test_decode_image_meta_mapinpandas(spark):
+    rows = [(1, "image", bytearray(PNG_1x2), "mem://a"),
+            (2, "image", bytearray(b"junkdata"), "mem://b")]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary, source_uri string"
+    )
+    out = {r["media_id"]: r for r in decode_image_meta(df).collect()}
+    assert out[1]["format"] == "png" and out[1]["width"] == 1 and out[1]["height"] == 2
+    assert out[2]["format"] == "unknown" and out[2]["width"] is None
+    assert out[1]["n_bytes"] == len(PNG_1x2)
+
+    stats = media_stats(df).first()
+    assert stats["n_items"] == 2
+
+
+def test_frame_sample_is_explicit_stub(spark):
+    df = spark.createDataFrame([], "media_id long, kind string, content binary, source_uri string")
+    with pytest.raises(NotImplementedError):
+        frame_sample(df)
