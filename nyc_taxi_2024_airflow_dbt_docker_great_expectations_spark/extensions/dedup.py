@@ -29,6 +29,23 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .text import tokens, word_shingles
 
 
+def _materialize_barrier(df: DataFrame) -> DataFrame:
+    """Round-robin exchange inserted purely as an optimization fence.
+
+    Catalyst's CollapseProject inlines a projected expression into every
+    downstream column that references it — so k signature columns reading a
+    ``shingles`` array would each re-run tokenization + shingling (k-fold
+    recompute; measured 10x+ slowdowns).  Projections do not collapse across
+    an exchange, so one cheap round-robin shuffle of the (id, array) rows
+    forces the array to be computed exactly once.  The shuffled payload is
+    the document's shingle/hash array — the same order of bytes as the input
+    text — so this is bandwidth-neutral at 100 TB and strictly cheaper than
+    recomputing hashes k times.
+    """
+    spark = df.sparkSession
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def exact_dedup_keys(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: md5 digest of normalized text -> canonical (min) id +
@@ -85,27 +102,32 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 
 # --- MinHash + LSH ---------------------------------------------------------
-
-def _minhash_one(sh: Column, seed: int) -> Column:
-    """One permutation: min over shingles of md5(seed || ':' || shingle).
-    Hex-string min is a valid uniform order; md5 prefixing is the seed."""
-    return F.array_min(
-        F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
-    )
-
+# One permutation = min over shingles of md5(seed || ':' || shingle); the
+# hex-string min is a valid uniform order and the seed prefix is the
+# permutation.
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3,
                        num_hashes: int = 12) -> DataFrame:
-    """(id, sig_0..sig_{n-1}) MinHash signature table."""
+    """(id, sig_0..sig_{n-1}) MinHash signature table.
+
+    Computed explode-then-aggregate rather than ``array_min(transform(...))``:
+    higher-order-function lambdas are interpreted (no whole-stage codegen),
+    while ``explode -> groupBy(id).agg(min(md5(...)) x k)`` runs the k hash
+    evaluations inside one codegen'd partial+final hash aggregate — map-side
+    combine shrinks the shuffle to one signature row per doc per partition.
+    """
     sh = word_shingles(text_col, k)
     base = df.select(F.col(id_col), sh.alias("shingles")).filter(
         F.size("shingles") > 0
     )
-    sig_cols = [
-        _minhash_one(F.col("shingles"), j).alias(f"sig_{j}") for j in range(num_hashes)
-    ]
-    return base.select(F.col(id_col), *sig_cols)
+    exploded = base.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    return exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"sig_{j}")
+            for j in range(num_hashes)
+        ]
+    )
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -122,17 +144,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     """
     rows_per_band = num_hashes // bands
     sh = word_shingles(text_col, k)
-    base = df.select(F.col(id_col), sh.alias("shingles")).filter(
-        F.size("shingles") > 0
+    base = _materialize_barrier(
+        df.select(F.col(id_col), sh.alias("shingles")).filter(
+            F.size("shingles") > 0
+        )
     )
-    sigs = base.select(
-        F.col(id_col),
-        F.col("shingles"),
-        *[
-            _minhash_one(F.col("shingles"), j).alias(f"sig_{j}")
-            for j in range(num_hashes)
-        ],
-    )
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
     band_keys = sigs.select(
         F.col(id_col),
         F.array(
@@ -161,10 +178,20 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         .distinct()
     )
 
-    shingled = base.select(F.col(id_col), "shingles")
-    exact = _pair_jaccard(shingled, id_col)
+    # Verify ONLY the candidates: join their shingle sets back and compute
+    # the exact Jaccard with array intersection — O(candidates), never the
+    # all-pairs inverted-index join (that is ngram_jaccard_pairs' job as the
+    # exact baseline; at 100 TB the candidate set is what makes LSH viable).
+    sh_a = base.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = base.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    n_union = F.size("sh_a") + F.size("sh_b") - n_inter
     return (
-        candidates.join(exact, ["id_a", "id_b"])
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard", n_inter.cast("double") / n_union.cast("double")
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -174,74 +201,75 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 _ODD_HEX = "[13579bdf]"
 SIMHASH_BITS = 32
-SIMHASH_BANDS = 8
-
-
-def _simhash_bits(toks: Column) -> list[Column]:
-    """Bit_j = majority vote over tokens of (j-th md5 hex digit odd)."""
-    out = []
-    for j in range(SIMHASH_BITS):
-        vote = F.aggregate(
-            F.transform(
-                toks,
-                lambda t: F.when(
-                    F.substring(F.md5(t), j + 1, 1).rlike(_ODD_HEX), F.lit(1)
-                ).otherwise(F.lit(-1)),
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
-        out.append(F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).alias(f"bit_{j}"))
-    return out
+SIMHASH_BANDS = 4  # 8-bit bands; pigeonhole valid while max_hamming < bands
 
 
 def simhash_table(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
-    """(id, bit_0..bit_{n-1}) simhash bit table (32-bit here, md5-hex-digit
-    votes for oracle reproducibility; production would use 64-bit xxhash64
-    votes, same shape)."""
-    toks = tokens(text_col)
-    return df.select(F.col(id_col), *_simhash_bits(toks))
+    """(id, simhash BIGINT) table.
+
+    Explode-then-aggregate: one md5 per token computed inside a codegen'd
+    hash aggregate; the 32 bit votes are 32 conditional SUMs over the same
+    exploded rows (single pass, map-side combined), then packed into a
+    BIGINT in a final cheap projection.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("t")
+    ).select(F.col(id_col), F.md5("t").alias("m"))
+    votes = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring("m", j + 1, 1).rlike(_ODD_HEX), F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    packed = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = bit if packed is None else packed + bit
+    return votes.select(F.col(id_col), packed.alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs with simhash Hamming distance <= ``max_hamming``.
-    Candidates via 4-bit band equality (pigeonhole: distance <= max_hamming
-    over SIMHASH_BANDS > max_hamming bands forces >= 1 identical band), then
-    exact Hamming verification."""
+
+    Candidates via 8-bit band equality: distance <= 3 across 4 bands forces
+    at least one identical band (pigeonhole), so recall is exact.  8-bit
+    bands (256 values) keep bucket sizes ~n/256 — the candidate volume is
+    sum-of-squares over bucket sizes, two orders of magnitude below the 4-bit
+    banding alternative.  Verification is ``bit_count(xor)`` on two BIGINTs.
+    """
     sims = simhash_table(df, text_col, id_col)
-    bit_cols = [f"bit_{j}" for j in range(SIMHASH_BITS)]
     banded = sims.select(
         F.col(id_col),
-        *bit_cols,
+        F.col("simhash"),
         *[
-            F.concat_ws(
-                "", *[F.col(f"bit_{b * 4 + r}") for r in range(4)]
-            ).alias(f"band_{b}")
+            F.shiftright("simhash", b * 8).bitwiseAND(F.lit(0xFF)).alias(f"band_{b}")
             for b in range(SIMHASH_BANDS)
         ],
     )
     pairs = None
     for b in range(SIMHASH_BANDS):
         a = banded.select(
-            F.col(id_col).alias("id_a"),
-            *[F.col(c).alias(f"a_{c}") for c in bit_cols],
+            F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
             F.col(f"band_{b}").alias("bk"),
         )
         c = banded.select(
-            F.col(id_col).alias("id_b"),
-            *[F.col(x).alias(f"b_{x}") for x in bit_cols],
+            F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
             F.col(f"band_{b}").alias("bk"),
         )
         cand = a.join(c, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
         pairs = cand if pairs is None else pairs.unionByName(cand)
-    hamming = None
-    for j in range(SIMHASH_BITS):
-        d = (F.col(f"a_bit_{j}") != F.col(f"b_bit_{j}")).cast("int")
-        hamming = d if hamming is None else hamming + d
     return (
-        pairs.withColumn("hamming", hamming)
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .distinct()
