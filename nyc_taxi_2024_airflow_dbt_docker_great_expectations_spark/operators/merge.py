@@ -56,6 +56,35 @@ def append_if_absent(target: DataFrame, delta: DataFrame, keys: list[str]) -> Da
     return target.unionByName(new_rows.select(*target.columns))
 
 
+def merge_write_path(spark, path: str, delta: DataFrame, keys: list[str]) -> None:
+    """Merge ``delta`` into the parquet table at ``path`` by key (S8/S9) with
+    a write-aside-and-swap, because Spark cannot overwrite a path that feeds
+    the running plan.  First write (no target yet) is a plain write.
+
+    Path-mode primitive for local/HDFS-like filesystems; on a real lakehouse
+    this whole function is one Delta/Iceberg ``MERGE INTO`` (atomic, no
+    rewrite of untouched files).  For month-partitioned tables where the
+    delta always covers whole months, prefer dynamic partition overwrite
+    (``month_partition_overwrite``) — it rewrites only affected partitions.
+    """
+    import os
+    import shutil
+
+    if not os.path.isdir(path):
+        delta.write.mode("overwrite").parquet(path)
+        return
+    target = spark.read.parquet(path)
+    merged = upsert_by_key(target, delta.select(*target.columns), keys)
+    tmp = path + ".__merge_tmp__"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    # the rename happened outside Spark's writers, so the session's shared
+    # file-listing cache still points at the deleted part files — refresh it
+    spark.catalog.refreshByPath(path)
+    spark.catalog.refreshByPath(tmp)
+
+
 def month_partition_overwrite(df: DataFrame, path: str, month_col: str = "month") -> None:
     """Idempotent month re-load (S10): with
     ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set in session.py),
