@@ -60,6 +60,7 @@ from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.streaming.windows
 )
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions import (
     cosine_topk,
+    lsh_topk,
     exact_dedup_keys,
     fingerprints,
     lang_id,
@@ -871,6 +872,90 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 """
 
 
+
+
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: exact cosine ranking restricted to md5-derived hyperplane
+    LSH buckets — the sub-linear serving path next to brute-force
+    q_embedding_topk.  Deterministic planes make even the ANN result
+    oracle-checkable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, qs, k=10, n_planes=8, dim=64)
+
+
+def _duck_lsh_bucket_expr(table_alias: str) -> str:
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        deterministic_planes,
+    )
+    planes = deterministic_planes(8, 64)
+    bits = []
+    for p in range(8):
+        lits = ", ".join(str(x) for x in planes[p])
+        bits.append(
+            "CASE WHEN list_sum(list_transform(range(1, 65), i -> "
+            f"CAST({table_alias}.embedding[CAST(i AS INTEGER)] AS DOUBLE) * "
+            f"([{lits}])[CAST(i AS INTEGER)])) >= 0 THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(bits) + ")"
+
+
+ORACLE_EMBEDDING_LSH_TOPK = f"""
+WITH buckets AS (
+  SELECT vec_id, {_duck_lsh_bucket_expr('embeddings')} AS bucket FROM embeddings
+),
+q AS (
+  SELECT e.vec_id AS qid, e.embedding AS qe, b.bucket
+  FROM embeddings e JOIN buckets b USING (vec_id)
+  WHERE e.vec_id < {N_QUERY_VECS}
+),
+c AS (
+  SELECT e.vec_id, e.embedding, b.bucket
+  FROM embeddings e JOIN buckets b USING (vec_id)
+),
+scored AS (
+  SELECT q.qid AS query_id, e.vec_id, {_DUCK_COS} AS cosine_sim
+  FROM c e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.qid
+)
+SELECT query_id, vec_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (capability superset of W2): customers with orders in
+    the latest year INTERSECT high-balance customers, EXCEPT customers in
+    region 0 nations."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    recent = orders.filter(F.year("o_orderdate") >= 2001).select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    region0 = cust.join(
+        F.broadcast(nation.filter(F.col("n_regionkey") == 0)),
+        cust["c_nationkey"] == F.col("n_nationkey"),
+    ).select("c_custkey")
+    return recent.intersect(rich).exceptAll(region0.distinct())
+
+
+ORACLE_SET_OPS = """
+SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) >= 2001
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+EXCEPT
+SELECT DISTINCT c_custkey FROM customer
+JOIN nation ON c_nationkey = n_nationkey WHERE n_regionkey = 0
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -905,6 +990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "rollup_summary": q_rollup_summary,
         "topk_orders": q_topk_orders,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
+        "set_ops": q_set_ops,
     }
 
 
@@ -938,4 +1025,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
         "rollup_summary": ORACLE_ROLLUP_SUMMARY,
         "topk_orders": ORACLE_TOPK_ORDERS,
+        "embedding_lsh_topk": ORACLE_EMBEDDING_LSH_TOPK,
+        "set_ops": ORACLE_SET_OPS,
     }

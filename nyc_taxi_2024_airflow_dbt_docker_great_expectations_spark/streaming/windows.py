@@ -49,6 +49,28 @@ def tumbling_counts_stream(events_stream: DataFrame, duration: str = "5 minutes"
     )
 
 
+def session_window_stream(events_stream: DataFrame, gap: str = "30 minutes",
+                          ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """Streaming sessionization via the built-in ``session_window`` (dynamic
+    gap-merged windows with watermark-driven state eviction) — the streaming
+    twin of ``sessionize_batch``'s gaps-and-islands logic."""
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", 6).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: float = 30.0,
                      user_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
     """Assign session ids per user with an inactivity gap: new session when
