@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .text import tokens, word_shingles
+from .text import shingle_postings, shingled_arrays, tokens, word_shingles
 
 
 def _materialize_barrier(df: DataFrame) -> DataFrame:
@@ -93,12 +93,77 @@ def _pair_jaccard(shingled: DataFrame, id_col: str) -> DataFrame:
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
-                        threshold: float = 0.6) -> DataFrame:
-    """Exact word-k-gram Jaccard near-dup pairs above ``threshold``."""
-    shingled = df.select(
-        F.col(id_col), word_shingles(text_col, k).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    return _pair_jaccard(shingled, id_col).filter(F.col("jaccard") >= threshold)
+                        threshold: float = 0.6,
+                        prefix_filter: bool = True) -> DataFrame:
+    """Exact word-k-gram Jaccard near-dup pairs above ``threshold``.
+
+    With ``prefix_filter`` (default), applies PPJoin-style **prefix
+    filtering**: shingles are globally ordered by (document frequency,
+    shingle) and only each document's first ``n - ceil(t*n) + 1`` shingles
+    are indexed.  If J(A,B) >= t, the rarest common shingle provably falls in
+    both prefixes, so joining prefix postings loses no true pair — while the
+    frequent shingles that cause the quadratic posting-list blowup never
+    enter the join.  A length filter (|A| and |B| within a factor t of each
+    other, another J >= t invariant) prunes further.  Candidates are then
+    verified with the exact set intersection, so the result is IDENTICAL to
+    the naive inverted-index join — this is the difference between an exact
+    similarity self-join that dies on a common-vocabulary corpus at 100 TB
+    and one that scales with the rare-token posting mass.
+    """
+    from pyspark.sql import Window
+
+    if not prefix_filter:
+        shingled = df.select(
+            F.col(id_col), word_shingles(text_col, k).alias("shingles")
+        ).filter(F.size("shingles") > 0)
+        return _pair_jaccard(shingled, id_col).filter(
+            F.col("jaccard") >= threshold
+        )
+
+    base = shingled_arrays(df, text_col, id_col, k)
+    posts = base.select(
+        F.col(id_col), F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    dfreq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
+    ranked = posts.join(dfreq, "shingle").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy("df_cnt", "shingle")
+        ),
+    )
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select(
+        id_col, "n_sh", "shingle"
+    )
+
+    pa = prefix.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"),
+                       "shingle")
+    pb = prefix.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"),
+                       "shingle")
+    candidates = (
+        pa.join(pb, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: J >= t forces t <= |A|/|B| <= 1/t
+            & (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+            & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sh_a = base.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = base.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    n_union = F.size("sh_a") + F.size("sh_b") - n_inter
+    return (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", n_inter.cast("double") / n_union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 # --- MinHash + LSH ---------------------------------------------------------
@@ -117,11 +182,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     evaluations inside one codegen'd partial+final hash aggregate — map-side
     combine shrinks the shuffle to one signature row per doc per partition.
     """
-    sh = word_shingles(text_col, k)
-    base = df.select(F.col(id_col), sh.alias("shingles")).filter(
-        F.size("shingles") > 0
-    )
-    exploded = base.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    exploded = shingle_postings(df, text_col, id_col, k)
     return exploded.groupBy(id_col).agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"sig_{j}")
@@ -143,12 +204,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     exact shingle Jaccard so the output has no false positives.
     """
     rows_per_band = num_hashes // bands
-    sh = word_shingles(text_col, k)
-    base = _materialize_barrier(
-        df.select(F.col(id_col), sh.alias("shingles")).filter(
-            F.size("shingles") > 0
-        )
-    )
+    base = shingled_arrays(df, text_col, id_col, k)
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
     band_keys = sigs.select(
         F.col(id_col),

@@ -57,6 +57,45 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
+def shingle_postings(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 3,
+                     distinct: bool = True) -> DataFrame:
+    """(id, shingle) posting rows via posexplode + LEAD windows.
+
+    Semantically identical to exploding ``word_shingles`` but fully
+    whole-stage-codegen'd: the array-building higher-order functions
+    (``transform``/``slice``/``array_distinct``) are interpreted expressions
+    and measured ~10x slower per pass.  One sort per document (the window),
+    then every downstream consumer (similarity joins, MinHash, fingerprints)
+    reads plain rows.
+    """
+    from pyspark.sql import Window
+
+    exploded = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    sh = (
+        exploded.select(
+            F.col(id_col),
+            F.concat_ws(" ", *parts).alias("shingle"),
+            parts[-1].isNotNull().alias("__full"),
+        )
+        .filter(F.col("__full"))
+        .drop("__full")
+    )
+    return sh.distinct() if distinct else sh
+
+
+def shingled_arrays(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, shingles array<string>) with set semantics — ``collect_set`` in
+    one partial+final aggregate (single shuffle, map-side dedup)."""
+    raw = shingle_postings(df, text_col, id_col, k, distinct=False)
+    return raw.groupBy(id_col).agg(F.collect_set("shingle").alias("shingles"))
+
+
 def _count_matching(toks: Column, values: tuple[str, ...]) -> Column:
     arr = F.array(*[F.lit(v) for v in values])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
@@ -158,8 +197,8 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), "\\s+", " "))
     content = df.select(F.col(id_col), F.md5(norm).alias("content_md5"))
     min_sh = (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col, k)).alias("s"))
-        .select(F.col(id_col), F.md5("s").alias("h"))
+        shingle_postings(df, text_col, id_col, k, distinct=False)
+        .select(F.col(id_col), F.md5("shingle").alias("h"))
         .groupBy(id_col)
         .agg(F.min("h").alias("min_shingle_hash"))
     )
