@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.functions.decode import (
     decode_map,
-    decode_via_broadcast_join,
 )
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.functions.keys import (
     surrogate_key,
@@ -956,6 +955,96 @@ JOIN nation ON c_nationkey = n_nationkey WHERE n_regionkey = 0
 """
 
 
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window with an explicit ROWS frame (capability superset of
+    W1/W2): per-supplier 3-row trailing average of daily revenue."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_suppkey"), to_day("l_shipdate").alias("ship_date")
+    ).agg(exact_sum("l_extendedprice").alias("day_revenue"))
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("ship_date")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return daily.select(
+        "l_suppkey",
+        "ship_date",
+        "day_revenue",
+        F.avg("day_revenue").over(w).alias("trailing_avg_revenue"),
+    )
+
+
+ORACLE_MOVING_AVG = """
+WITH daily AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_date,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS day_revenue
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_suppkey, ship_date, day_revenue,
+       AVG(day_revenue) OVER (PARTITION BY l_suppkey ORDER BY ship_date
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS trailing_avg_revenue
+FROM daily
+"""
+
+
+PIVOT_YEARS = [1995, 1996, 1997, 1998]
+
+
+def q_pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): order counts per status x year, expressed
+    as conditional aggregates — the exact plan Spark's ``.pivot()`` with an
+    explicit value list compiles to, and the form every SQL engine shares."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        *[
+            F.sum(
+                F.when(F.year("o_orderdate") == y, 1).otherwise(0)
+            ).alias(f"y{y}")
+            for y in PIVOT_YEARS
+        ]
+    )
+
+
+ORACLE_PIVOT_STATUS_BY_YEAR = """
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS y1995,
+       CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS y1996,
+       CAST(SUM(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS y1997,
+       CAST(SUM(CASE WHEN year(o_orderdate) = 1998 THEN 1 ELSE 0 END) AS BIGINT) AS y1998
+FROM orders GROUP BY 1
+"""
+
+
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing, oracle-checked at the byte level:
+    utf-8 encode text -> opaque binary, then metadata extraction (byte
+    length, digest) without ever decoding -- the pattern used for real
+    image/audio payloads in extensions/multimodal.py."""
+    docs = _t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(blob).alias("n_bytes"),
+        F.md5(blob).alias("content_digest"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+ORACLE_BINARY_META = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       md5(text) AS content_digest,
+       CAST(length(text) AS INTEGER) AS n_chars
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -992,6 +1081,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "set_ops": q_set_ops,
+        "moving_avg": q_moving_avg,
+        "pivot_status_by_year": q_pivot_status_by_year,
+        "binary_meta": q_binary_meta,
     }
 
 
@@ -1027,4 +1119,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": ORACLE_TOPK_ORDERS,
         "embedding_lsh_topk": ORACLE_EMBEDDING_LSH_TOPK,
         "set_ops": ORACLE_SET_OPS,
+        "moving_avg": ORACLE_MOVING_AVG,
+        "pivot_status_by_year": ORACLE_PIVOT_STATUS_BY_YEAR,
+        "binary_meta": ORACLE_BINARY_META,
     }

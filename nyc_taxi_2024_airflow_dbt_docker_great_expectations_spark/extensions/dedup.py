@@ -24,7 +24,7 @@ oracle-checkable in SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from .text import shingle_postings, shingled_arrays, tokens, word_shingles
 

@@ -19,7 +19,7 @@ GX semantics preserved (``dags/validation_utils.py:72-84``):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
 

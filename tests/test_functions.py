@@ -1,6 +1,6 @@
 from __future__ import annotations
 
-from pyspark.sql import Row, functions as F
+from pyspark.sql import functions as F
 
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.functions import (
     PAYMENT_MAP,

@@ -91,3 +91,24 @@ def test_runner_select_exclude(spark):
     runner.add("c", lambda ctx: "C")
     assert set(runner.run(select=["a", "c"])) == {"a", "c"}   # O7 --select
     assert set(runner.run(exclude=["b"])) == {"a", "c"}       # O7 --exclude
+
+
+def test_dual_logging(tmp_warehouse):
+    import os
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.pipeline.logging_utils import (
+        get_logger,
+    )
+
+    log_file = os.path.join(tmp_warehouse, "pipeline.log")
+    logger = get_logger("test_dual", log_file)
+    logger.info("hello medallion")
+    # idempotent: second call must not duplicate handlers
+    logger2 = get_logger("test_dual", log_file)
+    assert logger2 is logger and len(logger.handlers) == 2
+    for h in logger.handlers:
+        h.flush()
+    with open(log_file) as f:
+        content = f.read()
+    assert content.count("hello medallion") == 1
+    assert "INFO" in content

@@ -1,7 +1,6 @@
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.plans import (
     bronze_trips,
@@ -115,9 +114,6 @@ def test_accepted_values_ignores_nulls(spark):
 def test_single_pass_plan(spark, trips):
     """The suite evaluation should be one aggregate over the input — verify
     no joins/extra scans appear in the plan."""
-    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.quality.expectations import (
-        Expectation,
-    )
     suite = [
         expect_column_values_to_not_be_null("vendorid"),
         expect_column_values_to_be_between("fare_amount", 0, mostly=0.9),

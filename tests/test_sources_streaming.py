@@ -17,7 +17,6 @@ from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.sources.sinks imp
     write_month_partitioned,
 )
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.streaming.windows import (
-    sessionize_batch,
     session_stats_batch,
     tumbling_counts_batch,
 )
