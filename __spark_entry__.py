@@ -37,7 +37,7 @@ from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.functions.datetim
     to_day,
 )
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.dedup import (
-    distinct_on,
+    distinct_on_agg,
 )
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.merge import (
     append_if_absent,
@@ -113,8 +113,14 @@ def q_silver_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("charge"),
         surrogate_key(["l_orderkey", "l_linenumber"]).alias("unique_line_id"),
     )
-    first_per_order = distinct_on(
-        base, ["l_orderkey"], [F.col("l_shipdate"), F.col("l_linenumber")]
+    # (l_orderkey, l_linenumber) is NOT unique in the testdata (planted
+    # dupes) -- the order-by must be a TOTAL order or the survivor is
+    # engine-dependent; quantity+price break all remaining ties
+    first_per_order = distinct_on_agg(
+        base,
+        ["l_orderkey"],
+        [F.col("l_shipdate"), F.col("l_linenumber"), F.col("l_quantity"),
+         F.col("extendedprice")],
     )
     return first_per_order.drop("l_shipdate")
 
@@ -135,7 +141,8 @@ SELECT l_orderkey, l_linenumber, l_quantity, returnflag_desc, extendedprice,
        charge, unique_line_id
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
-                               ORDER BY l_shipdate, l_linenumber) AS rn
+                               ORDER BY l_shipdate, l_linenumber, l_quantity,
+                                        extendedprice) AS rn
   FROM base
 ) WHERE rn = 1
 """

@@ -272,12 +272,14 @@ def simhash_table(df: DataFrame, text_col: str = "text",
     exploded = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("t")
     ).select(F.col(id_col), F.md5("t").alias("m"))
+    odd = ("1", "3", "5", "7", "9", "b", "d", "f")
     votes = exploded.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(
-                    F.substring("m", j + 1, 1).rlike(_ODD_HEX), F.lit(1)
-                ).otherwise(F.lit(-1))
+                # isin over 8 literals beats a regex match in codegen; same
+                # "hex digit is odd" predicate as _ODD_HEX
+                F.when(F.substring("m", j + 1, 1).isin(*odd), F.lit(1))
+                .otherwise(F.lit(-1))
             ).alias(f"v{j}")
             for j in range(SIMHASH_BITS)
         ]

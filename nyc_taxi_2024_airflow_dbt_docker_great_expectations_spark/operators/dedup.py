@@ -31,3 +31,28 @@ def distinct_on(
     w = Window.partitionBy(*keys).orderBy(*order_by)
     rn = F.row_number().over(w)
     return df.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def distinct_on_agg(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column | str],
+) -> DataFrame:
+    """``distinct_on`` as a hash aggregate: ``min_by(struct(*), struct(order))``.
+
+    Same result as the ranking-window form (given a total order), but the
+    physical plan is a partial+final HashAggregate instead of
+    shuffle-then-sort-then-rank: the map side already reduces each key group
+    to one candidate row, so the shuffle carries one row per (key, partition)
+    — on a 100 TB table where keys repeat, this is the difference between
+    shuffling the table and shuffling the distinct keys.  Ordering NULLs:
+    struct comparison sorts NULLs first like the window's default
+    NULLS FIRST ascending order.
+    """
+    ord_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    picked = df.groupBy(*keys).agg(
+        F.min_by(
+            F.struct(*[F.col(c) for c in df.columns]), F.struct(*ord_cols)
+        ).alias("__row")
+    )
+    return picked.select("__row.*")
