@@ -78,6 +78,9 @@ LINESTATUS_MAP = {"O": "Open", "F": "Finalized"}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # all date/window semantics assume UTC rendering of the tz-naive parquet
+    # timestamps; pin it in case the harness session uses another zone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":  # ns-precision timestamps need the legacy long path
         return read_events(spark, f"{sf_dir}/events.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

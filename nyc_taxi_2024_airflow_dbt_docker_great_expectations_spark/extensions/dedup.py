@@ -303,7 +303,10 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     sum-of-squares over bucket sizes, two orders of magnitude below the 4-bit
     banding alternative.  Verification is ``bit_count(xor)`` on two BIGINTs.
     """
-    sims = simhash_table(df, text_col, id_col)
+    # 4 band self-joins read this table 8 times; the barrier materializes the
+    # md5+vote aggregation once instead of re-running the final aggregate per
+    # consumer (the tiny (id, simhash) rows are the cheapest thing to shuffle)
+    sims = _materialize_barrier(simhash_table(df, text_col, id_col))
     banded = sims.select(
         F.col(id_col),
         F.col("simhash"),
