@@ -269,26 +269,41 @@ def simhash_table(df: DataFrame, text_col: str = "text",
     exploded rows (single pass, map-side combined), then packed into a
     BIGINT in a final cheap projection.
     """
+    # Per token, parse the 32 md5 hex digits into three longs (11+11+10
+    # digits; 44 bits max so the signed-long conv cast never overflows).
+    # "Digit j is odd" == lowest bit of that digit's nibble — so each bit
+    # vote is a long shift-and-mask instead of a per-bit string substring
+    # (32 string ops/token -> 3 convs + cheap integer ops; ~3x faster table).
+    chunks = [(0, 11), (11, 11), (22, 10)]
     exploded = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("t")
-    ).select(F.col(id_col), F.md5("t").alias("m"))
-    odd = ("1", "3", "5", "7", "9", "b", "d", "f")
-    votes = exploded.groupBy(id_col).agg(
+    ).select(F.col(id_col), F.md5("t").alias("m")).select(
+        F.col(id_col),
         *[
-            F.sum(
-                # isin over 8 literals beats a regex match in codegen; same
-                # "hex digit is odd" predicate as _ODD_HEX
-                F.when(F.substring("m", j + 1, 1).isin(*odd), F.lit(1))
-                .otherwise(F.lit(-1))
-            ).alias(f"v{j}")
-            for j in range(SIMHASH_BITS)
-        ]
+            F.conv(F.substring("m", start + 1, width), 16, 10)
+            .cast("long")
+            .alias(f"c{i}")
+            for i, (start, width) in enumerate(chunks)
+        ],
+    )
+
+    def bit_of(j: int):
+        for i, (start, width) in enumerate(chunks):
+            if start <= j < start + width:
+                shift = 4 * (width - (j - start) - 1)
+                return F.shiftright(F.col(f"c{i}"), shift).bitwiseAND(F.lit(1))
+        raise AssertionError(j)
+
+    votes = exploded.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        *[F.sum(bit_of(j)).alias(f"s{j}") for j in range(SIMHASH_BITS)],
     )
     packed = None
     for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        # majority vote: sum(+1/-1) > 0  <=>  2 * sum(bit) > n
+        bit = F.when(
+            F.col(f"s{j}") * 2 > F.col("n_tok"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         packed = bit if packed is None else packed + bit
     return votes.select(F.col(id_col), packed.alias("simhash"))
 

@@ -123,3 +123,18 @@ def test_gold_daily_watermark_quirk(spark, trips):
     max_date = existing.agg(F.max("trip_date")).first()[0]
     assert rerun.count() == 1
     assert rerun.first()["trip_date"] == max_date
+
+
+def test_empty_run_schema_smoke(spark, trips):
+    """dbt 'run --empty' analog (SURVEY section 3, entry point 2): running
+    every model over zero rows validates schemas/plans — Catalyst analysis
+    errors replace dbt compile errors."""
+    empty = trips.limit(0)
+    silver = silver_trips(bronze_trips(empty))
+    assert silver.count() == 0
+    assert "unique_trip_id" in silver.columns
+    for model in (gold_daily_summary, gold_monthly_summary, gold_zone_summary,
+                  gold_vendor_summary, gold_payment_summary):
+        out = model(silver)
+        assert out.count() == 0
+        assert len(out.columns) >= 2

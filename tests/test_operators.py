@@ -74,3 +74,18 @@ def test_watermark_filters(spark):
 def test_max_scalar_empty(spark):
     empty = spark.createDataFrame([], "x int")
     assert max_scalar(empty, "x") is None
+
+
+def test_distinct_on_agg_matches_window(spark):
+    df = spark.createDataFrame(
+        [(1, 2, "x"), (1, 1, "keep"), (2, 5, "only"), (1, 1, "tie")],
+        "k int, o int, v string",
+    )
+    # total order (o, v): both implementations must agree exactly
+    order = [F.col("o"), F.col("v")]
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.dedup import (
+        distinct_on_agg,
+    )
+    a = sorted(map(tuple, distinct_on(df, ["k"], order).collect()))
+    b = sorted(map(tuple, distinct_on_agg(df, ["k"], order).collect()))
+    assert a == b == [(1, 1, "keep"), (2, 5, "only")]

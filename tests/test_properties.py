@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis) — a superset of the reference's test
+strategy (SURVEY section 5: the reference has no property testing).
+
+Strategy sizes are kept small: each example pays a Spark job, so we want
+dozens of examples, not thousands.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.dedup import (
+    distinct_on,
+    distinct_on_agg,
+)
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.merge import (
+    append_if_absent,
+    upsert_by_key,
+)
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),    # key (collisions likely)
+        st.integers(min_value=0, max_value=9),    # order col
+        st.integers(min_value=0, max_value=99),   # payload / tiebreak
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=rows_strategy)
+def test_distinct_on_window_and_agg_agree(spark, rows):
+    """With a TOTAL order, the ranking-window and min_by implementations of
+    DISTINCT ON must pick identical survivors."""
+    df = spark.createDataFrame(rows, "k int, o int, p int").distinct()
+    order = [F.col("o"), F.col("p")]
+    a = sorted(map(tuple, distinct_on(df, ["k"], order).collect()))
+    b = sorted(map(tuple, distinct_on_agg(df, ["k"], order).collect()))
+    assert a == b
+    keys = {t[0] for t in a}
+    assert len(a) == len(keys)  # exactly one survivor per key
+
+
+@settings(**SETTINGS)
+@given(rows=rows_strategy, delta_rows=rows_strategy)
+def test_upsert_properties(spark, rows, delta_rows):
+    """Merge invariants: delta wins on conflict, nothing is lost, idempotent."""
+    target = spark.createDataFrame(rows, "k int, o int, p int") \
+        .dropDuplicates(["k"])
+    delta = spark.createDataFrame(delta_rows, "k int, o int, p int") \
+        .dropDuplicates(["k"])
+    merged = upsert_by_key(target, delta, ["k"])
+    got = {r["k"]: (r["o"], r["p"]) for r in merged.collect()}
+    want_delta = {r["k"]: (r["o"], r["p"]) for r in delta.collect()}
+    want_target = {r["k"]: (r["o"], r["p"]) for r in target.collect()}
+    assert set(got) == set(want_target) | set(want_delta)
+    for k, v in want_delta.items():
+        assert got[k] == v  # delta version always wins
+    # idempotence
+    again = upsert_by_key(merged, delta, ["k"])
+    assert {r["k"]: (r["o"], r["p"]) for r in again.collect()} == got
+
+
+@settings(**SETTINGS)
+@given(rows=rows_strategy, delta_rows=rows_strategy)
+def test_append_if_absent_properties(spark, rows, delta_rows):
+    """Conflict-ignore: target rows never change; only new keys append."""
+    target = spark.createDataFrame(rows, "k int, o int, p int") \
+        .dropDuplicates(["k"])
+    delta = spark.createDataFrame(delta_rows, "k int, o int, p int") \
+        .dropDuplicates(["k"])
+    out = append_if_absent(target, delta, ["k"])
+    got = {r["k"]: (r["o"], r["p"]) for r in out.collect()}
+    want_target = {r["k"]: (r["o"], r["p"]) for r in target.collect()}
+    for k, v in want_target.items():
+        assert got[k] == v  # target version always survives
+    assert set(got) == set(want_target) | {r["k"] for r in delta.collect()}
