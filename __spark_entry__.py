@@ -57,6 +57,9 @@ from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.streaming.windows
     session_stats_batch,
     tumbling_counts_batch,
 )
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.graph import (
+    dedup_clusters,
+)
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions import (
     cosine_topk,
     lsh_topk,
@@ -1055,6 +1058,73 @@ FROM documents
 """
 
 
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster canonicalization: connected components over the
+    n-gram-Jaccard pair graph (min-reachable-id labels); survivors of
+    cluster dedup are rows with is_canonical = true."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.6)
+    return dedup_clusters(docs, pairs).select(
+        "doc_id", "component", "is_canonical"
+    )
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_DUCK_PAIR_JACCARD},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pair_j WHERE jaccard >= 0.6
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pair_j WHERE jaccard >= 0.6
+),
+reach(node, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.node
+),
+comp AS (
+  SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS component,
+       COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+SPLIT_TEST_PCT = 10  # md5-bucketed: ~10% test, deterministic per doc_id
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/test split: the standard leakage-safe
+    corpus split (same id -> same side, forever, on any engine).  Bucket =
+    first 4 md5 hex digits of the id mod 100."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TEST_PCT, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+ORACLE_TRAIN_TEST_SPLIT = f"""
+SELECT doc_id,
+       CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+            % 100 AS INTEGER) AS bucket,
+       CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+                 % 100 < {SPLIT_TEST_PCT}
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1091,6 +1161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "set_ops": q_set_ops,
+        "dedup_clusters": q_dedup_clusters,
+        "train_test_split": q_train_test_split,
         "moving_avg": q_moving_avg,
         "pivot_status_by_year": q_pivot_status_by_year,
         "binary_meta": q_binary_meta,
@@ -1129,6 +1201,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": ORACLE_TOPK_ORDERS,
         "embedding_lsh_topk": ORACLE_EMBEDDING_LSH_TOPK,
         "set_ops": ORACLE_SET_OPS,
+        "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+        "train_test_split": ORACLE_TRAIN_TEST_SPLIT,
         "moving_avg": ORACLE_MOVING_AVG,
         "pivot_status_by_year": ORACLE_PIVOT_STATUS_BY_YEAR,
         "binary_meta": ORACLE_BINARY_META,

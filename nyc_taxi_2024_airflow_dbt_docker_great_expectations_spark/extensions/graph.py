@@ -1,0 +1,89 @@
+"""Small-graph operators for dedup-cluster canonicalization.
+
+``connected_components`` turns near-dup *pairs* (from MinHash / SimHash /
+n-gram Jaccard / embedding cosine) into dedup *clusters*: every document gets
+the minimum doc-id reachable through the near-dup relation, which becomes the
+cluster's canonical representative.  Survivors of cluster dedup are the rows
+where ``component == id``.
+
+Algorithm: alternating min-label propagation to a fixed point — each
+iteration joins the current labels across edges and keeps the elementwise
+minimum.  The iteration count is bounded by the graph diameter (near-dup
+clusters are tiny cliques, so 2-4 rounds in practice); each round is one
+shuffle join + aggregate.  This is the simplified form of the
+"large-star / small-star" map-reduce connected-components algorithm — the
+shape that scales to billions of edges because state is only (node, label)
+pairs, never adjacency lists on the driver.
+
+The driver-side part is ONLY the convergence check (a count of changed
+labels), never the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
+                         max_iter: int = 20) -> DataFrame:
+    """(node, component) where component = min node id reachable.
+
+    ``edges`` is undirected input (each pair listed once, either direction).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    # symmetric edge list (both directions) so one join step propagates
+    # labels across every adjacency
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("component"))
+
+    for _ in range(max_iter):
+        # label(u) candidate via each neighbor v's current label
+        propagated = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .select(F.col("u").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(propagated)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        # localCheckpoint truncates the growing lineage (iterative plans
+        # otherwise re-execute all prior rounds every action)
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   pair_a: str = "id_a", pair_b: str = "id_b") -> DataFrame:
+    """Assign every document its near-dup cluster representative.
+
+    Documents appearing in no pair are their own singleton cluster.  Returns
+    (id, component, is_canonical); downstream dedup keeps
+    ``is_canonical`` rows only.
+    """
+    comp = connected_components(pairs, pair_a, pair_b)
+    out = df.select(F.col(id_col)).join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    )
+    out = out.withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    return out.withColumn("is_canonical", F.col("component") == F.col(id_col))

@@ -188,3 +188,25 @@ def test_frame_sample_is_explicit_stub(spark):
     df = spark.createDataFrame([], "media_id long, kind string, content binary, source_uri string")
     with pytest.raises(NotImplementedError):
         frame_sample(df)
+
+
+def test_connected_components_and_cluster_dedup(spark, docs):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.graph import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # chain 1-2, 2-4 (transitive cluster) and an isolated pair 5-6
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 4), (5, 6)], "id_a long, id_b long"
+    )
+    comp = {r["node"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 4: 1, 5: 5, 6: 5}
+
+    out = {r["doc_id"]: r for r in dedup_clusters(docs, edges).collect()}
+    assert out[4]["component"] == 1 and not out[4]["is_canonical"]
+    assert out[1]["is_canonical"]
+    assert out[3]["component"] == 3 and out[3]["is_canonical"]  # singleton
+    survivors = [d for d, r in out.items() if r["is_canonical"]]
+    assert sorted(survivors) == [1, 3, 5]
