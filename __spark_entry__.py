@@ -1125,6 +1125,76 @@ FROM documents
 """
 
 
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column extraction (scalar-function superset: the reference uses
+    no JSON, SURVEY 2.6): parse events.props and aggregate the payload."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+ORACLE_JSON_EXTRACT = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+           AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY 1
+"""
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel: per user, first signup and first purchase AFTER that
+    signup (event-sequence analytics over the stream table)."""
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    # the time predicate must live IN the left-join condition: filtering
+    # after the join would drop users whose purchases all precede signup,
+    # instead of keeping them with NULL (non-converted)
+    joined = signups.join(
+        purchases,
+        (signups["user_id"] == purchases["user_id"])
+        & (purchases["purchase_ts"] > signups["signup_ts"]),
+        "left",
+    ).select(signups["user_id"], "signup_ts", "purchase_ts")
+    return joined.groupBy("user_id", "signup_ts").agg(
+        F.min("purchase_ts").alias("first_purchase_after_signup")
+    ).withColumn(
+        "converted", F.col("first_purchase_after_signup").isNotNull()
+    )
+
+
+ORACLE_FUNNEL = """
+WITH signups AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+purchases AS (
+  SELECT user_id, ts AS purchase_ts FROM events WHERE event_type = 'purchase'
+)
+SELECT s.user_id, s.signup_ts,
+       MIN(p.purchase_ts) AS first_purchase_after_signup,
+       MIN(p.purchase_ts) IS NOT NULL AS converted
+FROM signups s
+LEFT JOIN purchases p
+  ON s.user_id = p.user_id AND p.purchase_ts > s.signup_ts
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1161,6 +1231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "set_ops": q_set_ops,
+        "json_extract": q_json_extract,
+        "funnel": q_funnel,
         "dedup_clusters": q_dedup_clusters,
         "train_test_split": q_train_test_split,
         "moving_avg": q_moving_avg,
@@ -1201,6 +1273,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": ORACLE_TOPK_ORDERS,
         "embedding_lsh_topk": ORACLE_EMBEDDING_LSH_TOPK,
         "set_ops": ORACLE_SET_OPS,
+        "json_extract": ORACLE_JSON_EXTRACT,
+        "funnel": ORACLE_FUNNEL,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "train_test_split": ORACLE_TRAIN_TEST_SPLIT,
         "moving_avg": ORACLE_MOVING_AVG,
