@@ -30,16 +30,22 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
 
     ``edges`` is undirected input (each pair listed once, either direction).
     """
+    # materialize the edge list ONCE: it is typically the output of an
+    # expensive similarity join, and every propagation round references it —
+    # without the checkpoint each iteration would re-execute that join
+    edges = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d")
+    ).localCheckpoint(eager=True)
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
+        edges.select(F.col("__s").alias("node"))
+        .unionByName(edges.select(F.col("__d").alias("node")))
         .distinct()
     )
     # symmetric edge list (both directions) so one join step propagates
     # labels across every adjacency
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(F.col("__s").alias("u"), F.col("__d").alias("v"))
+        .unionByName(edges.select(F.col("__d").alias("u"), F.col("__s").alias("v")))
         .distinct()
     )
     labels = nodes.select("node", F.col("node").alias("component"))
