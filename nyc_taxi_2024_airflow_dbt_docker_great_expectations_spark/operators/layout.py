@@ -1,0 +1,53 @@
+"""Physical-layout operators: bucketing and skew salting.
+
+These are the two layout levers SURVEY.md section 4 reserves for the scale
+path (nothing in the reference needs them at Postgres scale; a 100 TB Spark
+deployment lives or dies by them):
+
+- **Bucketing** pre-shuffles a table by join/agg key at write time.  Two
+  tables bucketed on the same key with the same bucket count join with NO
+  exchange on either side — the shuffle is paid once at ingest instead of
+  once per query.  The right layout for fact tables that are repeatedly
+  joined/merged on one key (e.g. bronze/silver on the surrogate key).
+- **Salting** splits a hot key into ``salt`` sub-keys so one executor does
+  not receive the whole group.  The small side is exploded ``salt`` times
+  (still tiny), the big side gets a random-but-deterministic salt from a
+  hash of other columns.  AQE's skew-join handles moderate skew
+  automatically (enabled in session.py); salting is for the pathological
+  single-key case AQE cannot split further (e.g. NULL-heavy keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def write_bucketed(df: DataFrame, table: str, keys: list[str],
+                   num_buckets: int = 8,
+                   sort_by: list[str] | None = None) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+    Requires a catalog (saveAsTable); path-only parquet cannot record bucket
+    metadata."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *keys)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                salt: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-resistant equi-join: explode the small side over ``salt``
+    replicas, salt the big side deterministically, join on (key, salt).
+
+    The salt on the big side comes from a hash of the whole row (via
+    ``monotonically_increasing_id`` would break determinism across retries;
+    xxhash64 of all columns is retry-stable), so the same input always joins
+    identically.  Output equals a plain join on ``key``.
+    """
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
+    big_salted = big.withColumn("__salt", salt_col)
+    small_exploded = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    joined = big_salted.join(small_exploded, [key, "__salt"], how)
+    return joined.drop("__salt")
