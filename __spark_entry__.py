@@ -1195,6 +1195,58 @@ GROUP BY 1, 2
 """
 
 
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-token-budget estimation: whitespace vs BPE-pre-tokenizer counts."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        bpe_token_count,
+        token_count,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").cast("int").alias("bpe_tokens"),
+    )
+
+
+# SQL string literal: the pattern's leading apostrophe is escaped as '' per
+# the SQL standard, hence the triple quote at the literal's start.
+ORACLE_BPE_TOKEN_COUNT = (
+    "SELECT doc_id,\n"
+    "       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)\n"
+    "           AS ws_tokens,\n"
+    "       CAST(len(regexp_extract_all(text,\n"
+    "            '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+'))\n"
+    "           AS INTEGER) AS bpe_tokens\n"
+    "FROM documents"
+)
+
+
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        repetition_scores,
+    )
+    return repetition_scores(_t(spark, sf_dir, "documents"), k=3)
+
+
+ORACLE_REPETITION_SCORES = f"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len({DUCK_TOKS}) - 1),
+         i -> array_to_string(({DUCK_TOKS})[i:i+2], ' '))) AS shingle
+  FROM documents
+  WHERE len({DUCK_TOKS}) >= 3
+),
+per_gram AS (
+  SELECT doc_id, shingle, COUNT(*) AS c FROM grams GROUP BY 1, 2
+)
+SELECT doc_id, MAX(c) AS top_kgram_count, CAST(SUM(c) AS BIGINT) AS n_kgrams,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS repetition_ratio
+FROM per_gram GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1231,6 +1283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "set_ops": q_set_ops,
+        "bpe_token_count": q_bpe_token_count,
+        "repetition_scores": q_repetition_scores,
         "json_extract": q_json_extract,
         "funnel": q_funnel,
         "dedup_clusters": q_dedup_clusters,
@@ -1273,6 +1327,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": ORACLE_TOPK_ORDERS,
         "embedding_lsh_topk": ORACLE_EMBEDDING_LSH_TOPK,
         "set_ops": ORACLE_SET_OPS,
+        "bpe_token_count": ORACLE_BPE_TOKEN_COUNT,
+        "repetition_scores": ORACLE_REPETITION_SCORES,
         "json_extract": ORACLE_JSON_EXTRACT,
         "funnel": ORACLE_FUNNEL,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,

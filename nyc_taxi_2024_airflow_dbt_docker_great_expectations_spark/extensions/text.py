@@ -57,6 +57,38 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to syntax shared by Java
+# regex (Spark) and RE2 (DuckDB): no lookaheads.  Alternatives: common
+# English contraction suffixes, letter runs, digit runs, punctuation runs.
+BPE_TOKEN_PATTERN = (
+    "'(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+)
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Subword-style token count via the BPE pre-tokenizer regex — the
+    LLM-budget estimator (whitespace counting undercounts punctuation-heavy
+    text).  ``regexp_count`` is a codegen'd scan-local expression."""
+    return F.regexp_count(_c(col), F.lit(BPE_TOKEN_PATTERN))
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Repetition signal: the share of a document's word k-grams taken by
+    its single most frequent k-gram.  Boilerplate/templated/looping text
+    scores high — a standard pre-training quality filter.  One explode +
+    two-level aggregate, all codegen'd."""
+    raw = shingle_postings(df, text_col, id_col, k, distinct=False)
+    per_gram = raw.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy(id_col).agg(
+        F.max("c").alias("top_kgram_count"),
+        F.sum("c").alias("n_kgrams"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "repetition_ratio"
+        ),
+    )
+
+
 def shingle_postings(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", k: int = 3,
                      distinct: bool = True) -> DataFrame:

@@ -210,3 +210,40 @@ def test_connected_components_and_cluster_dedup(spark, docs):
     assert out[3]["component"] == 3 and out[3]["is_canonical"]  # singleton
     survivors = [d for d, r in out.items() if r["is_canonical"]]
     assert sorted(survivors) == [1, 3, 5]
+
+
+def test_bpe_token_count_vs_whitespace(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        bpe_token_count,
+        token_count,
+    )
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "it's a test, really!"), (3, "abc123 x-y")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["ws"], r["bpe"]) for r in df.select(
+        "doc_id",
+        token_count("text").alias("ws"),
+        bpe_token_count("text").cast("int").alias("bpe"),
+    ).collect()}
+    assert out[1] == (2, 2)
+    # "it's a test, really!" -> it|'s|a|test|,|really|! = 7 BPE vs 4 ws
+    assert out[2][0] == 4 and out[2][1] == 7
+    # "abc123 x-y" -> abc|123|x|-|y = 5 BPE vs 2 ws
+    assert out[3] == (2, 5)
+
+
+def test_repetition_scores(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        repetition_scores,
+    )
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"),      # trigram 'a b c' repeats
+         (2, "one two three four five")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_scores(df, k=3).collect()}
+    assert out[1]["top_kgram_count"] == 3   # 'a b c' occurs 3x in 7 grams
+    assert out[1]["n_kgrams"] == 7
+    assert out[2]["top_kgram_count"] == 1   # no repetition
+    assert out[2]["repetition_ratio"] == pytest.approx(1 / 3)
