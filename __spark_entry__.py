@@ -192,7 +192,7 @@ def q_monthly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_MONTHLY_SUMMARY = """
-SELECT date_trunc('month', o_orderdate) AS revenue_month,
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS revenue_month,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_monthly_revenue,
        COUNT(*) AS total_monthly_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -212,7 +212,7 @@ def q_zone_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_ZONE_SUMMARY = """
-SELECT date_trunc('month', l_shipdate) AS ship_month, l_suppkey,
+SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month, l_suppkey,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS supp_revenue,
        COUNT(*) AS supp_items
 FROM lineitem GROUP BY 1, 2
@@ -541,8 +541,9 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, ts, value,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING) AS session_seq
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,
