@@ -16,7 +16,12 @@ Determinism policy (so value-hashes match the oracle):
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make the engine package importable regardless of the harness's cwd/sys.path
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
