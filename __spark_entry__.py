@@ -110,11 +110,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q_silver_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    base = li.filter(F.col("l_linestatus").isin("O", "F")).select(
+    # Dedup FIRST on raw columns, decorate the survivors after: the W1
+    # shuffle then carries narrow raw rows and the md5/decode expressions run
+    # on ~2.5% of the rows (one per order) instead of the whole table — the
+    # "defer expensive projections past row-elimination" rule that matters
+    # enormously at 100 TB.
+    raw = li.filter(F.col("l_linestatus").isin("O", "F")).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate",
+        "l_returnflag", "l_extendedprice", "l_discount", "l_tax",
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in the testdata (planted
+    # dupes) -- the order-by must be a TOTAL order or the survivor is
+    # engine-dependent; quantity+price break all remaining ties
+    first_per_order = distinct_on_agg(
+        raw,
+        ["l_orderkey"],
+        [F.col("l_shipdate"), F.col("l_linenumber"), F.col("l_quantity"),
+         F.abs(F.coalesce(F.col("l_extendedprice"), F.lit(0.0)))],
+    )
+    return first_per_order.select(
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
-        "l_shipdate",
         decode_map("l_returnflag", RETURNFLAG_MAP).alias("returnflag_desc"),
         F.abs(F.coalesce(F.col("l_extendedprice"), F.lit(0.0))).alias("extendedprice"),
         (
@@ -124,16 +141,6 @@ def q_silver_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("charge"),
         surrogate_key(["l_orderkey", "l_linenumber"]).alias("unique_line_id"),
     )
-    # (l_orderkey, l_linenumber) is NOT unique in the testdata (planted
-    # dupes) -- the order-by must be a TOTAL order or the survivor is
-    # engine-dependent; quantity+price break all remaining ties
-    first_per_order = distinct_on_agg(
-        base,
-        ["l_orderkey"],
-        [F.col("l_shipdate"), F.col("l_linenumber"), F.col("l_quantity"),
-         F.col("extendedprice")],
-    )
-    return first_per_order.drop("l_shipdate")
 
 
 ORACLE_SILVER_CLEAN = """
