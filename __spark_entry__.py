@@ -62,6 +62,9 @@ from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.streaming.windows
     session_stats_batch,
     tumbling_counts_batch,
 )
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.streaming.stateful import (
+    sessionize_stateful,
+)
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.graph import (
     dedup_clusters,
 )
@@ -540,6 +543,80 @@ FROM events GROUP BY 1, 2, 3
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization (30-min inactivity gap) + rollup."""
     return session_stats_batch(_t(spark, sf_dir, "events"), 30.0)
+
+
+def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``,
+    streaming/stateful.py): runs the cross-batch sessionizer over the events
+    table as an availableNow stream and returns every CLOSED session — the
+    batch gaps-and-islands result minus each user's still-open final session.
+    Unlike most streaming ops this one has an exact SQL oracle, because the
+    emitted set is fully determined by the data."""
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sink = "stateful_sessions_" + uuid.uuid4().hex[:8]
+    try:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, "
+                "value double, props string"
+            )
+            # the file stream source requires a directory: point it at the
+            # sf dir and glob down to the single events file
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .select(
+                F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+                "user_id",
+                "value",
+            )
+        )
+        q = (
+            sessionize_stateful(stream, 30.0)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ss_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return spark.table(sink)
+
+
+# closed sessions only: every session except each user's max session_seq.
+# epoch_us matches the operator's microsecond arithmetic exactly (parquet ns
+# timestamps truncate ns->us on both engines).
+ORACLE_STATEFUL_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+                   OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+FROM sessions
+GROUP BY user_id, session_seq
+QUALIFY session_seq < MAX(session_seq) OVER (PARTITION BY user_id)
+"""
 
 
 ORACLE_SESSIONIZATION = """
@@ -1282,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_join": q_decode_join,
         "tumbling_window": q_tumbling_window,
         "sessionization": q_sessionization,
+        "stateful_sessions": q_stateful_sessions,
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1326,6 +1404,7 @@ def oracle_sql() -> dict[str, str]:
         "decode_join": ORACLE_DECODE_JOIN,
         "tumbling_window": ORACLE_TUMBLING_WINDOW,
         "sessionization": ORACLE_SESSIONIZATION,
+        "stateful_sessions": ORACLE_STATEFUL_SESSIONS,
         "text_stats": ORACLE_TEXT_STATS,
         "quality_scores": ORACLE_QUALITY_SCORES,
         "lang_id": ORACLE_LANG_ID,
