@@ -120,7 +120,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             F.col("jaccard") >= threshold
         )
 
-    base = shingled_arrays(df, text_col, id_col, k)
+    # the shingled base feeds three plan branches (postings + both verify
+    # sides); materialize it once or the tokenize/window/collect_set pass
+    # re-executes per branch (same multi-consumer pattern as graph.py's
+    # edge checkpoint — at 100 TB you'd persist this to DISK_ONLY instead)
+    base = shingled_arrays(df, text_col, id_col, k).localCheckpoint(eager=True)
     posts = base.select(
         F.col(id_col), F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
@@ -204,8 +208,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     exact shingle Jaccard so the output has no false positives.
     """
     rows_per_band = num_hashes // bands
-    base = shingled_arrays(df, text_col, id_col, k)
-    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    # one materialized shingle pass feeds signatures AND both verify sides
+    # (exploding the stored arrays re-derives the distinct postings without
+    # a second tokenize/window pass)
+    base = shingled_arrays(df, text_col, id_col, k).localCheckpoint(eager=True)
+    exploded = base.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    sigs = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"sig_{j}")
+            for j in range(num_hashes)
+        ]
+    )
     band_keys = sigs.select(
         F.col(id_col),
         F.array(

@@ -15,23 +15,25 @@ Scale notes:
 - State is shuffled by the grouping key (user_id) once; with N users the
   store holds O(N) fixed-width rows regardless of event volume — at 100 TB of
   events this is the only shape that works (event volume never accumulates).
-- Arrow-batched pandas transfer (not row-at-a-time); the per-group fold is
-  O(events-in-batch) with a single sort.
-- Exact decimal accumulation (sum carried as a decimal string in state, same
-  semantics as functions.money.exact_sum) so emitted sums are bit-identical
-  to the batch/SQL equivalent regardless of batch boundaries or fold order.
+- The per-group fold is fully vectorized (numpy gap flags -> cumsum session
+  ids -> one pandas groupby); no per-row Python loop.
+- Exact value accumulation: values are summed in integer micro-units
+  (value x 10^6, exact for DECIMAL(18,6)-representable inputs), so emitted
+  sums are bit-identical to the batch/SQL ``SUM(CAST(v AS DECIMAL(18,6)))``
+  regardless of batch boundaries or fold order.
 """
 
 from __future__ import annotations
 
 from decimal import Decimal
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+    DoubleType, LongType, StructField, StructType, TimestampType,
 )
 
 SESSION_OUTPUT_SCHEMA = StructType([
@@ -43,61 +45,87 @@ SESSION_OUTPUT_SCHEMA = StructType([
 ])
 
 # open-session state: timestamps as epoch-micros longs (tz-proof), the value
-# accumulator as an exact decimal string (float state would drift per-batch)
+# accumulator as exact integer micro-units (float state would drift per-batch)
 _STATE_SCHEMA = StructType([
     StructField("start_us", LongType()),
     StructField("last_us", LongType()),
     StructField("n_events", LongType()),
-    StructField("dec_sum", StringType()),
+    StructField("sum_micro", LongType()),
     StructField("n_nonnull", LongType()),
 ])
-
-_Q6 = Decimal("0.000001")
 
 
 def _fold_sessions(key, pdf_iter, state: GroupState, gap_us: int):
     """Fold this batch's events for one user into the open-session state,
     yielding every session the batch proves closed."""
     pdf = pd.concat(list(pdf_iter), ignore_index=True)
+    if len(pdf) == 0:
+        return
     # sessions depend only on ts gaps: a ts-sort makes assignment
-    # deterministic (tied events co-sessionize either way), and the decimal
+    # deterministic (tied events co-sessionize either way), and the integer
     # sum is order-exact
     pdf = pdf.sort_values("ts", kind="mergesort", ignore_index=True)
 
-    if state.exists:
-        start_us, last_us, n, dec_sum, n_nonnull = state.get
-        acc = Decimal(dec_sum)
-    else:
-        start_us = last_us = n = n_nonnull = 0
-        acc = Decimal(0)
-
-    closed: list[tuple] = []
     # normalize to ns first: Arrow may hand pandas datetime64[us] or [ns]
-    ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
-    values = pdf["value"]
-    for i in range(len(pdf)):
-        t = int(ts_us.iloc[i])
-        if n and t - last_us > gap_us:
-            closed.append((start_us, last_us, n, acc, n_nonnull))
-            start_us, n, acc, n_nonnull = t, 0, Decimal(0), 0
-        if n == 0:
-            start_us = t
-        v = values.iloc[i]
-        if pd.notna(v):
-            acc += Decimal(repr(float(v))).quantize(_Q6)
-            n_nonnull += 1
-        n += 1
-        last_us = t
+    ts = (pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000).to_numpy()
+    micro_f = pdf["value"].mul(1_000_000.0).round()
+    nonnull = micro_f.notna().to_numpy().astype("int64")
+    micro = micro_f.fillna(0.0).to_numpy().astype("int64")
 
-    state.update((start_us, last_us, n, str(acc), n_nonnull))
+    has_state = state.exists
+    if has_state:
+        start0, last0, n0, sum0, nn0 = state.get
+
+    # new-session flag per event; the first event compares against the open
+    # session's last timestamp when one exists
+    prev = np.empty_like(ts)
+    prev[1:] = ts[:-1]
+    prev[0] = last0 if has_state else ts[0] - gap_us - 1
+    is_new = (ts - prev) > gap_us
+
+    sid = np.cumsum(is_new)  # sid 0 == continuation of the open session
+    grouped = (
+        pd.DataFrame({"sid": sid, "ts": ts, "mic": micro, "nn": nonnull})
+        .groupby("sid", sort=True)
+        .agg(start=("ts", "min"), end=("ts", "max"), n=("ts", "size"),
+             s=("mic", "sum"), nn=("nn", "sum"))
+    )
+    starts = grouped["start"].to_numpy()
+    ends = grouped["end"].to_numpy()
+    ns = grouped["n"].to_numpy()
+    sums = grouped["s"].to_numpy()
+    nns = grouped["nn"].to_numpy()
+
+    closed: list[tuple[int, int, int, int, int]] = []
+    if has_state:
+        if is_new[0]:
+            # the batch's first event is past the gap: the open session closes
+            closed.append((start0, last0, n0, sum0, nn0))
+        else:
+            # sid 0 continues the open session — merge its accumulators
+            starts[0] = start0
+            ns[0] += n0
+            sums[0] += sum0
+            nns[0] += nn0
+
+    # every group but the last is provably closed; the last becomes new state
+    for i in range(len(grouped) - 1):
+        closed.append((int(starts[i]), int(ends[i]), int(ns[i]),
+                       int(sums[i]), int(nns[i])))
+    j = len(grouped) - 1
+    state.update((int(starts[j]), int(ends[j]), int(ns[j]),
+                  int(sums[j]), int(nns[j])))
 
     if closed:
         yield pd.DataFrame({
-            "user_id": [key[0]] * len(closed),
+            "user_id": np.full(len(closed), key[0], dtype="int64"),
             "session_start": pd.to_datetime([c[0] for c in closed], unit="us"),
             "session_end": pd.to_datetime([c[1] for c in closed], unit="us"),
-            "n_events": [c[2] for c in closed],
-            "session_value": [float(c[3]) if c[4] else None for c in closed],
+            "n_events": np.array([c[2] for c in closed], dtype="int64"),
+            "session_value": [
+                float(Decimal(c[3]).scaleb(-6)) if c[4] else None
+                for c in closed
+            ],
         })
 
 
