@@ -65,6 +65,10 @@ from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.streaming.windows
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.streaming.stateful import (
     sessionize_stateful,
 )
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.temporal import (
+    asof_join,
+    interval_count_join,
+)
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.graph import (
     dedup_clusters,
 )
@@ -588,6 +592,89 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return spark.table(sink)
+
+
+def q_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join — operators/temporal.py:asof_join: each
+    purchase event picks up the most recent error at-or-before it for the
+    same user, via the union+window single-shuffle formulation (never a
+    nested-loop inequality join)."""
+    ev = _t(spark, sf_dir, "events")
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))  # unique per (key, ts): contract
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, errors, key="user_id", ts_col="ts",
+                    right_cols=("value",))
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("ts_asof").alias("last_error_ts"),
+        F.col("value_asof").alias("last_error_value"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_asof"))).alias(
+            "micros_since_error"
+        ),
+    )
+
+
+# CAST(ts AS TIMESTAMP) truncates ns->us, matching the Spark reader's
+# integer DIV 1000 — without it, sub-microsecond ordering diverges
+ORACLE_ASOF_LAST_ERROR = """
+WITH errors AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS value
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+),
+purchases AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       e.ts AS last_error_ts, e.value AS last_error_value,
+       epoch_us(p.ts) - epoch_us(e.ts) AS micros_since_error
+FROM purchases p ASOF LEFT JOIN errors e
+  ON p.user_id = e.user_id AND p.ts >= e.ts
+"""
+
+
+def q_range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — operators/temporal.py:interval_count_join:
+    every error event opens a 10-minute incident window; count the same
+    user's click/view activity inside [start, end).  Bucketized equi-join,
+    exact containment filter — candidate fan-out stays linear at scale."""
+    ev = _t(spark, sf_dir, "events")
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("interval_id"), "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+    )
+    activity = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts"
+    )
+    out = interval_count_join(intervals, activity, key="user_id",
+                              bucket_width_s=600)
+    return out.select("interval_id", "user_id", "start_ts", "end_ts", "n_events")
+
+
+ORACLE_RANGE_JOIN_INCIDENTS = """
+WITH win AS (
+  SELECT event_id AS interval_id, user_id,
+         CAST(ts AS TIMESTAMP) AS start_ts,
+         CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS end_ts
+  FROM events WHERE event_type = 'error'
+),
+act AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type IN ('click', 'view')
+)
+SELECT w.interval_id, w.user_id, w.start_ts, w.end_ts,
+       COUNT(a.ts) AS n_events
+FROM win w LEFT JOIN act a
+  ON a.user_id = w.user_id AND a.ts >= w.start_ts AND a.ts < w.end_ts
+GROUP BY 1, 2, 3, 4
+"""
 
 
 # closed sessions only: every session except each user's max session_seq.
@@ -1360,6 +1447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": q_tumbling_window,
         "sessionization": q_sessionization,
         "stateful_sessions": q_stateful_sessions,
+        "asof_last_error": q_asof_last_error,
+        "range_join_incidents": q_range_join_incidents,
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1405,6 +1494,8 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_window": ORACLE_TUMBLING_WINDOW,
         "sessionization": ORACLE_SESSIONIZATION,
         "stateful_sessions": ORACLE_STATEFUL_SESSIONS,
+        "asof_last_error": ORACLE_ASOF_LAST_ERROR,
+        "range_join_incidents": ORACLE_RANGE_JOIN_INCIDENTS,
         "text_stats": ORACLE_TEXT_STATS,
         "quality_scores": ORACLE_QUALITY_SCORES,
         "lang_id": ORACLE_LANG_ID,

@@ -1,0 +1,124 @@
+"""Temporal joins Spark has no native operator for: as-of join and
+range (interval) join.
+
+Both are implemented as compositions of shuffle-friendly primitives rather
+than inequality joins: Spark plans a non-equi join as BroadcastNestedLoopJoin
+(or a cartesian product), which is O(|L| x |R|) per key and dies at scale.
+
+- ``asof_join``: union the two sides, one window pass per key ordered by
+  time, carry the right side's latest values forward with
+  ``last(ignorenulls)``.  One shuffle on the key, O(n log n) per partition,
+  no row amplification — the standard distributed as-of formulation.
+- ``interval_count_join``: bucketize time by the window length so every
+  interval overlaps <= 2 buckets, equi-join on (key, bucket), then apply the
+  exact containment predicate.  Candidate fan-out is bounded by bucket
+  population, never |L| x |R|.
+
+Both operators admit exact SQL oracles (DuckDB ``ASOF JOIN`` / inequality
+join), so they are value-checked per-round, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str = "user_id",
+              ts_col: str = "ts", right_cols: tuple[str, ...] = ("value",),
+              suffix: str = "_asof") -> DataFrame:
+    """For every left row, attach the most recent right row with
+    ``right.ts <= left.ts`` for the same key (ASOF backward join).
+
+    Contract: the right side must be unique per (key, ts) — dedupe it first
+    (ties make any as-of join engine-dependent).  Left rows with no prior
+    right row get NULLs.  Output: all left columns + ``ts{suffix}`` +
+    ``<c>{suffix}`` for each of ``right_cols``.
+    """
+    carried = [F.col(ts_col).alias(f"__r_{ts_col}")] + [
+        F.col(c).alias(f"__r_{c}") for c in right_cols
+    ]
+    r = right.select(F.col(key), F.col(ts_col), F.lit(0).alias("__side"),
+                     *carried)
+    l_cols = [c for c in left.columns]
+    l = left.select(*l_cols, F.lit(1).alias("__side"),
+                    *[F.lit(None).cast(t.dataType).alias(f"__r_{c}")
+                      for c, t in zip([ts_col, *right_cols],
+                                      [right.schema[ts_col],
+                                       *[right.schema[c] for c in right_cols]])])
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    # right rows sort before left rows at equal ts, so "<=" semantics hold;
+    # within a key the window is one ordered pass, carried values are the
+    # latest non-null right-side snapshot
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[F.col(c) for c in unioned.columns],
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in (ts_col, *right_cols)
+        ],
+    )
+    out = filled.filter(F.col("__side") == 1).select(
+        *l_cols,
+        F.col(f"__f_{ts_col}").alias(f"{ts_col}{suffix}"),
+        *[F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
+    return out
+
+
+def interval_count_join(intervals: DataFrame, events: DataFrame,
+                        key: str = "user_id",
+                        interval_id: str = "interval_id",
+                        start_col: str = "start_ts", end_col: str = "end_ts",
+                        ts_col: str = "ts",
+                        bucket_width_s: int | None = None) -> DataFrame:
+    """Count events whose ``ts`` falls in ``[start, end)`` of each interval
+    for the same key — a range join expressed as a bucketized equi-join.
+
+    ``bucket_width_s`` defaults to the max interval length; any interval then
+    overlaps at most 2 buckets, so the equi-join candidate set is linear in
+    the co-bucketed event mass (at 100 TB: tune the width to the p99
+    interval, never leave it to a nested-loop plan).  Intervals with no
+    events are kept with ``n_events = 0``.
+    """
+    if bucket_width_s is None:
+        bucket_width_s = int(
+            intervals.select(
+                F.max(
+                    F.unix_micros(F.col(end_col)) - F.unix_micros(F.col(start_col))
+                ).alias("m")
+            ).first()["m"] // 1_000_000
+        ) or 1
+    width_us = bucket_width_s * 1_000_000
+
+    def bucket(col):  # floor-division, exact for negative epochs too
+        return F.floor(col / F.lit(width_us)).cast("long")
+
+    iv = intervals.filter(F.col(end_col) > F.col(start_col)).select(
+        interval_id, key, start_col, end_col,
+        F.explode(
+            F.sequence(
+                bucket(F.unix_micros(F.col(start_col))),
+                # end is exclusive: the bucket of the last contained microsecond
+                bucket(F.unix_micros(F.col(end_col)) - 1),
+            )
+        ).alias("__bucket"),
+    )
+    ev = events.select(
+        F.col(key), F.col(ts_col),
+        bucket(F.unix_micros(F.col(ts_col))).alias("__bucket"),
+    )
+    matched = (
+        iv.join(ev, [key, "__bucket"])
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .groupBy(interval_id)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        intervals.join(matched, interval_id, "left")
+        .withColumn("n_events", F.coalesce(F.col("n_events"), F.lit(0)))
+    )

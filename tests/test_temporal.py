@@ -1,0 +1,99 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.temporal import (
+    asof_join,
+    interval_count_join,
+)
+
+EV = "user_id long, ts string, event_type string, value double"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, EV).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+
+
+def test_asof_join_backward(spark):
+    left = _events(spark, [
+        (1, "2024-01-01 08:00:00", "purchase", 10.0),
+        (1, "2024-01-01 09:00:00", "purchase", 20.0),
+        (2, "2024-01-01 08:30:00", "purchase", 30.0),
+    ])
+    right = _events(spark, [
+        (1, "2024-01-01 07:55:00", "error", 1.0),
+        (1, "2024-01-01 08:59:59", "error", 2.0),
+        (1, "2024-01-01 09:00:00", "error", 3.0),  # ties left @09:00 -> "<=" wins
+        (2, "2024-01-01 09:00:00", "error", 4.0),  # after 2's purchase: unused
+    ]).select("user_id", "ts", "value")
+
+    out = {(r["user_id"], str(r["ts"])): r for r in asof_join(left, right).collect()}
+    assert len(out) == 3
+    assert out[(1, "2024-01-01 08:00:00")]["value_asof"] == 1.0
+    r = out[(1, "2024-01-01 09:00:00")]
+    assert r["value_asof"] == 3.0 and str(r["ts_asof"]) == "2024-01-01 09:00:00"
+    r2 = out[(2, "2024-01-01 08:30:00")]
+    assert r2["value_asof"] is None and r2["ts_asof"] is None
+
+
+def test_asof_join_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    lrows = [(u, f"2024-01-01 {h:02d}:{m:02d}:00", "l", float(i))
+             for i, (u, h, m) in enumerate(
+                 (rng.randint(1, 5), rng.randint(0, 23), rng.randint(0, 59))
+                 for _ in range(80))]
+    rrows = {(u, f"2024-01-01 {h:02d}:{m:02d}:00"): float(i)
+             for i, (u, h, m) in enumerate(
+                 (rng.randint(1, 5), rng.randint(0, 23), rng.randint(0, 59))
+                 for _ in range(60))}
+    left = _events(spark, lrows)
+    right = _events(spark, [(u, t, "r", v) for (u, t), v in rrows.items()]) \
+        .select("user_id", "ts", "value")
+
+    got = {(r["user_id"], str(r["ts"]), r["value"]): r["value_asof"]
+           for r in asof_join(left, right).collect()}
+    for (u, t, _et, v) in lrows:
+        prior = [(rt, rv) for (ru, rt), rv in rrows.items() if ru == u and rt <= t]
+        want = max(prior)[1] if prior else None
+        assert got[(u, t, v)] == want
+
+
+def test_interval_count_join(spark):
+    intervals = spark.createDataFrame(
+        [(1, 1, "2024-01-01 08:00:00", "2024-01-01 08:10:00"),
+         (2, 1, "2024-01-01 10:00:00", "2024-01-01 10:10:00"),
+         (3, 2, "2024-01-01 08:00:00", "2024-01-01 08:10:00"),
+         (4, 2, "2024-01-01 08:05:00", "2024-01-01 08:05:00")],  # empty
+        "interval_id long, user_id long, start_ts string, end_ts string",
+    ).select("interval_id", "user_id",
+             F.col("start_ts").cast("timestamp").alias("start_ts"),
+             F.col("end_ts").cast("timestamp").alias("end_ts"))
+    events = _events(spark, [
+        (1, "2024-01-01 08:00:00", "click", 0.0),   # start inclusive -> iv 1
+        (1, "2024-01-01 08:09:59", "click", 0.0),   # iv 1
+        (1, "2024-01-01 08:10:00", "click", 0.0),   # end exclusive -> no iv
+        (2, "2024-01-01 08:07:00", "click", 0.0),   # iv 3 (not 1: other user)
+    ])
+    out = {r["interval_id"]: r["n_events"]
+           for r in interval_count_join(intervals, events).collect()}
+    assert out == {1: 2, 2: 0, 3: 1, 4: 0}
+
+
+def test_interval_count_join_bucket_boundary(spark):
+    # interval spans a bucket boundary; events on both sides must be found
+    intervals = spark.createDataFrame(
+        [(1, 1, "2024-01-01 08:55:00", "2024-01-01 09:05:00")],
+        "interval_id long, user_id long, start_ts string, end_ts string",
+    ).select("interval_id", "user_id",
+             F.col("start_ts").cast("timestamp").alias("start_ts"),
+             F.col("end_ts").cast("timestamp").alias("end_ts"))
+    events = _events(spark, [
+        (1, "2024-01-01 08:56:00", "click", 0.0),
+        (1, "2024-01-01 09:04:00", "click", 0.0),
+    ])
+    out = interval_count_join(intervals, events, bucket_width_s=600).collect()
+    assert out[0]["n_events"] == 2
