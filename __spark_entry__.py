@@ -69,6 +69,10 @@ from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.tempora
     asof_join,
     interval_count_join,
 )
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.sampling import (
+    hash_fraction_sample,
+    stratified_sample,
+)
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.graph import (
     dedup_clusters,
 )
@@ -592,6 +596,42 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return spark.table(sink)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-rebalancing sample — extensions/sampling.py:stratified_sample:
+    deterministic 30-per-language draw from the skewed documents corpus
+    (md5-hash order; WindowGroupLimit keeps the shuffle O(strata x n))."""
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", 30).select("doc_id", "lang", "source")
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 30
+"""
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli(0.25) sample —
+    extensions/sampling.py:hash_fraction_sample: the hex-prefix-threshold
+    predicate is engine-portable, so the oracle runs it verbatim."""
+    docs = _t(spark, sf_dir, "documents")
+    return hash_fraction_sample(docs, 0.25, salt="eval:").select(
+        "doc_id", "lang"
+    )
+
+
+ORACLE_HASH_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5('eval:' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+"""
 
 
 def q_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1449,6 +1489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_sessions": q_stateful_sessions,
         "asof_last_error": q_asof_last_error,
         "range_join_incidents": q_range_join_incidents,
+        "stratified_sample": q_stratified_sample,
+        "hash_sample": q_hash_sample,
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1496,6 +1538,8 @@ def oracle_sql() -> dict[str, str]:
         "stateful_sessions": ORACLE_STATEFUL_SESSIONS,
         "asof_last_error": ORACLE_ASOF_LAST_ERROR,
         "range_join_incidents": ORACLE_RANGE_JOIN_INCIDENTS,
+        "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+        "hash_sample": ORACLE_HASH_SAMPLE,
         "text_stats": ORACLE_TEXT_STATS,
         "quality_scores": ORACLE_QUALITY_SCORES,
         "lang_id": ORACLE_LANG_ID,

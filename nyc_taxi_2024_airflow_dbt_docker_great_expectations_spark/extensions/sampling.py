@@ -1,0 +1,52 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Random sampling (``df.sample``) is non-reproducible across runs, partitions,
+and engines — useless for a pipeline whose outputs must be auditable and
+diffable.  Both operators here key every decision off a content hash, so the
+sample is a pure function of the data: re-runs, retries, backfills, and the
+DuckDB oracle all agree row-for-row.
+
+- ``stratified_sample``: exactly ``n`` rows per stratum (fewer if the
+  stratum is smaller), chosen as the top-n in md5-hash order — the
+  class-rebalancing step of a training-data pipeline (downsample the
+  majority language/source without a shuffle-the-world ORDER BY RAND()).
+  Spark >= 3.5 plans the rank filter as ``WindowGroupLimit``: each partition
+  keeps only its local top-n BEFORE the shuffle, so the exchanged data is
+  O(strata x n), not O(rows).
+- ``hash_fraction_sample``: Bernoulli(fraction) by comparing a hex prefix of
+  md5 against a threshold string.  Hex strings compare lexicographically ==
+  numerically, so the same predicate runs verbatim in any SQL engine; the
+  sampling decision is per-row, embarrassingly parallel, and stable under
+  repartitioning.  The ``salt`` derives independent samples from the same
+  population (train/calibration/eval draws that don't correlate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic n-per-stratum sample: top-n of each stratum in
+    (md5(id), id) order.  Output columns == input columns."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
+
+
+def hash_fraction_sample(df: DataFrame, fraction: float,
+                         id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Deterministic Bernoulli(fraction) sample, portable across engines:
+    keep rows whose md5 8-hex-char prefix sorts below the fraction
+    threshold.  P(keep) = fraction to within 2^-32."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = format(min(int(fraction * 16 ** 8), 16 ** 8 - 1), "08x")
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return df.filter(F.substring(key, 1, 8) < F.lit(threshold))
