@@ -78,6 +78,7 @@ from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.graph 
 )
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions import (
     cosine_topk,
+    ivf_topk,
     lsh_topk,
     exact_dedup_keys,
     fingerprints,
@@ -1044,6 +1045,77 @@ FROM (
 """
 
 
+def _duck_cos(a: str, b: str) -> str:
+    """Fixed-fold-order cosine between two (alias.column) refs — the DuckDB
+    twin of similarity.cosine, bit-identical for 64-dim float inputs."""
+    def _sq(x: str) -> str:
+        return (f"sqrt(list_sum(list_transform(range(1, 65), i -> "
+                f"CAST({x}[CAST(i AS INTEGER)] AS DOUBLE) * "
+                f"CAST({x}[CAST(i AS INTEGER)] AS DOUBLE))))")
+    return (f"list_sum(list_transform(range(1, 65), i -> "
+            f"CAST({a}[CAST(i AS INTEGER)] AS DOUBLE) * "
+            f"CAST({b}[CAST(i AS INTEGER)] AS DOUBLE))) / "
+            f"({_sq(a)} * {_sq(b)})")
+
+
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN — similarity.py:ivf_topk: deterministic hash-seeded
+    coarse quantizer, inverted-list assignment, 4-of-16-list probe, exact
+    re-score.  Approximate BY DESIGN (recall < 1 vs cosine_topk); the oracle
+    replays the identical index construction, so results value-match."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, qs, k=10, n_lists=16, n_probe=4)
+
+
+ORACLE_EMBEDDING_IVF_TOPK = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS ce FROM (
+    SELECT vec_id, embedding,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn <= 16
+),
+assign AS (
+  SELECT vec_id, cid AS list FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_duck_cos('e.embedding', 'c.ce')} DESC,
+                                       c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+),
+probes AS (
+  SELECT qid, cid AS list FROM (
+    SELECT q.qid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {_duck_cos('q.qe', 'c.ce')} DESC,
+                                       c.cid) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT q.qid AS query_id, e.vec_id, {_DUCK_COS} AS cosine_sim
+  FROM embeddings e
+  JOIN assign a USING (vec_id)
+  JOIN probes p ON a.list = p.list
+  JOIN q ON q.qid = p.qid
+  WHERE e.vec_id <> q.qid
+)
+SELECT query_id, vec_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
@@ -1491,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_incidents": q_range_join_incidents,
         "stratified_sample": q_stratified_sample,
         "hash_sample": q_hash_sample,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1540,6 +1613,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_incidents": ORACLE_RANGE_JOIN_INCIDENTS,
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "hash_sample": ORACLE_HASH_SAMPLE,
+        "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
         "text_stats": ORACLE_TEXT_STATS,
         "quality_scores": ORACLE_QUALITY_SCORES,
         "lang_id": ORACLE_LANG_ID,

@@ -207,3 +207,86 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine_sim", "rank")
     )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_lists: int = 16, n_probe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """IVF-flat ANN: coarse quantizer -> inverted lists -> probe -> exact
+    re-score.  The third leg of the ANN family (brute-force `cosine_topk`,
+    hash-bucketed `lsh_topk`, cluster-bucketed `ivf_topk`).
+
+    Centroids are the ``n_lists`` corpus vectors with the smallest
+    ``md5(id)`` — a deterministic seed draw, so the whole index is a pure
+    function of the data and admits an exact SQL oracle.  (At scale you'd
+    Lloyd-iterate centroids on a sample first; every downstream step —
+    assignment, probing, re-scoring — is unchanged.)
+
+    Scale shape: centroid set is broadcast (tiny); assignment is one
+    map-side ``max_by`` aggregate over a broadcast nested-loop score (the
+    same O(n x n_lists) a BLAS matmul does, no shuffle of the corpus);
+    the probe join hash-partitions candidates by list id, so the exact
+    re-score touches only ``n_probe / n_lists`` of the corpus per query.
+    """
+    # deterministic centroid draw; orderBy+limit plans as a distributed
+    # TakeOrderedAndProject (never a single-partition global window)
+    cents = F.broadcast(
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_lists)
+        .select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec"))
+    )
+
+    # inverted-list assignment: nearest centroid per vector via max_by on
+    # (sim, -cid) — partial aggregation, ties broken to the smallest cid
+    assign = (
+        corpus.crossJoin(cents)
+        .select(
+            F.col(id_col),
+            F.col("__cid"),
+            cosine(F.col(vec_col), F.col("__cvec")).alias("__sim"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                "__cid", F.struct(F.col("__sim"), (-F.col("__cid")).alias("__t"))
+            ).alias("__list")
+        )
+    )
+
+    qs = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+    )
+    wp = Window.partitionBy("__qid").orderBy(
+        F.col("__sim").desc(), F.col("__cid").asc()
+    )
+    probes = (
+        qs.crossJoin(cents)
+        .select(
+            "__qid", "__cid",
+            cosine(F.col("__qvec"), F.col("__cvec")).alias("__sim"),
+        )
+        .withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= n_probe)
+        .select("__qid", F.col("__cid").alias("__list"))
+    )
+
+    scored = (
+        corpus.join(assign, id_col)
+        .join(F.broadcast(probes), "__list")
+        .join(F.broadcast(qs), "__qid")
+        .filter(F.col(id_col) != F.col("__qid"))
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )

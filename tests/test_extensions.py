@@ -247,3 +247,43 @@ def test_repetition_scores(spark):
     assert out[1]["n_kgrams"] == 7
     assert out[2]["top_kgram_count"] == 1   # no repetition
     assert out[2]["repetition_ratio"] == pytest.approx(1 / 3)
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    import math as m
+    import random
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions import (
+        ivf_topk,
+    )
+
+    rng = random.Random(11)
+    # 4 well-separated cluster directions in 64-dim; vectors = center + noise
+    centers = [[1.0 if i // 16 == c else 0.0 for i in range(64)] for c in range(4)]
+    rows = []
+    for vid in range(200):
+        c = centers[vid % 4]
+        v = [x + rng.gauss(0, 0.05) for x in c]
+        n = m.sqrt(sum(x * x for x in v))
+        rows.append((vid, [float(x / n) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    exact = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk(emb, qs, k=5).collect()}
+    got1 = ivf_topk(emb, qs, k=5, n_lists=8, n_probe=4).collect()
+    got2 = ivf_topk(emb, qs, k=5, n_lists=8, n_probe=4).collect()
+    # deterministic run-to-run
+    assert sorted((r["query_id"], r["vec_id"], r["rank"]) for r in got1) == \
+           sorted((r["query_id"], r["vec_id"], r["rank"]) for r in got2)
+    # clusters are separated, probes cover half the lists: high recall
+    ivf = {(r["query_id"], r["vec_id"]) for r in got1}
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.8, recall
+    # every IVF hit scores the true cosine (exact re-score, no estimate)
+    exact_scores = {(r["query_id"], r["vec_id"]): r["cosine_sim"]
+                    for r in cosine_topk(emb, qs, k=200).collect()}
+    for r in got1:
+        assert r["cosine_sim"] == exact_scores[(r["query_id"], r["vec_id"])]
