@@ -54,6 +54,9 @@ from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.waterma
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.sources.readers import (
     read_events,
 )
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.quality.profile import (
+    profile_numeric,
+)
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.quality.dbt_tests import (
     relationship_failures,
     unique_failures,
@@ -597,6 +600,34 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return spark.table(sink)
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profiling — quality/profile.py:profile_numeric:
+    per-column (non-null, null, exact distinct, min, max) from ONE scan +
+    one multi-distinct aggregate; the 1-row result is unpivoted, never the
+    data."""
+    orders = _t(spark, sf_dir, "orders")
+    return profile_numeric(
+        orders, ["o_custkey", "o_totalprice", "o_orderkey"]
+    )
+
+
+def _duck_profile_col(table: str, col: str) -> str:
+    return f"""
+  SELECT '{col}' AS col_name,
+         COUNT(CAST({col} AS DOUBLE)) AS n_nonnull,
+         COUNT(*) - COUNT(CAST({col} AS DOUBLE)) AS n_null,
+         COUNT(DISTINCT CAST({col} AS DOUBLE)) AS n_distinct,
+         MIN(CAST({col} AS DOUBLE)) AS min_value,
+         MAX(CAST({col} AS DOUBLE)) AS max_value
+  FROM {table}"""
+
+
+ORACLE_PROFILE_ORDERS = " UNION ALL ".join(
+    _duck_profile_col("orders", c)
+    for c in ("o_custkey", "o_totalprice", "o_orderkey")
+)
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1564,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "hash_sample": q_hash_sample,
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        "profile_orders": q_profile_orders,
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1614,6 +1646,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "hash_sample": ORACLE_HASH_SAMPLE,
         "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
+        "profile_orders": ORACLE_PROFILE_ORDERS,
         "text_stats": ORACLE_TEXT_STATS,
         "quality_scores": ORACLE_QUALITY_SCORES,
         "lang_id": ORACLE_LANG_ID,

@@ -122,3 +122,20 @@ def test_single_pass_plan(spark, trips):
     # does not raise; exercises the combined agg path on a real DataFrame
     results = run_suite(trips, suite, raise_on_failure=False)
     assert len(results) == 3
+
+
+def test_profile_numeric(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.quality.profile import (
+        profile_numeric,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 10.0), (4, 30.0)], "k long, v double"
+    )
+    out = {r["col_name"]: r for r in profile_numeric(df, ["k", "v"]).collect()}
+    assert out["k"]["n_nonnull"] == 4 and out["k"]["n_null"] == 0
+    assert out["k"]["n_distinct"] == 4
+    assert out["k"]["min_value"] == 1.0 and out["k"]["max_value"] == 4.0
+    assert out["v"]["n_nonnull"] == 3 and out["v"]["n_null"] == 1
+    assert out["v"]["n_distinct"] == 2
+    assert out["v"]["min_value"] == 10.0 and out["v"]["max_value"] == 30.0
