@@ -50,6 +50,16 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     )
     labels = nodes.select("node", F.col("node").alias("component"))
 
+    def _label_sum(df: DataFrame) -> int:
+        # labels only ever DECREASE under min-propagation, so the label sum
+        # strictly decreases until the fixed point: an O(1)-result aggregate
+        # replaces a per-iteration join as the convergence check.  decimal
+        # accumulator: a billion-node graph overflows a bigint sum.
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         # label(u) candidate via each neighbor v's current label
         propagated = (
@@ -63,17 +73,11 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
         )
         # localCheckpoint truncates the growing lineage (iterative plans
         # otherwise re-execute all prior rounds every action)
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.localCheckpoint(eager=True)
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 
