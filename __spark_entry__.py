@@ -1189,6 +1189,28 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — all 2^2 grouping sets in one
+    pass (Expand + single hash aggregate), with grouping_id to tell a real
+    NULL apart from a subtotal marker.  Completes the grouping-set family
+    next to ROLLUP (q_rollup_summary)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_items"),
+        exact_sum("l_extendedprice").alias("total_revenue"),
+    )
+
+
+ORACLE_CUBE_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
@@ -1596,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "profile_orders": q_profile_orders,
+        "cube_summary": q_cube_summary,
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1647,6 +1670,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": ORACLE_HASH_SAMPLE,
         "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
         "profile_orders": ORACLE_PROFILE_ORDERS,
+        "cube_summary": ORACLE_CUBE_SUMMARY,
         "text_stats": ORACLE_TEXT_STATS,
         "quality_scores": ORACLE_QUALITY_SCORES,
         "lang_id": ORACLE_LANG_ID,
