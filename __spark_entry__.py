@@ -1226,6 +1226,78 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 """
 
 
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join with filters on every input, aggregate,
+    top-10.  The customer side is tiny after the segment filter, so it is
+    broadcast (no shuffle of orders for that join); lineitem joins orders on
+    the shuffle key both sides already need.  Revenue is an exact decimal
+    product-sum (the money columns are 2-decimal, so the casts are lossless
+    and the sum is order-independent).  Reference analog: the gold revenue
+    marts (models/gold_*.sql) composed with dim filters."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    revenue = F.sum(
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TOP_REVENUE_ORDERS = """
+SELECT o_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left ANTI join: customers with no fulfilled ('F') orders.  The probe
+    side streams; only the filtered order keys shuffle.  This is the
+    NOT-EXISTS plan family the reference uses for referential dbt tests
+    (relationships), applied as an analytics query."""
+    cust = _t(spark, sf_dir, "customer")
+    fulfilled = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(fulfilled, cust.c_custkey == fulfilled.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_INACTIVE_CUSTOMERS = """
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+ORDER BY c_custkey
+"""
+
+
 
 
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1619,6 +1691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "profile_orders": q_profile_orders,
         "cube_summary": q_cube_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "inactive_customers": q_inactive_customers,
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1671,6 +1745,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
         "profile_orders": ORACLE_PROFILE_ORDERS,
         "cube_summary": ORACLE_CUBE_SUMMARY,
+        "top_revenue_orders": ORACLE_TOP_REVENUE_ORDERS,
+        "inactive_customers": ORACLE_INACTIVE_CUSTOMERS,
         "text_stats": ORACLE_TEXT_STATS,
         "quality_scores": ORACLE_QUALITY_SCORES,
         "lang_id": ORACLE_LANG_ID,
