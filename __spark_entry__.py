@@ -1226,6 +1226,41 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 """
 
 
+def q_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) quartile assignment over a total order (price desc, key as
+    tiebreak — required: duplicate prices would otherwise make the bucket
+    boundary engine-dependent), then a per-quartile summary.  The unpartitioned
+    window is a deliberate single-reducer sort at bench SF; at 100 TB the
+    equivalent is approx-quantile boundaries + a range join, which
+    profile_numeric already demonstrates."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("total_value"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("quartile")
+    )
+
+
+ORACLE_PRICE_QUARTILES = """
+SELECT quartile, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+FROM (SELECT o_totalprice,
+             CAST(NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS quartile
+      FROM orders)
+GROUP BY quartile ORDER BY quartile
+"""
+
+
 def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join with filters on every input, aggregate,
     top-10.  The customer side is tiny after the segment filter, so it is
@@ -1693,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_summary": q_cube_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "inactive_customers": q_inactive_customers,
+        "price_quartiles": q_price_quartiles,
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1747,6 +1783,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_summary": ORACLE_CUBE_SUMMARY,
         "top_revenue_orders": ORACLE_TOP_REVENUE_ORDERS,
         "inactive_customers": ORACLE_INACTIVE_CUSTOMERS,
+        "price_quartiles": ORACLE_PRICE_QUARTILES,
         "text_stats": ORACLE_TEXT_STATS,
         "quality_scores": ORACLE_QUALITY_SCORES,
         "lang_id": ORACLE_LANG_ID,
