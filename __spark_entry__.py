@@ -1333,6 +1333,32 @@ ORDER BY c_custkey
 """
 
 
+def q_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left SEMI join (EXISTS): customers with at least one urgent order.
+    Completes the join family next to the anti form (q_inactive_customers) —
+    the probe side never duplicates rows, so no post-join distinct is
+    needed; Spark plans a build-side-deduped hash semi join."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_URGENT_CUSTOMERS = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
 
 
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1728,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_summary": q_cube_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "inactive_customers": q_inactive_customers,
+        "urgent_customers": q_urgent_customers,
         "price_quartiles": q_price_quartiles,
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
@@ -1783,6 +1810,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_summary": ORACLE_CUBE_SUMMARY,
         "top_revenue_orders": ORACLE_TOP_REVENUE_ORDERS,
         "inactive_customers": ORACLE_INACTIVE_CUSTOMERS,
+        "urgent_customers": ORACLE_URGENT_CUSTOMERS,
         "price_quartiles": ORACLE_PRICE_QUARTILES,
         "text_stats": ORACLE_TEXT_STATS,
         "quality_scores": ORACLE_QUALITY_SCORES,
