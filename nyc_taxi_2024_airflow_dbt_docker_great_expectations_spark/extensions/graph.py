@@ -21,14 +21,29 @@ labels), never the data.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
 
 
+class ConvergenceWarning(UserWarning):
+    """Raised (as a warning) when iterative label propagation exhausts
+    ``max_iter`` before reaching its fixed point — labels may be wrong."""
+
+
 def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20, strict: bool = False) -> DataFrame:
     """(node, component) where component = min node id reachable.
 
     ``edges`` is undirected input (each pair listed once, either direction).
+
+    Min-label propagation needs up to graph-diameter rounds; near-dup
+    clusters are tiny cliques (2-4 rounds), but a path-shaped graph of
+    length > ``max_iter`` would exit NON-converged.  That case warns with
+    :class:`ConvergenceWarning` (or raises when ``strict=True``) instead of
+    silently returning partial labels; callers with long-chain graphs should
+    raise ``max_iter`` (rounds needed ~ diameter; each round is one
+    join+aggregate shuffle).
     """
     # materialize the edge list ONCE: it is typically the output of an
     # expensive similarity join, and every propagation round references it —
@@ -60,6 +75,7 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
         ).first()["s"]
 
     prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iter):
         # label(u) candidate via each neighbor v's current label
         propagated = (
@@ -76,20 +92,32 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
         labels = new_labels.localCheckpoint(eager=True)
         new_sum = _label_sum(labels)
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        msg = (
+            f"connected_components exhausted max_iter={max_iter} without "
+            "reaching the label fixed point; component labels may be wrong "
+            "for long-chain graphs — raise max_iter"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, ConvergenceWarning, stacklevel=2)
     return labels
 
 
 def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-                   pair_a: str = "id_a", pair_b: str = "id_b") -> DataFrame:
+                   pair_a: str = "id_a", pair_b: str = "id_b",
+                   max_iter: int = 20, strict: bool = False) -> DataFrame:
     """Assign every document its near-dup cluster representative.
 
     Documents appearing in no pair are their own singleton cluster.  Returns
     (id, component, is_canonical); downstream dedup keeps
-    ``is_canonical`` rows only.
+    ``is_canonical`` rows only.  ``max_iter``/``strict`` pass through to
+    :func:`connected_components` (non-convergence warns or raises).
     """
-    comp = connected_components(pairs, pair_a, pair_b)
+    comp = connected_components(pairs, pair_a, pair_b, max_iter, strict)
     out = df.select(F.col(id_col)).join(
         comp.withColumnRenamed("node", id_col), id_col, "left"
     )

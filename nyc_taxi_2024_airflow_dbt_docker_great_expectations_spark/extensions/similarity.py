@@ -20,7 +20,11 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _to_double(arr: Column) -> Column:
@@ -47,6 +51,45 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_arrow(a: Column, b: Column) -> Column:
+    """Arrow-batched cosine, bit-identical to :func:`cosine`.
+
+    The higher-order-function form (``cosine``) is interpreted per row —
+    no whole-stage codegen, ~10x slower — so it stays as the oracle-parity
+    *reference* while this is the hot-path scorer.  Bit-identity holds
+    because the accumulation replays the exact left-fold order of
+    ``F.aggregate``: float->double widening first, then one fused
+    multiply-add per dimension in index order (vectorized across rows,
+    sequential across dims), then ``dot / (norm_a * norm_b)`` in the same
+    expression order.  ``tests/test_extensions.py`` asserts exact equality
+    against the HOF form on the embeddings corpus.
+    """
+    @pandas_udf("double")
+    def _cos(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        n = len(sa)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        mask = sa.notna() & sb.notna()
+        out = np.full(n, np.nan)
+        if mask.any():
+            ma = np.stack(sa[mask].to_numpy()).astype(np.float64)
+            mb = np.stack(sb[mask].to_numpy()).astype(np.float64)
+            d = ma.shape[1]
+            dot_ = np.zeros(len(ma))
+            na = np.zeros(len(ma))
+            nb = np.zeros(len(ma))
+            # sequential per-dim accumulation == F.aggregate's left fold
+            for k in range(d):
+                dot_ += ma[:, k] * mb[:, k]
+                na += ma[:, k] * ma[:, k]
+                nb += mb[:, k] * mb[:, k]
+            out[mask.to_numpy()] = dot_ / (np.sqrt(na) * np.sqrt(nb))
+        res = pd.Series(out)
+        return res.where(pd.Series(mask.to_numpy()), None)
+
+    return _cos(a, b)
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 query_id_col: str = "query_id") -> DataFrame:
@@ -64,7 +107,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     scored = corpus.crossJoin(q).filter(F.col(id_col) != F.col("__qid")).select(
         F.col("__qid").alias(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"),
+        cosine_arrow(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
@@ -83,21 +126,22 @@ def neardup_pairs(corpus: DataFrame, threshold: float,
 
     Two-phase, deterministic:
 
-    1. **Candidate generation** (``blas_candidates=True``): vectorized
-       numpy/BLAS block matrix product inside ``mapInPandas`` — each corpus
-       partition multiplies its block against the (broadcast) corpus matrix
-       with a guard band of 1e-6 below the threshold.  BLAS summation order
-       is not bit-reproducible, but the guard band makes candidate
-       *membership* stable: any pair whose true cosine is within 1e-6 of the
-       threshold is always emitted as a candidate and decided by phase 2.
+    1. **Candidate generation** (``blas_candidates=True``): a fully
+       distributed block-grid GEMM (``_blas_candidate_pairs``) — both sides
+       are hash-blocked, each grid cell multiplies two block matrices with
+       BLAS inside ``applyInPandas``, and a guard band of 1e-6 below the
+       threshold absorbs BLAS's non-reproducible summation order: any pair
+       whose true cosine is within 1e-6 of the threshold is always emitted
+       as a candidate and decided by phase 2.  No driver collect, no
+       whole-corpus broadcast — per-task memory is one block pair.
     2. **Exact verification**: candidates join their vectors and recompute
-       cosine with the fixed-fold-order column expression — bit-deterministic
-       and oracle-checkable.
+       cosine with the deterministic left-fold order (Arrow-batched
+       ``cosine_arrow``, bit-identical to the HOF ``cosine`` expression) —
+       oracle-checkable.
 
     This is ~100x the throughput of evaluating the cosine expression on the
-    full half-matrix.  The broadcast corpus matrix caps at ~1M x 64 vectors;
-    beyond that, block BOTH sides (grid of row-block x row-block joins) —
-    same two-phase shape, no algorithmic change.
+    full half-matrix, and the grid shape is the same at 10k or 10B vectors —
+    only ``n_blocks`` grows (B ~ sqrt(cluster tasks)).
     """
     if not blas_candidates:
         a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
@@ -115,40 +159,93 @@ def neardup_pairs(corpus: DataFrame, threshold: float,
     return (
         candidates.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
+        .select("id_a", "id_b",
+                cosine_arrow(F.col("va"), F.col("vb")).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
 
 
 def _blas_candidate_pairs(corpus: DataFrame, guard_threshold: float,
-                          id_col: str, vec_col: str) -> DataFrame:
-    """Arrow-batched block GEMM candidate pairs (id_a < id_b)."""
-    import numpy as np
+                          id_col: str, vec_col: str,
+                          n_blocks: int = 8) -> DataFrame:
+    """Distributed block-grid GEMM candidate pairs (id_a < id_b).
 
-    rows = corpus.select(id_col, vec_col).toPandas()
-    all_ids = rows[id_col].to_numpy()
-    mat = np.stack(rows[vec_col].to_numpy()).astype(np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
-    bc = corpus.sparkSession.sparkContext.broadcast((all_ids, mat))
+    Both sides are blocked — NOTHING is collected to the driver:
 
-    import pandas as pd
+    1. every row gets a deterministic block id ``p = xxhash64(id) mod B``;
+    2. a row in block ``p`` is replicated to grid cell ``(p, j)`` for every
+       ``j >= p`` as the LEFT operand and to ``(i, p)`` for every ``i < p``
+       as the RIGHT operand (one ``explode`` — B output rows per input row);
+    3. ``groupBy(cell).applyInPandas`` multiplies the two block matrices
+       with BLAS; diagonal cells self-multiply and keep ``id_a < id_b``,
+       off-diagonal cells orient each pair by min/max id, so every unordered
+       pair lands in exactly one cell exactly once.
 
-    def gen(batches):
-        ids_full, m_full = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids_b = pdf[id_col].to_numpy()
-            mb = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            mb /= np.maximum(np.linalg.norm(mb, axis=1, keepdims=True), 1e-300)
-            sims = mb @ m_full.T
-            ia, ja = np.nonzero(sims >= guard_threshold)
-            id_a = ids_b[ia]
-            id_b = ids_full[ja]
+    Scale accounting: replication factor is B, per-task memory is
+    ``2 * (N/B) * dim * 8`` bytes, and the B*(B+1)/2 cells are independent
+    tasks — choose B so a block fits executor memory (B ~ sqrt(tasks) for a
+    square grid).  BLAS summation order is not bit-reproducible, hence the
+    guard band below the real threshold; exact membership is decided by the
+    deterministic verify phase.
+    """
+    b = n_blocks
+    base = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(b))
+        .cast("int")
+        .alias("__blk"),
+    )
+    seq = F.sequence(F.lit(0), F.lit(b - 1))
+    as_left = F.transform(
+        F.filter(seq, lambda j: j >= F.col("__blk")),
+        lambda j: F.struct(
+            (F.col("__blk") * b + j).alias("cell"), F.lit(True).alias("is_left")
+        ),
+    )
+    as_right = F.transform(
+        F.filter(seq, lambda i: i < F.col("__blk")),
+        lambda i: F.struct(
+            (i * b + F.col("__blk")).alias("cell"), F.lit(False).alias("is_left")
+        ),
+    )
+    exploded = base.select(
+        "__id", "__vec", F.explode(F.concat(as_left, as_right)).alias("__c")
+    ).select(
+        "__id",
+        "__vec",
+        F.col("__c.cell").alias("__cell"),
+        F.col("__c.is_left").alias("__left"),
+    )
+
+    def gemm(key, pdf):
+        empty = pd.DataFrame({"id_a": pd.array([], dtype="int64"),
+                              "id_b": pd.array([], dtype="int64")})
+        i, j = divmod(int(key[0]), b)
+        left = pdf[pdf["__left"]]
+        right = left if i == j else pdf[~pdf["__left"]]
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        ids_l = left["__id"].to_numpy()
+        ids_r = right["__id"].to_numpy()
+        ml = np.stack(left["__vec"].to_numpy()).astype(np.float64)
+        ml /= np.maximum(np.linalg.norm(ml, axis=1, keepdims=True), 1e-300)
+        if i == j:
+            mr = ml
+        else:
+            mr = np.stack(right["__vec"].to_numpy()).astype(np.float64)
+            mr /= np.maximum(np.linalg.norm(mr, axis=1, keepdims=True), 1e-300)
+        sims = ml @ mr.T
+        ia, ja = np.nonzero(sims >= guard_threshold)
+        id_a, id_b = ids_l[ia], ids_r[ja]
+        if i == j:
             keep = id_a < id_b
-            yield pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep]})
+            id_a, id_b = id_a[keep], id_b[keep]
+        else:
+            id_a, id_b = np.minimum(id_a, id_b), np.maximum(id_a, id_b)
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b})
 
-    return corpus.mapInPandas(gen, "id_a long, id_b long")
+    return exploded.groupBy("__cell").applyInPandas(gemm, "id_a long, id_b long")
 
 
 def deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
@@ -197,7 +294,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     ).select(
         F.col("__qid").alias(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"),
+        cosine_arrow(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
@@ -244,7 +341,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         .select(
             F.col(id_col),
             F.col("__cid"),
-            cosine(F.col(vec_col), F.col("__cvec")).alias("__sim"),
+            cosine_arrow(F.col(vec_col), F.col("__cvec")).alias("__sim"),
         )
         .groupBy(id_col)
         .agg(
@@ -264,7 +361,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         qs.crossJoin(cents)
         .select(
             "__qid", "__cid",
-            cosine(F.col("__qvec"), F.col("__cvec")).alias("__sim"),
+            cosine_arrow(F.col("__qvec"), F.col("__cvec")).alias("__sim"),
         )
         .withColumn("__rn", F.row_number().over(wp))
         .filter(F.col("__rn") <= n_probe)
@@ -279,7 +376,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         .select(
             F.col("__qid").alias(query_id_col),
             F.col(id_col),
-            cosine(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"),
+            cosine_arrow(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(

@@ -47,12 +47,22 @@ def upsert_by_key(target: DataFrame, delta: DataFrame, keys: list[str]) -> DataF
 merge_on_key = upsert_by_key
 
 
-def append_if_absent(target: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
+def append_if_absent(target: DataFrame, delta: DataFrame, keys: list[str],
+                     broadcast_target_keys: bool = True) -> DataFrame:
     """``INSERT ... ON CONFLICT (key) DO NOTHING`` (S11): keep the target's
-    version of conflicting keys, append only genuinely new delta rows."""
-    new_rows = delta.join(
-        F.broadcast(target.select(*keys).distinct()), on=keys, how="left_anti"
-    )
+    version of conflicting keys, append only genuinely new delta rows.
+
+    ``broadcast_target_keys=True`` broadcasts the TARGET's distinct key set —
+    only safe when the target is known small (the reference's use case is the
+    few-row pipeline ledger, ``dags/nyc_taxi_pipeline.py:122-126``).  For the
+    general "append into a large table" case pass ``False``: the anti-join
+    then shuffles both sides on the key (or AQE picks broadcast for whichever
+    side turns out small), instead of OOMing executors with a huge broadcast.
+    """
+    target_keys = target.select(*keys).distinct()
+    if broadcast_target_keys:
+        target_keys = F.broadcast(target_keys)
+    new_rows = delta.join(target_keys, on=keys, how="left_anti")
     return target.unionByName(new_rows.select(*target.columns))
 
 

@@ -102,8 +102,16 @@ def _fold_sessions(key, pdf_iter, state: GroupState, gap_us: int):
             # the batch's first event is past the gap: the open session closes
             closed.append((start0, last0, n0, sum0, nn0))
         else:
-            # sid 0 continues the open session — merge its accumulators
-            starts[0] = start0
+            # sid 0 continues the open session — merge its accumulators with
+            # min(start)/max(end) so a late-but-in-gap event (earlier than the
+            # stored last_us, or even the stored start) extends the session
+            # instead of shrinking it.  Cross-batch correctness still assumes
+            # events are not late past the inactivity gap (enforce upstream
+            # with a watermark >= gap): an event older than the gap boundary
+            # belongs to an already-emitted session and cannot be re-opened
+            # under the append output contract.
+            starts[0] = min(starts[0], start0)
+            ends[0] = max(ends[0], last0)
             ns[0] += n0
             sums[0] += sum0
             nns[0] += nn0

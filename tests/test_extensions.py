@@ -155,6 +155,43 @@ def test_lsh_topk_subset_of_exact(spark, vectors):
     assert len(lsh) <= 3
 
 
+def test_cosine_arrow_bitwise_equals_hof(spark):
+    """The Arrow-batched scorer must replay the HOF left-fold bit-for-bit
+    (it replaces it on every ANN hot path while the HOF form stays the
+    oracle-parity reference)."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        cosine, cosine_arrow,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    both = emb.crossJoin(F.broadcast(qs)).select(
+        cosine(F.col("embedding"), F.col("qe")).alias("hof"),
+        cosine_arrow(F.col("embedding"), F.col("qe")).alias("arrow"),
+    )
+    n = both.count()
+    assert n > 0
+    # exact equality — no tolerance: a single differing ULP fails
+    assert both.filter(F.col("hof") != F.col("arrow")).count() == 0
+    assert both.filter(F.col("arrow").isNull()).count() == 0
+
+
+def test_blas_grid_candidates_match_bruteforce(spark):
+    """The distributed block-grid candidate generator must yield EXACTLY the
+    brute-force pair set (guard band + exact verify), with no driver-side
+    collect anywhere in the plan."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    blas = neardup_pairs(emb, threshold=0.45, blas_candidates=True)
+    plan = blas._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # the per-cell GEMM
+    brute = neardup_pairs(emb, threshold=0.45, blas_candidates=False)
+    got = sorted((r["id_a"], r["id_b"], r["cosine_sim"]) for r in blas.collect())
+    want = sorted((r["id_a"], r["id_b"], r["cosine_sim"]) for r in brute.collect())
+    assert got == want
+    assert len(got) > 0
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 PNG_1x2 = (

@@ -70,6 +70,36 @@ def test_state_survives_restart(spark, tmp_warehouse):
     # u2's session is still open: never emitted
 
 
+def test_late_in_gap_event_extends_not_shrinks(spark, tmp_warehouse):
+    """A later micro-batch whose first event PRECEDES the stored last_us
+    (out-of-order but within the gap) must merge with min(start)/max(end) —
+    the open session's end must not shrink to the late event's timestamp."""
+    src = os.path.join(tmp_warehouse, "drops3")
+    ckpt = os.path.join(tmp_warehouse, "ckpt3")
+    os.makedirs(src, exist_ok=True)
+    sink = os.path.join(tmp_warehouse, "out3")
+
+    _write_events(spark, src, "d1", [
+        (1, "2024-01-01 09:30:00", "click", 1.0),
+        (1, "2024-01-01 09:40:00", "view", 1.0),
+    ])
+    assert _run(spark, src, ckpt, sink) == []  # session still open
+
+    # batch 2: a late event at 09:35 (before stored last_us=09:40), then a
+    # far-future event that closes the session
+    _write_events(spark, src, "d2", [
+        (1, "2024-01-01 09:35:00", "view", 2.0),
+        (1, "2024-01-01 23:00:00", "click", 9.0),
+    ])
+    out = _run(spark, src, ckpt, sink)
+    closed = [r for r in out if str(r["session_start"]) == "2024-01-01 09:30:00"]
+    assert len(closed) == 1
+    r = closed[0]
+    assert str(r["session_end"]) == "2024-01-01 09:40:00"  # NOT 09:35
+    assert r["n_events"] == 3
+    assert r["session_value"] == 4.0
+
+
 def test_matches_batch_minus_open_sessions(spark, tmp_warehouse):
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.streaming.windows import (
         session_stats_batch,
