@@ -79,6 +79,10 @@ from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.sampli
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.graph import (
     dedup_clusters,
 )
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.multimodal import (
+    decode_audio_meta,
+    synth_wav,
+)
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions import (
     cosine_topk,
     ivf_topk,
@@ -1535,6 +1539,31 @@ FROM documents
 
 
 
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column plumbing end-to-end: synthesize deterministic WAV
+    payloads executor-side (extensions/multimodal.py:synth_wav, id-derived
+    parameters), then extract metadata with the chunk-walking RIFF parser
+    via Arrow mapInPandas.  The oracle replays the parameter arithmetic in
+    SQL, so a parser or builder bug surfaces as a value mismatch."""
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_wav(docs.select(F.col("doc_id").alias("media_id")))
+    return decode_audio_meta(media)
+
+
+ORACLE_AUDIO_META = """
+SELECT doc_id AS media_id,
+       'wav' AS format,
+       CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+       CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+       CAST(16 AS INTEGER) AS bits_per_sample,
+       CAST(100 + doc_id % 900 AS BIGINT) AS n_frames,
+       CAST((100 + doc_id % 900) * 1000 // (8000 * (1 + doc_id % 3)) AS BIGINT)
+         AS duration_ms,
+       CAST(44 + (100 + doc_id % 900) * (1 + doc_id % 2) * 2 AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster canonicalization: connected components over the
     n-gram-Jaccard pair graph (min-reachable-id labels); survivors of
@@ -1779,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg": q_moving_avg,
         "pivot_status_by_year": q_pivot_status_by_year,
         "binary_meta": q_binary_meta,
+        "audio_meta": q_audio_meta,
     }
 
 
@@ -1835,4 +1865,5 @@ def oracle_sql() -> dict[str, str]:
         "moving_avg": ORACLE_MOVING_AVG,
         "pivot_status_by_year": ORACLE_PIVOT_STATUS_BY_YEAR,
         "binary_meta": ORACLE_BINARY_META,
+        "audio_meta": ORACLE_AUDIO_META,
     }

@@ -1,0 +1,41 @@
+"""Shared execution primitives used across operators.
+
+One canonical way to materialize a multi-consumer intermediate.  Two
+distinct problems share this single fix:
+
+1. **Multi-consumer recompute**: a DataFrame feeding k plan branches (e.g.
+   the shingle base feeding postings + both verify sides, or an edge list
+   feeding every label-propagation round) re-executes its whole lineage per
+   consumer unless materialized.
+2. **CollapseProject re-inlining**: Catalyst inlines a projected expression
+   into every downstream column that references it, so k columns reading one
+   expensive array each re-run the computation (measured 10x+ slowdowns).
+   Projections do not collapse across a materialization boundary.
+
+``localCheckpoint`` solves both at once: it truncates lineage (fence +
+no-recompute) and caches the result MEMORY_AND_DISK.  When the intermediate
+is too large for cluster memory to be a sensible home — the 100 TB case —
+``storage="disk"`` persists DISK_ONLY instead (an ``InMemoryRelation`` is
+still a projection fence, and DISK_ONLY never evicts executor heap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+
+def materialize_once(df: DataFrame, storage: str = "memory") -> DataFrame:
+    """Compute ``df`` once; serve every downstream consumer from the result.
+
+    ``storage="memory"``: eager ``localCheckpoint`` (MEMORY_AND_DISK cache,
+    lineage truncated).  ``storage="disk"``: eager ``persist(DISK_ONLY)`` —
+    the escape hatch for intermediates larger than cluster memory.
+    """
+    if storage == "disk":
+        out = df.persist(StorageLevel.DISK_ONLY)
+        out.count()  # eager: populate before fan-out so consumers never race
+        return out
+    if storage != "memory":
+        raise ValueError(f"storage must be 'memory' or 'disk', got {storage!r}")
+    return df.localCheckpoint(eager=True)

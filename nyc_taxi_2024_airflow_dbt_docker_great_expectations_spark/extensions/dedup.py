@@ -26,24 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..execution import materialize_once
 from .text import shingle_postings, shingled_arrays, tokens, word_shingles
-
-
-def _materialize_barrier(df: DataFrame) -> DataFrame:
-    """Round-robin exchange inserted purely as an optimization fence.
-
-    Catalyst's CollapseProject inlines a projected expression into every
-    downstream column that references it — so k signature columns reading a
-    ``shingles`` array would each re-run tokenization + shingling (k-fold
-    recompute; measured 10x+ slowdowns).  Projections do not collapse across
-    an exchange, so one cheap round-robin shuffle of the (id, array) rows
-    forces the array to be computed exactly once.  The shuffled payload is
-    the document's shingle/hash array — the same order of bytes as the input
-    text — so this is bandwidth-neutral at 100 TB and strictly cheaper than
-    recomputing hashes k times.
-    """
-    spark = df.sparkSession
-    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def exact_dedup_keys(df: DataFrame, text_col: str = "text",
@@ -94,7 +78,8 @@ def _pair_jaccard(shingled: DataFrame, id_col: str) -> DataFrame:
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.6,
-                        prefix_filter: bool = True) -> DataFrame:
+                        prefix_filter: bool = True,
+                        max_df: int | None = None) -> DataFrame:
     """Exact word-k-gram Jaccard near-dup pairs above ``threshold``.
 
     With ``prefix_filter`` (default), applies PPJoin-style **prefix
@@ -109,8 +94,23 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     the naive inverted-index join — this is the difference between an exact
     similarity self-join that dies on a common-vocabulary corpus at 100 TB
     and one that scales with the rare-token posting mass.
+
+    ``max_df`` (requires ``prefix_filter``) is the search-engine df-cut:
+    shingles occurring in more than ``max_df`` documents are dropped from
+    the *index* before prefix selection (never from the verify sets).  On a
+    common-vocabulary corpus this caps the largest posting lists — the
+    quadratic term prefix filtering alone cannot bound when even the
+    *rarest* shingle of a stop-word-only document is frequent.  Unlike the
+    pure prefix filter it can lose recall: a true pair whose common shingles
+    are ALL above the cut produces no candidate.  Pick the cut from the df
+    histogram (e.g. 99.9th percentile) so only stop-word-grade shingles are
+    dropped; ``tests/test_extensions.py`` shows a safe cut leaving the pair
+    set identical.
     """
     from pyspark.sql import Window
+
+    if max_df is not None and not prefix_filter:
+        raise ValueError("max_df is an index-side cut; requires prefix_filter=True")
 
     if not prefix_filter:
         shingled = df.select(
@@ -122,14 +122,19 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
     # the shingled base feeds three plan branches (postings + both verify
     # sides); materialize it once or the tokenize/window/collect_set pass
-    # re-executes per branch (same multi-consumer pattern as graph.py's
-    # edge checkpoint — at 100 TB you'd persist this to DISK_ONLY instead)
-    base = shingled_arrays(df, text_col, id_col, k).localCheckpoint(eager=True)
+    # re-executes per branch (materialize_once(storage="disk") at 100 TB)
+    base = materialize_once(shingled_arrays(df, text_col, id_col, k))
     posts = base.select(
         F.col(id_col), F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
     )
     dfreq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
+    if max_df is not None:
+        # df-cut BEFORE ranking: frequent shingles never enter the index, so
+        # the prefix is drawn from the surviving (rarer) shingles only.
+        # n_sh stays the full set size — the length filter and the verify
+        # phase are unaffected by the cut.
+        dfreq = dfreq.filter(F.col("df_cnt") <= max_df)
     ranked = posts.join(dfreq, "shingle").withColumn(
         "rn",
         F.row_number().over(
@@ -211,7 +216,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # one materialized shingle pass feeds signatures AND both verify sides
     # (exploding the stored arrays re-derives the distinct postings without
     # a second tokenize/window pass)
-    base = shingled_arrays(df, text_col, id_col, k).localCheckpoint(eager=True)
+    base = materialize_once(shingled_arrays(df, text_col, id_col, k))
     exploded = base.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     sigs = exploded.groupBy(id_col).agg(
         *[
@@ -331,10 +336,10 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     sum-of-squares over bucket sizes, two orders of magnitude below the 4-bit
     banding alternative.  Verification is ``bit_count(xor)`` on two BIGINTs.
     """
-    # 4 band self-joins read this table 8 times; the barrier materializes the
-    # md5+vote aggregation once instead of re-running the final aggregate per
-    # consumer (the tiny (id, simhash) rows are the cheapest thing to shuffle)
-    sims = _materialize_barrier(simhash_table(df, text_col, id_col))
+    # 4 band self-joins read this table 8 times; materialize the md5+vote
+    # aggregation once instead of re-running it per consumer (the tiny
+    # (id, simhash) rows are the cheapest possible thing to cache)
+    sims = materialize_once(simhash_table(df, text_col, id_col))
     banded = sims.select(
         F.col(id_col),
         F.col("simhash"),

@@ -25,6 +25,8 @@ import warnings
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..execution import materialize_once
+
 
 class ConvergenceWarning(UserWarning):
     """Raised (as a warning) when iterative label propagation exhausts
@@ -48,9 +50,9 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     # materialize the edge list ONCE: it is typically the output of an
     # expensive similarity join, and every propagation round references it —
     # without the checkpoint each iteration would re-execute that join
-    edges = edges.select(
-        F.col(src).alias("__s"), F.col(dst).alias("__d")
-    ).localCheckpoint(eager=True)
+    edges = materialize_once(
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    )
     nodes = (
         edges.select(F.col("__s").alias("node"))
         .unionByName(edges.select(F.col("__d").alias("node")))
@@ -87,9 +89,9 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        # localCheckpoint truncates the growing lineage (iterative plans
+        # materialization truncates the growing lineage (iterative plans
         # otherwise re-execute all prior rounds every action)
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = materialize_once(new_labels)
         new_sum = _label_sum(labels)
         if new_sum == prev_sum:
             converged = True

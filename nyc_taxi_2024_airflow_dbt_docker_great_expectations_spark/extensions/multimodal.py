@@ -122,12 +122,169 @@ def media_stats(df: DataFrame) -> DataFrame:
     )
 
 
-def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling STUB: real decode needs ffmpeg (absent here).
-    The plumbing contract: one input row -> N frame rows, implemented as a
-    ``mapInPandas`` fan-out exactly like ``decode_image_meta``."""
-    raise NotImplementedError(
-        "frame sampling requires ffmpeg bindings absent from this "
-        "environment; the mapInPandas fan-out pattern in decode_image_meta "
-        "is the implementation template"
+# --- audio: dependency-free WAV/RIFF metadata ------------------------------
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def build_wav(sample_rate: int, channels: int, bits_per_sample: int,
+              n_frames: int) -> bytes:
+    """Minimal canonical-form PCM WAV (RIFF/fmt/data, silent payload).
+    The synthesis twin of :func:`parse_wav_header` — used to exercise the
+    binary-column plumbing where no real recordings exist."""
+    block_align = channels * bits_per_sample // 8
+    data_size = n_frames * block_align
+    byte_rate = sample_rate * block_align
+    return b"".join([
+        b"RIFF", struct.pack("<I", 36 + data_size), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+                             byte_rate, block_align, bits_per_sample),
+        b"data", struct.pack("<I", data_size), bytes(data_size),
+    ])
+
+
+def parse_wav_header(
+    data: bytes | None,
+) -> tuple[str | None, int | None, int | None, int | None, int | None]:
+    """(format, channels, sample_rate, bits_per_sample, n_frames) from a
+    RIFF/WAVE byte stream — chunk-walking parser, no audio libs.  Returns
+    ``("unknown", None, ...)`` for non-WAV bytes, Nones for empty input."""
+    if not data:
+        return None, None, None, None, None
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return "unknown", None, None, None, None
+    channels = rate = bits = block_align = None
+    n_frames = None
+    i = 12
+    while i + 8 <= len(data):
+        cid = data[i:i + 4]
+        size = struct.unpack("<I", data[i + 4:i + 8])[0]
+        body = data[i + 8:i + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            _, channels, rate, _, block_align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+        elif cid == b"data":
+            if block_align:
+                n_frames = size // block_align
+        i += 8 + size + (size % 2)  # RIFF chunks are 2-byte aligned
+    return "wav", channels, rate, bits, n_frames
+
+
+def synth_wav(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """(id) -> (id, content binary): deterministic synthetic WAV payloads
+    with id-derived parameters — rate in {8,16,24} kHz, 1-2 channels, 16-bit,
+    100-999 frames.  Arrow-batched; the binary column is built executor-side
+    so nothing large crosses the driver."""
+    import pandas as pd
+
+    def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame({
+                "media_id": ids,
+                "content": [
+                    build_wav(8000 * (1 + i % 3), 1 + i % 2, 16, 100 + i % 900)
+                    for i in ids
+                ],
+            })
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "media_id long, content binary"
+    )
+
+
+def decode_audio_meta(df: DataFrame) -> DataFrame:
+    """WAV metadata extraction via Arrow-batched ``mapInPandas`` — the audio
+    twin of :func:`decode_image_meta`.  duration_ms is floor(n_frames * 1000
+    / sample_rate), integer-exact on every engine."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(data) if data is not None else None
+                fmt, ch, rate, bits, frames = parse_wav_header(raw)
+                dur = (
+                    frames * 1000 // rate
+                    if frames is not None and rate else None
+                )
+                rows.append((mid, fmt, ch, rate, bits, frames, dur,
+                             len(raw) if raw is not None else 0))
+            out = pd.DataFrame(
+                rows, columns=["media_id", "format", "channels", "sample_rate",
+                               "bits_per_sample", "n_frames", "duration_ms",
+                               "n_bytes"],
+            )
+            for c in ("channels", "sample_rate", "bits_per_sample"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            for c in ("n_frames", "duration_ms"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
+    return df.select("media_id", "content").mapInPandas(
+        batches, AUDIO_META_SCHEMA
+    )
+
+
+# --- video: frame sampling over raw byte planes ----------------------------
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("byte_start", T.LongType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, frame_size: int, every_n: int = 10) -> DataFrame:
+    """Sample every ``every_n``-th frame from raw fixed-stride video bytes.
+
+    One input row fans out to ceil(n_frames / every_n) frame rows — the
+    ``mapInPandas`` 1->N shape every video pipeline needs.  ``frame_size``
+    is the byte stride (w * h * bytes_per_px for planar raw); a real codec
+    (ffmpeg, absent in this environment) would replace the byte slicing
+    below with decode calls — the fan-out contract, schema, and partitioning
+    are exactly what that production body plugs into.  A trailing partial
+    frame is dropped (codec analog: an incomplete GOP).
+    """
+    if frame_size <= 0 or every_n <= 0:
+        raise ValueError("frame_size and every_n must be positive")
+    import pandas as pd
+
+    def fan_out(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids, idxs, starts, blobs = [], [], [], []
+            for mid, data in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(data) if data is not None else b""
+                n_frames = len(raw) // frame_size
+                for fi in range(0, n_frames, every_n):
+                    off = fi * frame_size
+                    ids.append(mid)
+                    idxs.append(fi)
+                    starts.append(off)
+                    blobs.append(raw[off:off + frame_size])
+            yield pd.DataFrame({
+                "media_id": pd.array(ids, dtype="int64"),
+                "frame_idx": pd.array(idxs, dtype="int64"),
+                "byte_start": pd.array(starts, dtype="int64"),
+                "frame_bytes": blobs,
+            })
+
+    return df.select("media_id", "content").mapInPandas(
+        fan_out, FRAME_SAMPLE_SCHEMA
     )

@@ -65,6 +65,25 @@ def test_ngram_jaccard_finds_neardup(spark, docs):
     assert not any(3 in p or 5 in p or 6 in p for p in pairs)
 
 
+def test_ngram_jaccard_df_cut_safe(spark):
+    """A df-cut above the corpus's near-dup shingle frequencies must leave
+    the pair set IDENTICAL (drops only index bulk, not recall); an absurdly
+    low cut must not crash (it may only lose candidates, never invent
+    pairs)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, threshold=0.6).collect()}
+    assert len(base) > 0
+    cut = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, threshold=0.6, max_df=50).collect()}
+    assert cut == base
+    tiny = {(r["id_a"], r["id_b"]) for r in
+            ngram_jaccard_pairs(docs, threshold=0.6, max_df=1).collect()}
+    assert tiny <= set(base)
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(docs, threshold=0.6, prefix_filter=False, max_df=5)
+
+
 def test_minhash_lsh_catches_exact_and_near(spark, docs):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
              for r in minhash_lsh_pairs(docs, k=3, threshold=0.3).collect()}
@@ -221,10 +240,55 @@ def test_decode_image_meta_mapinpandas(spark):
     assert stats["n_items"] == 2
 
 
-def test_frame_sample_is_explicit_stub(spark):
-    df = spark.createDataFrame([], "media_id long, kind string, content binary, source_uri string")
-    with pytest.raises(NotImplementedError):
-        frame_sample(df)
+def test_wav_build_parse_roundtrip():
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.multimodal import (
+        build_wav, parse_wav_header,
+    )
+    wav = build_wav(16000, 2, 16, 500)
+    assert parse_wav_header(wav) == ("wav", 2, 16000, 16, 500)
+    assert len(wav) == 44 + 500 * 2 * 2
+    assert parse_wav_header(b"RIFFxxxxJUNK") == ("unknown", None, None, None, None)
+    assert parse_wav_header(None) == (None, None, None, None, None)
+
+
+def test_decode_audio_meta_mapinpandas(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.multimodal import (
+        build_wav, decode_audio_meta, synth_wav,
+    )
+    rows = [(1, bytearray(build_wav(8000, 1, 16, 800))),
+            (2, bytearray(b"not audio at all"))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r for r in decode_audio_meta(df).collect()}
+    assert out[1]["format"] == "wav" and out[1]["channels"] == 1
+    assert out[1]["sample_rate"] == 8000 and out[1]["n_frames"] == 800
+    assert out[1]["duration_ms"] == 100  # 800 frames @ 8 kHz
+    assert out[2]["format"] == "unknown" and out[2]["sample_rate"] is None
+
+    # synth -> decode closes the loop with id-derived parameters
+    ids = spark.range(7).select(F.col("id").alias("media_id"))
+    decoded = {r["media_id"]: r
+               for r in decode_audio_meta(synth_wav(ids)).collect()}
+    for i in range(7):
+        assert decoded[i]["sample_rate"] == 8000 * (1 + i % 3)
+        assert decoded[i]["channels"] == 1 + i % 2
+        assert decoded[i]["n_frames"] == 100 + i % 900
+
+
+def test_frame_sample_fan_out(spark):
+    frame = 4  # bytes per frame
+    payload = bytes(range(43))  # 10 full frames + 3 trailing bytes
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b""))],
+        "media_id long, content binary",
+    )
+    out = frame_sample(df, frame_size=frame, every_n=3).collect()
+    got = {(r["media_id"], r["frame_idx"]): r for r in out}
+    # media 1: frames 0,3,6,9 survive; media 2 fans out to nothing
+    assert set(got) == {(1, 0), (1, 3), (1, 6), (1, 9)}
+    assert bytes(got[(1, 3)]["frame_bytes"]) == payload[12:16]
+    assert got[(1, 9)]["byte_start"] == 36
+    with pytest.raises(ValueError):
+        frame_sample(df, frame_size=0)
 
 
 def test_connected_components_and_cluster_dedup(spark, docs):
