@@ -72,6 +72,9 @@ from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.tempora
     asof_join,
     interval_count_join,
 )
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.layout import (
+    salted_join,
+)
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.sampling import (
     hash_fraction_sample,
     stratified_sample,
@@ -1539,6 +1542,47 @@ FROM documents
 
 
 
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-stress join (operators/layout.py:salted_join): ~half of lineitem
+    is funneled onto ONE hot key (l_quantity <= 25 -> nkey 0), the shape
+    where a plain hash join puts 50% of the table in one task.  salted_join
+    explodes the 25-row nation dim over 16 salt replicas and splits the hot
+    key across (key, salt) sub-partitions; output equals the plain join, so
+    the oracle is the unsalted SQL."""
+    li = _t(spark, sf_dir, "lineitem")
+    nat = _t(spark, sf_dir, "nation")
+    big = li.select(
+        F.when(F.col("l_quantity") <= 25, F.lit(0))
+        .otherwise(F.col("l_partkey") % 25)
+        .cast("long")
+        .alias("nkey"),
+        "l_extendedprice",
+    )
+    small = nat.select(
+        F.col("n_nationkey").cast("long").alias("nkey"), "n_name"
+    )
+    joined = salted_join(big, small, "nkey", salt=16)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        exact_sum("l_extendedprice").alias("revenue"),
+    )
+
+
+ORACLE_SALTED_SKEW_JOIN = """
+WITH big AS (
+  SELECT CASE WHEN l_quantity <= 25 THEN CAST(0 AS BIGINT)
+              ELSE CAST(l_partkey % 25 AS BIGINT) END AS nkey,
+         l_extendedprice
+  FROM lineitem
+)
+SELECT n.n_name,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(b.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM big b JOIN nation n ON b.nkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
 def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-column plumbing end-to-end: synthesize deterministic WAV
     payloads executor-side (extensions/multimodal.py:synth_wav, id-derived
@@ -1809,6 +1853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_status_by_year": q_pivot_status_by_year,
         "binary_meta": q_binary_meta,
         "audio_meta": q_audio_meta,
+        "salted_skew_join": q_salted_skew_join,
     }
 
 
@@ -1866,4 +1911,5 @@ def oracle_sql() -> dict[str, str]:
         "pivot_status_by_year": ORACLE_PIVOT_STATUS_BY_YEAR,
         "binary_meta": ORACLE_BINARY_META,
         "audio_meta": ORACLE_AUDIO_META,
+        "salted_skew_join": ORACLE_SALTED_SKEW_JOIN,
     }

@@ -68,6 +68,42 @@ def read_events(spark: SparkSession, path: str, ts_col: str = "ts") -> DataFrame
     return df
 
 
+def download_monthly_files(base_url: str, dest_dir: str, year: int = 2024,
+                           months: range = range(1, 13),
+                           file_pattern: str = "yellow_tripdata_{year}-{month:02d}.parquet",
+                           overwrite: bool = False) -> list[str]:
+    """S6: the out-of-engine monthly file fetcher (reference
+    data/downloaddata.py:6-22 — sequential month loop, streamed 8 KiB
+    chunks, skip-and-continue on a failed month).  stdlib ``urllib`` only;
+    deliberately NOT part of any query path — ingest IO belongs upstream of
+    the engine, and at 100 TB bulk transfer is a distcp/object-store copy
+    job, not a driver loop.  Returns the local paths actually fetched."""
+    import os
+    import shutil
+    import urllib.error
+    import urllib.request
+
+    os.makedirs(dest_dir, exist_ok=True)
+    fetched: list[str] = []
+    for month in months:
+        file_name = file_pattern.format(year=year, month=month)
+        save_path = os.path.join(dest_dir, file_name)
+        if os.path.exists(save_path) and not overwrite:
+            fetched.append(save_path)
+            continue
+        url = base_url.rstrip("/") + "/" + file_name
+        try:
+            with urllib.request.urlopen(url) as resp, open(save_path, "wb") as f:
+                shutil.copyfileobj(resp, f, length=8192)
+        except (urllib.error.URLError, OSError):
+            # mirror the reference: a missing month is reported, not fatal
+            if os.path.exists(save_path):
+                os.remove(save_path)
+            continue
+        fetched.append(save_path)
+    return fetched
+
+
 def read_csv_seed(spark: SparkSession, path: str) -> DataFrame:
     """S5: the CI seed CSV source (reference
     dbt/nyc_taxi/seeds/mock_yellow_tripdata.csv + dbt_project.yml:38-43).

@@ -1,0 +1,74 @@
+"""Plan-regression guardrails: the load-bearing physical-plan properties
+that make the engine scale (pushdown, pruning, broadcast choice, salt
+fan-out) are asserted here so a refactor that silently loses one fails CI
+instead of surfacing as a 100x regression on a cluster.
+
+These inspect the *initial* executed plan string (pre-AQE), where the
+static choices — pushed filters, read schema, join strategy hints — live.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = entry.queries()
+    return {name: _plan(qs[name](spark, SF)) for name in (
+        "silver_clean", "decode_join", "merge_upsert", "monthly_summary",
+        "asof_last_error", "range_join_incidents", "top_revenue_orders",
+        "inactive_customers", "urgent_customers", "salted_skew_join",
+        "embedding_topk",
+    )}
+
+
+def test_silver_clean_pushdown_and_pruning(plans):
+    plan = plans["silver_clean"]
+    # the P7 domain IN-filter must reach the parquet scan
+    assert "PushedFilters: [In(l_linestatus" in plan
+    # column pruning: the scan must not read columns silver never touches
+    assert "l_comment" not in plan
+
+
+def test_dim_and_merge_joins_are_broadcast(plans):
+    # J3 decode lookup: 25-row dim joins broadcast, never shuffled
+    assert "BroadcastHashJoin" in plans["decode_join"]
+    # S8 merge: the delta key anti-join broadcasts the (small) delta side
+    assert "BroadcastHashJoin" in plans["merge_upsert"]
+    for name in ("decode_join", "merge_upsert"):
+        assert "SortMergeJoin" not in plans[name]
+
+
+def test_no_nested_loop_outside_bruteforce_baseline(plans):
+    """BroadcastNestedLoopJoin is allowed ONLY in the documented brute-force
+    cosine baseline (embedding_topk); anywhere else it means an inequality
+    join failed to compile to the union+window / bucketized form."""
+    assert "BroadcastNestedLoopJoin" in plans["embedding_topk"]  # by design
+    for name in ("silver_clean", "decode_join", "merge_upsert",
+                 "monthly_summary", "asof_last_error", "range_join_incidents",
+                 "top_revenue_orders", "inactive_customers",
+                 "urgent_customers", "salted_skew_join"):
+        assert "BroadcastNestedLoopJoin" not in plans[name], name
+        assert "CartesianProduct" not in plans[name], name
+
+
+def test_aggregates_are_partial_final(plans):
+    # map-side combine: every groupBy compiles to partial+final HashAggregate
+    assert plans["monthly_summary"].count("HashAggregate") >= 2
+
+
+def test_salted_join_fans_out_salt(plans):
+    plan = plans["salted_skew_join"]
+    # the small side explodes over the salt replicas...
+    assert "Generate explode" in plan
+    # ...and the join key includes the salt column, splitting the hot key
+    assert "__salt" in plan

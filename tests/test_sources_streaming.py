@@ -9,6 +9,7 @@ from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.merge i
     month_partition_overwrite,
 )
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.sources.readers import (
+    download_monthly_files,
     normalize_columns,
     read_csv_seed,
     read_events,
@@ -129,3 +130,25 @@ def test_tumbling_stream_availablenow(spark, tmp_warehouse):
     q.awaitTermination(120)
     rows = spark.sql("select * from tumbling_test").collect()
     assert sum(r["n_events"] for r in rows) == 4
+
+
+def test_download_monthly_files(tmp_path):
+    """S6 fetcher: streams present months, skips missing ones without
+    failing, and is idempotent on re-run (existing files not re-fetched)."""
+    src = tmp_path / "remote"
+    src.mkdir()
+    for m in (1, 2):
+        (src / f"yellow_tripdata_2024-{m:02d}.parquet").write_bytes(
+            b"PAR1" + bytes([m])
+        )
+    dest = tmp_path / "local"
+    got = download_monthly_files(f"file://{src}", str(dest), months=range(1, 4))
+    assert [os.path.basename(p) for p in got] == [
+        "yellow_tripdata_2024-01.parquet",
+        "yellow_tripdata_2024-02.parquet",
+    ]  # month 3 does not exist upstream -> reported by omission, not fatal
+    assert (dest / "yellow_tripdata_2024-01.parquet").read_bytes() == b"PAR1\x01"
+    assert not (dest / "yellow_tripdata_2024-03.parquet").exists()
+    assert download_monthly_files(
+        f"file://{src}", str(dest), months=range(1, 4)
+    ) == got
