@@ -78,6 +78,19 @@ from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.layout 
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.sampling import (
     hash_fraction_sample,
     stratified_sample,
+    weighted_sample,
+)
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.contamination import (
+    ngram_contamination,
+)
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.sketches import (
+    kmv_distinct,
+)
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+    redact_pii,
+)
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.timeseries import (
+    gapfill_periods,
 )
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.graph import (
     dedup_clusters,
@@ -1796,6 +1809,206 @@ FROM per_gram GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# training-data pipeline extensions, round 2: decontamination, weighted
+# sampling, cardinality sketches, gap-filling, PII redaction
+# --------------------------------------------------------------------------
+
+DECONTAM_N = 4          # n-gram size (13 in GPT-3; this corpus's near-dups
+                        # are word-edit variants whose longest shared runs
+                        # are 4-grams, so 4 gives meaningful collisions)
+DECONTAM_BENCH_MOD = 41  # doc_id % 41 == 0 plays the held-out benchmark
+
+_DUCK_SHINGLES_N = (
+    "list_distinct(list_transform("
+    f"range(1, len({DUCK_TOKS}) - {DECONTAM_N - 2}), "
+    f"i -> array_to_string(({DUCK_TOKS})[i:i+{DECONTAM_N - 1}], ' ')))"
+)
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style benchmark decontamination
+    (extensions/contamination.py): flag training docs sharing any word
+    4-gram with the held-out benchmark subset; benchmark n-gram set is
+    broadcast (map-side semi-join, no corpus shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+    bench = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+    return ngram_contamination(train, bench, n=DECONTAM_N)
+
+
+ORACLE_DECONTAMINATION = f"""
+WITH tr AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES_N}) AS shingle FROM documents
+  WHERE doc_id % {DECONTAM_BENCH_MOD} <> 0 AND len({DUCK_TOKS}) >= {DECONTAM_N}
+),
+be AS (
+  SELECT DISTINCT unnest({_DUCK_SHINGLES_N}) AS shingle FROM documents
+  WHERE doc_id % {DECONTAM_BENCH_MOD} = 0 AND len({DUCK_TOKS}) >= {DECONTAM_N}
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY 1),
+hit AS (SELECT t.doc_id, COUNT(*) AS n_hits
+        FROM tr t JOIN be USING (shingle) GROUP BY 1)
+SELECT h.doc_id,
+       CAST(h.n_hits AS BIGINT) AS n_hits,
+       CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       CAST(h.n_hits AS DOUBLE) / CAST(t.n_shingles AS DOUBLE) AS hit_ratio
+FROM hit h JOIN tot t USING (doc_id)
+"""
+
+POW60 = 16 ** 15  # 60-bit hash normalizer shared by weighted_sample / kmv
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis deterministic weighted sampling
+    (extensions/sampling.py:weighted_sample): 40 orders per priority,
+    selection probability proportional to o_totalprice, reproducible on any
+    engine (md5-derived uniforms, no RNG)."""
+    orders = _t(spark, sf_dir, "orders")
+    return weighted_sample(
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        weight_col="o_totalprice", n=40, id_col="o_orderkey",
+        strata_col="o_orderpriority",
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY ln((CAST('0x' || substr(md5('ws:' ||
+                        CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) + 1)
+                       / {POW60}.0) / o_totalprice DESC,
+                    o_orderkey
+         ) AS rk
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+) WHERE rk <= 40
+"""
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) cardinality sketch (extensions/sketches.py): distinct
+    l_partkey per return flag, engine-portable alternative to HLL
+    approx_count_distinct (md5 uniforms -> identical sketch on any engine,
+    mergeable by hash-set union)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return kmv_distinct(li, ["l_returnflag"], "l_partkey", k=256)
+
+
+ORACLE_KMV_DISTINCT = f"""
+WITH hashed AS (
+  SELECT DISTINCT l_returnflag,
+         (CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+               AS BIGINT) + 1) / {POW60}.0 AS h
+  FROM lineitem WHERE l_partkey IS NOT NULL
+),
+bk AS (
+  SELECT l_returnflag, h,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+  FROM hashed
+)
+SELECT l_returnflag,
+       CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+            ELSE 255.0 / MAX(h) END AS est_distinct,
+       CAST(COUNT(*) AS INTEGER) AS sketch_k
+FROM bk WHERE rk <= 256 GROUP BY 1
+"""
+
+GAPFILL_MIN_PRICE = 400000  # rare high-value orders -> guaranteed day gaps
+
+
+def q_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (operators/timeseries.py:gapfill_periods):
+    daily high-value-order revenue per priority, zero-filled over each
+    key's own min..max day span (sequence+explode spine, keyed fill join,
+    no driver calendar)."""
+    orders = _t(spark, sf_dir, "orders")
+    agg = (
+        orders.filter(F.col("o_totalprice") > GAPFILL_MIN_PRICE)
+        .groupBy("o_orderpriority", to_day("o_orderdate").alias("order_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("revenue"),
+        )
+    )
+    return gapfill_periods(
+        agg, ["o_orderpriority"], "order_day", ["n_orders", "revenue"],
+        granularity="day", fill="zero",
+    )
+
+
+ORACLE_DAILY_GAPFILL = f"""
+WITH agg AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS order_day,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders WHERE o_totalprice > {GAPFILL_MIN_PRICE}
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT o_orderpriority,
+         CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                     CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS order_day
+  FROM (SELECT o_orderpriority, MIN(order_day) AS lo, MAX(order_day) AS hi
+        FROM agg GROUP BY 1)
+)
+SELECT s.o_orderpriority, s.order_day,
+       COALESCE(a.n_orders, 0) AS n_orders,
+       COALESCE(a.revenue, 0.0) AS revenue,
+       a.n_orders IS NULL AS is_gap
+FROM spine s LEFT JOIN agg a USING (o_orderpriority, order_day)
+"""
+
+# identical pattern strings run in Spark (Java regex) and DuckDB (RE2):
+# the character-class/quantifier subset has the same semantics in both
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (extensions/text.py:redact_pii): plant a synthetic email +
+    phone per document, redact with codegen'd regexp_replace (no UDF), and
+    return the redacted text plus audit counts.  The oracle replays the
+    identical planting + patterns, so an engine regex divergence surfaces
+    as a hash mismatch."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-0"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit(" end"),
+        ).alias("text"),
+    )
+    return redact_pii(planted)
+
+
+ORACLE_PII_REDACT = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-0'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || ' end' AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g'
+       ) AS redacted_text,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INTEGER)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INTEGER)
+         AS n_phones
+FROM planted
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1854,6 +2067,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_meta": q_binary_meta,
         "audio_meta": q_audio_meta,
         "salted_skew_join": q_salted_skew_join,
+        "decontamination": q_decontamination,
+        "weighted_sample": q_weighted_sample,
+        "kmv_distinct": q_kmv_distinct,
+        "daily_gapfill": q_daily_gapfill,
+        "pii_redact": q_pii_redact,
     }
 
 
@@ -1912,4 +2130,9 @@ def oracle_sql() -> dict[str, str]:
         "binary_meta": ORACLE_BINARY_META,
         "audio_meta": ORACLE_AUDIO_META,
         "salted_skew_join": ORACLE_SALTED_SKEW_JOIN,
+        "decontamination": ORACLE_DECONTAMINATION,
+        "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+        "kmv_distinct": ORACLE_KMV_DISTINCT,
+        "daily_gapfill": ORACLE_DAILY_GAPFILL,
+        "pii_redact": ORACLE_PII_REDACT,
     }

@@ -40,6 +40,42 @@ def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
     )
 
 
+def weighted_sample(df: DataFrame, weight_col: str, n: int,
+                    id_col: str = "doc_id", salt: str = "ws",
+                    strata_col: str | None = None) -> DataFrame:
+    """Deterministic weighted sample without replacement (top-n), the
+    Efraimidis–Spirakis A-ES scheme with hash-derived randomness.
+
+    Each row draws a uniform ``u`` in (0, 1] from a 60-bit md5 prefix of
+    (salt, id) and gets the key ``ln(u) / w`` — the log-transformed (order-
+    preserving) form of the classic ``u^(1/w)``; the ``n`` largest keys are
+    the sample.  P(row in sample) is proportional-to-weight without
+    replacement, and the whole draw is a pure function of (data, salt):
+    reruns, engines, and the SQL oracle agree row-for-row.  With
+    ``strata_col``, n rows are drawn per stratum (one windowed rank — same
+    WindowGroupLimit shape as ``stratified_sample``, exchanging only
+    O(strata x n) rows).  Weights must be > 0; NULL/non-positive weights
+    are excluded (they have zero selection probability).
+    """
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"),
+                                   F.col(id_col).cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    u = (v + F.lit(1)).cast("double") / F.lit(float(16 ** 15))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(
+        *((strata_col,) if strata_col else ())
+    ).orderBy(F.col("__wkey").desc(), F.col(id_col))
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__wkey", key)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__wkey", "__rk")
+    )
+
+
 def hash_fraction_sample(df: DataFrame, fraction: float,
                          id_col: str = "doc_id", salt: str = "") -> DataFrame:
     """Deterministic Bernoulli(fraction) sample, portable across engines:

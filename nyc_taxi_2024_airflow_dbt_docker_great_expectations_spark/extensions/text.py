@@ -235,3 +235,41 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .agg(F.min("h").alias("min_shingle_hash"))
     )
     return content.join(min_sh, id_col, "left")
+
+
+# --- PII redaction ---------------------------------------------------------
+
+# Patterns restricted to the regex subset with identical semantics in Java
+# (Spark), RE2, and PCRE-style engines: character classes, +/{m,n}
+# quantifiers, alternation — no lookaround, no backreferences — so the SAME
+# pattern string runs verbatim in the SQL oracle and any other engine.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Training-corpus PII scrub: replace email/phone spans with typed
+    placeholder tokens, keeping per-doc match counts for audit.
+
+    Pure codegen'd ``regexp_replace``/``regexp_count`` — no UDF, scan-local,
+    zero shuffle; at 100 TB this runs at parquet-scan speed.  Order matters:
+    emails first (an address can contain digit runs a phone pattern would
+    mangle mid-token).  Returns (id, redacted_text, n_emails, n_phones).
+    """
+    emails_gone = F.regexp_replace(
+        F.col(text_col), PII_PATTERNS["email"], "<EMAIL>"
+    )
+    all_gone = F.regexp_replace(
+        emails_gone, PII_PATTERNS["phone"], "<PHONE>"
+    )
+    return df.select(
+        F.col(id_col),
+        all_gone.alias("redacted_text"),
+        F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS["email"]))
+        .alias("n_emails"),
+        F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS["phone"]))
+        .alias("n_phones"),
+    )

@@ -388,3 +388,94 @@ def test_ivf_topk_recall_and_determinism(spark):
                     for r in cosine_topk(emb, qs, k=200).collect()}
     for r in got1:
         assert r["cosine_sim"] == exact_scores[(r["query_id"], r["vec_id"])]
+
+
+# --- round-2 training-data extensions --------------------------------------
+
+
+def test_ngram_contamination(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.contamination import (
+        ngram_contamination,
+    )
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "totally unrelated words here now"),
+         (3, "beta gamma delta zeta")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "prefix beta gamma delta suffix")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r
+           for r in ngram_contamination(train, bench, n=3).collect()}
+    # docs 1 and 3 share the 'beta gamma delta' trigram; doc 2 is clean
+    assert set(out) == {1, 3}
+    assert out[1]["n_hits"] == 1 and out[1]["n_shingles"] == 3
+    assert out[1]["hit_ratio"] == pytest.approx(1 / 3)
+    assert out[3]["n_hits"] == 1 and out[3]["n_shingles"] == 2
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.sampling import (
+        weighted_sample,
+    )
+    # 500 light rows (w=1) + 500 heavy rows (w=50): the heavy half must
+    # dominate the sample, and two runs must agree exactly
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 500, F.lit(1.0)).otherwise(F.lit(50.0)).alias("w"),
+    )
+    s1 = sorted(r["doc_id"] for r in
+                weighted_sample(df, "w", 100, id_col="doc_id").collect())
+    s2 = sorted(r["doc_id"] for r in
+                weighted_sample(df, "w", 100, id_col="doc_id").collect())
+    assert s1 == s2 and len(s1) == 100
+    heavy = sum(1 for i in s1 if i >= 500)
+    assert heavy > 80  # E[heavy] ~ 98 under proportional-to-weight
+    # a different salt draws a (near-certainly) different sample
+    s3 = sorted(r["doc_id"] for r in
+                weighted_sample(df, "w", 100, id_col="doc_id",
+                                salt="other").collect())
+    assert s3 != s1
+    # non-positive weights are never sampled
+    df0 = df.withColumn("w", F.when(F.col("doc_id") == 0, F.lit(-1.0))
+                        .otherwise(F.col("w")))
+    assert 0 not in {r["doc_id"] for r in
+                     weighted_sample(df0, "w", 1000, id_col="doc_id").collect()}
+
+
+def test_kmv_distinct_accuracy(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.sketches import (
+        kmv_distinct,
+    )
+    # group 'big': 5000 distinct values estimated with k=256 (~6% stderr);
+    # group 'small': 10 distinct -> exact
+    df = spark.range(5000).select(
+        F.lit("big").alias("g"), F.col("id").alias("v")
+    ).unionByName(
+        spark.range(10).select(F.lit("small").alias("g"),
+                               (F.col("id") + 100000).alias("v"))
+    )
+    out = {r["g"]: r for r in kmv_distinct(df, ["g"], "v", k=256).collect()}
+    assert out["small"]["est_distinct"] == 10.0
+    assert out["small"]["sketch_k"] == 10
+    assert out["big"]["sketch_k"] == 256
+    assert abs(out["big"]["est_distinct"] - 5000) / 5000 < 0.25
+    with pytest.raises(ValueError):
+        kmv_distinct(df, ["g"], "v", k=1)
+
+
+def test_redact_pii(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        redact_pii,
+    )
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@test.org or call +1-555-0100 twice a.b+c@test.org"),
+         (2, "no pii here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["redacted_text"] == "mail <EMAIL> or call <PHONE> twice <EMAIL>"
+    assert out[1]["n_emails"] == 2 and out[1]["n_phones"] == 1
+    assert out[2]["redacted_text"] == "no pii here"
+    assert out[2]["n_emails"] == 0 and out[2]["n_phones"] == 0
