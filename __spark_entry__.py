@@ -1808,6 +1808,120 @@ FROM per_gram GROUP BY 1
 """
 
 
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shape 6-way join: ASIA revenue per nation for one order
+    year, where customer and supplier share a nation.  The dim chain
+    (region -> nation -> supplier) folds into ONE broadcast build side, so
+    the only shuffles are the lineitem/orders/customer key exchanges; the
+    o_orderdate range predicate pushes to the orders scan.  Exact decimal
+    product-sum (2-dec money columns -> lossless) keeps the revenue
+    bit-stable for the oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    nat_r = nat.join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supp_r = supp.join(
+        F.broadcast(nat_r), supp.s_nationkey == nat_r.n_nationkey
+    ).select("s_suppkey", "s_nationkey", "n_name")
+
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    revenue = F.sum(
+        dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp_r),
+            (li.l_suppkey == supp_r.s_suppkey)
+            & (cust.c_nationkey == supp_r.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"))
+    )
+
+
+ORACLE_REGIONAL_REVENUE = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greatest-n-per-group as an AGGREGATE (max_by), not a window: one
+    partial+final hash aggregate, no sort, no row_number shuffle — the
+    cheapest argmax shape at scale.  Tie-broken by smallest custkey for a
+    total order; nation decode is a 25-row broadcast."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    best = cust.groupBy("c_nationkey").agg(
+        F.max_by(
+            "c_custkey",
+            F.struct(F.col("c_acctbal"), (-F.col("c_custkey")).alias("__t")),
+        ).alias("top_custkey"),
+        F.max("c_acctbal").alias("top_acctbal"),
+    )
+    return best.join(
+        F.broadcast(nat), best.c_nationkey == nat.n_nationkey
+    ).select("n_name", "top_custkey", "top_acctbal")
+
+
+ORACLE_TOP_CUSTOMER_PER_NATION = """
+SELECT n_name, c_custkey AS top_custkey, c_acctbal AS top_acctbal
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer
+) JOIN nation ON c_nationkey = n_nationkey
+WHERE rk = 1
+"""
+
+
+def q_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median + p90) per return flag via the
+    sort-based exact ``percentile`` aggregate with linear interpolation —
+    identical arithmetic to ANSI ``percentile_cont``.  At 100 TB you'd
+    switch to ``approx_percentile`` (t-digest) and lose the oracle; the
+    exact form is the correctness baseline."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("median_price"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_MEDIAN_PRICE = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS median_price,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price,
+       COUNT(*) AS n_items
+FROM lineitem GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline extensions, round 2: decontamination, weighted
 # sampling, cardinality sketches, gap-filling, PII redaction
@@ -2067,6 +2181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_meta": q_binary_meta,
         "audio_meta": q_audio_meta,
         "salted_skew_join": q_salted_skew_join,
+        "regional_revenue": q_regional_revenue,
+        "top_customer_per_nation": q_top_customer_per_nation,
+        "median_price": q_median_price,
         "decontamination": q_decontamination,
         "weighted_sample": q_weighted_sample,
         "kmv_distinct": q_kmv_distinct,
@@ -2130,6 +2247,9 @@ def oracle_sql() -> dict[str, str]:
         "binary_meta": ORACLE_BINARY_META,
         "audio_meta": ORACLE_AUDIO_META,
         "salted_skew_join": ORACLE_SALTED_SKEW_JOIN,
+        "regional_revenue": ORACLE_REGIONAL_REVENUE,
+        "top_customer_per_nation": ORACLE_TOP_CUSTOMER_PER_NATION,
+        "median_price": ORACLE_MEDIAN_PRICE,
         "decontamination": ORACLE_DECONTAMINATION,
         "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
         "kmv_distinct": ORACLE_KMV_DISTINCT,
