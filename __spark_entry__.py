@@ -1808,6 +1808,104 @@ FROM per_gram GROUP BY 1
 """
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (similarity.py:quantize_int8) — the 4x
+    memory cut before ANN serving.  Rounding is explicit floor(x + 0.5)
+    arithmetic (engines disagree on round() tie behavior); output is the
+    exploded (id, pos, q, scale) form because array columns don't
+    hash-compare portably."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        quantize_int8,
+    )
+    return quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id,
+         greatest(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale
+  FROM embeddings
+)
+SELECT e.vec_id,
+       CAST(t.i - 1 AS INTEGER) AS pos,
+       CAST(floor(CAST(e.embedding[CAST(t.i AS INTEGER)] AS DOUBLE) / s.scale
+                  + 0.5) AS INTEGER) AS q,
+       s.scale
+FROM embeddings e
+JOIN s USING (vec_id),
+     range(1, 65) t(i)
+"""
+
+
+def q_cluster_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup canonicalization: within each near-dup cluster
+    (n-gram-Jaccard pairs -> connected components) keep the HIGHEST-quality
+    document instead of the min-id — what production corpus dedup actually
+    ships.  Composition of three operators (dedup pairs, graph clustering,
+    quality scoring) into one argmax aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.6)
+    clusters = dedup_clusters(docs, pairs)
+    qs = quality_scores(docs).select("doc_id", "quality_score")
+    return (
+        clusters.join(qs, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.max_by(
+                "doc_id",
+                F.struct(F.col("quality_score"), (-F.col("doc_id")).alias("__t")),
+            ).alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max("quality_score").alias("best_quality"),
+        )
+    )
+
+
+ORACLE_CLUSTER_CANONICAL_BEST = f"""
+WITH RECURSIVE {_DUCK_PAIR_JACCARD},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pair_j WHERE jaccard >= 0.6
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pair_j WHERE jaccard >= 0.6
+),
+reach(node, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.node
+),
+comp AS (
+  SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+),
+assign AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+qual AS (
+  SELECT doc_id,
+         (1.0 - least(1.0, CAST(length(trim(text))
+              - length(regexp_replace(trim(text), '[^a-zA-Z0-9\\s]', '', 'g'))
+              AS DOUBLE) / CAST(length(trim(text)) AS DOUBLE) * 4.0) * 0.25
+              - least(1.0, CAST(length(trim(text))
+              - length(regexp_replace(trim(text), '[0-9]', '', 'g'))
+              AS DOUBLE) / CAST(length(trim(text)) AS DOUBLE) * 4.0) * 0.25)
+         * (0.5 + least(0.5,
+              CAST(len(list_filter({DUCK_TOKS}, t -> lower(t) IN {_QS_STOP}))
+              AS DOUBLE) / CAST(len({DUCK_TOKS}) AS DOUBLE) * 2.0))
+         AS quality_score
+  FROM documents
+)
+SELECT component, doc_id AS keep_doc_id, cluster_size, best_quality FROM (
+  SELECT a.component, a.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY a.component
+                            ORDER BY q.quality_score DESC, a.doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY a.component) AS cluster_size,
+         MAX(q.quality_score) OVER (PARTITION BY a.component) AS best_quality
+  FROM assign a JOIN qual q USING (doc_id)
+) WHERE rk = 1
+"""
+
+
 def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shape 6-way join: ASIA revenue per nation for one order
     year, where customer and supplier share a nation.  The dim chain
@@ -2181,6 +2279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_meta": q_binary_meta,
         "audio_meta": q_audio_meta,
         "salted_skew_join": q_salted_skew_join,
+        "embedding_quantize": q_embedding_quantize,
+        "cluster_canonical_best": q_cluster_canonical_best,
         "regional_revenue": q_regional_revenue,
         "top_customer_per_nation": q_top_customer_per_nation,
         "median_price": q_median_price,
@@ -2247,6 +2347,8 @@ def oracle_sql() -> dict[str, str]:
         "binary_meta": ORACLE_BINARY_META,
         "audio_meta": ORACLE_AUDIO_META,
         "salted_skew_join": ORACLE_SALTED_SKEW_JOIN,
+        "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
+        "cluster_canonical_best": ORACLE_CLUSTER_CANONICAL_BEST,
         "regional_revenue": ORACLE_REGIONAL_REVENUE,
         "top_customer_per_nation": ORACLE_TOP_CUSTOMER_PER_NATION,
         "median_price": ORACLE_MEDIAN_PRICE,

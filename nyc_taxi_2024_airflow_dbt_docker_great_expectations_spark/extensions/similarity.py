@@ -387,3 +387,32 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine_sim", "rank")
     )
+
+
+def quantize_int8(corpus: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization: (id, pos, q, scale) rows.
+
+    ``scale = max|v| / 127`` per vector; ``q = floor(v/scale + 0.5)`` — the
+    rounding is spelled out as explicit floor arithmetic instead of
+    ``round()`` because engines disagree on tie behavior (HALF_UP vs
+    half-away-from-zero vs banker's); ``floor(x + 0.5)`` is the same
+    bit-for-bit everywhere.  4x memory cut for ANN serving; the exploded
+    (id, pos, q) layout is the hash-checkable form (array columns don't
+    compare portably), and ``q * scale`` reconstructs to within scale/2.
+    Zero vectors get the 1e-30 floor so q is 0, never NaN.
+    """
+    maxabs = F.array_max(F.transform(F.col(vec_col),
+                                     lambda x: F.abs(x.cast("double"))))
+    scale = F.greatest(maxabs, F.lit(1e-30)) / F.lit(127.0)
+    return corpus.select(
+        F.col(id_col), scale.alias("scale"),
+        F.posexplode(F.col(vec_col)).alias("pos", "__v"),
+    ).select(
+        id_col,
+        "pos",
+        F.floor(F.col("__v").cast("double") / F.col("scale") + F.lit(0.5))
+        .cast("int")
+        .alias("q"),
+        "scale",
+    )
