@@ -584,12 +584,23 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch gaps-and-islands result minus each user's still-open final session.
     Unlike most streaming ops this one has an exact SQL oracle, because the
     emitted set is fully determined by the data."""
+    import os
     import tempfile
     import uuid
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # one state-store instance (HDFS-backed dir + task + Python worker) is
+    # created PER shuffle partition: 32 partitions cost ~4x the runtime of 8
+    # on a single-batch availableNow run with a few thousand keys.  8 is
+    # still parallel; a real deployment sizes this to keys/executor.
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # the checkpoint of this ephemeral query is write-heavy fsync traffic;
+    # RAM-backed tmpfs when available (a durable deployment would point this
+    # at real storage — durability is the checkpoint's entire job there)
+    ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     sink = "stateful_sessions_" + uuid.uuid4().hex[:8]
     try:
         stream = (
@@ -612,13 +623,15 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .writeStream.format("memory")
             .queryName(sink)
             .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ss_ckpt_"))
+            .option("checkpointLocation",
+                    tempfile.mkdtemp(prefix="ss_ckpt_", dir=ckpt_root))
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(600)
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     return spark.table(sink)
 
 
@@ -1808,6 +1821,44 @@ FROM per_gram GROUP BY 1
 """
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf top terms per document (extensions/text.py:tfidf_top_terms):
+    inverted-index aggregates, shuffle volume = distinct (doc, term) mass;
+    N is the one scalar driver action (same class as the watermark MAX).
+    The raw score is EXCLUDED from the oracle contract: libm ln() differs
+    by 1 ulp between JVM and DuckDB on ~3% of inputs, so the deterministic
+    outputs are the integer counts and the rank (rank order is stable —
+    1-ulp score noise only matters on exact ties, which break by term)."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        tfidf_top_terms,
+    )
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5).select(
+        "doc_id", "term", "tf", "df", "rk"
+    )
+
+
+ORACLE_TFIDF_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({DUCK_TOKS}) AS term FROM documents
+),
+tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+  FROM tfc JOIN dfc USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+) WHERE rk <= 5
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization (similarity.py:quantize_int8) — the 4x
     memory cut before ANN serving.  Rounding is explicit floor(x + 0.5)
@@ -2279,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_meta": q_binary_meta,
         "audio_meta": q_audio_meta,
         "salted_skew_join": q_salted_skew_join,
+        "tfidf_terms": q_tfidf_terms,
         "embedding_quantize": q_embedding_quantize,
         "cluster_canonical_best": q_cluster_canonical_best,
         "regional_revenue": q_regional_revenue,
@@ -2347,6 +2399,7 @@ def oracle_sql() -> dict[str, str]:
         "binary_meta": ORACLE_BINARY_META,
         "audio_meta": ORACLE_AUDIO_META,
         "salted_skew_join": ORACLE_SALTED_SKEW_JOIN,
+        "tfidf_terms": ORACLE_TFIDF_TERMS,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
         "cluster_canonical_best": ORACLE_CLUSTER_CANONICAL_BEST,
         "regional_revenue": ORACLE_REGIONAL_REVENUE,

@@ -273,3 +273,33 @@ def redact_pii(df: DataFrame, text_col: str = "text",
         F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS["phone"]))
         .alias("n_phones"),
     )
+
+
+# --- tf-idf ----------------------------------------------------------------
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """Top-k terms per document by tf-idf (tf * ln(N/df)).
+
+    Three codegen'd hash aggregates (term counts, document frequencies, and
+    the final window top-k) — the inverted-index shape: the shuffle volume
+    is the distinct (doc, term) mass, never the token stream.  N (corpus
+    size) is the one scalar driver action, same class as the watermark MAX.
+    Deterministic: ln over identical doubles on every engine, total order
+    via (tfidf desc, term).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = float(df.count())
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(n_docs) / F.col("df"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rk")
+    )

@@ -479,3 +479,25 @@ def test_redact_pii(spark):
     assert out[1]["n_emails"] == 2 and out[1]["n_phones"] == 1
     assert out[2]["redacted_text"] == "no pii here"
     assert out[2]["n_emails"] == 0 and out[2]["n_phones"] == 0
+
+
+def test_tfidf_top_terms(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        tfidf_top_terms,
+    )
+    df = spark.createDataFrame(
+        [(1, "apple apple banana common"),
+         (2, "banana cherry common"),
+         (3, "common common cherry")],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    top1 = {d: sorted(rs, key=lambda r: r["rk"])[0] for d, rs in by_doc.items()}
+    # 'apple' is doc 1's signature term: tf=2, df=1 -> highest score
+    assert top1[1]["term"] == "apple" and top1[1]["tf"] == 2 and top1[1]["df"] == 1
+    # 'common' appears in every doc -> idf = ln(1) = 0, never ranks first
+    assert all(t["term"] != "common" for t in top1.values())
+    assert all(len(rs) <= 2 for rs in by_doc.values())
