@@ -1859,6 +1859,138 @@ FROM (
 """
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-split sequence packing (extensions/packing.py:
+    pack_sequences): documents laid end-to-end in doc_id order, cut every
+    512 tokens; one row per (document x sequence) segment.  The global token
+    offset comes from a two-phase distributed prefix sum (range partition ->
+    per-partition totals, O(partitions) driver rows -> broadcast offsets +
+    partition-local window) — NOT a single-partition global window, which
+    is the plan that dies first at 100 TB."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import (
+        pack_sequences,
+    )
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=512).select(
+        "doc_id", "seq_id", "n_tokens", "seg_tokens", "seg_offset"
+    )
+
+
+ORACLE_SEQUENCE_PACK = f"""
+WITH tf AS (
+  SELECT doc_id, CAST(len({DUCK_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents WHERE len({DUCK_TOKS}) > 0
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT)
+             AS start
+  FROM tf
+),
+seg AS (
+  SELECT doc_id, n_tokens, start,
+         unnest(generate_series(start // 512,
+                                (start + n_tokens - 1) // 512)) AS seq_id
+  FROM cum
+)
+SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id, n_tokens,
+       CAST(least(start + n_tokens, (seq_id + 1) * 512)
+            - greatest(start, seq_id * 512) AS BIGINT) AS seg_tokens,
+       CAST(greatest(start, seq_id * 512) - seq_id * 512 AS BIGINT)
+           AS seg_offset
+FROM seg
+"""
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle (extensions/packing.py:
+    global_shuffle): each document's 0-based position in (md5(salt:id), id)
+    order — training-order decorrelation that re-runs, resumes, and the SQL
+    oracle reproduce row-for-row.  Same distributed prefix-sum machinery as
+    sequence_pack (counting 1s instead of tokens): no single-partition
+    ROW_NUMBER window anywhere in the plan."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import (
+        global_shuffle,
+    )
+    return global_shuffle(_t(spark, sf_dir, "documents"), salt="shuf").select(
+        "doc_id", "pos"
+    )
+
+
+ORACLE_CORPUS_SHUFFLE = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+                ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)), doc_id)
+            - 1 AS BIGINT) AS pos
+FROM documents
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with bounded state (streaming/dedup.py:
+    dedup_keys_stream): at-least-once event feeds re-deliver, so the stream
+    keeps a watermark-bounded key set and emits each key's first arrival.
+    Key = (user_id, event_type, minute bucket); projecting to the key set
+    BEFORE dedup makes the emitted rows a pure function of the data (==
+    batch SELECT DISTINCT), independent of arrival order and micro-batch
+    boundaries — hence an exact SQL oracle."""
+    import os
+    import tempfile
+    import uuid
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.streaming.dedup import (
+        dedup_keys_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    sink = "stream_dedup_" + uuid.uuid4().hex[:8]
+    try:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .select(
+                "user_id",
+                "event_type",
+                F.date_trunc(
+                    "minute", F.timestamp_micros(F.expr("ts DIV 1000"))
+                ).alias("ts_min"),
+            )
+        )
+        q = (
+            dedup_keys_stream(
+                stream, ["user_id", "event_type", "ts_min"], ts_key="ts_min",
+                watermark="30 minutes",
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation",
+                    tempfile.mkdtemp(prefix="sd_ckpt_", dir=ckpt_root))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return spark.table(sink)
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type,
+       CAST(date_trunc('minute', ts) AS TIMESTAMP) AS ts_min
+FROM events
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization (similarity.py:quantize_int8) — the 4x
     memory cut before ANN serving.  Rounding is explicit floor(x + 0.5)
@@ -2331,6 +2463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta": q_audio_meta,
         "salted_skew_join": q_salted_skew_join,
         "tfidf_terms": q_tfidf_terms,
+        "sequence_pack": q_sequence_pack,
+        "corpus_shuffle": q_corpus_shuffle,
+        "stream_dedup": q_stream_dedup,
         "embedding_quantize": q_embedding_quantize,
         "cluster_canonical_best": q_cluster_canonical_best,
         "regional_revenue": q_regional_revenue,
@@ -2400,6 +2535,9 @@ def oracle_sql() -> dict[str, str]:
         "audio_meta": ORACLE_AUDIO_META,
         "salted_skew_join": ORACLE_SALTED_SKEW_JOIN,
         "tfidf_terms": ORACLE_TFIDF_TERMS,
+        "sequence_pack": ORACLE_SEQUENCE_PACK,
+        "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
+        "stream_dedup": ORACLE_STREAM_DEDUP,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
         "cluster_canonical_best": ORACLE_CLUSTER_CANONICAL_BEST,
         "regional_revenue": ORACLE_REGIONAL_REVENUE,

@@ -1,0 +1,147 @@
+"""Sequence packing and global corpus ordering for LLM training pipelines.
+
+Both operators need a GLOBAL running total over a defined row order — the
+textbook place where a naive Spark plan collapses: ``Window.orderBy(id)``
+with no partition key plans a single-partition window, so one task scans
+the whole corpus.  At 100 TB that is not slow, it is impossible.
+
+``_with_prefix_sum`` implements the classic two-phase distributed prefix
+sum instead:
+
+1. range-partition by the order key (partition *i*'s keys all sort before
+   partition *i+1*'s — ``repartitionByRange`` guarantees this), and
+   materialize ONCE so phases see identical partition boundaries (range
+   boundaries come from sampling and would otherwise differ between jobs);
+2. aggregate one ``(partition, sum)`` row per partition — the collected
+   "totals" are metadata-sized (one row per partition, never per data row);
+3. broadcast-join the per-partition exclusive offsets back and add a
+   partition-LOCAL cumulative window (every partition works in parallel).
+
+The result is a global exclusive prefix sum with two scans of the data,
+all-parallel windows, and a driver footprint of O(partitions).
+
+Built on top of it:
+
+- ``pack_sequences``: the GPT-style concat-and-split batching step — lay
+  all documents end-to-end in ``id`` order and cut the token stream every
+  ``budget`` tokens.  A document overlapping a cut is split across the two
+  sequences (that is the semantics of packed pre-training batches; no
+  padding, no discarded tail except the final partial sequence).  Output is
+  one row per (document x sequence) segment, which is exactly the manifest
+  a downstream tokenizer/loader needs to assemble shards.
+- ``global_shuffle``: a deterministic full-corpus shuffle — every row gets
+  a pseudorandom md5 sort key and a GLOBAL 0-based position.  Training
+  wants data order decorrelated from ingest order, and reproducibly so:
+  the position is a pure function of (data, salt), so re-runs, resumes,
+  and the SQL oracle agree row-for-row.  ``shard(budget)`` then falls out
+  as ``pos div rows_per_shard``.
+
+Integer division is spelled ``div`` (Spark) / ``//`` (DuckDB): token
+offsets at 100 TB scale exceed 2^53, where float ``floor(x / b)`` silently
+rounds; ``div`` stays in 64-bit integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..execution import materialize_once
+from .text import token_count
+
+
+def _with_prefix_sum(df: DataFrame, order_col: str, val_col: str,
+                     out_col: str = "offset") -> DataFrame:
+    """Add ``out_col`` = global EXCLUSIVE prefix sum of ``val_col`` in
+    ``order_col`` order, without a single-partition window.
+
+    ``order_col`` must be unique (it totally orders the rows).  Returns the
+    input columns plus ``out_col``; partitioning is by range of
+    ``order_col``, sorted within partitions — downstream writers can emit
+    globally ordered shards without another exchange.
+    """
+    ranged = materialize_once(
+        df.repartitionByRange(F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # one row per partition: metadata-sized regardless of data volume
+    totals = {
+        r["__pid"]: r["total"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(val_col).alias("total"))
+        .collect()
+    }
+    running, offsets = 0, []
+    for pid in sorted(totals):
+        offsets.append((pid, running))
+        running += totals[pid] or 0
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "__pid int, __part_offset long")
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            out_col,
+            (F.col("__part_offset")
+             + F.sum(val_col).over(w) - F.col(val_col)).cast("long"),
+        )
+        .drop("__pid", "__part_offset")
+    )
+
+
+def pack_sequences(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", budget: int = 512) -> DataFrame:
+    """Concat-and-split packing: documents laid end-to-end in ``id_col``
+    order, cut into fixed ``budget``-token sequences.
+
+    One output row per (document, sequence) overlap:
+
+    - ``seq_id``     — 0-based sequence number the segment lands in
+    - ``n_tokens``   — the document's total token count
+    - ``seg_tokens`` — tokens of this document inside this sequence
+    - ``seg_offset`` — position within the sequence where the segment starts
+
+    Empty documents (0 tokens) occupy no span and are dropped.  A document
+    with ``n_tokens > budget`` spans multiple rows — segments always tile
+    the document exactly: ``sum(seg_tokens) group by doc = n_tokens``.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    base = df.select(
+        F.col(id_col), token_count(text_col).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    spanned = _with_prefix_sum(base, id_col, "n_tokens", out_col="start")
+    b = F.lit(int(budget)).cast("long")
+    end = F.col("start") + F.col("n_tokens")
+    seq = F.explode(
+        F.sequence(F.expr(f"start div {int(budget)}"),
+                   F.expr(f"(start + n_tokens - 1) div {int(budget)}"))
+    ).alias("seq_id")
+    seg_start = F.greatest(F.col("start"), F.col("seq_id") * b)
+    seg_end = F.least(end, (F.col("seq_id") + 1) * b)
+    return (
+        spanned.select(id_col, "n_tokens", "start", seq)
+        .select(
+            F.col(id_col),
+            F.col("seq_id").cast("long").alias("seq_id"),
+            F.col("n_tokens"),
+            (seg_end - seg_start).cast("long").alias("seg_tokens"),
+            (seg_start - F.col("seq_id") * b).cast("long").alias("seg_offset"),
+        )
+    )
+
+
+def global_shuffle(df: DataFrame, id_col: str = "doc_id",
+                   salt: str = "shuf") -> DataFrame:
+    """Deterministic global shuffle: adds ``pos`` — the row's 0-based
+    position in ``(md5(salt:id), id)`` order across the WHOLE corpus.
+
+    The md5 key decorrelates training order from ingest order; the prefix
+    sum (of 1s) turns it into a stable global index with no single-partition
+    window.  Output partitioning is range-partitioned by the shuffle key,
+    so writing shards in ``pos`` order needs no further exchange.
+    """
+    key = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    keyed = df.withColumn("__skey", key).withColumn("__one", F.lit(1).cast("long"))
+    out = _with_prefix_sum(keyed, "__skey", "__one", out_col="pos")
+    return out.drop("__one", "__skey")

@@ -1,0 +1,73 @@
+"""Sequence packing + global shuffle (extensions/packing.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import (
+    _with_prefix_sum,
+    global_shuffle,
+    pack_sequences,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_prefix_sum_matches_serial(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 5 + 1) for i in range(100)], "k long, v long"
+    )
+    out = {r["k"]: r["offset"]
+           for r in _with_prefix_sum(df, "k", "v").collect()}
+    running = 0
+    for i in range(100):
+        assert out[i] == running
+        running += (i * 7) % 5 + 1
+
+
+def test_pack_sequences_splits_and_tiles(spark):
+    # budget 10: doc 1 (7 toks) fills [0,7), doc 2 (8 toks) spans the cut
+    df = _docs(spark, [
+        (1, "a b c d e f g"),
+        (2, "h i j k l m n o"),
+        (3, "p q"),
+    ])
+    rows = sorted(
+        pack_sequences(df, budget=10).collect(),
+        key=lambda r: (r["doc_id"], r["seq_id"]),
+    )
+    as_tuples = [(r["doc_id"], r["seq_id"], r["seg_tokens"], r["seg_offset"])
+                 for r in rows]
+    assert as_tuples == [
+        (1, 0, 7, 0),   # doc 1 entirely in seq 0
+        (2, 0, 3, 7),   # doc 2 split: 3 tokens finish seq 0 ...
+        (2, 1, 5, 0),   # ... 5 tokens open seq 1
+        (3, 1, 2, 5),   # doc 3 follows inside seq 1
+    ]
+
+
+def test_pack_sequences_drops_empty_and_spans_long_docs(spark):
+    df = _docs(spark, [
+        (1, "   "),                        # 0 tokens: no span
+        (2, " ".join(["t"] * 25)),         # 25 tokens @ budget 10: 3 seqs
+    ])
+    rows = pack_sequences(df, budget=10).collect()
+    assert {r["doc_id"] for r in rows} == {2}
+    segs = sorted((r["seq_id"], r["seg_tokens"]) for r in rows)
+    assert segs == [(0, 10), (1, 10), (2, 5)]
+    assert sum(s for _, s in segs) == 25
+
+
+def test_global_shuffle_is_dense_permutation_and_deterministic(spark):
+    df = _docs(spark, [(i, f"doc {i}") for i in range(50)])
+    a = {r["doc_id"]: r["pos"] for r in global_shuffle(df).collect()}
+    b = {r["doc_id"]: r["pos"] for r in global_shuffle(df).collect()}
+    assert a == b                                   # pure function of data
+    assert sorted(a.values()) == list(range(50))    # dense 0..n-1
+    # a different salt draws a different permutation
+    c = {r["doc_id"]: r["pos"]
+         for r in global_shuffle(df, salt="other").collect()}
+    assert c != a
+    assert sorted(c.values()) == list(range(50))
