@@ -55,9 +55,15 @@ def _with_prefix_sum(df: DataFrame, order_col: str, val_col: str,
     ``order_col`` order, without a single-partition window.
 
     ``order_col`` must be unique (it totally orders the rows).  Returns the
-    input columns plus ``out_col``; partitioning is by range of
-    ``order_col``, sorted within partitions — downstream writers can emit
-    globally ordered shards without another exchange.
+    input columns plus ``out_col``.
+
+    Plan shape: the local window requires ``hashpartitioning(__pid)``; the
+    range layout already satisfies that distribution *physically* (each
+    partition holds exactly one ``__pid``), but ``spark_partition_id`` is
+    opaque to Catalyst, so one extra 1x-data hash exchange appears.  The
+    load-bearing property — asserted in tests/test_plans.py — is that the
+    window is keyed (parallel), never an empty-partitionBy global window,
+    which would serialize the corpus through one task.
     """
     ranged = materialize_once(
         df.repartitionByRange(F.col(order_col))

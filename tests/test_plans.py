@@ -72,3 +72,16 @@ def test_salted_join_fans_out_salt(plans):
     assert "Generate explode" in plan
     # ...and the join key includes the salt column, splitting the hot key
     assert "__salt" in plan
+
+
+def test_prefix_sum_window_is_keyed_not_global(spark):
+    """The distributed prefix sum behind sequence_pack/corpus_shuffle must
+    window per range-partition, NEVER as an empty-partitionBy global window
+    (whose Exchange SinglePartition serializes the corpus through one
+    task).  Guards the core scale property of extensions/packing.py."""
+    for name in ("sequence_pack", "corpus_shuffle"):
+        plan = _plan(entry.queries()[name](spark, SF))
+        assert "Window" in plan, name
+        # the window's required distribution is the partition id key
+        assert "hashpartitioning(__pid" in plan, name
+        assert "Exchange SinglePartition" not in plan, name
