@@ -1991,6 +1991,61 @@ FROM events
 """
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 rebuild (operators/scd.py:scd2_from_changelog) — dbt's
+    snapshot `check` strategy over the lineitem changelog: per order, each
+    run of consecutive identical (returnflag, linestatus) collapses to one
+    version with [valid_from, valid_to) bounds.  The order-by includes the
+    tracked columns as tie-breakers because (shipdate, linenumber) is NOT
+    unique in the testdata (planted dupes): rows tying on all order+tracked
+    columns are interchangeable, so the result stays engine-independent."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.scd import (
+        scd2_from_changelog,
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate",
+        "l_returnflag", "l_linestatus",
+    )
+    return scd2_from_changelog(
+        li,
+        key_cols=["l_orderkey"],
+        order_cols=["l_shipdate", "l_linenumber", "l_returnflag",
+                    "l_linestatus"],
+        tracked_cols=["l_returnflag", "l_linestatus"],
+        ts_col="l_shipdate",
+    )
+
+
+ORACLE_SCD2_HISTORY = """
+WITH flagged AS (
+  SELECT l_orderkey, l_shipdate, l_linenumber, l_returnflag, l_linestatus,
+         CASE WHEN LAG(l_shipdate) OVER w IS NULL
+                   OR l_returnflag IS DISTINCT FROM LAG(l_returnflag) OVER w
+                   OR l_linestatus IS DISTINCT FROM LAG(l_linestatus) OVER w
+              THEN 1 ELSE 0 END AS is_new
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_orderkey
+               ORDER BY l_shipdate, l_linenumber, l_returnflag, l_linestatus)
+),
+islands AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY l_orderkey
+                              ORDER BY l_shipdate, l_linenumber,
+                                       l_returnflag, l_linestatus) AS island
+  FROM flagged
+),
+per AS (
+  SELECT l_orderkey, island, MIN(l_shipdate) AS valid_from,
+         MIN(l_returnflag) AS l_returnflag, MIN(l_linestatus) AS l_linestatus
+  FROM islands GROUP BY 1, 2
+)
+SELECT l_orderkey, l_returnflag, l_linestatus, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY l_orderkey ORDER BY island)
+           AS valid_to,
+       CAST(island AS INTEGER) AS version
+FROM per
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization (similarity.py:quantize_int8) — the 4x
     memory cut before ANN serving.  Rounding is explicit floor(x + 0.5)
@@ -2466,6 +2521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "corpus_shuffle": q_corpus_shuffle,
         "stream_dedup": q_stream_dedup,
+        "scd2_history": q_scd2_history,
         "embedding_quantize": q_embedding_quantize,
         "cluster_canonical_best": q_cluster_canonical_best,
         "regional_revenue": q_regional_revenue,
@@ -2538,6 +2594,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": ORACLE_SEQUENCE_PACK,
         "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
         "stream_dedup": ORACLE_STREAM_DEDUP,
+        "scd2_history": ORACLE_SCD2_HISTORY,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
         "cluster_canonical_best": ORACLE_CLUSTER_CANONICAL_BEST,
         "regional_revenue": ORACLE_REGIONAL_REVENUE,

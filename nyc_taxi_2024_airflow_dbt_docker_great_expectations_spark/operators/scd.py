@@ -1,0 +1,144 @@
+"""Slowly-changing-dimension type 2: dbt's snapshot feature, Spark-first.
+
+The reference's dbt project declares ``snapshot-paths`` (dbt_project.yml:16)
+but ships no snapshot models — the capability is part of the dbt surface a
+migrating user expects.  dbt snapshots implement SCD2 with the ``check``
+strategy: a row's tracked columns changing opens a new version with
+``valid_from``/``valid_to`` bounds and closes the previous one.
+
+Two forms:
+
+- ``scd2_from_changelog`` — rebuild the full version history from an event
+  log in one pass: gaps-and-islands (a new island whenever a tracked column
+  differs from the previous row of the same key), then one aggregate per
+  island and a ``lead`` to close intervals.  Two keyed window passes + one
+  aggregate, all codegen'd; the only shuffle key is the dimension key, so
+  the plan scales with ordinary key-partitioned windows (no global sort).
+- ``scd2_apply`` — the incremental form dbt runs on a schedule: merge a
+  batch of current-state rows into an existing SCD2 dimension, closing
+  changed versions and appending new ones.  Expressed as a union of three
+  branch-free cases (untouched rows pass through; changed current rows get
+  ``valid_to`` stamped; new versions append), joined via a broadcast-able
+  update batch — the same join geometry as operators/merge.py.
+
+Determinism: ``order_cols`` must totally order each key's changelog (ties
+broken by explicit columns, never by arrival); every output value is then a
+pure function of the input, which is what the SQL oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..execution import materialize_once
+
+
+def _neq(a: Column, b: Column) -> Column:
+    # null-safe "changed": NULL -> value, value -> NULL, and value -> value'
+    return ~a.eqNullSafe(b)
+
+
+def scd2_from_changelog(df: DataFrame, key_cols: list[str],
+                        order_cols: list[str],
+                        tracked_cols: list[str],
+                        ts_col: str | None = None) -> DataFrame:
+    """Collapse a changelog into SCD2 version rows.
+
+    One output row per (key, island of consecutive identical tracked
+    values): the tracked columns, ``valid_from`` (first order value of the
+    island, or ``ts_col`` if given), ``valid_to`` (next island's
+    ``valid_from``, NULL for the open version) and ``version`` (1-based per
+    key).
+    """
+    ts = ts_col or order_cols[0]
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    changed = F.lit(False)
+    for c in tracked_cols:
+        changed = changed | _neq(F.col(c), F.lag(c).over(w))
+    # first row of a key: lag is NULL on every column -> mark as new island
+    is_new = F.when(F.lag(order_cols[0]).over(w).isNull(), F.lit(True)).otherwise(changed)
+    islands = df.withColumn(
+        "__island", F.sum(is_new.cast("long")).over(w)
+    )
+    per_island = islands.groupBy(*key_cols, "__island").agg(
+        F.min(F.col(ts)).alias("valid_from"),
+        *[F.first(c).alias(c) for c in tracked_cols],
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy("__island")
+    return (
+        per_island.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("version", F.col("__island").cast("int"))
+        .drop("__island")
+        .select(*key_cols, *tracked_cols, "valid_from", "valid_to", "version")
+    )
+
+
+def scd2_apply(dim: DataFrame, updates: DataFrame, key_cols: list[str],
+               tracked_cols: list[str], ts_col: str,
+               broadcast_updates: bool = True,
+               dim_storage: str = "memory") -> DataFrame:
+    """Merge a current-state batch into an SCD2 dimension.
+
+    ``dim`` rows carry ``valid_from``/``valid_to`` (NULL = open); ``updates``
+    carries one row per key with the new tracked values and ``ts_col`` as
+    the effective time.  Open versions whose tracked values changed are
+    closed at the update's timestamp and a new open version is appended;
+    unchanged keys and closed history pass through untouched.  The update
+    batch joins broadcast by default (it is the per-run delta — small by
+    construction); pass ``broadcast_updates=False`` for backfill-sized
+    batches.
+
+    ``dim`` is consumed TWICE (pass-through join + new-key anti-join), so it
+    is materialized once up front (``dim_storage`` as in
+    execution.materialize_once; ``"disk"`` for dims larger than cluster
+    memory).  Materializing also truncates the input's lineage, which
+    matters when chaining applies: the output union's branches advertise
+    inconsistent partitionings (join-output PartitioningCollection vs
+    window exchanges), and feeding that lineage straight back into another
+    apply trips Spark's EnsureRequirements ("PartitioningCollection
+    requires all of its partitionings have the same numPartitions" /
+    zipped-partition mismatches).  In production the dim round-trips
+    through a table between runs, which truncates lineage the same way.
+    """
+    dim = materialize_once(dim, storage=dim_storage)
+    u = updates.select(
+        *key_cols, F.col(ts_col).alias("__u_ts"),
+        *[F.col(c).alias(f"__u_{c}") for c in tracked_cols],
+    )
+    if broadcast_updates:
+        u = F.broadcast(u)
+    joined = dim.join(u, key_cols, "left")
+    changed = F.lit(False)
+    for c in tracked_cols:
+        changed = changed | _neq(F.col(c), F.col(f"__u_{c}"))
+    is_open = F.col("valid_to").isNull()
+    hit = F.col("__u_ts").isNotNull() & is_open & changed
+    # existing rows: close the hit versions, keep everything else verbatim
+    existing = joined.withColumn(
+        "valid_to", F.when(hit, F.col("__u_ts")).otherwise(F.col("valid_to"))
+    ).select(*dim.columns)
+    # new open versions for keys whose open row was closed above
+    opened = (
+        joined.filter(hit)
+        .select(
+            *key_cols,
+            *[F.col(f"__u_{c}").alias(c) for c in tracked_cols],
+            F.col("__u_ts").alias("valid_from"),
+            F.lit(None).cast(dim.schema["valid_to"].dataType).alias("valid_to"),
+            (F.col("version") + 1).alias("version"),
+        )
+        .select(*dim.columns)
+    )
+    # brand-new keys: no dim row at all
+    fresh = (
+        u.join(dim.select(*key_cols).distinct(), key_cols, "left_anti")
+        .select(
+            *key_cols,
+            *[F.col(f"__u_{c}").alias(c) for c in tracked_cols],
+            F.col("__u_ts").alias("valid_from"),
+            F.lit(None).cast(dim.schema["valid_to"].dataType).alias("valid_to"),
+            F.lit(1).alias("version"),
+        )
+        .select(*dim.columns)
+    )
+    return existing.unionByName(opened).unionByName(fresh)

@@ -1,0 +1,109 @@
+"""SCD Type-2 operators (operators/scd.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.scd import (
+    scd2_apply,
+    scd2_from_changelog,
+)
+
+
+def d(s):
+    return dt.date.fromisoformat(s)
+
+
+CHANGELOG_SCHEMA = "k long, ts date, status string, tier string"
+
+
+def test_scd2_from_changelog_collapses_runs(spark):
+    df = spark.createDataFrame([
+        (1, d("2024-01-01"), "open", "basic"),
+        (1, d("2024-01-05"), "open", "basic"),      # unchanged: same island
+        (1, d("2024-02-01"), "open", "gold"),       # tier change: v2
+        (1, d("2024-03-01"), "closed", "gold"),     # status change: v3
+        (2, d("2024-01-10"), "open", "basic"),      # single-version key
+    ], CHANGELOG_SCHEMA)
+    out = scd2_from_changelog(
+        df, key_cols=["k"], order_cols=["ts"],
+        tracked_cols=["status", "tier"],
+    )
+    rows = sorted(
+        ((r["k"], r["version"], r["status"], r["tier"],
+          str(r["valid_from"]), str(r["valid_to"]))
+         for r in out.collect())
+    )
+    assert rows == [
+        (1, 1, "open", "basic", "2024-01-01", "2024-02-01"),
+        (1, 2, "open", "gold", "2024-02-01", "2024-03-01"),
+        (1, 3, "closed", "gold", "2024-03-01", "None"),
+        (2, 1, "open", "basic", "2024-01-10", "None"),
+    ]
+
+
+def test_scd2_from_changelog_null_transitions(spark):
+    # NULL -> value and value -> NULL are changes (null-safe comparison)
+    df = spark.createDataFrame([
+        (1, d("2024-01-01"), None, "basic"),
+        (1, d("2024-01-02"), "open", "basic"),
+        (1, d("2024-01-03"), None, "basic"),
+    ], CHANGELOG_SCHEMA)
+    out = scd2_from_changelog(df, ["k"], ["ts"], ["status"])
+    assert sorted(r["version"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_scd2_apply_closes_and_opens(spark):
+    base = spark.createDataFrame([
+        (1, d("2024-01-01"), "open", "basic"),
+        (2, d("2024-01-01"), "open", "basic"),
+    ], CHANGELOG_SCHEMA)
+    dim = scd2_from_changelog(base, ["k"], ["ts"], ["status", "tier"])
+    updates = spark.createDataFrame([
+        (1, d("2024-02-01"), "open", "gold"),   # changed: close v1, open v2
+        (2, d("2024-02-01"), "open", "basic"),  # unchanged: no-op
+        (3, d("2024-02-01"), "open", "basic"),  # brand-new key
+    ], CHANGELOG_SCHEMA)
+    out = scd2_apply(dim, updates, key_cols=["k"],
+                     tracked_cols=["status", "tier"], ts_col="ts")
+    rows = sorted(
+        ((r["k"], r["version"], r["tier"],
+          str(r["valid_from"]), str(r["valid_to"]))
+         for r in out.collect())
+    )
+    assert rows == [
+        (1, 1, "basic", "2024-01-01", "2024-02-01"),   # closed
+        (1, 2, "gold", "2024-02-01", "None"),          # new open version
+        (2, 1, "basic", "2024-01-01", "None"),         # untouched
+        (3, 1, "basic", "2024-02-01", "None"),         # fresh key
+    ]
+    # applying the same batch again is a fixpoint (idempotent merge)
+    again = scd2_apply(out, updates, ["k"], ["status", "tier"], "ts")
+    assert again.count() == out.count()
+
+
+def test_scd2_apply_matches_full_rebuild(spark):
+    """Incremental apply == rebuilding from the concatenated changelog."""
+    log1 = [(k, d("2024-01-01"), "open", "basic") for k in range(10)]
+    log2 = [(k, d("2024-02-01"), "open", "gold" if k % 2 else "basic")
+            for k in range(10)]
+    dim = scd2_from_changelog(
+        spark.createDataFrame(log1, CHANGELOG_SCHEMA),
+        ["k"], ["ts"], ["status", "tier"],
+    )
+    applied = scd2_apply(
+        dim, spark.createDataFrame(log2, CHANGELOG_SCHEMA),
+        ["k"], ["status", "tier"], "ts",
+    )
+    rebuilt = scd2_from_changelog(
+        spark.createDataFrame(log1 + log2, CHANGELOG_SCHEMA),
+        ["k"], ["ts"], ["status", "tier"],
+    )
+    key = lambda r: (r["k"], r["version"])  # noqa: E731
+    a = sorted(((r["k"], r["version"], r["status"], r["tier"],
+                 str(r["valid_from"]), str(r["valid_to"]))
+                for r in applied.collect()))
+    b = sorted(((r["k"], r["version"], r["status"], r["tier"],
+                 str(r["valid_from"]), str(r["valid_to"]))
+                for r in rebuilt.collect()))
+    assert a == b
