@@ -2046,6 +2046,31 @@ FROM per
 """
 
 
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching (extensions/entity.py:fuzzy_match_pairs):
+    all customer-name pairs within 1 Levenshtein edit, found by
+    symmetric-delete blocking (FastSS/SymSpell) — explode the deletion
+    neighborhood, equi-join the variant key, verify with codegen'd
+    levenshtein.  Exact (completeness is a theorem), sub-quadratic; the
+    oracle is the O(n^2) brute-force definition."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.entity import (
+        fuzzy_match_pairs,
+    )
+    return fuzzy_match_pairs(
+        _t(spark, sf_dir, "customer"), id_col="c_custkey",
+        text_col="c_name", max_dist=1,
+    )
+
+
+ORACLE_FUZZY_MATCH = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS text_a, b.c_name AS text_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization (similarity.py:quantize_int8) — the 4x
     memory cut before ANN serving.  Rounding is explicit floor(x + 0.5)
@@ -2522,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "stream_dedup": q_stream_dedup,
         "scd2_history": q_scd2_history,
+        "fuzzy_match": q_fuzzy_match,
         "embedding_quantize": q_embedding_quantize,
         "cluster_canonical_best": q_cluster_canonical_best,
         "regional_revenue": q_regional_revenue,
@@ -2595,6 +2621,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
         "stream_dedup": ORACLE_STREAM_DEDUP,
         "scd2_history": ORACLE_SCD2_HISTORY,
+        "fuzzy_match": ORACLE_FUZZY_MATCH,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
         "cluster_canonical_best": ORACLE_CLUSTER_CANONICAL_BEST,
         "regional_revenue": ORACLE_REGIONAL_REVENUE,
