@@ -2330,6 +2330,128 @@ SELECT h.doc_id,
 FROM hit h JOIN tot t USING (doc_id)
 """
 
+TC_QUALITY_MIN = 0.55   # quality_score cut (keeps ~80% at sf0.01; the score
+                        # is bit-identical across engines — see quality_scores)
+TC_TOKENS_MIN = 5       # drop near-empty docs before packing
+
+
+def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LLM pre-training preprocessing pipeline as ONE declarative
+    plan — the composition the extension operators exist for:
+
+        exact dedup (canonical = min doc_id per normalized-content md5)
+        -> quality filter (quality_score >= 0.55, n_tokens >= 5)
+        -> benchmark decontamination (drop docs sharing a word 4-gram with
+           the held-out doc_id %% 41 == 0 subset, which is also excluded)
+        -> sequence packing (concat-and-split at 512 tokens)
+
+    Every stage is the already-oracle-checked operator (exact_dedup,
+    quality_scores, decontamination, sequence_pack); composing them stays
+    one lazy DataFrame, so Catalyst prunes/pushes across stage boundaries —
+    e.g. the text column is read once and the dedup window, quality
+    expressions, and shingle explode all share the scan.  Output is the
+    packing manifest of the surviving corpus."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.contamination import (
+        ngram_contamination,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import (
+        pack_sequences,
+    )
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    # 1. exact dedup: canonical = min doc_id per normalized-content md5
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " ")))
+    w = Window.partitionBy("__fp").orderBy("doc_id")
+    dedup = (
+        docs.withColumn("__fp", fp)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__fp", "__rk")
+    )
+    # 2. quality + length filter
+    qs = quality_scores(dedup).filter(
+        (F.col("quality_score") >= TC_QUALITY_MIN)
+        & (F.col("n_tokens") >= TC_TOKENS_MIN)
+    ).select("doc_id")
+    filtered = dedup.join(qs, "doc_id", "left_semi")
+    # 3. decontamination: benchmark = raw corpus doc_id % 41 == 0
+    train = filtered.filter(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+    bench = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+    flagged = ngram_contamination(train, bench, n=DECONTAM_N).select("doc_id")
+    clean = train.join(flagged, "doc_id", "left_anti")
+    # 4. pack the survivors
+    return pack_sequences(clean, budget=512).select(
+        "doc_id", "seq_id", "n_tokens", "seg_tokens", "seg_offset"
+    )
+
+
+ORACLE_TRAINING_CORPUS = f"""
+WITH dedup AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (
+               PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+               ORDER BY doc_id) AS rk
+    FROM documents
+  ) WHERE rk = 1
+),
+scored AS (
+  SELECT doc_id, text,
+         CAST(len({DUCK_TOKS}) AS BIGINT) AS n_tokens,
+         (1.0 - least(1.0, CAST(length(trim(text))
+                - length(regexp_replace(trim(text), '[^a-zA-Z0-9\\s]', '', 'g'))
+                AS DOUBLE) / CAST(length(trim(text)) AS DOUBLE) * 4.0) * 0.25
+              - least(1.0, CAST(length(trim(text))
+                - length(regexp_replace(trim(text), '[0-9]', '', 'g'))
+                AS DOUBLE) / CAST(length(trim(text)) AS DOUBLE) * 4.0) * 0.25)
+         * (0.5 + least(0.5, CAST(len(list_filter({DUCK_TOKS},
+                t -> lower(t) IN {_QS_STOP})) AS DOUBLE)
+                / CAST(len({DUCK_TOKS}) AS DOUBLE) * 2.0)) AS quality_score
+  FROM dedup
+),
+filtered AS (
+  SELECT doc_id, text, n_tokens FROM scored
+  WHERE quality_score >= {TC_QUALITY_MIN} AND n_tokens >= {TC_TOKENS_MIN}
+),
+train AS (
+  SELECT * FROM filtered WHERE doc_id % {DECONTAM_BENCH_MOD} <> 0
+),
+be AS (
+  SELECT DISTINCT unnest({_DUCK_SHINGLES_N}) AS shingle FROM documents
+  WHERE doc_id % {DECONTAM_BENCH_MOD} = 0 AND len({DUCK_TOKS}) >= {DECONTAM_N}
+),
+flagged AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT doc_id, unnest({_DUCK_SHINGLES_N}) AS shingle FROM train
+        WHERE len({DUCK_TOKS}) >= {DECONTAM_N}) t
+  JOIN be USING (shingle)
+),
+clean AS (
+  SELECT doc_id, n_tokens FROM train
+  WHERE doc_id NOT IN (SELECT doc_id FROM flagged) AND n_tokens > 0
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT)
+             AS start
+  FROM clean
+),
+seg AS (
+  SELECT doc_id, n_tokens, start,
+         unnest(generate_series(start // 512,
+                                (start + n_tokens - 1) // 512)) AS seq_id
+  FROM cum
+)
+SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id, n_tokens,
+       CAST(least(start + n_tokens, (seq_id + 1) * 512)
+            - greatest(start, seq_id * 512) AS BIGINT) AS seg_tokens,
+       CAST(greatest(start, seq_id * 512) - seq_id * 512 AS BIGINT)
+           AS seg_offset
+FROM seg
+"""
+
+
 POW60 = 16 ** 15  # 60-bit hash normalizer shared by weighted_sample / kmv
 
 
@@ -2548,6 +2670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "scd2_history": q_scd2_history,
         "fuzzy_match": q_fuzzy_match,
+        "training_corpus": q_training_corpus,
         "embedding_quantize": q_embedding_quantize,
         "cluster_canonical_best": q_cluster_canonical_best,
         "regional_revenue": q_regional_revenue,
@@ -2622,6 +2745,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": ORACLE_STREAM_DEDUP,
         "scd2_history": ORACLE_SCD2_HISTORY,
         "fuzzy_match": ORACLE_FUZZY_MATCH,
+        "training_corpus": ORACLE_TRAINING_CORPUS,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
         "cluster_canonical_best": ORACLE_CLUSTER_CANONICAL_BEST,
         "regional_revenue": ORACLE_REGIONAL_REVENUE,

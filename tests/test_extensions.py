@@ -501,3 +501,30 @@ def test_tfidf_top_terms(spark):
     # 'common' appears in every doc -> idf = ln(1) = 0, never ranks first
     assert all(t["term"] != "common" for t in top1.values())
     assert all(len(rs) <= 2 for rs in by_doc.values())
+
+
+def test_training_corpus_pipeline_invariants(spark):
+    """End-to-end composition (dedup -> quality -> decontam -> pack): the
+    output manifest must exclude benchmark docs, contain no duplicated
+    content, and tile each surviving document exactly."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = e.queries()["training_corpus"](spark, sf)
+    rows = out.collect()
+    assert rows, "pipeline produced an empty manifest"
+    # benchmark subset excluded
+    assert all(r["doc_id"] % e.DECONTAM_BENCH_MOD != 0 for r in rows)
+    # segments tile each doc: sum(seg_tokens) == n_tokens
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], [0, r["n_tokens"]])
+        per_doc[r["doc_id"]][0] += r["seg_tokens"]
+    assert all(s == n for s, n in per_doc.values())
+    # surviving docs are content-unique (dedup stage held)
+    docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+        F.col("doc_id").isin(list(per_doc))
+    )
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " ")))
+    assert docs.select(fp).distinct().count() == len(per_doc)
