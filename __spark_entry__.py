@@ -2071,6 +2071,74 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (extensions/analytics.py:cohort_retention):
+    users cohorted by first-active day; each (cohort, day-offset) cell is
+    the distinct-user count active that day.  Integer counts + one int/int
+    IEEE division — engine-exact, no float-sum drift."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        cohort_retention,
+    )
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+ORACLE_COHORT_RETENTION = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+),
+sizes AS (
+  SELECT cohort_day, COUNT(*) AS cohort_size FROM firsts GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+),
+cells AS (
+  SELECT f.cohort_day,
+         datediff('day', f.cohort_day, a.active_day) AS day_offset,
+         COUNT(DISTINCT a.user_id) AS n_active
+  FROM active a JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT c.cohort_day, CAST(c.day_offset AS INTEGER) AS day_offset,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(c.n_active AS BIGINT) AS n_active,
+       CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+           AS retention_rate
+FROM cells c JOIN sizes s USING (cohort_day)
+"""
+
+
+# one SQL text, two engines: the dbt-user migration story made literal.
+# Constraints for portability: decimal-cast BEFORE arithmetic (exact_sum
+# pattern), explicit CASTs on year()/counts, ANSI-92 join syntax.  The
+# final ROUND(..., 2) is load-bearing: casting a scale-12 decimal to double
+# differs by 1 ulp between engines (Java's correctly-rounded
+# BigDecimal.doubleValue vs an int128/10^12 float division); at scale 2 the
+# cast is an exactly-representable integer over 100 — one correctly-rounded
+# FP division everywhere.
+GOLD_PRIORITY_SQL = """
+SELECT o_orderpriority,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2)
+            AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority, year(o_orderdate)
+"""
+
+
+def q_sql_gold_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL API surface: the reference's users write dbt SQL, so the
+    engine must serve raw SQL over its tables.  This query registers the
+    parquet tables as views and runs GOLD_PRIORITY_SQL — the IDENTICAL
+    string the DuckDB oracle executes (portable ANSI subset; decimal-cast
+    before arithmetic keeps the aggregate exact on both engines)."""
+    for t in ("orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(GOLD_PRIORITY_SQL)
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization (similarity.py:quantize_int8) — the 4x
     memory cut before ANN serving.  Rounding is explicit floor(x + 0.5)
@@ -2671,6 +2739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "fuzzy_match": q_fuzzy_match,
         "training_corpus": q_training_corpus,
+        "cohort_retention": q_cohort_retention,
+        "sql_gold_priority": q_sql_gold_priority,
         "embedding_quantize": q_embedding_quantize,
         "cluster_canonical_best": q_cluster_canonical_best,
         "regional_revenue": q_regional_revenue,
@@ -2746,6 +2816,8 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": ORACLE_SCD2_HISTORY,
         "fuzzy_match": ORACLE_FUZZY_MATCH,
         "training_corpus": ORACLE_TRAINING_CORPUS,
+        "cohort_retention": ORACLE_COHORT_RETENTION,
+        "sql_gold_priority": GOLD_PRIORITY_SQL,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
         "cluster_canonical_best": ORACLE_CLUSTER_CANONICAL_BEST,
         "regional_revenue": ORACLE_REGIONAL_REVENUE,

@@ -1,0 +1,46 @@
+"""Product-analytics operators over event streams.
+
+``cohort_retention`` — the standard activation/retention matrix: users are
+cohorted by first-active day, and each (cohort, day-offset) cell counts the
+distinct users from that cohort active that day.
+
+Plan shape at scale: first-active and the distinct (user, day) activity set
+both hash-shuffle on ``user_col`` (partial aggregates map-side), the join
+reuses that co-partitioning, and only the final tiny cell aggregate
+(cohorts x offsets, e.g. 365 x 365 rows max per year) re-shuffles — the
+event stream itself is touched once.  Counts are integers and the rate is
+one IEEE int/int division, so the result is engine-exact (no float-sum
+drift), which keeps the SQL oracle hash-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def cohort_retention(df: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """(cohort_day, day_offset, cohort_size, n_active, retention_rate) —
+    one row per cohort x offset with at least one active user."""
+    day = F.to_date(F.col(ts_col))
+    firsts = df.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    active = df.select(F.col(user_col), day.alias("active_day")).distinct()
+    cells = (
+        active.join(firsts, user_col)
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("active_day"), F.col("cohort_day"))
+            .alias("day_offset"),
+        )
+        .agg(F.count_distinct(F.col(user_col)).alias("n_active"))
+    )
+    return cells.join(sizes, "cohort_day").select(
+        "cohort_day",
+        F.col("day_offset").cast("int").alias("day_offset"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        F.col("n_active").cast("long").alias("n_active"),
+        (F.col("n_active") / F.col("cohort_size")).alias("retention_rate"),
+    )

@@ -1,0 +1,34 @@
+"""Cohort retention (extensions/analytics.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+    cohort_retention,
+)
+
+
+def test_cohort_retention_matrix(spark):
+    rows = [
+        # cohort 01-01: users 1,2 — both active day 0; only 1 returns day 1
+        (1, "2024-01-01 09:00:00"), (2, "2024-01-01 10:00:00"),
+        (1, "2024-01-02 09:00:00"),
+        (1, "2024-01-02 18:00:00"),      # same user+day: one activity
+        # cohort 01-03: user 3 — active day 0 and day 2
+        (3, "2024-01-03 09:00:00"), (3, "2024-01-05 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {
+        (str(r["cohort_day"]), r["day_offset"]):
+            (r["cohort_size"], r["n_active"], r["retention_rate"])
+        for r in cohort_retention(df).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): (2, 2, 1.0),
+        ("2024-01-01", 1): (2, 1, 0.5),
+        ("2024-01-03", 0): (1, 1, 1.0),
+        ("2024-01-03", 2): (1, 1, 1.0),
+    }
