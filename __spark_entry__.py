@@ -840,7 +840,13 @@ FROM sessions GROUP BY 1, 2
 # extension operators: text analysis (documents table)
 # --------------------------------------------------------------------------
 
-DUCK_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+# whitespace-trim + split — the exact regexp pair extensions/text.py:tokens
+# uses (plain trim() strips spaces only; a tab-leading doc would grow a
+# phantom empty token)
+DUCK_TOKS = (
+    "regexp_split_to_array("
+    "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')"
+)
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1789,8 +1795,9 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the SQL standard, hence the triple quote at the literal's start.
 ORACLE_BPE_TOKEN_COUNT = (
     "SELECT doc_id,\n"
-    "       CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)\n"
-    "           AS ws_tokens,\n"
+    "       CAST(len(regexp_split_to_array(\n"
+    "            regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))\n"
+    "           AS INTEGER) AS ws_tokens,\n"
     "       CAST(len(regexp_extract_all(text,\n"
     "            '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+'))\n"
     "           AS INTEGER) AS bpe_tokens\n"

@@ -31,14 +31,22 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _wtrim(col: Column) -> Column:
+    # trim ALL whitespace, not just spaces: F.trim strips ' ' only, which
+    # makes a tab-leading document grow a phantom empty token through
+    # split() (caught by tests/test_properties.py).  The oracle-side
+    # DUCK_TOKS applies the identical regexp so parity is by construction.
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization of trimmed text -> array<string>."""
-    return F.split(F.trim(_c(col)), "\\s+")
+    """Whitespace tokenization of whitespace-trimmed text -> array<string>."""
+    return F.split(_wtrim(_c(col)), "\\s+")
 
 
 def token_count(col: Column | str) -> Column:
     """Token count; empty/blank text counts 0 (split('') yields [''])."""
-    t = F.trim(_c(col))
+    t = _wtrim(_c(col))
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, "\\s+")))
 
 

@@ -85,3 +85,56 @@ def test_append_if_absent_properties(spark, rows, delta_rows):
     for k, v in want_target.items():
         assert got[k] == v  # target version always survives
     assert set(got) == set(want_target) | {r["k"] for r in delta.collect()}
+
+
+pack_docs_strategy = st.lists(
+    st.text(alphabet="ab \t", min_size=0, max_size=30),  # whitespace-heavy
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(**SETTINGS)
+@given(texts=pack_docs_strategy, budget=st.integers(min_value=1, max_value=7))
+def test_pack_sequences_properties(spark, texts, budget):
+    """For ANY corpus and budget: segments tile each non-empty doc exactly,
+    every segment fits in [1, budget], offsets stay in range, and every
+    sequence except the last is filled to the budget."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = pack_sequences(df, budget=budget).collect()
+    tokens = {i: len(t.split()) for i, t in enumerate(texts)}
+    expected_docs = {i for i, n in tokens.items() if n > 0}
+    assert {r["doc_id"] for r in rows} == expected_docs
+    per_doc, per_seq = {}, {}
+    for r in rows:
+        assert 1 <= r["seg_tokens"] <= budget
+        assert 0 <= r["seg_offset"] < budget
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["seg_tokens"]
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["seg_tokens"]
+    assert per_doc == {i: tokens[i] for i in expected_docs}
+    if per_seq:
+        last = max(per_seq)
+        assert set(per_seq) == set(range(last + 1))  # dense sequence ids
+        assert all(v == budget for s, v in per_seq.items() if s != last)
+
+
+@settings(**SETTINGS)
+@given(vals=st.lists(st.integers(min_value=0, max_value=50),
+                     min_size=1, max_size=25))
+def test_prefix_sum_property(spark, vals):
+    """_with_prefix_sum == the serial exclusive prefix sum, for any values
+    (including zeros) and any partitioning."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import (
+        _with_prefix_sum,
+    )
+
+    df = spark.createDataFrame(list(enumerate(vals)), "k long, v long")
+    got = {r["k"]: r["offset"] for r in _with_prefix_sum(df, "k", "v").collect()}
+    acc = 0
+    for i, v in enumerate(vals):
+        assert got[i] == acc
+        acc += v
