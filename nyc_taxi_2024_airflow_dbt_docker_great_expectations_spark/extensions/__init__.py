@@ -4,6 +4,12 @@
 - ``similarity``: brute-force cosine top-k; LSH-bucketed ANN
 - ``text``: language-ID, quality scoring, token counting, fingerprinting
 - ``multimodal``: opaque binary columns + Pandas-UDF decode plumbing
+- ``packing``: sequence packing + deterministic global shuffle (distributed
+  prefix sum)
+- ``entity``: fuzzy entity matching (symmetric-delete blocking)
+- ``analytics``: cohort retention
+- ``sampling`` / ``contamination`` / ``sketches`` / ``graph``: deterministic
+  samples, benchmark decontamination, KMV sketch, connected components
 """
 
 from .dedup import (  # noqa: F401
@@ -29,3 +35,6 @@ from .text import (  # noqa: F401
     token_count,
     word_shingles,
 )
+from .analytics import cohort_retention  # noqa: F401
+from .entity import fuzzy_match_pairs  # noqa: F401
+from .packing import global_shuffle, pack_sequences  # noqa: F401
