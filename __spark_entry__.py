@@ -2527,6 +2527,36 @@ FROM seg
 """
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics beyond connected components (extensions/graph.py:
+    triangle_count): triangle census of the >=0.6 n-gram-Jaccard near-dup
+    graph — triangle-rich components are true duplicate cliques, stars are
+    template collisions.  Two hash equi-joins over canonically ordered
+    edges; no adjacency lists anywhere."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.graph import (
+        triangle_count,
+    )
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.6
+    )
+    return triangle_count(pairs)
+
+
+ORACLE_TRIANGLE_COUNT = f"""
+WITH {_DUCK_PAIR_JACCARD},
+e AS (
+  SELECT id_a AS a, id_b AS b FROM pair_j WHERE jaccard >= 0.6
+)
+SELECT
+  (SELECT COUNT(DISTINCT n) FROM
+     (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)) AS n_nodes,
+  (SELECT COUNT(*) FROM e) AS n_edges,
+  (SELECT COUNT(*)
+   FROM e e1 JOIN e e2 ON e1.b = e2.a
+   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+"""
+
+
 POW60 = 16 ** 15  # 60-bit hash normalizer shared by weighted_sample / kmv
 
 
@@ -2748,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus": q_training_corpus,
         "cohort_retention": q_cohort_retention,
         "sql_gold_priority": q_sql_gold_priority,
+        "triangle_count": q_triangle_count,
         "embedding_quantize": q_embedding_quantize,
         "cluster_canonical_best": q_cluster_canonical_best,
         "regional_revenue": q_regional_revenue,
@@ -2825,6 +2856,7 @@ def oracle_sql() -> dict[str, str]:
         "training_corpus": ORACLE_TRAINING_CORPUS,
         "cohort_retention": ORACLE_COHORT_RETENTION,
         "sql_gold_priority": GOLD_PRIORITY_SQL,
+        "triangle_count": ORACLE_TRIANGLE_COUNT,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
         "cluster_canonical_best": ORACLE_CLUSTER_CANONICAL_BEST,
         "regional_revenue": ORACLE_REGIONAL_REVENUE,

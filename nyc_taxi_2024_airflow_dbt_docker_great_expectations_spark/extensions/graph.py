@@ -127,3 +127,54 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
         "component", F.coalesce(F.col("component"), F.col(id_col))
     )
     return out.withColumn("is_canonical", F.col("component") == F.col(id_col))
+
+
+def triangle_count(edges: DataFrame, src: str = "id_a",
+                   dst: str = "id_b") -> DataFrame:
+    """Global triangle count — the graph-density / community-structure
+    metric (near-dup graphs: triangle-rich components are true duplicate
+    cliques; triangle-free stars are often template collisions).
+
+    Input is an undirected edge list with each pair listed once in
+    canonical ``src < dst`` order; violations are normalized and exact
+    duplicates dropped.  The plan is the standard two-join enumeration over
+    canonically ordered edges — each triangle a<b<c is counted exactly
+    once as (a,b)+(b,c) with a closing (a,c) semi-join.  Both joins are
+    hash equi-joins on node ids; no adjacency lists are materialized
+    anywhere, so the shape scales like any other pair of shuffle joins.
+    Skewed hubs (one node on millions of edges) are the known hard case —
+    AQE skew splitting or a degree-ordered variant (orient edges from low
+    to high degree) bounds the fan-out; the latter is the documented
+    upgrade path at extreme skew.
+
+    Returns one row: (n_nodes, n_edges, n_triangles).
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e = materialize_once(canon)  # consumed three times below
+    wedge = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
+                F.col("e2.b").alias("c"))
+    )
+    tri = wedge.join(
+        e.select(F.col("a").alias("ta"), F.col("b").alias("tc")),
+        (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+        "left_semi",
+    )
+    nodes = e.select(F.col("a").alias("n")).union(
+        e.select(F.col("b").alias("n"))
+    ).distinct()
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

@@ -528,3 +528,25 @@ def test_training_corpus_pipeline_invariants(spark):
     )
     fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " ")))
     assert docs.select(fp).distinct().count() == len(per_doc)
+
+
+def test_triangle_count_known_graphs(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.graph import (
+        triangle_count,
+    )
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        r = triangle_count(df).first()
+        return (r["n_nodes"], r["n_edges"], r["n_triangles"])
+
+    # K4: 4 nodes, 6 edges, 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert run(k4) == (4, 6, 4)
+    # 4-cycle: no triangles
+    assert run([(0, 1), (1, 2), (2, 3), (0, 3)]) == (4, 4, 0)
+    # reversed / duplicated edges normalize to the same triangle
+    messy = [(1, 0), (0, 1), (1, 2), (0, 2), (2, 1)]
+    assert run(messy) == (3, 3, 1)
+    # star: hub with 4 leaves, no closure
+    assert run([(0, i) for i in range(1, 5)]) == (5, 4, 0)
