@@ -840,13 +840,12 @@ FROM sessions GROUP BY 1, 2
 # extension operators: text analysis (documents table)
 # --------------------------------------------------------------------------
 
-# whitespace-trim + split — the exact regexp pair extensions/text.py:tokens
-# uses (plain trim() strips spaces only; a tab-leading doc would grow a
-# phantom empty token)
-DUCK_TOKS = (
-    "regexp_split_to_array("
-    "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')"
-)
+# whitespace-trim + split, matching extensions/text.py:tokens (plain trim()
+# strips spaces only; a tab-leading doc would grow a phantom empty token).
+# chr() concat because DuckDB string literals do not process backslashes;
+# the set is Java/RE2 \s: space \t \n \x0b \f \r.
+DUCK_WS = "(' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))"
+DUCK_TOKS = f"regexp_split_to_array(trim(text, {DUCK_WS}), '\\s+')"
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1795,8 +1794,7 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the SQL standard, hence the triple quote at the literal's start.
 ORACLE_BPE_TOKEN_COUNT = (
     "SELECT doc_id,\n"
-    "       CAST(len(regexp_split_to_array(\n"
-    "            regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))\n"
+    f"       CAST(len({DUCK_TOKS})\n"
     "           AS INTEGER) AS ws_tokens,\n"
     "       CAST(len(regexp_extract_all(text,\n"
     "            '''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+'))\n"

@@ -31,12 +31,19 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+# the \s character set of Java/RE2 regexes: space, \t, \n, \x0b, \f, \r
+_WS_CHARS = " \t\n\x0b\f\r"
+
+
 def _wtrim(col: Column) -> Column:
     # trim ALL whitespace, not just spaces: F.trim strips ' ' only, which
     # makes a tab-leading document grow a phantom empty token through
-    # split() (caught by tests/test_properties.py).  The oracle-side
-    # DUCK_TOKS applies the identical regexp so parity is by construction.
-    return F.regexp_replace(col, r"^\s+|\s+$", "")
+    # split() (caught by tests/test_properties.py).  btrim with an explicit
+    # char set, NOT regexp_replace('^\\s+|\\s+$') — the regex form costs an
+    # NFA scan per evaluation and measurably slowed every shingle pipeline
+    # (minhash bench 2.8s -> 8.0s); btrim is the same cheap two-pointer scan
+    # as trim.  The oracle-side DUCK_TOKS uses trim(text, <same chars>).
+    return F.btrim(col, F.lit(_WS_CHARS))
 
 
 def tokens(col: Column | str) -> Column:
