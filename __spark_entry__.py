@@ -2555,6 +2555,41 @@ SELECT
 """
 
 
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 3-sigma outlier census with engine-exact arithmetic
+    (quality/profile.py:exact_zscore_outliers): the variance test is
+    cross-multiplied into integer micro-unit space, so no float stddev ever
+    decides a boundary — the census is bit-reproducible on any engine."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.quality.profile import (
+        exact_zscore_outliers,
+    )
+    return exact_zscore_outliers(
+        _t(spark, sf_dir, "events"), key_col="event_type",
+        value_col="value", k=3,
+    )
+
+
+ORACLE_VALUE_OUTLIERS = """
+WITH u AS (
+  SELECT event_type,
+         CAST(floor(value * 1000000 + 0.5) AS HUGEINT) AS u
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(u) AS s, SUM(u * u) AS s2
+  FROM u GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(MIN(s.n) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN (s.n * e.u - s.s) * (s.n * e.u - s.s)
+                          > 9 * (s.n * s.s2 - s.s * s.s)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM u e JOIN s USING (event_type)
+GROUP BY e.event_type
+"""
+
+
 POW60 = 16 ** 15  # 60-bit hash normalizer shared by weighted_sample / kmv
 
 
@@ -2777,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "sql_gold_priority": q_sql_gold_priority,
         "triangle_count": q_triangle_count,
+        "value_outliers": q_value_outliers,
         "embedding_quantize": q_embedding_quantize,
         "cluster_canonical_best": q_cluster_canonical_best,
         "regional_revenue": q_regional_revenue,
@@ -2855,6 +2891,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": ORACLE_COHORT_RETENTION,
         "sql_gold_priority": GOLD_PRIORITY_SQL,
         "triangle_count": ORACLE_TRIANGLE_COUNT,
+        "value_outliers": ORACLE_VALUE_OUTLIERS,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
         "cluster_canonical_best": ORACLE_CLUSTER_CANONICAL_BEST,
         "regional_revenue": ORACLE_REGIONAL_REVENUE,

@@ -50,3 +50,52 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
         ).alias("col_name", "n_nonnull", "n_null", "n_distinct",
                 "min_value", "max_value")
     )
+
+
+def exact_zscore_outliers(df: DataFrame, key_col: str, value_col: str,
+                          k: int = 3, scale: int = 10 ** 6) -> DataFrame:
+    """Per-group k-sigma outlier census with ENGINE-EXACT arithmetic.
+
+    The naive form — ``abs(x - avg) > k * stddev`` — is non-portable twice
+    over: float summation order changes ``stddev`` in the last ulp, and a
+    value sitting exactly at the boundary then flips its flag between
+    engines/runs.  Here every comparison happens in exact integer math:
+    values are scaled to integer micro-units (``floor(x * scale + 0.5)``,
+    the same portable rounding as similarity.quantize_int8), the group
+    moments n, S = sum(u), S2 = sum(u^2) are exact integer sums, and the
+    population-variance test is cross-multiplied to clear divisions::
+
+        (x - mean)^2 > k^2 * var  <=>  (n*u - S)^2 > k^2 * (n*S2 - S^2)
+
+    Both sides are exact integers (decimal(38,0) on Spark, HUGEINT in the
+    SQL oracle), so the flag is a pure function of the data.  Magnitude
+    audit: the dominant term is (n * u)^2, so exactness requires
+    ``n_per_group * max|x| * scale < 10^19`` (decimal38/int128 headroom);
+    at larger group sizes or ranges, lower ``scale`` — the test compares
+    micro-unit integers, so precision beyond the data's own resolution
+    buys nothing.
+
+    One aggregate + one broadcast join back (group stats are one row per
+    key); the data is scanned twice but shuffled never (the join key is the
+    group key of a tiny side).  Returns per-key (n, n_outliers).
+    """
+    u = F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    with_u = df.select(F.col(key_col), u.alias("__u")).filter(
+        F.col("__u").isNotNull()
+    )
+    stats = with_u.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum("__u").alias("__s"),
+        F.sum(F.col("__u") * F.col("__u")).alias("__s2"),
+    )
+    j = with_u.join(F.broadcast(stats), key_col)
+    lhs = (F.col("__n") * F.col("__u") - F.col("__s"))
+    rhs = F.lit(int(k * k)) * (F.col("__n") * F.col("__s2")
+                               - F.col("__s") * F.col("__s"))
+    flagged = j.withColumn("__out", (lhs * lhs > rhs).cast("long"))
+    return flagged.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__out").alias("n_outliers"),
+    )

@@ -139,3 +139,22 @@ def test_profile_numeric(spark):
     assert out["v"]["n_nonnull"] == 3 and out["v"]["n_null"] == 1
     assert out["v"]["n_distinct"] == 2
     assert out["v"]["min_value"] == 10.0 and out["v"]["max_value"] == 30.0
+
+
+def test_exact_zscore_outliers(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.quality.profile import (
+        exact_zscore_outliers,
+    )
+    # group "a": tight cluster + one wild point (the cluster must be
+    # large enough that the wild point does not mask itself by inflating
+    # the variance: one point among n flags iff dev^2 > k^2 * var, which
+    # needs n >> k^2); group "b": uniform, none
+    rows = [("a", 10.0 + (i % 5) * 0.05) for i in range(30)]
+    rows += [("a", 1000.0)]
+    rows += [("b", float(v)) for v in range(10)]
+    rows += [("b", None)]  # NULL values are excluded, not counted
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {r["k"]: (r["n"], r["n_outliers"])
+           for r in exact_zscore_outliers(df, "k", "v", k=3).collect()}
+    assert out["a"] == (31, 1)  # only the 1000.0 point flags
+    assert out["b"] == (10, 0)  # uniform data has no 3-sigma points
