@@ -2590,6 +2590,46 @@ GROUP BY e.event_type
 """
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame sampling plumbing (extensions/multimodal.py:
+    frame_sample): utf-8 text bytes play the raw fixed-stride video plane
+    (the corpus is pure ASCII, so the SQL oracle can slice characters and
+    get the same bytes); every 4th 64-byte frame is sliced out via the
+    Arrow mapInPandas 1->N fan-out that a real codec body would plug into.
+    Frames are compared content-exact through lowercase hex."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.multimodal import (
+        frame_sample,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    return frame_sample(media, frame_size=64, every_n=4).select(
+        "media_id", "frame_idx", "byte_start",
+        F.lower(F.hex(F.col("frame_bytes"))).alias("frame_hex"),
+    )
+
+
+ORACLE_FRAME_SAMPLE = """
+WITH gen AS (
+  SELECT doc_id AS media_id, text,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+f AS (
+  SELECT media_id, text,
+         unnest(range(0, n_bytes // 64, 4)) AS frame_idx
+  FROM gen WHERE n_bytes >= 64
+)
+SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * 64 AS BIGINT) AS byte_start,
+       lower(hex(encode(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64))))
+           AS frame_hex
+FROM f
+"""
+
+
 POW60 = 16 ** 15  # 60-bit hash normalizer shared by weighted_sample / kmv
 
 
@@ -2813,6 +2853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_gold_priority": q_sql_gold_priority,
         "triangle_count": q_triangle_count,
         "value_outliers": q_value_outliers,
+        "frame_sample": q_frame_sample,
         "embedding_quantize": q_embedding_quantize,
         "cluster_canonical_best": q_cluster_canonical_best,
         "regional_revenue": q_regional_revenue,
@@ -2892,6 +2933,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_gold_priority": GOLD_PRIORITY_SQL,
         "triangle_count": ORACLE_TRIANGLE_COUNT,
         "value_outliers": ORACLE_VALUE_OUTLIERS,
+        "frame_sample": ORACLE_FRAME_SAMPLE,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
         "cluster_canonical_best": ORACLE_CLUSTER_CANONICAL_BEST,
         "regional_revenue": ORACLE_REGIONAL_REVENUE,
