@@ -74,6 +74,28 @@ def test_salted_join_fans_out_salt(plans):
     assert "__salt" in plan
 
 
+def test_new_joins_stay_hash_based(spark):
+    """The round-2 join-bearing queries must never plan nested loops or
+    cartesian products (fuzzy_match's variant join, scd2's windows,
+    triangle_count's two-hop enumeration, the stats join of
+    value_outliers, cohort_retention's cohort join).
+
+    triangle_count is special-cased: its DATA joins (wedge + closing
+    semi-join) must be hash joins, but the final combine of three 1-row
+    aggregates is a legitimate constant-cost BroadcastNestedLoopJoin."""
+    for name in ("fuzzy_match", "scd2_history", "value_outliers",
+                 "cohort_retention", "sql_gold_priority"):
+        plan = _plan(entry.queries()[name](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    tri = _plan(entry.queries()["triangle_count"](spark, SF))
+    assert "CartesianProduct" not in tri
+    # the two-hop enumeration and the closing semi-join are hash joins
+    assert tri.count("BroadcastHashJoin") + tri.count("SortMergeJoin") >= 2
+    # BNLJ appears only as the 1-row x 1-row scalar combine (2 of them)
+    assert tri.count("BroadcastNestedLoopJoin") <= 2
+
+
 def test_prefix_sum_window_is_keyed_not_global(spark):
     """The distributed prefix sum behind sequence_pack/corpus_shuffle must
     window per range-partition, NEVER as an empty-partitionBy global window
