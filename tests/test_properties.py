@@ -138,3 +138,65 @@ def test_prefix_sum_property(spark, vals):
     for i, v in enumerate(vals):
         assert got[i] == acc
         acc += v
+
+
+scd_log_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),     # key (collisions likely)
+        st.integers(min_value=1, max_value=28),    # day of month (order/ts)
+        st.sampled_from(["open", "closed"]),       # tracked 1
+        st.sampled_from(["basic", "gold", None]),  # tracked 2 (with NULLs)
+    ),
+    min_size=1,
+    max_size=16,
+    unique_by=lambda r: (r[0], r[1]),  # ts must totally order each key
+)
+
+
+@settings(**SETTINGS)
+@given(log=scd_log_strategy, split=st.integers(min_value=1, max_value=27))
+def test_scd2_incremental_apply_equals_rebuild(spark, log, split):
+    """For ANY changelog and ANY batch split point: applying the later
+    current-state rows onto the dimension built from the earlier rows must
+    equal rebuilding from the whole log — provided each key has at most one
+    row after the split (scd2_apply's one-row-per-key batch contract)."""
+    import datetime as dt
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.scd import (
+        scd2_apply,
+        scd2_from_changelog,
+    )
+
+    rows = [(k, dt.date(2024, 1, d), s, t) for k, d, s, t in log]
+    early = [r for r in rows if r[1].day <= split]
+    late = [r for r in rows if r[1].day > split]
+    # contract: the update batch has one row per key — keep each key's last
+    last = {}
+    for r in sorted(late, key=lambda r: r[1]):
+        last[r[0]] = r
+    late = list(last.values())
+    # rebuild oracle: early log + the surviving late rows
+    if not early:
+        return  # nothing to build the base dimension from
+    schema = "k long, ts date, status string, tier string"
+    dim = scd2_from_changelog(
+        spark.createDataFrame(early, schema), ["k"], ["ts"],
+        ["status", "tier"],
+    )
+    if late:
+        applied = scd2_apply(
+            dim, spark.createDataFrame(late, schema), ["k"],
+            ["status", "tier"], "ts",
+        )
+    else:
+        applied = dim
+    rebuilt = scd2_from_changelog(
+        spark.createDataFrame(early + late, schema), ["k"], ["ts"],
+        ["status", "tier"],
+    )
+    canon = lambda df: sorted(  # noqa: E731
+        (r["k"], r["version"], r["status"], r["tier"],
+         str(r["valid_from"]), str(r["valid_to"]))
+        for r in df.collect()
+    )
+    assert canon(applied) == canon(rebuilt)
