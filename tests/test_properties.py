@@ -200,3 +200,47 @@ def test_scd2_incremental_apply_equals_rebuild(spark, log, split):
         for r in df.collect()
     )
     assert canon(applied) == canon(rebuilt)
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),    # user
+        st.integers(min_value=1, max_value=12),   # day
+        st.integers(min_value=0, max_value=23),   # hour
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**SETTINGS)
+@given(events=events_strategy)
+def test_cohort_retention_matches_model(spark, events):
+    """cohort_retention == the obvious per-row Python model for any event
+    set: cohort = first active day, cell = distinct users at each offset."""
+    import datetime as dt
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        cohort_retention,
+    )
+
+    rows = [(u, dt.datetime(2024, 3, d, h)) for u, d, h in events]
+    first = {}
+    for u, ts in rows:
+        first[u] = min(first.get(u, ts.date()), ts.date())
+    sizes, cells = {}, {}
+    for u, c in first.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    for u, ts in rows:
+        key = (first[u], (ts.date() - first[u]).days)
+        cells.setdefault(key, set()).add(u)
+    want = {
+        (str(c), off): (sizes[c], len(users))
+        for (c, off), users in cells.items()
+    }
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r["cohort_day"]), r["day_offset"]): (r["cohort_size"], r["n_active"])
+        for r in cohort_retention(df).collect()
+    }
+    assert got == want
