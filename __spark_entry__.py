@@ -2630,6 +2630,45 @@ FROM f
 """
 
 
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 20-bin histogram of l_extendedprice
+    (quality/profile.py:equal_width_histogram): data-driven bounds from a
+    1-row min/max pass, then one codegen'd bucket-assign + count.  Bucket
+    edges and membership are the same IEEE double expressions on both
+    engines, so the integer counts hash-match exactly."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.quality.profile import (
+        equal_width_histogram,
+    )
+    return equal_width_histogram(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", n_bins=20
+    )
+
+
+ORACLE_PRICE_HISTOGRAM = """
+WITH v AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+),
+b AS (
+  SELECT MIN(x) AS blo, MAX(x) AS bhi FROM v
+),
+w AS (
+  SELECT blo, CASE WHEN bhi > blo THEN (bhi - blo) / 20 ELSE 1.0 END AS width
+  FROM b
+),
+c AS (
+  SELECT CAST(least(floor((x - blo) / width), 19) AS INTEGER) AS bucket,
+         COUNT(*) AS n
+  FROM v CROSS JOIN w GROUP BY 1
+)
+SELECT c.bucket,
+       w.blo + c.bucket * w.width AS lo,
+       w.blo + (c.bucket + 1) * w.width AS hi,
+       CAST(c.n AS BIGINT) AS n
+FROM c CROSS JOIN w
+"""
+
+
 POW60 = 16 ** 15  # 60-bit hash normalizer shared by weighted_sample / kmv
 
 
@@ -2854,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "value_outliers": q_value_outliers,
         "frame_sample": q_frame_sample,
+        "price_histogram": q_price_histogram,
         "embedding_quantize": q_embedding_quantize,
         "cluster_canonical_best": q_cluster_canonical_best,
         "regional_revenue": q_regional_revenue,
@@ -2934,6 +2974,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": ORACLE_TRIANGLE_COUNT,
         "value_outliers": ORACLE_VALUE_OUTLIERS,
         "frame_sample": ORACLE_FRAME_SAMPLE,
+        "price_histogram": ORACLE_PRICE_HISTOGRAM,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
         "cluster_canonical_best": ORACLE_CLUSTER_CANONICAL_BEST,
         "regional_revenue": ORACLE_REGIONAL_REVENUE,

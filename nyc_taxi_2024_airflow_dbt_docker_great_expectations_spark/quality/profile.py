@@ -99,3 +99,43 @@ def exact_zscore_outliers(df: DataFrame, key_col: str, value_col: str,
         F.count(F.lit(1)).alias("n"),
         F.sum("__out").alias("n_outliers"),
     )
+
+
+def equal_width_histogram(df: DataFrame, value_col: str,
+                          n_bins: int = 20) -> DataFrame:
+    """Equal-width histogram with engine-exact bucketing.
+
+    Two passes (the unavoidable minimum for data-driven bounds): a 1-row
+    (min, max) aggregate, then one codegen'd bucket-assign + hash count.
+    The bucket expression ``least(floor((x - min) / w), n_bins - 1)`` runs
+    the SAME double arithmetic on any engine, so bucket membership is
+    deterministic — the top bound folds into the last bucket rather than
+    growing a one-element overflow bin.  Degenerate case min == max puts
+    everything in bucket 0.  Returns (bucket, lo, hi, n) with integer
+    counts; empty buckets are not emitted (join a spine if a dense
+    histogram is needed — see operators/timeseries.py:gapfill_periods).
+    """
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be positive, got {n_bins}")
+    v = F.col(value_col).cast("double")
+    lo_hi = df.agg(
+        F.min(v).alias("__lo"), F.max(v).alias("__hi")
+    ).first()
+    lo, hi = lo_hi["__lo"], lo_hi["__hi"]
+    if lo is None:
+        raise ValueError(f"column {value_col!r} has no non-null values")
+    width = (hi - lo) / n_bins if hi > lo else 1.0
+    bucket = F.least(
+        F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(n_bins - 1)
+    ).cast("int")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("lo"),
+            (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("hi"),
+            "n",
+        )
+    )

@@ -158,3 +158,22 @@ def test_exact_zscore_outliers(spark):
            for r in exact_zscore_outliers(df, "k", "v", k=3).collect()}
     assert out["a"] == (31, 1)  # only the 1000.0 point flags
     assert out["b"] == (10, 0)  # uniform data has no 3-sigma points
+
+
+def test_equal_width_histogram(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.quality.profile import (
+        equal_width_histogram,
+    )
+    df = spark.createDataFrame(
+        [(float(v),) for v in [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10]] + [(None,)],
+        "v double",
+    )
+    out = {r["bucket"]: (r["lo"], r["hi"], r["n"])
+           for r in equal_width_histogram(df, "v", n_bins=5).collect()}
+    # width 2: buckets [0,2) [2,4) [4,6) [6,8) [8,10]; max folds into last
+    assert {b: n for b, (_, _, n) in out.items()} == {0: 2, 1: 2, 2: 2, 3: 2, 4: 3}
+    assert out[0][0] == 0.0 and out[4][1] == 10.0
+    # degenerate: all-equal column lands in bucket 0
+    one = spark.createDataFrame([(7.0,), (7.0,)], "v double")
+    got = equal_width_histogram(one, "v", n_bins=4).collect()
+    assert len(got) == 1 and got[0]["bucket"] == 0 and got[0]["n"] == 2
