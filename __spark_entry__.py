@@ -1883,7 +1883,7 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SEQUENCE_PACK = f"""
 WITH tf AS (
   SELECT doc_id, CAST(len({DUCK_TOKS}) AS BIGINT) AS n_tokens
-  FROM documents WHERE len({DUCK_TOKS}) > 0
+  FROM documents WHERE trim(text, {DUCK_WS}) <> ''
 ),
 cum AS (
   SELECT doc_id, n_tokens,
@@ -2470,8 +2470,11 @@ WITH dedup AS (
   ) WHERE rk = 1
 ),
 scored AS (
+  -- n_tokens mirrors text.py:token_count's blank guard: split('') yields
+  -- [''] (len 1) in DuckDB, but Spark counts blank text as 0 tokens.
   SELECT doc_id, text,
-         CAST(len({DUCK_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN trim(text, {DUCK_WS}) = '' THEN 0
+              ELSE len({DUCK_TOKS}) END AS BIGINT) AS n_tokens,
          (1.0 - least(1.0, CAST(length(trim(text))
                 - length(regexp_replace(trim(text), '[^a-zA-Z0-9\\s]', '', 'g'))
                 AS DOUBLE) / CAST(length(trim(text)) AS DOUBLE) * 4.0) * 0.25

@@ -77,10 +77,22 @@ def compact_parquet(spark: SparkSession, path: str,
     tmp = path.rstrip("/") + "__compact_tmp"
     out.write.mode("overwrite").parquet(tmp)
 
+    # Swap via rename-aside, never delete-then-rename: the table path must
+    # hold data at every instant.  path -> path__old, tmp -> path, then drop
+    # path__old; a crash mid-swap leaves either the old data live or both
+    # dirs present, and recovery is a rename — not a restore from backup.
+    old = path.rstrip("/") + "__compact_old"
     fs, hpath = _fs_and_path(spark, path)
     _, tmp_path = _fs_and_path(spark, tmp)
-    fs.delete(hpath, True)
+    _, old_path = _fs_and_path(spark, old)
+    if fs.exists(old_path):  # leftover from a crashed previous compaction
+        fs.delete(old_path, True)
+    if not fs.rename(hpath, old_path):
+        raise IOError(f"rename {path} -> {old} failed; table untouched, "
+                      f"new data is in {tmp}")
     if not fs.rename(tmp_path, hpath):
-        raise IOError(f"rename {tmp} -> {path} failed; data is in {tmp}")
+        fs.rename(old_path, hpath)  # roll back: restore the live table
+        raise IOError(f"rename {tmp} -> {path} failed; old data restored")
+    fs.delete(old_path, True)
     after, _ = dir_stats(spark, path)
     return before, after

@@ -55,8 +55,10 @@ def scd2_from_changelog(df: DataFrame, key_cols: list[str],
     changed = F.lit(False)
     for c in tracked_cols:
         changed = changed | _neq(F.col(c), F.lag(c).over(w))
-    # first row of a key: lag is NULL on every column -> mark as new island
-    is_new = F.when(F.lag(order_cols[0]).over(w).isNull(), F.lit(True)).otherwise(changed)
+    # first row of a key: detected positionally (row_number == 1), never via
+    # lag(order_col).isNull() — a NULL mid-stream in order_cols[0] would make
+    # the row AFTER it look like a first row and fabricate an extra version.
+    is_new = F.when(F.row_number().over(w) == 1, F.lit(True)).otherwise(changed)
     islands = df.withColumn(
         "__island", F.sum(is_new.cast("long")).over(w)
     )
@@ -129,15 +131,24 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, key_cols: list[str],
         )
         .select(*dim.columns)
     )
-    # brand-new keys: no dim row at all
+    # keys with no OPEN version: brand-new keys AND keys whose history is
+    # fully closed (e.g. after a hard-delete close).  Anti-joining against
+    # ALL dim keys here would silently drop updates for closed-history keys
+    # (they are in dim, so not "fresh", but `hit` is false because no row
+    # has valid_to NULL — the update would vanish).  Version numbering
+    # continues from the key's max version so re-opened keys never reuse one.
+    ver_t = dim.schema["version"].dataType
+    open_keys = dim.filter(is_open).select(*key_cols).distinct()
+    max_ver = dim.groupBy(*key_cols).agg(F.max("version").alias("__maxv"))
     fresh = (
-        u.join(dim.select(*key_cols).distinct(), key_cols, "left_anti")
+        u.join(open_keys, key_cols, "left_anti")
+        .join(max_ver, key_cols, "left")
         .select(
             *key_cols,
             *[F.col(f"__u_{c}").alias(c) for c in tracked_cols],
             F.col("__u_ts").alias("valid_from"),
             F.lit(None).cast(dim.schema["valid_to"].dataType).alias("valid_to"),
-            F.lit(1).alias("version"),
+            (F.coalesce(F.col("__maxv"), F.lit(0)) + 1).cast(ver_t).alias("version"),
         )
         .select(*dim.columns)
     )

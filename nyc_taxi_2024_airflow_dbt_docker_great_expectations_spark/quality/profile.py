@@ -53,7 +53,7 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def exact_zscore_outliers(df: DataFrame, key_col: str, value_col: str,
-                          k: int = 3, scale: int = 10 ** 6) -> DataFrame:
+                          k: float = 3, scale: int = 10 ** 6) -> DataFrame:
     """Per-group k-sigma outlier census with ENGINE-EXACT arithmetic.
 
     The naive form — ``abs(x - avg) > k * stddev`` — is non-portable twice
@@ -90,11 +90,22 @@ def exact_zscore_outliers(df: DataFrame, key_col: str, value_col: str,
         F.sum("__u").alias("__s"),
         F.sum(F.col("__u") * F.col("__u")).alias("__s2"),
     )
+    # Honor rational k exactly: k = p/q (parsed from the decimal literal, so
+    # 2.5 -> 5/2, never a binary-float approximation), and the inequality
+    # (x-mean)^2 > k^2 var cross-multiplies by q^2 to stay in integers:
+    #   q^2 * (n*u - S)^2 > p^2 * (n*S2 - S^2).
+    # int(k*k) here would silently truncate (k=2.5 tested against 6, not
+    # 6.25), changing which points are flagged with no warning.
+    from fractions import Fraction
+    frac = Fraction(str(k))
+    p2, q2 = frac.numerator ** 2, frac.denominator ** 2
     j = with_u.join(F.broadcast(stats), key_col)
     lhs = (F.col("__n") * F.col("__u") - F.col("__s"))
-    rhs = F.lit(int(k * k)) * (F.col("__n") * F.col("__s2")
-                               - F.col("__s") * F.col("__s"))
-    flagged = j.withColumn("__out", (lhs * lhs > rhs).cast("long"))
+    rhs = F.lit(p2) * (F.col("__n") * F.col("__s2")
+                       - F.col("__s") * F.col("__s"))
+    flagged = j.withColumn(
+        "__out", (F.lit(q2) * lhs * lhs > rhs).cast("long")
+    )
     return flagged.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("__out").alias("n_outliers"),

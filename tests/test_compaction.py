@@ -62,4 +62,19 @@ def test_compact_leaves_no_tmp_dir(spark, tmp_warehouse):
     _fragmented_table(spark, path, n_files=5)
     compact_parquet(spark, path, target_bytes=1 << 30)
     assert not os.path.exists(path + "__compact_tmp")
+    assert not os.path.exists(path + "__compact_old")
+    assert spark.read.parquet(path).count() == 250
+
+
+def test_compact_recovers_stale_old_dir(spark, tmp_warehouse):
+    """A leftover path__compact_old from a crashed run must not block (or
+    corrupt) the next compaction."""
+    path = os.path.join(tmp_warehouse, "frag4")
+    _fragmented_table(spark, path, n_files=5)
+    os.makedirs(path + "__compact_old")
+    with open(os.path.join(path + "__compact_old", "junk"), "w") as f:
+        f.write("stale")
+    before, after = compact_parquet(spark, path, target_bytes=1 << 30)
+    assert (before, after) == (5, 1)
+    assert not os.path.exists(path + "__compact_old")
     assert spark.read.parquet(path).count() == 250

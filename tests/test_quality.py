@@ -160,6 +160,29 @@ def test_exact_zscore_outliers(spark):
     assert out["b"] == (10, 0)  # uniform data has no 3-sigma points
 
 
+def test_exact_zscore_outliers_fractional_k(spark):
+    """Fractional k is honored exactly (k=2.5 tests against 6.25 sigma^2,
+    not a truncated 6): a point between 2.44 and 2.5 sigma flags at k=2.44
+    but not at k=2.5."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.quality.profile import (
+        exact_zscore_outliers,
+    )
+    # 100 points at +-1 plus one at 2.56.  Including the extra point in the
+    # group moments: mean = 2.56/101, var = (100 + 2.56^2)/101 - mean^2, so
+    # the point sits at z ~ 2.4685 sigma — above 2.44, below 2.5.  The old
+    # int(k*k) truncation would test k=2.5 against 6 (z > 2.449) and
+    # wrongly flag it.
+    base = [-1.0, 1.0] * 50
+    rows = [("g", x) for x in base] + [("g", 2.56)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    n_at = {}
+    for kk in (2.44, 2.5):
+        out = {r["k"]: r["n_outliers"]
+               for r in exact_zscore_outliers(df, "k", "v", k=kk).collect()}
+        n_at[kk] = out["g"]
+    assert n_at[2.44] == 1 and n_at[2.5] == 0
+
+
 def test_equal_width_histogram(spark):
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.quality.profile import (
         equal_width_histogram,

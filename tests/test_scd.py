@@ -82,6 +82,42 @@ def test_scd2_apply_closes_and_opens(spark):
     assert again.count() == out.count()
 
 
+def test_scd2_apply_reopens_fully_closed_key(spark):
+    """A key whose history is all closed (hard-delete) must not swallow an
+    update: a new open version appends, continuing the version sequence."""
+    dim = spark.createDataFrame(
+        [(1, "open", "basic", d("2024-01-01"), d("2024-03-01"), 1),
+         (1, "closed", "basic", d("2024-03-01"), d("2024-04-01"), 2)],
+        "k long, status string, tier string, valid_from date, "
+        "valid_to date, version int",
+    )
+    updates = spark.createDataFrame(
+        [(1, d("2024-05-01"), "open", "gold")], CHANGELOG_SCHEMA)
+    out = scd2_apply(dim, updates, ["k"], ["status", "tier"], "ts")
+    rows = sorted(
+        ((r["k"], r["version"], r["status"], r["tier"],
+          str(r["valid_from"]), str(r["valid_to"]))
+         for r in out.collect())
+    )
+    assert rows == [
+        (1, 1, "open", "basic", "2024-01-01", "2024-03-01"),
+        (1, 2, "closed", "basic", "2024-03-01", "2024-04-01"),
+        (1, 3, "open", "gold", "2024-05-01", "None"),   # re-opened, v3
+    ]
+
+
+def test_scd2_from_changelog_null_order_col_mid_stream(spark):
+    """A NULL in order_cols[0] mid-stream must not fabricate an island for
+    the row sorted after it (first-row detection is positional)."""
+    df = spark.createDataFrame([
+        (1, None, "open", "basic"),            # sorts first (NULLS FIRST)
+        (1, d("2024-01-02"), "open", "basic"),  # unchanged: same island
+        (1, d("2024-01-03"), "open", "gold"),   # real change: v2
+    ], CHANGELOG_SCHEMA)
+    out = scd2_from_changelog(df, ["k"], ["ts"], ["status", "tier"])
+    assert sorted(r["version"] for r in out.collect()) == [1, 2]
+
+
 def test_scd2_apply_matches_full_rebuild(spark):
     """Incremental apply == rebuilding from the concatenated changelog."""
     log1 = [(k, d("2024-01-01"), "open", "basic") for k in range(10)]
