@@ -577,6 +577,38 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats_batch(_t(spark, sf_dir, "events"), 30.0)
 
 
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """Streaming events source robust to the testdata's parquet physical
+    type: the driver has shipped events.ts both as timestamp[ns] (read as
+    raw int64 under nanosAsLong + integer DIV 1000 to micros) and as
+    timestamp[us] (Spark 4 reads it natively as TIMESTAMP_NTZ).  Callers
+    get a stream with ``ts`` normalized to a session-zone TIMESTAMP (the
+    queries pin the session zone to UTC first)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(
+        os.path.join(sf_dir, "events.parquet")
+    ).field("ts").type
+    if getattr(t, "unit", None) == "ns":
+        schema = ("event_id long, ts long, user_id long, event_type string, "
+                  "value double, props string")
+        ts_expr = F.timestamp_micros(F.expr("ts DIV 1000"))
+    else:
+        schema = ("event_id long, ts timestamp_ntz, user_id long, "
+                  "event_type string, value double, props string")
+        ts_expr = F.col("ts").cast("timestamp")
+    return (
+        spark.readStream.schema(schema)
+        # the file stream source requires a directory: point it at the
+        # sf dir and glob down to the single events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", ts_expr)
+    )
+
+
 def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (``applyInPandasWithState``,
     streaming/stateful.py): runs the cross-batch sessionizer over the events
@@ -603,21 +635,7 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     sink = "stateful_sessions_" + uuid.uuid4().hex[:8]
     try:
-        stream = (
-            spark.readStream.schema(
-                "event_id long, ts long, user_id long, event_type string, "
-                "value double, props string"
-            )
-            # the file stream source requires a directory: point it at the
-            # sf dir and glob down to the single events file
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .select(
-                F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
-                "user_id",
-                "value",
-            )
-        )
+        stream = _events_stream(spark, sf_dir).select("ts", "user_id", "value")
         q = (
             sessionize_stateful(stream, 30.0)
             .writeStream.format("memory")
@@ -719,7 +737,12 @@ def q_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "value",
         F.col("ts_asof").alias("last_error_ts"),
         F.col("value_asof").alias("last_error_value"),
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_asof"))).alias(
+        # cast("timestamp") first: the driver's testdata stores ts as
+        # parquet timestamp[us] (no tz), which Spark 4 reads as
+        # TIMESTAMP_NTZ and unix_micros rejects; the offset cancels in the
+        # difference.
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("ts_asof").cast("timestamp"))).alias(
             "micros_since_error"
         ),
     )
@@ -1954,20 +1977,10 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     sink = "stream_dedup_" + uuid.uuid4().hex[:8]
     try:
-        stream = (
-            spark.readStream.schema(
-                "event_id long, ts long, user_id long, event_type string, "
-                "value double, props string"
-            )
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .select(
-                "user_id",
-                "event_type",
-                F.date_trunc(
-                    "minute", F.timestamp_micros(F.expr("ts DIV 1000"))
-                ).alias("ts_min"),
-            )
+        stream = _events_stream(spark, sf_dir).select(
+            "user_id",
+            "event_type",
+            F.date_trunc("minute", F.col("ts")).alias("ts_min"),
         )
         q = (
             dedup_keys_stream(

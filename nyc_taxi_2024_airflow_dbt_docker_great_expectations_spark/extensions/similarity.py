@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..execution import materialize_once
+
 
 def _to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -90,25 +92,95 @@ def cosine_arrow(a: Column, b: Column) -> Column:
     return _cos(a, b)
 
 
-def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
-                id_col: str = "vec_id", vec_col: str = "embedding",
-                query_id_col: str = "query_id") -> DataFrame:
-    """Exact top-k neighbors per query vector by cosine similarity.
+def _fold_dot_norms(ma: np.ndarray) -> np.ndarray:
+    """Per-row norms of ``ma`` with the left-fold accumulation order of
+    ``F.aggregate`` (sequential across dims) — bit-identical to the HOF
+    ``norm`` and to ``cosine_arrow``'s internal accumulation."""
+    na = np.zeros(len(ma))
+    for kd in range(ma.shape[1]):
+        na += ma[:, kd] * ma[:, kd]
+    return np.sqrt(na)
 
-    ``queries``: (query_id, embedding).  Broadcast-joined against the corpus;
-    ties broken by corpus id for total determinism; self-matches excluded
-    when ids collide.
+
+def _fold_scores(ma: np.ndarray, sna: np.ndarray, qv: np.ndarray) -> np.ndarray:
+    """Deterministic cosine of every row of ``ma`` against one query vector,
+    replaying ``cosine_arrow``'s exact accumulation order: one multiply-add
+    per dimension in index order (vectorized across rows), then
+    ``dot / (sqrt(na) * sqrt(nb))``.  Bit-identical to scoring each pair
+    with ``cosine_arrow`` because every elementwise operation sees the same
+    operands in the same order (scalar-vs-vector broadcast does not change
+    IEEE results)."""
+    dot_ = np.zeros(len(ma))
+    nb = np.float64(0.0)
+    for kd in range(ma.shape[1]):
+        dot_ += ma[:, kd] * qv[kd]
+        nb += qv[kd] * qv[kd]
+    return dot_ / (sna * np.sqrt(nb))
+
+
+def _grouped_topk_scores(corpus_pairs: DataFrame, query_pairs: DataFrame,
+                         k: int | None, exclude_self: bool,
+                         id_type: str, qid_type: str) -> DataFrame:
+    """ONE Arrow-batched scorer per candidate group (the round-2 fix for the
+    per-pair ``cosine_arrow`` stages that dominated ANN wall-clock).
+
+    ``corpus_pairs``: (__g, __id, __vec); ``query_pairs``: (__g, __qid,
+    __qvec).  The two sides cogroup on ``__g`` — each task receives one
+    candidate group (an LSH bucket, an IVF list, or a hash block of the
+    brute-force scan) plus the queries probing it, stacks the group ONCE
+    into a matrix, and scores every (row, query) pair with the
+    deterministic left-fold cosine.  Each corpus vector crosses the Arrow
+    boundary exactly once per group instead of once per (pair, stage), and
+    only the group-local top-k per query survives, so the downstream global
+    window sees O(groups x queries x k) rows.
+
+    Determinism: scores are bit-identical to ``cosine_arrow`` (see
+    ``_fold_scores``); group-local top-k orders by (-sim, id) — the same
+    total order as the final ranking window — so the global top-k is a
+    subset of the union of group-local top-ks and the result is a pure
+    function of the data.
     """
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
-        )
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "__qid": pd.array([], dtype="int64"),
+            "__id": pd.array([], dtype="int64"),
+            "__sim": pd.array([], dtype="float64"),
+        })
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        ids = left["__id"].to_numpy()
+        ma = np.stack(left["__vec"].to_numpy()).astype(np.float64)
+        sna = _fold_dot_norms(ma)
+        frames = []
+        for qid, qvec in zip(right["__qid"].to_numpy(),
+                             right["__qvec"].to_numpy()):
+            sims = _fold_scores(ma, sna, np.asarray(qvec, dtype=np.float64))
+            if exclude_self:
+                keep = ids != qid
+                sid, ssim = ids[keep], sims[keep]
+            else:
+                sid, ssim = ids, sims
+            if len(sid) == 0:
+                continue
+            order = np.lexsort((sid, -ssim))
+            if k is not None:
+                order = order[:k]
+            frames.append(pd.DataFrame({
+                "__qid": np.full(len(order), qid),
+                "__id": sid[order],
+                "__sim": ssim[order],
+            }))
+        return pd.concat(frames) if frames else empty
+
+    return (
+        corpus_pairs.groupBy("__g")
+        .cogroup(query_pairs.groupBy("__g"))
+        .applyInPandas(score, f"__qid {qid_type}, __id {id_type}, __sim double")
     )
-    scored = corpus.crossJoin(q).filter(F.col(id_col) != F.col("__qid")).select(
-        F.col("__qid").alias(query_id_col),
-        F.col(id_col),
-        cosine_arrow(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"),
-    )
+
+
+def _final_topk(scored: DataFrame, k: int, id_col: str,
+                query_id_col: str) -> DataFrame:
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
     )
@@ -117,6 +189,45 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine_sim", "rank")
     )
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str = "query_id", n_blocks: int = 8) -> DataFrame:
+    """Exact top-k neighbors per query vector by cosine similarity.
+
+    ``queries``: (query_id, embedding), small by construction.  The corpus
+    is hash-blocked (``xxhash64(id) mod n_blocks``), queries replicate to
+    every block in-plan (explode — no driver collect), and ONE cogrouped
+    ``applyInPandas`` scores each block against all queries with the
+    deterministic left-fold cosine, keeping the block-local top-k.  The
+    final window ranks ``n_blocks * k`` rows per query.  Ties break by
+    corpus id; self-matches excluded when ids collide.
+
+    Scale shape: one 1x-data hash exchange of the corpus + one Arrow
+    crossing per corpus row (the round-1 crossJoin form pushed every
+    (row x query) pair through Arrow separately); per-task memory is one
+    block's matrix; n_blocks ~ cluster task count at scale.
+    """
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    cp = corpus.select(
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_blocks))
+        .cast("int").alias("__g"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+    )
+    qp = queries.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__g"),
+        F.col(query_id_col).alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+    )
+    scored = _grouped_topk_scores(cp, qp, k, True, id_t, qid_t).select(
+        F.col("__qid").alias(query_id_col),
+        F.col("__id").alias(id_col),
+        F.col("__sim").alias("cosine_sim"),
+    )
+    return _final_topk(scored, k, id_col, query_id_col)
 
 
 def neardup_pairs(corpus: DataFrame, threshold: float,
@@ -134,10 +245,13 @@ def neardup_pairs(corpus: DataFrame, threshold: float,
        whose true cosine is within 1e-6 of the threshold is always emitted
        as a candidate and decided by phase 2.  No driver collect, no
        whole-corpus broadcast — per-task memory is one block pair.
-    2. **Exact verification**: candidates join their vectors and recompute
-       cosine with the deterministic left-fold order (Arrow-batched
-       ``cosine_arrow``, bit-identical to the HOF ``cosine`` expression) —
-       oracle-checkable.
+    2. **Exact verification**: IN THE SAME TASK, each grid cell re-scores
+       its own candidates with the deterministic left-fold order (the
+       per-dim accumulation of ``cosine_arrow``) — bit-identical to the HOF
+       ``cosine`` expression, so oracle-checkable.  Fusing verify into the
+       cell removes the round-2 shape (two joins back to the vectors + a
+       per-pair pandas_udf stage): the whole operator is one explode, one
+       shuffle, one ``applyInPandas``.
 
     This is ~100x the throughput of evaluating the cosine expression on the
     full half-matrix, and the grid shape is the same at 10k or 10B vectors —
@@ -153,22 +267,17 @@ def neardup_pairs(corpus: DataFrame, threshold: float,
             .filter(F.col("cosine_sim") >= threshold)
         )
 
-    candidates = _blas_candidate_pairs(corpus, threshold - 1e-6, id_col, vec_col)
-    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        candidates.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b",
-                cosine_arrow(F.col("va"), F.col("vb")).alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= threshold)
-    )
+    return _blas_candidate_pairs(
+        corpus, threshold - 1e-6, id_col, vec_col
+    ).filter(F.col("cosine_sim") >= threshold)
 
 
 def _blas_candidate_pairs(corpus: DataFrame, guard_threshold: float,
                           id_col: str, vec_col: str,
                           n_blocks: int = 8) -> DataFrame:
-    """Distributed block-grid GEMM candidate pairs (id_a < id_b).
+    """Distributed block-grid GEMM candidate pairs (id_a < id_b), each with
+    its EXACT deterministic cosine (BLAS finds candidates, the left-fold
+    re-score inside the same task decides them).
 
     Both sides are blocked — NOTHING is collected to the driver:
 
@@ -220,7 +329,8 @@ def _blas_candidate_pairs(corpus: DataFrame, guard_threshold: float,
 
     def gemm(key, pdf):
         empty = pd.DataFrame({"id_a": pd.array([], dtype="int64"),
-                              "id_b": pd.array([], dtype="int64")})
+                              "id_b": pd.array([], dtype="int64"),
+                              "cosine_sim": pd.array([], dtype="float64")})
         i, j = divmod(int(key[0]), b)
         left = pdf[pdf["__left"]]
         right = left if i == j else pdf[~pdf["__left"]]
@@ -228,24 +338,45 @@ def _blas_candidate_pairs(corpus: DataFrame, guard_threshold: float,
             return empty
         ids_l = left["__id"].to_numpy()
         ids_r = right["__id"].to_numpy()
-        ml = np.stack(left["__vec"].to_numpy()).astype(np.float64)
-        ml /= np.maximum(np.linalg.norm(ml, axis=1, keepdims=True), 1e-300)
+        raw_l = np.stack(left["__vec"].to_numpy()).astype(np.float64)
+        ml = raw_l / np.maximum(
+            np.linalg.norm(raw_l, axis=1, keepdims=True), 1e-300
+        )
         if i == j:
-            mr = ml
+            raw_r, mr = raw_l, ml
         else:
-            mr = np.stack(right["__vec"].to_numpy()).astype(np.float64)
-            mr /= np.maximum(np.linalg.norm(mr, axis=1, keepdims=True), 1e-300)
+            raw_r = np.stack(right["__vec"].to_numpy()).astype(np.float64)
+            mr = raw_r / np.maximum(
+                np.linalg.norm(raw_r, axis=1, keepdims=True), 1e-300
+            )
         sims = ml @ mr.T
         ia, ja = np.nonzero(sims >= guard_threshold)
         id_a, id_b = ids_l[ia], ids_r[ja]
         if i == j:
             keep = id_a < id_b
+            ia, ja = ia[keep], ja[keep]
             id_a, id_b = id_a[keep], id_b[keep]
-        else:
+        # exact verify, fused: re-score only the candidates with the
+        # deterministic left-fold accumulation (one multiply-add per dim in
+        # index order — cosine_arrow's order).  dot and the norm product
+        # are commutative, so the min/max orientation below does not change
+        # a single bit of the score.
+        va, vb = raw_l[ia], raw_r[ja]
+        dot_ = np.zeros(len(va))
+        na = np.zeros(len(va))
+        nb = np.zeros(len(va))
+        for kd in range(va.shape[1] if len(va) else 0):
+            dot_ += va[:, kd] * vb[:, kd]
+            na += va[:, kd] * va[:, kd]
+            nb += vb[:, kd] * vb[:, kd]
+        exact = dot_ / (np.sqrt(na) * np.sqrt(nb)) if len(va) else dot_
+        if i != j:
             id_a, id_b = np.minimum(id_a, id_b), np.maximum(id_a, id_b)
-        return pd.DataFrame({"id_a": id_a, "id_b": id_b})
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine_sim": exact})
 
-    return exploded.groupBy("__cell").applyInPandas(gemm, "id_a long, id_b long")
+    return exploded.groupBy("__cell").applyInPandas(
+        gemm, "id_a long, id_b long, cosine_sim double"
+    )
 
 
 def deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
@@ -260,11 +391,10 @@ def deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
-def hyperplane_lsh_buckets(corpus: DataFrame, n_planes: int = 8,
-                           dim: int = 64, id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
-    """(id, bucket) where bucket is the n-bit sign pattern of the vector
-    against the deterministic hyperplanes."""
+def _bucket_col_hof(vec_col: str, n_planes: int, dim: int) -> Column:
+    """Sign-pattern bucket as a pure HOF expression — the oracle-parity
+    REFERENCE form (interpreted per row, slow; kept for the bit-identity
+    test against the Arrow form)."""
     planes = deterministic_planes(n_planes, dim)
     v = _to_double(F.col(vec_col))
     bits = []
@@ -272,7 +402,52 @@ def hyperplane_lsh_buckets(corpus: DataFrame, n_planes: int = 8,
         plane = F.array(*[F.lit(x) for x in planes[p]])
         proj = dot(v, plane)
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return corpus.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+    return F.concat(*bits)
+
+
+def _bucket_col(vec_col: str, n_planes: int, dim: int) -> Column:
+    """The n-bit sign-pattern bucket as a column expression, so callers
+    project it inline instead of joining back a derived (id, bucket) table
+    (a needless self-join of the corpus).
+
+    Arrow-batched, bit-identical to ``_bucket_col_hof``: each plane's
+    projection replays ``dot``'s left fold (one multiply-add per dimension
+    in index order, vectorized across rows), and the sign test sees the
+    same double — the HOF form is a per-row interpreted expression tree of
+    n_planes x dim literals, ~1000x slower per batch.
+    """
+    pl = np.asarray(deterministic_planes(n_planes, dim), dtype=np.float64)
+
+    @pandas_udf("string")
+    def _b(sv: pd.Series) -> pd.Series:
+        n = len(sv)
+        if n == 0:
+            return pd.Series([], dtype="object")
+        mask = sv.notna()
+        out = np.full(n, None, dtype=object)
+        if mask.any():
+            ma = np.stack(sv[mask].to_numpy()).astype(np.float64)
+            bits = None
+            for p in range(pl.shape[0]):
+                proj = np.zeros(len(ma))
+                for d in range(pl.shape[1]):
+                    proj += ma[:, d] * pl[p, d]
+                bit = np.where(proj >= 0, "1", "0")
+                bits = bit if bits is None else np.char.add(bits, bit)
+            out[mask.to_numpy()] = bits.astype(object)
+        return pd.Series(out)
+
+    return _b(F.col(vec_col))
+
+
+def hyperplane_lsh_buckets(corpus: DataFrame, n_planes: int = 8,
+                           dim: int = 64, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """(id, bucket) where bucket is the n-bit sign pattern of the vector
+    against the deterministic hyperplanes."""
+    return corpus.select(
+        F.col(id_col), _bucket_col(vec_col, n_planes, dim).alias("bucket")
+    )
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -281,29 +456,35 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     """ANN top-k: exact cosine ranking restricted to the query's LSH bucket.
     Recall < 1.0 by construction; raise n_planes for smaller buckets or
     multi-probe for higher recall."""
-    cb = hyperplane_lsh_buckets(corpus, n_planes, dim, id_col, vec_col)
-    qb = hyperplane_lsh_buckets(
-        queries, n_planes, dim, query_id_col, vec_col
-    ).withColumnRenamed(query_id_col, "__qid")
-    q = queries.select(
-        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
-    ).join(qb, "__qid")
-    c = corpus.join(cb, id_col)
-    scored = c.join(F.broadcast(q), "bucket").filter(
-        F.col(id_col) != F.col("__qid")
-    ).select(
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    # bucket = candidate group: ONE cogrouped scorer per bucket (each corpus
+    # vector crosses Arrow once), not one pandas_udf evaluation per pair.
+    # The bucket projects INLINE on each side (no (id, bucket) self-join).
+    # The bucket is the natural LSH shuffle key — same geometry as the
+    # MinHash band join in dedup.py; hot buckets mean the planes are too
+    # few, the fix is n_planes, not the join shape.
+    qp = queries.select(
+        _bucket_col(vec_col, n_planes, dim).alias("__g"),
+        F.col(query_id_col).alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+    )
+    # prune the corpus to the buckets some query actually probes BEFORE the
+    # shuffle (broadcast semi-join on the tiny probed-bucket set): corpus
+    # rows in unprobed buckets can never contribute, and at scale this is
+    # the difference between shuffling the whole corpus and shuffling
+    # n_query_buckets / 2^n_planes of it.
+    cp = corpus.select(
+        _bucket_col(vec_col, n_planes, dim).alias("__g"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+    ).join(F.broadcast(qp.select("__g").distinct()), "__g", "left_semi")
+    scored = _grouped_topk_scores(cp, qp, k, True, id_t, qid_t).select(
         F.col("__qid").alias(query_id_col),
-        F.col(id_col),
-        cosine_arrow(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"),
+        F.col("__id").alias(id_col),
+        F.col("__sim").alias("cosine_sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine_sim", "rank")
-    )
+    return _final_topk(scored, k, id_col, query_id_col)
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -320,73 +501,113 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     Lloyd-iterate centroids on a sample first; every downstream step —
     assignment, probing, re-scoring — is unchanged.)
 
-    Scale shape: centroid set is broadcast (tiny); assignment is one
-    map-side ``max_by`` aggregate over a broadcast nested-loop score (the
-    same O(n x n_lists) a BLAS matmul does, no shuffle of the corpus);
-    the probe join hash-partitions candidates by list id, so the exact
-    re-score touches only ``n_probe / n_lists`` of the corpus per query.
+    Scale shape: the centroid set is tiny and replicates in-plan; every
+    stage (assignment, probe selection, exact re-score) is ONE cogrouped
+    Arrow scorer over its candidate group (hash block / single group /
+    inverted list), so each corpus vector crosses the Arrow boundary once
+    per stage — never once per (pair, stage).  The re-score touches only
+    ``n_probe / n_lists`` of the corpus per query, hash-partitioned by
+    list id.
     """
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    n_blocks = 8
+
     # deterministic centroid draw; orderBy+limit plans as a distributed
     # TakeOrderedAndProject (never a single-partition global window)
-    cents = F.broadcast(
+    cents = (
         corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_lists)
         .select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec"))
     )
 
-    # inverted-list assignment: nearest centroid per vector via max_by on
-    # (sim, -cid) — partial aggregation, ties broken to the smallest cid
+    # inverted-list assignment: nearest centroid per vector, ties to the
+    # smallest cid.  ONE cogrouped scorer per corpus hash block (centroids
+    # replicate to every block in-plan) — each corpus vector crosses Arrow
+    # once, vs once per centroid in the round-2 crossJoin + max_by form.
+    blocks = corpus.select(
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_blocks))
+        .cast("int").alias("__g"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+    )
+    crep = cents.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__g"),
+        "__cid", "__cvec",
+    )
+
+    def assign_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"__id": pd.array([], dtype="int64"),
+                              "__list": pd.array([], dtype="int64")})
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        ids = left["__id"].to_numpy()
+        ma = np.stack(left["__vec"].to_numpy()).astype(np.float64)
+        sna = _fold_dot_norms(ma)
+        # iterate centroids in ascending cid with a strict > update: the
+        # winner is the max-sim centroid, ties to the smallest cid — the
+        # exact max_by((sim, -cid)) order of the round-2 form, decided on
+        # bit-identical scores.
+        order = np.argsort(right["__cid"].to_numpy(), kind="stable")
+        best_sim = np.full(len(ma), -np.inf)
+        best_cid = np.zeros(len(ma), dtype=np.int64)
+        for idx in order:
+            cid = right["__cid"].iloc[idx]
+            sims = _fold_scores(
+                ma, sna, np.asarray(right["__cvec"].iloc[idx], dtype=np.float64)
+            )
+            upd = sims > best_sim
+            best_sim[upd] = sims[upd]
+            best_cid[upd] = cid
+        return pd.DataFrame({"__id": ids, "__list": best_cid})
+
     assign = (
-        corpus.crossJoin(cents)
-        .select(
-            F.col(id_col),
-            F.col("__cid"),
-            cosine_arrow(F.col(vec_col), F.col("__cvec")).alias("__sim"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.max_by(
-                "__cid", F.struct(F.col("__sim"), (-F.col("__cid")).alias("__t"))
-            ).alias("__list")
-        )
+        blocks.groupBy("__g")
+        .cogroup(crep.groupBy("__g"))
+        .applyInPandas(assign_fn, f"__id {id_t}, __list {id_t}")
+        .withColumnRenamed("__id", id_col)
     )
 
     qs = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
     )
-    wp = Window.partitionBy("__qid").orderBy(
-        F.col("__sim").desc(), F.col("__cid").asc()
-    )
-    probes = (
-        qs.crossJoin(cents)
-        .select(
-            "__qid", "__cid",
-            cosine_arrow(F.col("__qvec"), F.col("__cvec")).alias("__sim"),
-        )
-        .withColumn("__rn", F.row_number().over(wp))
-        .filter(F.col("__rn") <= n_probe)
-        .select("__qid", F.col("__cid").alias("__list"))
+    # probe selection: top-n_probe centroids per query — one tiny group
+    # (n_queries x n_lists pairs) through the same grouped scorer; no
+    # self-exclusion (a query id colliding with a centroid id is a valid
+    # probe), ordering (sim desc, cid asc) as before.
+    # materialized once: probes feeds BOTH the semi-join prune and the
+    # query-replication join below, and its lineage (centroid draw + a
+    # Python stage) would otherwise run twice.  O(n_query x n_probe) rows.
+    probes = materialize_once(
+        _grouped_topk_scores(
+            cents.select(F.lit(0).alias("__g"), F.col("__cid").alias("__id"),
+                         F.col("__cvec").alias("__vec")),
+            qs.select(F.lit(0).alias("__g"), "__qid", "__qvec"),
+            n_probe, False, id_t, qid_t,
+        ).select("__qid", F.col("__id").alias("__list"))
     )
 
-    scored = (
-        corpus.join(assign, id_col)
-        .join(F.broadcast(probes), "__list")
-        .join(F.broadcast(qs), "__qid")
-        .filter(F.col(id_col) != F.col("__qid"))
-        .select(
-            F.col("__qid").alias(query_id_col),
-            F.col(id_col),
-            cosine_arrow(F.col(vec_col), F.col("__qvec")).alias("cosine_sim"),
-        )
+    # exact re-score: candidate group = inverted list; each probed list
+    # cogroups with the queries probing it, scored in one pass.  Unprobed
+    # lists are pruned before the shuffle (broadcast semi-join against the
+    # tiny probed-list set) — the IVF speedup IS this pruning.
+    cp = corpus.join(assign, id_col).select(
+        F.col("__list").alias("__g"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+    ).join(
+        F.broadcast(probes.select(F.col("__list").alias("__g")).distinct()),
+        "__g", "left_semi",
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    qp = probes.join(qs, "__qid").select(
+        F.col("__list").alias("__g"), "__qid", "__qvec"
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine_sim", "rank")
+    scored = _grouped_topk_scores(cp, qp, k, True, id_t, qid_t).select(
+        F.col("__qid").alias(query_id_col),
+        F.col("__id").alias(id_col),
+        F.col("__sim").alias("cosine_sim"),
     )
+    return _final_topk(scored, k, id_col, query_id_col)
 
 
 def quantize_int8(corpus: DataFrame, id_col: str = "vec_id",

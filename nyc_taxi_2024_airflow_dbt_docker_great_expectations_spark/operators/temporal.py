@@ -20,7 +20,16 @@ join), so they are value-checked per-round, not rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _epoch_us(c: Column) -> Column:
+    """Epoch microseconds for TIMESTAMP *and* TIMESTAMP_NTZ inputs
+    (``unix_micros`` alone rejects NTZ, which is what Spark 4 infers for
+    parquet timestamp[us] without timezone).  The NTZ->LTZ cast interprets
+    in the session zone; every use here is a difference or a bucket key, so
+    the absolute offset cancels."""
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def asof_join(left: DataFrame, right: DataFrame, key: str = "user_id",
@@ -89,7 +98,7 @@ def interval_count_join(intervals: DataFrame, events: DataFrame,
         bucket_width_s = int(
             intervals.select(
                 F.max(
-                    F.unix_micros(F.col(end_col)) - F.unix_micros(F.col(start_col))
+                    _epoch_us(F.col(end_col)) - _epoch_us(F.col(start_col))
                 ).alias("m")
             ).first()["m"] // 1_000_000
         ) or 1
@@ -102,15 +111,15 @@ def interval_count_join(intervals: DataFrame, events: DataFrame,
         interval_id, key, start_col, end_col,
         F.explode(
             F.sequence(
-                bucket(F.unix_micros(F.col(start_col))),
+                bucket(_epoch_us(F.col(start_col))),
                 # end is exclusive: the bucket of the last contained microsecond
-                bucket(F.unix_micros(F.col(end_col)) - 1),
+                bucket(_epoch_us(F.col(end_col)) - 1),
             )
         ).alias("__bucket"),
     )
     ev = events.select(
         F.col(key), F.col(ts_col),
-        bucket(F.unix_micros(F.col(ts_col))).alias("__bucket"),
+        bucket(_epoch_us(F.col(ts_col))).alias("__bucket"),
     )
     matched = (
         iv.join(ev, [key, "__bucket"])

@@ -48,15 +48,16 @@ def test_dim_and_merge_joins_are_broadcast(plans):
         assert "SortMergeJoin" not in plans[name]
 
 
-def test_no_nested_loop_outside_bruteforce_baseline(plans):
-    """BroadcastNestedLoopJoin is allowed ONLY in the documented brute-force
-    cosine baseline (embedding_topk); anywhere else it means an inequality
-    join failed to compile to the union+window / bucketized form."""
-    assert "BroadcastNestedLoopJoin" in plans["embedding_topk"]  # by design
+def test_no_nested_loop_anywhere(plans):
+    """No BroadcastNestedLoopJoin or CartesianProduct in any headline plan.
+    Round 3 removed the last sanctioned BNLJ: the brute-force cosine
+    baseline (embedding_topk) now scores via a cogrouped Arrow stage
+    (FlatMapCoGroupsInPandas), not a crossJoin."""
+    assert "FlatMapCoGroupsInPandas" in plans["embedding_topk"]
     for name in ("silver_clean", "decode_join", "merge_upsert",
                  "monthly_summary", "asof_last_error", "range_join_incidents",
                  "top_revenue_orders", "inactive_customers",
-                 "urgent_customers", "salted_skew_join"):
+                 "urgent_customers", "salted_skew_join", "embedding_topk"):
         assert "BroadcastNestedLoopJoin" not in plans[name], name
         assert "CartesianProduct" not in plans[name], name
 
