@@ -14,11 +14,16 @@ sum instead:
    boundaries come from sampling and would otherwise differ between jobs);
 2. aggregate one ``(partition, sum)`` row per partition — the collected
    "totals" are metadata-sized (one row per partition, never per data row);
-3. broadcast-join the per-partition exclusive offsets back and add a
-   partition-LOCAL cumulative window (every partition works in parallel).
+3. add each partition's exclusive offset + the partition-LOCAL running sum
+   in a single ``mapInPandas`` pass (rows are already sorted within the
+   partition; every partition works in parallel, no further exchange).
 
-The result is a global exclusive prefix sum with two scans of the data,
-all-parallel windows, and a driver footprint of O(partitions).
+The result is a global exclusive prefix sum with two scans of the data and
+a driver footprint of O(partitions).  Phase 3 is deliberately NOT a
+``Window.partitionBy(spark_partition_id())``: the range layout satisfies
+that distribution physically, but ``spark_partition_id`` is opaque to
+Catalyst, which would insert a second (redundant) 1x-data hash exchange to
+prove it.  ``mapInPandas`` is narrow — the data moves once.
 
 Built on top of it:
 
@@ -43,7 +48,8 @@ rounds; ``div`` stays in 64-bit integers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from ..execution import materialize_once
 from .text import token_count
@@ -57,13 +63,12 @@ def _with_prefix_sum(df: DataFrame, order_col: str, val_col: str,
     ``order_col`` must be unique (it totally orders the rows).  Returns the
     input columns plus ``out_col``.
 
-    Plan shape: the local window requires ``hashpartitioning(__pid)``; the
-    range layout already satisfies that distribution *physically* (each
-    partition holds exactly one ``__pid``), but ``spark_partition_id`` is
-    opaque to Catalyst, so one extra 1x-data hash exchange appears.  The
-    load-bearing property — asserted in tests/test_plans.py — is that the
-    window is keyed (parallel), never an empty-partitionBy global window,
-    which would serialize the corpus through one task.
+    Plan shape (asserted in tests/test_plans.py): the data crosses exactly
+    ONE exchange — the range partitioning, which lives inside the
+    materialized phase-1 job.  The final plan is a narrow
+    scan -> MapInPandas chain: no Window, no second exchange.  Arrow
+    batches arrive in partition row order, so the per-partition running
+    sum is a sequential fold over the batches.
     """
     ranged = materialize_once(
         df.repartitionByRange(F.col(order_col))
@@ -77,22 +82,34 @@ def _with_prefix_sum(df: DataFrame, order_col: str, val_col: str,
         .agg(F.sum(val_col).alias("total"))
         .collect()
     }
-    running, offsets = 0, []
+    running, offsets = 0, {}
     for pid in sorted(totals):
-        offsets.append((pid, running))
+        offsets[pid] = running
         running += totals[pid] or 0
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, "__pid int, __part_offset long")
-    w = Window.partitionBy("__pid").orderBy(order_col)
-    return (
-        ranged.join(F.broadcast(off_df), "__pid")
-        .withColumn(
-            out_col,
-            (F.col("__part_offset")
-             + F.sum(val_col).over(w) - F.col(val_col)).cast("long"),
-        )
-        .drop("__pid", "__part_offset")
+
+    out_schema = StructType(
+        ranged.drop("__pid").schema.fields
+        + [StructField(out_col, LongType(), False)]
     )
+
+    def add_offsets(iterator):
+        import numpy as np
+
+        base = None
+        local = 0
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            if base is None:  # one partition == one __pid by construction
+                base = offsets.get(int(pdf["__pid"].iloc[0]), 0)
+            vals = pdf[val_col].to_numpy(dtype="int64")
+            cum = np.cumsum(vals)
+            out = pdf.drop(columns=["__pid"])
+            out[out_col] = base + local + cum - vals
+            local += int(cum[-1])
+            yield out
+
+    return ranged.mapInPandas(add_offsets, out_schema)
 
 
 def pack_sequences(df: DataFrame, text_col: str = "text",
@@ -117,11 +134,15 @@ def pack_sequences(df: DataFrame, text_col: str = "text",
         F.col(id_col), token_count(text_col).cast("long").alias("n_tokens")
     ).filter(F.col("n_tokens") > 0)
     spanned = _with_prefix_sum(base, id_col, "n_tokens", out_col="start")
-    b = F.lit(int(budget)).cast("long")
+    # one shared constant for both forms: `div` (64-bit integer division —
+    # float floor(x/b) silently rounds above 2^53) has no Column-API
+    # operator, hence the F.expr spelling for the span bounds
+    bi = int(budget)
+    b = F.lit(bi).cast("long")
     end = F.col("start") + F.col("n_tokens")
     seq = F.explode(
-        F.sequence(F.expr(f"start div {int(budget)}"),
-                   F.expr(f"(start + n_tokens - 1) div {int(budget)}"))
+        F.sequence(F.expr(f"start div {bi}"),
+                   F.expr(f"(start + n_tokens - 1) div {bi}"))
     ).alias("seq_id")
     seg_start = F.greatest(F.col("start"), F.col("seq_id") * b)
     seg_end = F.least(end, (F.col("seq_id") + 1) * b)

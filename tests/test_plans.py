@@ -97,14 +97,16 @@ def test_new_joins_stay_hash_based(spark):
     assert tri.count("BroadcastNestedLoopJoin") <= 2
 
 
-def test_prefix_sum_window_is_keyed_not_global(spark):
-    """The distributed prefix sum behind sequence_pack/corpus_shuffle must
-    window per range-partition, NEVER as an empty-partitionBy global window
-    (whose Exchange SinglePartition serializes the corpus through one
-    task).  Guards the core scale property of extensions/packing.py."""
+def test_prefix_sum_is_narrow_single_exchange(spark):
+    """The distributed prefix sum behind sequence_pack/corpus_shuffle moves
+    the data through exactly ONE exchange (the range partitioning, inside
+    the materialized phase-1 job); the final plan is a narrow
+    scan -> MapInPandas chain — no Window at all, and in particular never
+    an empty-partitionBy global window (whose Exchange SinglePartition
+    serializes the corpus through one task).  Guards the core scale
+    property of extensions/packing.py."""
     for name in ("sequence_pack", "corpus_shuffle"):
         plan = _plan(entry.queries()[name](spark, SF))
-        assert "Window" in plan, name
-        # the window's required distribution is the partition id key
-        assert "hashpartitioning(__pid" in plan, name
-        assert "Exchange SinglePartition" not in plan, name
+        assert "MapInPandas" in plan, name
+        assert "Window" not in plan, name
+        assert "Exchange" not in plan, name  # data moved in phase 1 only
