@@ -6,24 +6,34 @@ the minimum doc-id reachable through the near-dup relation, which becomes the
 cluster's canonical representative.  Survivors of cluster dedup are the rows
 where ``component == id``.
 
-Algorithm: alternating min-label propagation to a fixed point — each
-iteration joins the current labels across edges and keeps the elementwise
-minimum.  The iteration count is bounded by the graph diameter (near-dup
-clusters are tiny cliques, so 2-4 rounds in practice); each round is one
-shuffle join + aggregate.  This is the simplified form of the
-"large-star / small-star" map-reduce connected-components algorithm — the
-shape that scales to billions of edges because state is only (node, label)
-pairs, never adjacency lists on the driver.
+Algorithm: alternating **star contraction** (large-star / small-star,
+Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14).
+Each round rewires edges toward neighborhood minima:
 
-The driver-side part is ONLY the convergence check (a count of changed
-labels), never the data.
+- *large-star*: every node attaches its strictly-larger neighbors to the
+  minimum of its neighborhood (including itself);
+- *small-star*: edges orient high->low and every node attaches all its
+  (smaller) neighbors and itself to the neighborhood minimum.
+
+Both steps preserve connectivity and only ever DECREASE parent pointers;
+the edge set converges to a forest of min-rooted stars in O(log n) rounds
+— unlike plain min-label propagation, whose round count is the graph
+DIAMETER (a pathological near-dup chain of length 10^4 would need 10^4
+shuffles; star contraction needs ~14).  Each step is one aggregate + one
+equi-join on node ids; state is only edge pairs, never adjacency lists on
+the driver.
+
+Convergence is detected EXACTLY, not by signature: a star forest is
+chain-free, so the round loop stops when the child->parent->grandparent
+join is empty (an O(1)-result count on the shrinking edge set).  The
+driver sees only that scalar, never the data.
 """
 
 from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..execution import materialize_once
 
@@ -33,80 +43,130 @@ class ConvergenceWarning(UserWarning):
     ``max_iter`` before reaching its fixed point — labels may be wrong."""
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Attach each node's strictly-larger neighbors to its neighborhood
+    minimum (min over N(u) and u itself).
+
+    The neighborhood minimum comes from a whole-partition window (ONE hash
+    exchange on the node id), not a groupBy + join back (two).  No output
+    distinct: duplicates collapse in small-star's window and the final
+    distinct, and the duplicate mass is bounded by the input's.
+    """
+    sym = e.select("u", "v").unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    w = Window.partitionBy("u")
+    m = F.least(F.min("v").over(w), F.col("u"))
+    # m <= u < v, so the emitted (v, m) is never a self-loop
+    return (
+        sym.withColumn("m", m)
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges high->low, then attach each node and all its (smaller)
+    neighbors to the neighborhood minimum.  Same single-exchange window
+    shape as large-star; the one distinct here bounds the edge set."""
+    o = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    x = o.withColumn("m", F.min("v").over(Window.partitionBy("u")))  # m < u
+    rewired = x.select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    ).unionByName(x.select("u", F.col("m").alias("v")))
+    return rewired.filter(F.col("u") != F.col("v")).distinct()
+
+
 def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
                          max_iter: int = 20, strict: bool = False) -> DataFrame:
     """(node, component) where component = min node id reachable.
 
     ``edges`` is undirected input (each pair listed once, either direction).
 
-    Min-label propagation needs up to graph-diameter rounds; near-dup
-    clusters are tiny cliques (2-4 rounds), but a path-shaped graph of
-    length > ``max_iter`` would exit NON-converged.  That case warns with
-    :class:`ConvergenceWarning` (or raises when ``strict=True``) instead of
-    silently returning partial labels; callers with long-chain graphs should
-    raise ``max_iter`` (rounds needed ~ diameter; each round is one
-    join+aggregate shuffle).
+    Alternating star contraction (see module docstring) converges in
+    O(log n) rounds for ANY graph shape — chains included — so
+    ``max_iter=20`` covers graphs up to ~2^20 nodes per component.  The
+    non-convergence guard (warn, or raise when ``strict=True``) is kept as
+    a belt-and-braces check; each round is two aggregate+join passes over
+    an edge set that only shrinks.
     """
     # materialize the edge list ONCE: it is typically the output of an
-    # expensive similarity join, and every propagation round references it —
-    # without the checkpoint each iteration would re-execute that join
-    edges = materialize_once(
-        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    # expensive similarity join, and the rounds below reference it
+    # repeatedly — without the checkpoint each action re-executes that join
+    # checkpoint the raw edges BEFORE deriving anything: both the node set
+    # and the contraction rounds read from it, and without the checkpoint
+    # each would re-execute the (typically expensive) upstream similarity
+    # join per action
+    e_all = materialize_once(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     )
+    # nodes from the UNFILTERED input: a node appearing only in self-loops
+    # still labels itself
     nodes = (
-        edges.select(F.col("__s").alias("node"))
-        .unionByName(edges.select(F.col("__d").alias("node")))
+        e_all.select(F.col("u").alias("node"))
+        .unionByName(e_all.select(F.col("v").alias("node")))
         .distinct()
     )
-    # symmetric edge list (both directions) so one join step propagates
-    # labels across every adjacency
-    sym = (
-        edges.select(F.col("__s").alias("u"), F.col("__d").alias("v"))
-        .unionByName(edges.select(F.col("__d").alias("u"), F.col("__s").alias("v")))
-        .distinct()
-    )
-    labels = nodes.select("node", F.col("node").alias("component"))
+    e = e_all.filter(F.col("u") != F.col("v"))
 
-    def _label_sum(df: DataFrame) -> int:
-        # labels only ever DECREASE under min-propagation, so the label sum
-        # strictly decreases until the fixed point: an O(1)-result aggregate
-        # replaces a per-iteration join as the convergence check.  decimal
-        # accumulator: a billion-node graph overflows a bigint sum.
-        return df.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
+    def _non_star_count(df: DataFrame) -> int:
+        # EXACT fixpoint test: the edge set is a valid min-rooted star
+        # forest iff every (u, v) points downward (v < u), no child has
+        # two parents, and no parent is itself a child.  All three fold
+        # into one aggregate whose result is a scalar — the data is never
+        # collected.  (Downward + single-parent + chain-free => disjoint
+        # stars whose root is the component minimum, and connectivity is
+        # preserved by every contraction round, so stopping here is exact.)
+        parents = df.select(F.col("u").alias("__p")).distinct()
+        per_child = (
+            df.join(parents, df["v"] == parents["__p"], "left")
+            .groupBy("u")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.sum(F.when(F.col("v") > F.col("u"), 1).otherwise(0))
+                .alias("__up"),
+                F.sum(F.when(F.col("__p").isNotNull(), 1).otherwise(0))
+                .alias("__chain"),
+            )
+        )
+        row = per_child.agg(
+            F.sum(
+                F.when(F.col("__n") > 1, 1).otherwise(0)
+                + F.col("__up") + F.col("__chain")
+            ).alias("bad")
+        ).first()
+        return int(row["bad"] or 0)
 
-    prev_sum = _label_sum(labels)
     converged = False
     for _ in range(max_iter):
-        # label(u) candidate via each neighbor v's current label
-        propagated = (
-            sym.join(labels.withColumnRenamed("node", "v"), "v")
-            .select(F.col("u").alias("node"), "component")
-        )
-        new_labels = (
-            labels.unionByName(propagated)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-        )
+        # contract FIRST, then test: almost every input needs at least one
+        # round, so checking up front wastes a job; contraction is
+        # idempotent on an already-converged star forest.
         # materialization truncates the growing lineage (iterative plans
         # otherwise re-execute all prior rounds every action)
-        labels = materialize_once(new_labels)
-        new_sum = _label_sum(labels)
-        if new_sum == prev_sum:
+        e = materialize_once(_small_star(_large_star(e)))
+        if _non_star_count(e) == 0:
             converged = True
             break
-        prev_sum = new_sum
-    if not converged:
+    if not converged and _non_star_count(e) > 0:
         msg = (
             f"connected_components exhausted max_iter={max_iter} without "
-            "reaching the label fixed point; component labels may be wrong "
-            "for long-chain graphs — raise max_iter"
+            "reaching the star-forest fixed point; component labels may be "
+            "wrong — raise max_iter (rounds needed ~ log2(nodes))"
         )
         if strict:
             raise RuntimeError(msg)
         warnings.warn(msg, ConvergenceWarning, stacklevel=2)
-    return labels
+    children = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return (
+        nodes.join(children, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+    )
 
 
 def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",

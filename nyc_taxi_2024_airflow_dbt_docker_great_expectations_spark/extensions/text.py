@@ -1,9 +1,11 @@
 """Text-analysis operators for training-data pipelines.
 
-All pure built-in column expressions (JVM-side, codegen-friendly): tokenize,
-token stats, quality scoring, language ID, fingerprinting.  No Python UDFs —
-at 100 TB the difference between a codegen'd regexp and a row-at-a-time UDF
-is the whole job budget.
+All built-in column expressions (JVM-side, codegen-friendly): tokenize,
+token stats, quality scoring, language ID, fingerprinting.  No row-at-a-time
+Python UDFs — at 100 TB the difference between a codegen'd regexp and a
+per-row UDF is the whole job budget.  The one Python touchpoint is
+``shingled_arrays``'s Arrow ``mapInPandas`` (narrow, batch-vectorized),
+which replaced a double shuffle of the posting mass.
 
 Determinism: every score is integer-count arithmetic / fixed-order double
 ops, so results are bit-stable and oracle-checkable.
@@ -137,10 +139,52 @@ def shingle_postings(df: DataFrame, text_col: str = "text",
 
 def shingled_arrays(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """(id, shingles array<string>) with set semantics — ``collect_set`` in
-    one partial+final aggregate (single shuffle, map-side dedup)."""
-    raw = shingle_postings(df, text_col, id_col, k, distinct=False)
-    return raw.groupBy(id_col).agg(F.collect_set("shingle").alias("shingles"))
+    """(id, shingles array<string>) with set semantics, as ONE narrow
+    Arrow pass (``mapInPandas``) — no shuffle at all.
+
+    The previous form (posexplode -> per-doc LEAD window -> collect_set)
+    shuffled the full posting mass twice and dominated every ngram-dedup
+    pipeline (~3.5s of a 5s query at sf0.1).  Shingling is per-document
+    string work, so it maps; the Python tokenizer replicates ``tokens()``'s
+    exact Java-``\\s`` semantics (the explicit ``[ \\t\\n\\x0b\\f\\r]``
+    class — Python's ``\\s`` would also split on unicode whitespace, which
+    Java's does not).  Strings only, no floats: the shingle SETS are
+    identical to the expression form; only the in-array order differs
+    (insertion order vs collect_set's arrival order), and every consumer
+    (explode, array_intersect size, MinHash min) is order-insensitive.
+    Documents with fewer than ``k`` tokens yield no row, matching the
+    posting form.
+    """
+    import re
+
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    ws_re = re.compile("[" + re.escape(_WS_CHARS) + "]+")
+    id_field = df.schema[id_col]
+    out_schema = StructType([
+        id_field, StructField("shingles", ArrayType(StringType()), False)
+    ])
+
+    def shingle(iterator):
+        for pdf in iterator:
+            ids, shs = [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                toks = ws_re.split(txt.strip(_WS_CHARS))
+                if len(toks) < k:
+                    continue
+                grams = dict.fromkeys(
+                    " ".join(toks[j:j + k]) for j in range(len(toks) - k + 1)
+                )
+                ids.append(i)
+                shs.append(list(grams))
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids), "shingles": pd.Series(shs)}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(shingle, out_schema)
 
 
 def _count_matching(toks: Column, values: tuple[str, ...]) -> Column:

@@ -244,3 +244,70 @@ def test_cohort_retention_matches_model(spark, events):
         for r in cohort_retention(df).collect()
     }
     assert got == want
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=15),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(**SETTINGS)
+@given(edges=edges_strategy)
+def test_connected_components_match_union_find(spark, edges):
+    """Star-contraction labels must equal a driver-side union-find model on
+    ANY edge list (self-loops, duplicates, both orientations included)."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.graph import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    want = {n: find(n) for n in nodes}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == want
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    """A 64-node path needs 63 min-label rounds but must converge well
+    inside max_iter=10 under star contraction (O(log n) bound)."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.graph import (
+        connected_components,
+    )
+
+    edges = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df, max_iter=10, strict=True).collect()}
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_connected_components_multi_parent_star(spark):
+    """A child with two parents ((7,1),(7,2)) is chain-free but NOT a
+    fixpoint: 1 and 2 are connected through 7 and must share label 1."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame([(7, 1), (7, 2)], "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df, strict=True).collect()}
+    assert got == {1: 1, 2: 1, 7: 1}
