@@ -21,8 +21,16 @@ verify predicate is engine-portable.
 Plan shape: explode (fan-out L+1 keys per row at d=1) -> shuffle on the
 variant key (posting lists) -> within-key pair join -> codegen'd
 ``levenshtein`` verify.  Skewed variant keys (e.g. a shared template
-prefix) fan out exactly like any hot join key — the salting/AQE machinery
-in operators/layout.py applies unchanged.
+prefix shared by millions of rows) are the 100x hazard: a posting list of
+length n produces n^2 pairs IN ONE REDUCER.  ``fuzzy_match_pairs``
+therefore splits hot keys (posting length > ``skew_threshold``) over a
+triangular sub-block grid — the same exact-and-balanced geometry as the
+embedding block-grid GEMM (similarity.py:_blas_candidate_pairs): each side
+replicates at most ``grid`` times, every unordered pair lands in exactly
+one (variant, cell) reducer, and per-reducer pair count drops from n^2 to
+(n/grid)^2.  Cold keys skip the grid entirely (no replication overhead);
+the union of both candidate sets is provably the same pair set, so the
+brute-force SQL oracle still matches exactly.
 """
 
 from __future__ import annotations
@@ -55,26 +63,93 @@ def deletion_variants(col: Column | str, max_deletes: int = 1) -> Column:
     return F.array_distinct(variants)
 
 
+def _grid_pair_rows(hot: DataFrame, grid: int) -> DataFrame:
+    """Raw candidate rows for HOT variant keys via a triangular sub-block
+    grid: rows hash into ``grid`` blocks per variant; block *p* replicates
+    as the LEFT side of cells (p, j>=p) and the RIGHT side of cells
+    (i<=p, p), and the join key becomes (variant, cell).  Every unordered
+    pair shares exactly one cell (diagonal cells see both orientations —
+    collapsed by the caller's normalize+distinct), so the result is exact
+    while no reducer sees more than one cell's (n/grid)^2 pairs.
+
+    Returned un-normalized (id_a/id_b in grid orientation) so tests can
+    assert the partition-balance property on the join output itself.
+    """
+    p = F.pmod(F.xxhash64(F.col("__id").cast("string")), F.lit(grid)).cast("int")
+    base = hot.withColumn("__p", p)
+    seq = F.sequence(F.lit(0), F.lit(grid - 1))
+    a = base.select(
+        F.col("__id").alias("id_a"), F.col("__txt").alias("text_a"),
+        "__variant",
+        F.explode(
+            F.transform(
+                F.filter(seq, lambda j: j >= F.col("__p")),
+                lambda j: F.col("__p") * grid + j,
+            )
+        ).alias("__cell"),
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"), F.col("__txt").alias("text_b"),
+        "__variant",
+        F.explode(
+            F.transform(
+                F.filter(seq, lambda i: i <= F.col("__p")),
+                lambda i: i * grid + F.col("__p"),
+            )
+        ).alias("__cell"),
+    )
+    return (
+        a.join(b, ["__variant", "__cell"])
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+
+
 def fuzzy_match_pairs(df: DataFrame, id_col: str, text_col: str,
-                      max_dist: int = 1) -> DataFrame:
+                      max_dist: int = 1, skew_threshold: int = 64,
+                      grid: int = 8) -> DataFrame:
     """All pairs (id_a < id_b) whose ``text_col`` values are within
     ``max_dist`` Levenshtein edits — exact result, sub-quadratic plan.
 
-    Returns (id_a, id_b, text_a, text_b, dist).
+    Variant keys whose posting list exceeds ``skew_threshold`` rows go
+    through the triangular grid split (see module docstring) so a hot
+    template key cannot serialize one reducer; cold keys pair up directly
+    with no replication.  The posting-length census costs one extra
+    aggregate + join on the variant key (the same shuffle key the pair
+    join uses).  Returns (id_a, id_b, text_a, text_b, dist).
     """
     keyed = df.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__txt"),
         F.explode(deletion_variants(text_col, max_dist)).alias("__variant"),
     )
-    a = keyed.select(F.col("__id").alias("id_a"), F.col("__txt").alias("text_a"),
-                     "__variant")
-    b = keyed.select(F.col("__id").alias("id_b"), F.col("__txt").alias("text_b"),
-                     "__variant")
-    cand = (
+    freq = keyed.groupBy("__variant").agg(F.count(F.lit(1)).alias("__vn"))
+    k2 = keyed.join(freq, "__variant")
+    cold = k2.filter(F.col("__vn") <= skew_threshold).drop("__vn")
+    hot = k2.filter(F.col("__vn") > skew_threshold).drop("__vn")
+
+    a = cold.select(F.col("__id").alias("id_a"), F.col("__txt").alias("text_a"),
+                    "__variant")
+    b = cold.select(F.col("__id").alias("id_b"), F.col("__txt").alias("text_b"),
+                    "__variant")
+    cand_cold = (
         a.join(b, "__variant")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "text_a", "text_b")
-        .distinct()  # a pair can share several deletion variants
+    )
+    g = _grid_pair_rows(hot, grid)
+    # normalize grid orientation to id_a < id_b (diagonal cells emit both
+    # orientations; off-diagonal cells emit an arbitrary one)
+    flip = F.col("id_a") > F.col("id_b")
+    cand_hot = g.select(
+        F.when(flip, F.col("id_b")).otherwise(F.col("id_a")).alias("id_a"),
+        F.when(flip, F.col("id_a")).otherwise(F.col("id_b")).alias("id_b"),
+        F.when(flip, F.col("text_b")).otherwise(F.col("text_a")).alias("text_a"),
+        F.when(flip, F.col("text_a")).otherwise(F.col("text_b")).alias("text_b"),
+    )
+    cand = (
+        cand_cold.unionByName(cand_hot)
+        # a pair can share several deletion variants (and a hot pair both
+        # diagonal orientations)
+        .distinct()
     )
     return (
         cand.withColumn("dist", F.levenshtein("text_a", "text_b"))

@@ -57,3 +57,49 @@ def test_fuzzy_match_reports_distance(spark):
     rows = {(r["id_a"], r["id_b"]): r["dist"]
             for r in fuzzy_match_pairs(df, "id", "name", 1).collect()}
     assert rows == {(1, 2): 1, (1, 3): 0, (2, 3): 1}
+
+
+def test_fuzzy_match_hot_key_grid_exact(spark):
+    """A Zipf-hot variant key (many strings sharing one deletion variant)
+    must flow through the grid split and still produce the exact brute
+    pair set."""
+    # "a0".."a39" all share deletion variant "a" -> one posting list of 40
+    names = [f"a{i}" for i in range(40)] + ["smith", "smyth"]
+    df = spark.createDataFrame(list(enumerate(names)), "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_match_pairs(
+            df, "id", "name", max_dist=1, skew_threshold=8, grid=4
+        ).collect()
+    }
+    assert got == _brute(names, 1)
+
+
+def test_fuzzy_match_grid_balances_hot_key(spark):
+    """With one pathologically hot variant key, no shuffle partition of the
+    grid join may receive more than 2x the mean (non-empty) pair mass —
+    the single-reducer straggler the grid split exists to prevent."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.entity import (
+        _grid_pair_rows,
+        deletion_variants,
+    )
+
+    n, grid = 120, 8
+    # every name deletes its first character to the shared hot variant
+    # "template" -> ONE posting list of n rows, n^2/2 pairs
+    names = [chr(1000 + i) + "template" for i in range(n)]
+    df = spark.createDataFrame(list(enumerate(names)), "id long, name string")
+    keyed = df.select(
+        F.col("id").alias("__id"), F.col("name").alias("__txt"),
+        F.explode(deletion_variants("name", 1)).alias("__variant"),
+    ).filter(F.col("__variant") == "template")
+    rows = _grid_pair_rows(keyed, grid)
+    # balance on the REDUCER KEY (variant, cell): AQE may coalesce the tiny
+    # test shuffle into few partitions, but at scale partitions track cells
+    per_cell = [
+        r["n"] for r in rows.groupBy("__cell")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    mean = sum(per_cell) / len(per_cell)
+    assert len(per_cell) >= grid  # the hot key actually fanned out
+    assert max(per_cell) <= 2 * mean, (per_cell, mean)
