@@ -1152,24 +1152,73 @@ def _duck_cos(a: str, b: str) -> str:
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN — similarity.py:ivf_topk: deterministic hash-seeded
-    coarse quantizer, inverted-list assignment, 4-of-16-list probe, exact
-    re-score.  Approximate BY DESIGN (recall < 1 vs cosine_topk); the oracle
-    replays the identical index construction, so results value-match."""
+    coarse quantizer, TWO sampled-Lloyd refinement rounds (integer-exact
+    mean update — similarity.py:_lloyd_refine), inverted-list assignment,
+    4-of-16-list probe, exact re-score.  Approximate BY DESIGN (recall < 1
+    vs cosine_topk); the oracle replays the identical index construction —
+    including both Lloyd rounds, CTE for CTE — so results value-match."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, qs, k=10, n_lists=16, n_probe=4)
+    return ivf_topk(emb, qs, k=10, n_lists=16, n_probe=4, refine_iters=2,
+                    sample_size=512)
+
+
+def _duck_lloyd_iter(x: int) -> str:
+    """One unrolled Lloyd iteration: assign the sample to cents{x-1} by
+    left-fold cosine (ties: smallest cid), integer-exact per-dim sums,
+    new centroid = CAST(sum AS DOUBLE) / CAST(n * 10^6 AS DOUBLE); empty
+    clusters keep the previous centroid — mirrors _lloyd_refine exactly."""
+    return f"""
+a{x} AS (
+  SELECT sid, cid FROM (
+    SELECT s.sid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.sid
+                              ORDER BY {_duck_cos('s.sv', 'c.ce')} DESC,
+                                       c.cid) AS rn
+    FROM samp s CROSS JOIN cents{x - 1} c
+  ) WHERE rn = 1
+),
+sums{x} AS (
+  SELECT a.cid, su.pos, SUM(su.u) AS s, COUNT(*) AS n
+  FROM su JOIN a{x} a USING (sid) GROUP BY 1, 2
+),
+newc{x} AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / CAST(n * 1000000 AS DOUBLE)
+                   ORDER BY pos) AS ce
+  FROM sums{x} GROUP BY cid
+),
+cents{x} AS (
+  SELECT c.cid, COALESCE(n.ce, c.ce) AS ce
+  FROM cents{x - 1} c LEFT JOIN newc{x} n USING (cid)
+)"""
 
 
 ORACLE_EMBEDDING_IVF_TOPK = f"""
-WITH cents AS (
-  SELECT vec_id AS cid, embedding AS ce FROM (
+WITH cents0 AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce FROM (
     SELECT vec_id, embedding,
            ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
     FROM embeddings
   ) WHERE rn <= 16
 ),
+samp AS (
+  SELECT vec_id AS sid, embedding AS sv FROM (
+    SELECT vec_id, embedding,
+           ROW_NUMBER() OVER (
+               ORDER BY md5('lloyd:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn <= 512
+),
+su AS (
+  SELECT sid, CAST(i AS INTEGER) AS pos,
+         CAST(floor(CAST(sv[CAST(i AS INTEGER)] AS DOUBLE) * 1000000.0 + 0.5)
+              AS HUGEINT) AS u
+  FROM samp CROSS JOIN range(1, 65) r(i)
+),{_duck_lloyd_iter(1)},{_duck_lloyd_iter(2)},
+cents AS (SELECT cid, ce FROM cents2),
 assign AS (
   SELECT vec_id, cid AS list FROM (
     SELECT e.vec_id, c.cid,

@@ -487,39 +487,121 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return _final_topk(scored, k, id_col, query_id_col)
 
 
+LLOYD_SCALE = 10 ** 6
+
+
+def _lloyd_refine(corpus: DataFrame, cents: DataFrame, refine_iters: int,
+                  sample_size: int, id_col: str, vec_col: str,
+                  id_t: str) -> DataFrame:
+    """Deterministic sampled Lloyd refinement of IVF centroids.
+
+    Classic k-means floats are NOT oracle-able: the mean's float summation
+    order differs between engines, flipping assignments on the last ulp.
+    Here the update is exact: sample vectors quantize to integer micro
+    units (``floor(x * 1e6 + 0.5)`` — the portable rounding of
+    quantize_int8), per-dimension sums are exact integers (decimal(38,0) /
+    HUGEINT), and the new centroid coordinate is ONE division
+    ``sum / (n * 1e6)`` of identical integers — bit-identical doubles on
+    any engine.  Assignment scores with the left-fold cosine and
+    (sim desc, cid asc) ties, sample = the ``sample_size`` rows with the
+    smallest ``md5('lloyd:' || id)`` (decorrelated from the seed draw, a
+    distributed TakeOrdered, no RNG).  Empty clusters keep their previous
+    centroid.  The whole index stays a pure function of the data, so the
+    SQL oracle replays it CTE-for-CTE.
+    """
+    samp = materialize_once(
+        corpus.orderBy(
+            F.md5(F.concat(F.lit("lloyd:"), F.col(id_col).cast("string"))),
+            F.col(id_col),
+        )
+        .limit(sample_size)
+        .select(F.col(id_col).alias("__sid"), F.col(vec_col).alias("__svec"))
+    )
+    su = samp.select(
+        "__sid",
+        F.posexplode(
+            F.transform(
+                F.col("__svec"),
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(float(LLOYD_SCALE)) + F.lit(0.5)
+                ).cast("decimal(38,0)"),
+            )
+        ).alias("pos", "__u"),
+    )
+    for _ in range(refine_iters):
+        assign = _grouped_topk_scores(
+            cents.select(F.lit(0).alias("__g"), F.col("__cid").alias("__id"),
+                         F.col("__cvec").alias("__vec")),
+            samp.select(F.lit(0).alias("__g"), F.col("__sid").alias("__qid"),
+                        F.col("__svec").alias("__qvec")),
+            1, False, id_t, id_t,
+        ).select(F.col("__qid").alias("__sid"), F.col("__id").alias("__cid"))
+        sums = su.join(assign, "__sid").groupBy("__cid", "pos").agg(
+            F.sum("__u").alias("__s"), F.count(F.lit(1)).alias("__n")
+        )
+        newc = sums.groupBy("__cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__s", "__n"))),
+                lambda x: x["__s"].cast("double")
+                / (x["__n"] * F.lit(LLOYD_SCALE)).cast("double"),
+            ).alias("__newvec")
+        )
+        cents = materialize_once(
+            cents.join(newc, "__cid", "left").select(
+                "__cid",
+                F.coalesce(F.col("__newvec"), F.col("__cvec")).alias("__cvec"),
+            )
+        )
+    return cents
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_lists: int = 16, n_probe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding",
-             query_id_col: str = "query_id") -> DataFrame:
+             query_id_col: str = "query_id", refine_iters: int = 0,
+             sample_size: int = 512) -> DataFrame:
     """IVF-flat ANN: coarse quantizer -> inverted lists -> probe -> exact
     re-score.  The third leg of the ANN family (brute-force `cosine_topk`,
     hash-bucketed `lsh_topk`, cluster-bucketed `ivf_topk`).
 
-    Centroids are the ``n_lists`` corpus vectors with the smallest
-    ``md5(id)`` — a deterministic seed draw, so the whole index is a pure
-    function of the data and admits an exact SQL oracle.  (At scale you'd
-    Lloyd-iterate centroids on a sample first; every downstream step —
-    assignment, probing, re-scoring — is unchanged.)
+    Initial centroids are the ``n_lists`` corpus vectors with the smallest
+    ``md5(id)`` — a deterministic seed draw; ``refine_iters`` rounds of
+    sampled Lloyd (``_lloyd_refine``, integer-exact mean update) then pull
+    them toward the data's actual cluster structure, which is what makes
+    probing recover the true neighbors (recall@k test in
+    tests/test_extensions.py beats the raw seed draw).  The whole index is
+    a pure function of the data and admits an exact SQL oracle.
 
     Scale shape: the centroid set is tiny and replicates in-plan; every
-    stage (assignment, probe selection, exact re-score) is ONE cogrouped
-    Arrow scorer over its candidate group (hash block / single group /
-    inverted list), so each corpus vector crosses the Arrow boundary once
-    per stage — never once per (pair, stage).  The re-score touches only
-    ``n_probe / n_lists`` of the corpus per query, hash-partitioned by
-    list id.
+    stage (refinement assignment, inverted-list assignment, probe
+    selection, exact re-score) is ONE cogrouped Arrow scorer over its
+    candidate group (hash block / single group / inverted list), so each
+    corpus vector crosses the Arrow boundary once per stage — never once
+    per (pair, stage).  Refinement touches only the ``sample_size`` sample;
+    the re-score touches only ``n_probe / n_lists`` of the corpus per
+    query, hash-partitioned by list id.
     """
     id_t = corpus.schema[id_col].dataType.simpleString()
     qid_t = queries.schema[query_id_col].dataType.simpleString()
     n_blocks = 8
 
     # deterministic centroid draw; orderBy+limit plans as a distributed
-    # TakeOrderedAndProject (never a single-partition global window)
+    # TakeOrderedAndProject (never a single-partition global window).
+    # array<double> from the start so refined (double) and fallback
+    # (widened float) centroids share one type; widening is value-exact.
     cents = (
         corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_lists)
-        .select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec"))
+        .select(
+            F.col(id_col).alias("__cid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            .alias("__cvec"),
+        )
     )
+    if refine_iters > 0:
+        cents = _lloyd_refine(
+            corpus, cents, refine_iters, sample_size, id_col, vec_col, id_t
+        )
 
     # inverted-list assignment: nearest centroid per vector, ties to the
     # smallest cid.  ONE cogrouped scorer per corpus hash block (centroids

@@ -390,6 +390,50 @@ def test_ivf_topk_recall_and_determinism(spark):
         assert r["cosine_sim"] == exact_scores[(r["query_id"], r["vec_id"])]
 
 
+def test_ivf_lloyd_refinement_beats_seed_draw(spark):
+    """Sampled Lloyd refinement must IMPROVE recall@k over the raw md5
+    seed-draw centroids on clustered data (the seed draw can land two
+    centroids in one cluster, leaving another unrepresented), while staying
+    deterministic run-to-run."""
+    import hashlib
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions import (
+        ivf_topk,
+    )
+
+    def h(s):  # deterministic pseudo-random in [-1, 1], no RNG state
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 0x7FFFFFFF - 1.0
+
+    DIM, NCLUST, N = 64, 8, 200
+    centers = [[h(f"c:{c}:{d}") for d in range(DIM)] for c in range(NCLUST)]
+    rows = []
+    for i in range(N):
+        c = centers[i % NCLUST]
+        rows.append((i, [float(c[d] + 0.05 * h(f"n:{i}:{d}"))
+                         for d in range(DIM)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk(emb, qs, k=5).collect()}
+
+    def recall(iters):
+        got = {(r["query_id"], r["vec_id"])
+               for r in ivf_topk(emb, qs, k=5, n_lists=8, n_probe=1,
+                                 refine_iters=iters).collect()}
+        return len(got & truth) / len(truth)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 > r0, (r0, r2)
+    # refined index stays deterministic
+    a = sorted(map(tuple, ivf_topk(emb, qs, k=5, n_lists=8, n_probe=1,
+                                   refine_iters=2).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, qs, k=5, n_lists=8, n_probe=1,
+                                   refine_iters=2).collect()))
+    assert a == b
+
+
 # --- round-2 training-data extensions --------------------------------------
 
 
