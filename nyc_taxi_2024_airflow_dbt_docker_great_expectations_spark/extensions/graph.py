@@ -189,23 +189,54 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     return out.withColumn("is_canonical", F.col("component") == F.col(id_col))
 
 
+def _orient_by_degree(canon: DataFrame) -> DataFrame:
+    """Orient each undirected edge from its LOWER-degree endpoint to its
+    higher-degree endpoint (ties by node id) — the compact-forward /
+    degree-ordering trick: wedge enumeration fans out as
+    ``sum(outdeg^2)``, and under degree orientation every node's
+    out-degree is O(sqrt(m)), so a million-edge hub contributes ~zero
+    wedges instead of ~10^12.  Input: canonical (a, b) edges; output:
+    (u, v) with (deg(u), u) < (deg(v), v).
+    """
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionByName(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        canon.join(deg.withColumnRenamed("node", "a")
+                   .withColumnRenamed("deg", "__da"), "a")
+        .join(deg.withColumnRenamed("node", "b")
+              .withColumnRenamed("deg", "__db"), "b")
+    )
+    fwd = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    return with_deg.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("__db")).otherwise(F.col("__da")).alias("__dv"),
+    )
+
+
 def triangle_count(edges: DataFrame, src: str = "id_a",
                    dst: str = "id_b") -> DataFrame:
     """Global triangle count — the graph-density / community-structure
     metric (near-dup graphs: triangle-rich components are true duplicate
     cliques; triangle-free stars are often template collisions).
 
-    Input is an undirected edge list with each pair listed once in
-    canonical ``src < dst`` order; violations are normalized and exact
-    duplicates dropped.  The plan is the standard two-join enumeration over
-    canonically ordered edges — each triangle a<b<c is counted exactly
-    once as (a,b)+(b,c) with a closing (a,c) semi-join.  Both joins are
-    hash equi-joins on node ids; no adjacency lists are materialized
-    anywhere, so the shape scales like any other pair of shuffle joins.
-    Skewed hubs (one node on millions of edges) are the known hard case —
-    AQE skew splitting or a degree-ordered variant (orient edges from low
-    to high degree) bounds the fan-out; the latter is the documented
-    upgrade path at extreme skew.
+    Input is an undirected edge list (each pair listed once, either
+    order); violations are normalized and exact duplicates dropped.
+    Enumeration is DEGREE-ORIENTED (``_orient_by_degree``): wedges pair a
+    node's out-neighbors in (degree, id) order, and a closing semi-join on
+    the oriented (v, w) edge confirms each triangle exactly once.  Both
+    joins are hash equi-joins; no adjacency lists are materialized
+    anywhere.  Degree orientation bounds the wedge fan-out of skewed hubs
+    to O(sqrt(m)) out-degree — the plain canonical (a < b) orientation
+    lets a low-id hub with n neighbors emit C(n, 2) wedges, which is the
+    shape that dies on a template-collision star at 100 TB
+    (guarded by tests/test_extensions.py's star fixture).
 
     Returns one row: (n_nodes, n_edges, n_triangles).
     """
@@ -217,16 +248,23 @@ def triangle_count(edges: DataFrame, src: str = "id_a",
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    e = materialize_once(canon)  # consumed three times below
+    e = materialize_once(canon)  # consumed several times below
+    o = _orient_by_degree(e)
+    # wedges (u -> v, u -> w) with v before w in the (degree, id) order:
+    # every triangle has exactly one lowest-order apex u, hence one wedge
     wedge = (
-        e.alias("e1")
-        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
-        .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
-                F.col("e2.b").alias("c"))
+        o.select(F.col("u"), F.col("v"), F.col("__dv"))
+        .alias("e1")
+        .join(o.select(F.col("u"), F.col("v").alias("w"),
+                       F.col("__dv").alias("__dw")).alias("e2"), "u")
+        .filter(
+            (F.col("__dv") < F.col("__dw"))
+            | ((F.col("__dv") == F.col("__dw")) & (F.col("v") < F.col("w")))
+        )
     )
     tri = wedge.join(
-        e.select(F.col("a").alias("ta"), F.col("b").alias("tc")),
-        (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+        o.select(F.col("u").alias("tv"), F.col("v").alias("tw")),
+        (F.col("v") == F.col("tv")) & (F.col("w") == F.col("tw")),
         "left_semi",
     )
     nodes = e.select(F.col("a").alias("n")).union(

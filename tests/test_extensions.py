@@ -594,3 +594,36 @@ def test_triangle_count_known_graphs(spark):
     assert run(messy) == (3, 3, 1)
     # star: hub with 4 leaves, no closure
     assert run([(0, i) for i in range(1, 5)]) == (5, 4, 0)
+
+
+def test_triangle_degree_orientation_tames_hub(spark):
+    """On a low-id hub star, degree orientation must collapse the wedge
+    fan-out: canonical (a < b) orientation gives the hub C(n, 2) wedges;
+    degree orientation points every leaf AT the hub, so out-degrees are 1
+    and the wedge count is ~0.  Counts stay correct on a star + one
+    attached triangle."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.graph import (
+        _orient_by_degree,
+        triangle_count,
+    )
+
+    n = 50
+    star = [(0, i) for i in range(1, n + 1)]          # hub id 0, degree 50
+    edges = star + [(1, 2)]                            # closes triangle 0-1-2
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    canon = df.select(
+        F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+    ).distinct()
+    # canonical orientation: wedge mass = sum over a of C(outdeg, 2)
+    def wedge_mass(o, src):
+        outdeg = [r["n"] for r in o.groupBy(src).agg(
+            F.count(F.lit(1)).alias("n")).collect()]
+        return sum(d * (d - 1) // 2 for d in outdeg)
+
+    naive = wedge_mass(canon, "a")
+    oriented = wedge_mass(_orient_by_degree(canon), "u")
+    assert naive >= n * (n - 1) // 2   # the hub alone: C(50,2) wedges
+    assert oriented <= n               # leaves have out-degree ~1
+    r = triangle_count(df).first()
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (n + 1, n + 1, 1)
