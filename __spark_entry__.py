@@ -2891,6 +2891,134 @@ FROM planted
 # registry
 # --------------------------------------------------------------------------
 
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate (streaming/windows.py:sliding_counts_batch):
+    10-minute windows every 5 minutes over the events stream — each event
+    expands into duration/slide windows BEFORE the hash aggregate, so the
+    plan is one replicating projection + one keyed aggregate (state per
+    window = one row).  Deterministic totals via exact_sum."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.streaming.windows import (
+        sliding_counts_batch,
+    )
+    return sliding_counts_batch(
+        _t(spark, sf_dir, "events"), "10 minutes", "5 minutes"
+    )
+
+
+ORACLE_SLIDING_WINDOW = """
+WITH expanded AS (
+  SELECT ts, value,
+         unnest([CAST(floor(epoch(ts) / 300) * 300 AS BIGINT),
+                 CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT)]) AS ws
+  FROM events
+)
+SELECT CAST(to_timestamp(ws) AS TIMESTAMP) AS window_start,
+       CAST(to_timestamp(ws + 600) AS TIMESTAMP) AS window_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM expanded
+WHERE epoch(ts) >= ws AND epoch(ts) < ws + 600
+GROUP BY 1, 2
+"""
+
+
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency vocabulary (extensions/text.py:build_vocab) — the
+    tokenizer-training primitive: top-1000 terms with >= 2 occurrences,
+    dense ids in (count desc, term) order.  Distributed TakeOrdered for the
+    cut; the id window runs over at most max_size rows (bounded by the
+    parameter, not the data)."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        build_vocab,
+    )
+    return build_vocab(_t(spark, sf_dir, "documents"), min_count=2,
+                       max_size=1000)
+
+
+ORACLE_VOCAB_BUILD = f"""
+WITH toks AS (
+  SELECT unnest({DUCK_TOKS}) AS term FROM documents
+),
+counts AS (
+  SELECT term, COUNT(*) AS n_occurrences FROM toks
+  WHERE term <> '' GROUP BY 1 HAVING COUNT(*) >= 2
+),
+top AS (
+  SELECT term, n_occurrences FROM counts
+  ORDER BY n_occurrences DESC, term LIMIT 1000
+)
+SELECT term, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, term) - 1
+            AS INTEGER) AS vocab_id
+FROM top
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (extensions/text.py:
+    chunk_documents) — the RAG/embedding ingestion step: 64-token chunks
+    advancing 48 tokens, last chunk clipped; map-only plan."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        chunk_documents,
+    )
+    return chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=64,
+                           overlap=16)
+
+
+ORACLE_DOC_CHUNKS = f"""
+WITH tf AS (
+  SELECT doc_id, {DUCK_TOKS} AS toks,
+         CAST(CASE WHEN trim(text, {DUCK_WS}) = '' THEN 0
+              ELSE len({DUCK_TOKS}) END AS BIGINT) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks, n,
+         CASE WHEN n <= 64 THEN 1 ELSE 1 + (n - 64 + 47) // 48 END AS nc
+  FROM tf WHERE n > 0
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       CAST(i * 48 AS BIGINT) AS start_tok,
+       CAST(least(64, n - i * 48) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[CAST(i * 48 + 1 AS INTEGER)
+                            : CAST(i * 48 + least(64, n - i * 48) AS INTEGER)],
+                       ' ') AS chunk_text
+FROM c, unnest(generate_series(0, nc - 1)) u(i)
+"""
+
+
+def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level novelty signal (extensions/text.py:bigram_novelty):
+    share of each document's distinct bigrams that appear in no other
+    document — boilerplate scores low.  One narrow shingle pass + two hash
+    aggregates, integer counts, one division."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        bigram_novelty,
+    )
+    return bigram_novelty(_t(spark, sf_dir, "documents"))
+
+
+_DUCK_BIGRAMS = (
+    "list_distinct(list_transform(range(1, len(" + DUCK_TOKS + ")), "
+    "i -> array_to_string((" + DUCK_TOKS + ")[i:i+1], ' ')))"
+)
+
+ORACLE_BIGRAM_NOVELTY = f"""
+WITH grams AS (
+  SELECT doc_id, unnest({_DUCK_BIGRAMS}) AS shingle
+  FROM documents WHERE len({DUCK_TOKS}) >= 2
+),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM grams GROUP BY 1)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS novelty_ratio
+FROM grams JOIN dfreq USING (shingle)
+GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "silver_clean": q_silver_clean,
@@ -2969,6 +3097,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "daily_gapfill": q_daily_gapfill,
         "pii_redact": q_pii_redact,
+        "sliding_window": q_sliding_window,
+        "vocab_build": q_vocab_build,
+        "doc_chunks": q_doc_chunks,
+        "bigram_novelty": q_bigram_novelty,
     }
 
 
@@ -3050,4 +3182,8 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": ORACLE_KMV_DISTINCT,
         "daily_gapfill": ORACLE_DAILY_GAPFILL,
         "pii_redact": ORACLE_PII_REDACT,
+        "sliding_window": ORACLE_SLIDING_WINDOW,
+        "vocab_build": ORACLE_VOCAB_BUILD,
+        "doc_chunks": ORACLE_DOC_CHUNKS,
+        "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
     }

@@ -28,6 +28,9 @@ from .similarity import (  # noqa: F401
     neardup_pairs,
 )
 from .text import (  # noqa: F401
+    bigram_novelty,
+    build_vocab,
+    chunk_documents,
     fingerprints,
     lang_id,
     quality_scores,

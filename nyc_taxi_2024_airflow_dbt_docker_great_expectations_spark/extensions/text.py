@@ -362,3 +362,109 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
         .filter(F.col("rk") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rk")
     )
+
+
+def build_vocab(df: DataFrame, text_col: str = "text",
+                min_count: int = 2, max_size: int = 1000) -> DataFrame:
+    """Frequency vocabulary — the tokenizer-training primitive: (term,
+    n_occurrences, vocab_id) for the ``max_size`` most frequent terms with
+    at least ``min_count`` occurrences, ids dense in (count desc, term)
+    order.
+
+    Scale shape: one explode + hash aggregate over the token mass (partial
+    map-side combine), then ``orderBy().limit(max_size)`` — a distributed
+    TakeOrdered, never a global sort.  The final id-assigning window IS a
+    single partition, but over at most ``max_size`` rows — bounded by the
+    parameter, not the data, which is the one place a global window is
+    legitimate."""
+    toks = df.select(F.explode(tokens(text_col)).alias("term")).filter(
+        F.col("term") != ""
+    )
+    counts = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    top = counts.orderBy(F.col("n_occurrences").desc(), "term").limit(max_size)
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("n_occurrences").desc(), "term")
+    return top.withColumn(
+        "vocab_id", (F.row_number().over(w) - 1).cast("int")
+    )
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 128,
+                    overlap: int = 32) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/embedding ingestion
+    primitive: each document splits into windows of ``chunk_tokens`` tokens
+    advancing by ``chunk_tokens - overlap``, the last chunk clipped to the
+    document end.  One row per (doc, chunk): (doc_id, chunk_id, start_tok,
+    n_chunk_tokens, chunk_text).
+
+    Entirely narrow (tokenize, integer arithmetic, explode, array slice —
+    all JVM expressions): chunking 100 TB is a map-only job.  Chunk-count
+    ceil uses ``floor((a+b-1)/b)`` on PER-DOCUMENT magnitudes (exact below
+    2^53 — unlike packing's global offsets, a single document's token count
+    never approaches it), identical in the SQL oracle.  Documents with zero
+    tokens yield no rows.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    step = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = token_count(text_col).cast("long")
+    # integer ceil: 1 + (n - chunk + step - 1) div step — stays in longs
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1).cast("long")).otherwise(
+        F.lit(1) + F.floor((n - chunk_tokens + step - 1) / F.lit(step))
+    )
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), n.alias("__n"),
+        n_chunks.alias("__nc"),
+    ).filter(F.col("__n") > 0)
+    start = F.col("chunk_id") * step
+    clen = F.least(F.lit(chunk_tokens).cast("long"), F.col("__n") - start)
+    return base.select(
+        id_col, "__toks", "__n",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("__nc") - 1))
+        .alias("chunk_id"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        start.alias("start_tok"),
+        clen.alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.col("__toks"), (start + 1).cast("int"),
+                         clen.cast("int"))
+        ).alias("chunk_text"),
+    )
+
+
+def bigram_novelty(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document novelty signal: the share of a document's DISTINCT
+    bigrams that occur in no other document.  Low novelty = boilerplate /
+    near-duplicate mass; high = unique content — a cheap corpus-level
+    quality dimension next to repetition_scores' within-doc signal.
+
+    One narrow shingle pass (``shingled_arrays`` k=2) + explode + two hash
+    aggregates; all counts integer, the ratio one division — portable.
+    Documents with < 2 tokens have no bigrams and yield no row."""
+    grams = shingled_arrays(df, text_col, id_col, k=2).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+    dfreq = grams.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        grams.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ratio",
+            F.col("n_novel").cast("double") / F.col("n_bigrams").cast("double"),
+        )
+    )

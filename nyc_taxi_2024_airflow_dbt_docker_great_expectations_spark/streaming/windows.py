@@ -36,6 +36,29 @@ def tumbling_counts_batch(events: DataFrame, duration: str = "5 minutes",
         )
     )
 
+def sliding_counts_batch(events: DataFrame, duration: str = "10 minutes",
+                         slide: str = "5 minutes",
+                         ts_col: str = "ts") -> DataFrame:
+    """Sliding-window aggregate (batch plan; the same expression streams
+    with a watermark).  Each event lands in ``duration / slide`` windows —
+    Spark's ``window(ts, duration, slide)`` expands them BEFORE the
+    aggregate, so the shuffle carries the replication factor but state per
+    window stays one row (never per-event buffers).  Deterministic values
+    via ``exact_sum``."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), duration, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
 
 def tumbling_counts_stream(events_stream: DataFrame, duration: str = "5 minutes",
                            ts_col: str = "ts", watermark: str = "10 minutes") -> DataFrame:

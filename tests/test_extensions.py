@@ -627,3 +627,68 @@ def test_triangle_degree_orientation_tames_hub(spark):
     assert oriented <= n               # leaves have out-degree ~1
     r = triangle_count(df).first()
     assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (n + 1, n + 1, 1)
+
+
+def test_build_vocab_order_and_cuts(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        build_vocab,
+    )
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a  b"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    rows = build_vocab(df, min_count=2, max_size=10).collect()
+    got = [(r["term"], r["n_occurrences"], r["vocab_id"]) for r in
+           sorted(rows, key=lambda r: r["vocab_id"])]
+    # b: 4, a: 3; c (count 1) cut by min_count; blank doc contributes nothing
+    assert got == [("b", 4, 0), ("a", 3, 1)]
+    capped = build_vocab(df, min_count=1, max_size=1).collect()
+    assert [(r["term"], r["vocab_id"]) for r in capped] == [("b", 0)]
+
+
+def test_chunk_documents_tiles_exactly(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        chunk_documents,
+    )
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    rows = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 3 blank -> absent; doc 2 short -> one clipped chunk
+    assert set(by_doc) == {1, 2}
+    assert [(r["start_tok"], r["n_chunk_tokens"], r["chunk_text"])
+            for r in by_doc[2]] == [(0, 2, "a b")]
+    # doc 1: step 3, n=10 -> ceil((10-4)/3)+1 = 3 chunks at 0,3,6 cover all
+    d1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [(r["start_tok"], r["n_chunk_tokens"]) for r in d1] == [
+        (0, 4), (3, 4), (6, 4)]
+    assert d1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert d1[-1]["chunk_text"] == "w6 w7 w8 w9"
+    # coverage: every token index in exactly the expected windows
+    covered = set()
+    for r in d1:
+        covered |= set(range(r["start_tok"], r["start_tok"] + r["n_chunk_tokens"]))
+    assert covered == set(range(10))
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_bigram_novelty_bounds_and_values(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        bigram_novelty,
+    )
+    df = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y q"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_novelty(df).collect()}
+    # doc 3 has < 2 tokens -> no row
+    assert set(out) == {1, 2}
+    # "x y" shared (df=2); "y z"/"y q" unique
+    assert out[1]["n_bigrams"] == 2 and out[1]["n_novel"] == 1
+    assert out[2]["n_bigrams"] == 2 and out[2]["n_novel"] == 1
+    assert out[1]["novelty_ratio"] == 0.5

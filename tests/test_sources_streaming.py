@@ -69,8 +69,12 @@ def test_write_month_partitioned_derives_month(spark, tmp_warehouse):
 
 
 def test_read_events_ns_timestamps(spark):
+    # the driver has shipped events.ts both as TIMESTAMP(NANOS) (read via
+    # the legacy int64 path -> "timestamp") and as timestamp[us] without tz
+    # (Spark 4 reads "timestamp_ntz"); read_events must yield a usable
+    # timestamp type either way
     df = read_events(spark, "/root/testdata/sf0.001/events.parquet")
-    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert dict(df.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
     assert df.count() > 0
 
 
