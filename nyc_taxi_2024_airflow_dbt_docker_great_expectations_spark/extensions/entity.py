@@ -113,16 +113,26 @@ def fuzzy_match_pairs(df: DataFrame, id_col: str, text_col: str,
     Variant keys whose posting list exceeds ``skew_threshold`` rows go
     through the triangular grid split (see module docstring) so a hot
     template key cannot serialize one reducer; cold keys pair up directly
-    with no replication.  The posting-length census costs one extra
-    aggregate + join on the variant key (the same shuffle key the pair
-    join uses).  Returns (id_a, id_b, text_a, text_b, dist).
+    with no replication.  The posting-length census is a whole-partition
+    window over the variant-key shuffle the pair join needs anyway — no
+    separate aggregate or join.  Returns (id_a, id_b, text_a, text_b,
+    dist).
     """
+    from pyspark.sql import Window
+
     keyed = df.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__txt"),
         F.explode(deletion_variants(text_col, max_dist)).alias("__variant"),
     )
-    freq = keyed.groupBy("__variant").agg(F.count(F.lit(1)).alias("__vn"))
-    k2 = keyed.join(freq, "__variant")
+    # posting length via a whole-partition window: ONE exchange on the
+    # variant key, not a separate aggregate + join back (which pushes the
+    # posting mass through a second full exchange).  A hot key does buffer
+    # its whole posting list in one window task — but that is O(n) rows,
+    # linear and spillable; the catastrophe the grid split below prevents
+    # is the O(n^2) PAIR mass, which never concentrates.
+    k2 = keyed.withColumn(
+        "__vn", F.count(F.lit(1)).over(Window.partitionBy("__variant"))
+    )
     cold = k2.filter(F.col("__vn") <= skew_threshold).drop("__vn")
     hot = k2.filter(F.col("__vn") > skew_threshold).drop("__vn")
 
