@@ -128,14 +128,21 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         F.col(id_col), F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
     )
-    dfreq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt"))
+    # document frequency via a whole-partition window — ONE exchange of the
+    # posting mass on the shingle key, not aggregate + join back (two).  A
+    # stop-word-grade shingle buffers its postings in one window task, but
+    # that is O(df) rows, linear and spillable (and exactly what ``max_df``
+    # caps); the quadratic candidate mass is bounded by the prefix filter.
+    ranked = posts.withColumn(
+        "df_cnt", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
     if max_df is not None:
         # df-cut BEFORE ranking: frequent shingles never enter the index, so
         # the prefix is drawn from the surviving (rarer) shingles only.
         # n_sh stays the full set size — the length filter and the verify
         # phase are unaffected by the cut.
-        dfreq = dfreq.filter(F.col("df_cnt") <= max_df)
-    ranked = posts.join(dfreq, "shingle").withColumn(
+        ranked = ranked.filter(F.col("df_cnt") <= max_df)
+    ranked = ranked.withColumn(
         "rn",
         F.row_number().over(
             Window.partitionBy(id_col).orderBy("df_cnt", "shingle")
