@@ -3019,6 +3019,47 @@ GROUP BY 1
 """
 
 
+
+def q_scd2_hard_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt invalidate_hard_deletes (operators/scd.py:scd2_close_absent):
+    rebuild the lineitem SCD2 dimension, then close the open version of
+    every order key absent from the current source key set (open orders,
+    o_orderstatus = 'O') at a fixed snapshot time.  Semi/anti split against
+    a broadcast key set; closed history passes through untouched."""
+    import datetime as _dt
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.scd import (
+        scd2_close_absent,
+        scd2_from_changelog,
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate",
+        "l_returnflag", "l_linestatus",
+    )
+    dim = scd2_from_changelog(
+        li,
+        key_cols=["l_orderkey"],
+        order_cols=["l_shipdate", "l_linenumber", "l_returnflag",
+                    "l_linestatus"],
+        tracked_cols=["l_returnflag", "l_linestatus"],
+        ts_col="l_shipdate",
+    )
+    snap = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    return scd2_close_absent(dim, snap, ["l_orderkey"],
+                             _dt.date(1998, 12, 31))
+
+
+# the history oracle wrapped as a CTE + the hard-delete close step
+ORACLE_SCD2_HARD_DELETE = (
+    ORACLE_SCD2_HISTORY
+    .replace(")\nSELECT l_orderkey, l_returnflag, l_linestatus, valid_from,",
+             "),\nhist AS (\nSELECT l_orderkey, l_returnflag, l_linestatus,"
+             " valid_from,", 1)
+    + ")\nSELECT l_orderkey, l_returnflag, l_linestatus, valid_from,\n       CASE WHEN valid_to IS NULL AND l_orderkey NOT IN (\n                SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O')\n            THEN CAST(TIMESTAMP '1998-12-31 00:00:00' AS TIMESTAMP)\n            ELSE valid_to\n       END AS valid_to, version\nFROM hist\n"
+)
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "silver_clean": q_silver_clean,
@@ -3101,6 +3142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_build": q_vocab_build,
         "doc_chunks": q_doc_chunks,
         "bigram_novelty": q_bigram_novelty,
+        "scd2_hard_delete": q_scd2_hard_delete,
     }
 
 
@@ -3186,4 +3228,5 @@ def oracle_sql() -> dict[str, str]:
         "vocab_build": ORACLE_VOCAB_BUILD,
         "doc_chunks": ORACLE_DOC_CHUNKS,
         "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
+        "scd2_hard_delete": ORACLE_SCD2_HARD_DELETE,
     }

@@ -6,7 +6,7 @@ migrating user expects.  dbt snapshots implement SCD2 with the ``check``
 strategy: a row's tracked columns changing opens a new version with
 ``valid_from``/``valid_to`` bounds and closes the previous one.
 
-Two forms:
+Three forms:
 
 - ``scd2_from_changelog`` — rebuild the full version history from an event
   log in one pass: gaps-and-islands (a new island whenever a tracked column
@@ -20,6 +20,9 @@ Two forms:
   branch-free cases (untouched rows pass through; changed current rows get
   ``valid_to`` stamped; new versions append), joined via a broadcast-able
   update batch — the same join geometry as operators/merge.py.
+- ``scd2_close_absent`` — dbt's ``invalidate_hard_deletes``: given the
+  source's full current key set, close the open version of every key that
+  vanished from it (semi/anti split, idempotent).
 
 Determinism: ``order_cols`` must totally order each key's changelog (ties
 broken by explicit columns, never by arrival); every output value is then a
@@ -153,3 +156,37 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, key_cols: list[str],
         .select(*dim.columns)
     )
     return existing.unionByName(opened).unionByName(fresh)
+
+
+def scd2_close_absent(dim: DataFrame, snapshot_keys: DataFrame,
+                      key_cols: list[str], ts_col_value,
+                      broadcast_keys: bool = True) -> DataFrame:
+    """Close open versions of keys ABSENT from a full snapshot — dbt's
+    ``invalidate_hard_deletes`` flag: when the source hands you the full
+    current key set, any dimension key missing from it was hard-deleted
+    upstream, and its open version gets ``valid_to`` stamped.
+
+    ``ts_col_value`` is the snapshot's effective-time Column/literal.
+    ``snapshot_keys`` is the full current key set (small relative to the
+    dim's history — broadcast by default; pass ``broadcast_keys=False``
+    when the key set itself is huge and a shuffled left-anti join is the
+    right shape).  Closed history passes through untouched, so applying
+    the same snapshot twice is a no-op (idempotent).  Pairs with
+    ``scd2_apply``: apply the update batch first, then close the deletes
+    from the same snapshot.
+    """
+    from pyspark.sql import functions as F2
+
+    keys = snapshot_keys.select(*key_cols).distinct()
+    if broadcast_keys:
+        keys = F2.broadcast(keys)
+    present = dim.join(keys, key_cols, "left_semi")
+    absent = dim.join(keys, key_cols, "left_anti")
+    is_open = F2.col("valid_to").isNull()
+    closed_absent = absent.withColumn(
+        "valid_to",
+        F2.when(is_open, F2.lit(ts_col_value).cast(
+            dim.schema["valid_to"].dataType
+        )).otherwise(F2.col("valid_to")),
+    )
+    return present.unionByName(closed_absent)

@@ -143,3 +143,55 @@ def test_scd2_apply_matches_full_rebuild(spark):
                  str(r["valid_from"]), str(r["valid_to"]))
                 for r in rebuilt.collect()))
     assert a == b
+
+
+def test_scd2_close_absent_hard_deletes(spark):
+    """Keys missing from a full snapshot get their open version closed
+    (dbt invalidate_hard_deletes); present keys and closed history pass
+    through, and re-applying the same snapshot is a no-op."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.scd import (
+        scd2_close_absent,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "open", "basic", d("2024-01-01"), None, 1),
+         (2, "open", "basic", d("2024-01-01"), None, 1),
+         (3, "open", "gold", d("2024-01-01"), d("2024-02-01"), 1)],
+        "k long, status string, tier string, valid_from date, "
+        "valid_to date, version int",
+    )
+    snap = spark.createDataFrame([(1,)], "k long")  # 2 deleted; 3 already closed
+    out = scd2_close_absent(dim, snap, ["k"], d("2024-03-01"))
+    got = {(r["k"], r["version"]): str(r["valid_to"]) for r in out.collect()}
+    assert got == {
+        (1, 1): "None",          # present: stays open
+        (2, 1): "2024-03-01",    # hard-deleted: closed at snapshot time
+        (3, 1): "2024-02-01",    # closed history untouched
+    }
+    again = scd2_close_absent(out, snap, ["k"], d("2024-04-01"))
+    got2 = {(r["k"], r["version"]): str(r["valid_to"]) for r in again.collect()}
+    assert got2 == got  # idempotent
+
+
+def test_scd2_close_then_reopen_roundtrip(spark):
+    """Hard-delete close followed by the key reappearing in an update batch
+    must produce a new open version (the advisor's round-2 scenario)."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.scd import (
+        scd2_close_absent,
+    )
+
+    base = spark.createDataFrame(
+        [(1, d("2024-01-01"), "open", "basic")], CHANGELOG_SCHEMA)
+    dim = scd2_from_changelog(base, ["k"], ["ts"], ["status", "tier"])
+    closed = scd2_close_absent(
+        dim, spark.createDataFrame([], "k long"), ["k"], d("2024-02-01"))
+    reopened = scd2_apply(
+        closed,
+        spark.createDataFrame([(1, d("2024-03-01"), "open", "gold")],
+                              CHANGELOG_SCHEMA),
+        ["k"], ["status", "tier"], "ts",
+    )
+    rows = sorted((r["k"], r["version"], r["tier"], str(r["valid_to"]))
+                  for r in reopened.collect())
+    assert rows == [(1, 1, "basic", "2024-02-01"),
+                    (1, 2, "gold", "None")]
