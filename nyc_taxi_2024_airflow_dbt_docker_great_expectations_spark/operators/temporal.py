@@ -34,15 +34,23 @@ def _epoch_us(c: Column) -> Column:
 
 def asof_join(left: DataFrame, right: DataFrame, key: str = "user_id",
               ts_col: str = "ts", right_cols: tuple[str, ...] = ("value",),
-              suffix: str = "_asof") -> DataFrame:
-    """For every left row, attach the most recent right row with
-    ``right.ts <= left.ts`` for the same key (ASOF backward join).
+              suffix: str = "_asof", direction: str = "backward",
+              tolerance_us: int | None = None) -> DataFrame:
+    """For every left row, attach the nearest right row for the same key:
+    ``direction="backward"`` (default) takes the most recent right row with
+    ``right.ts <= left.ts``; ``direction="forward"`` the earliest right row
+    with ``right.ts >= left.ts``.  ``tolerance_us`` (microseconds) NULLs the
+    match when the time gap exceeds it — pandas ``merge_asof`` semantics.
 
     Contract: the right side must be unique per (key, ts) — dedupe it first
-    (ties make any as-of join engine-dependent).  Left rows with no prior
-    right row get NULLs.  Output: all left columns + ``ts{suffix}`` +
-    ``<c>{suffix}`` for each of ``right_cols``.
+    (ties make any as-of join engine-dependent).  Left rows with no match
+    get NULLs.  Output: all left columns + ``ts{suffix}`` + ``<c>{suffix}``
+    for each of ``right_cols``.  Both directions are the same
+    union+window single-shuffle plan (the forward pass just orders the
+    window descending) — never a nested-loop inequality join.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     carried = [F.col(ts_col).alias(f"__r_{ts_col}")] + [
         F.col(c).alias(f"__r_{c}") for c in right_cols
     ]
@@ -56,12 +64,15 @@ def asof_join(left: DataFrame, right: DataFrame, key: str = "user_id",
                                        *[right.schema[c] for c in right_cols]])])
     unioned = l.unionByName(r, allowMissingColumns=True)
 
-    # right rows sort before left rows at equal ts, so "<=" semantics hold;
+    # right rows sort before left rows at equal ts, so "<=" (backward) /
+    # ">=" (forward, via the mirrored descending order) semantics hold;
     # within a key the window is one ordered pass, carried values are the
-    # latest non-null right-side snapshot
+    # nearest non-null right-side snapshot in the scan direction
+    ts_ord = (F.col(ts_col).asc() if direction == "backward"
+              else F.col(ts_col).desc())
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .orderBy(ts_ord, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
@@ -71,12 +82,22 @@ def asof_join(left: DataFrame, right: DataFrame, key: str = "user_id",
             for c in (ts_col, *right_cols)
         ],
     )
-    out = filled.filter(F.col("__side") == 1).select(
+    out = filled.filter(F.col("__side") == 1)
+    if tolerance_us is not None:
+        gap = F.abs(
+            _epoch_us(F.col(ts_col)) - _epoch_us(F.col(f"__f_{ts_col}"))
+        )
+        keep = F.col(f"__f_{ts_col}").isNotNull() & (gap <= tolerance_us)
+        out = out.select(
+            *[c for c in out.columns if not c.startswith("__f_")],
+            *[F.when(keep, F.col(f"__f_{c}")).alias(f"__f_{c}")
+              for c in (ts_col, *right_cols)],
+        )
+    return out.select(
         *l_cols,
         F.col(f"__f_{ts_col}").alias(f"{ts_col}{suffix}"),
         *[F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in right_cols],
     )
-    return out
 
 
 def interval_count_join(intervals: DataFrame, events: DataFrame,

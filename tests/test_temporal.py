@@ -97,3 +97,50 @@ def test_interval_count_join_bucket_boundary(spark):
     ])
     out = interval_count_join(intervals, events, bucket_width_s=600).collect()
     assert out[0]["n_events"] == 2
+
+
+def test_asof_join_forward_direction(spark):
+    """Forward as-of: each left row picks the EARLIEST right row at-or-after
+    it; ties at equal ts match (>=); no later right row -> NULLs."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.temporal import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 25, "b"), (1, 40, "c")],
+        "user_id long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 30, 2.0)], "user_id long, ts long, value double"
+    )
+    out = {r["tag"]: (r["ts_asof"], r["value_asof"])
+           for r in asof_join(left, right, direction="forward").collect()}
+    assert out == {
+        "a": (10, 1.0),    # equal ts matches forward
+        "b": (30, 2.0),    # next right row after 25
+        "c": (None, None),  # nothing at-or-after 40
+    }
+
+
+def test_asof_join_tolerance(spark):
+    """tolerance_us NULLs matches whose gap exceeds it, both directions."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.temporal import (
+        asof_join,
+    )
+    import datetime as dt
+
+    def t(s):
+        return dt.datetime.fromisoformat(s)
+
+    left = spark.createDataFrame(
+        [(1, t("2024-01-01 00:00:10")), (1, t("2024-01-01 00:05:00"))],
+        "user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t("2024-01-01 00:00:00"), 1.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = asof_join(left, right, tolerance_us=60_000_000).collect()
+    got = {str(r["ts"]): r["value_asof"] for r in out}
+    assert got["2024-01-01 00:00:10"] == 1.0   # 10s gap, inside 60s
+    assert got["2024-01-01 00:05:00"] is None  # 5min gap, outside
