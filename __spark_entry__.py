@@ -3060,6 +3060,92 @@ ORACLE_SCD2_HARD_DELETE = (
     + ")\nSELECT l_orderkey, l_returnflag, l_linestatus, valid_from,\n       CASE WHEN valid_to IS NULL AND l_orderkey NOT IN (\n                SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O')\n            THEN CAST(TIMESTAMP '1998-12-31 00:00:00' AS TIMESTAMP)\n            ELSE valid_to\n       END AS valid_to, version\nFROM hist\n"
 )
 
+
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-cleaning observability (extensions/text.py:filter_funnel):
+    cumulative survivor counts for length -> quality -> language cuts in
+    ONE scan + one 1-row aggregate.  The same thresholds as the
+    training_corpus flagship, so this is its per-stage audit."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        filter_funnel,
+        quality_score_col,
+        token_count,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return filter_funnel(docs, [
+        ("length", token_count("text") >= TC_TOKENS_MIN),
+        ("quality", quality_score_col("text") >= TC_QUALITY_MIN),
+        ("lang", F.col("lang") == "en"),
+    ])
+
+
+ORACLE_FILTER_FUNNEL = f"""
+WITH base AS (
+  SELECT lang,
+         CASE WHEN trim(text, {DUCK_WS}) = '' THEN 0
+              ELSE len({DUCK_TOKS}) END AS n_tokens,
+         (1.0 - least(1.0, CAST(length(trim(text))
+              - length(regexp_replace(trim(text), '[^a-zA-Z0-9\\s]', '', 'g'))
+              AS DOUBLE) / CAST(length(trim(text)) AS DOUBLE) * 4.0) * 0.25
+             - least(1.0, CAST(length(trim(text))
+              - length(regexp_replace(trim(text), '[0-9]', '', 'g'))
+              AS DOUBLE) / CAST(length(trim(text)) AS DOUBLE) * 4.0) * 0.25)
+         * (0.5 + least(0.5, CAST(len(list_filter({DUCK_TOKS},
+                t -> lower(t) IN {_QS_STOP})) AS DOUBLE)
+                / CAST(len({DUCK_TOKS}) AS DOUBLE) * 2.0)) AS q
+  FROM documents
+)
+SELECT COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN n_tokens >= {TC_TOKENS_MIN}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_length,
+       CAST(SUM(CASE WHEN n_tokens >= {TC_TOKENS_MIN}
+                      AND q >= {TC_QUALITY_MIN}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN n_tokens >= {TC_TOKENS_MIN}
+                      AND q >= {TC_QUALITY_MIN} AND lang = 'en'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_lang
+FROM base
+"""
+
+
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability composition: near-dup clusters (star-contraction
+    components over the n-gram-Jaccard graph) rolled up per source —
+    which ingestion feeds carry the duplicate mass."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.graph import (
+        dedup_clusters,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    labels = dedup_clusters(docs, ngram_jaccard_pairs(docs, k=3, threshold=0.6))
+    j = docs.select("doc_id", "source").join(labels, "doc_id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(~F.col("is_canonical"), 1).otherwise(0)).cast("long")
+        .alias("n_dupes"),
+        (F.sum(F.when(~F.col("is_canonical"), 1).otherwise(0)).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("dup_rate"),
+    )
+
+
+# the cluster oracle with its final per-doc select swapped for the rollup
+ORACLE_DEDUP_RATE_BY_SOURCE = ORACLE_DEDUP_CLUSTERS.replace(
+    """SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS component,
+       COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""",
+    """SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN COALESCE(c.component, d.doc_id) <> d.doc_id
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes,
+       CAST(SUM(CASE WHEN COALESCE(c.component, d.doc_id) <> d.doc_id
+                THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+GROUP BY 1""",
+)
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "silver_clean": q_silver_clean,
@@ -3143,6 +3229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "bigram_novelty": q_bigram_novelty,
         "scd2_hard_delete": q_scd2_hard_delete,
+        "filter_funnel": q_filter_funnel,
+        "dedup_rate_by_source": q_dedup_rate_by_source,
     }
 
 
@@ -3229,4 +3317,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": ORACLE_DOC_CHUNKS,
         "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
         "scd2_hard_delete": ORACLE_SCD2_HARD_DELETE,
+        "filter_funnel": ORACLE_FILTER_FUNNEL,
+        "dedup_rate_by_source": ORACLE_DEDUP_RATE_BY_SOURCE,
     }

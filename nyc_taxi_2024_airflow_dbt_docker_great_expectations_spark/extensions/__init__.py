@@ -31,6 +31,7 @@ from .text import (  # noqa: F401
     bigram_novelty,
     build_vocab,
     chunk_documents,
+    filter_funnel,
     fingerprints,
     lang_id,
     quality_scores,

@@ -216,6 +216,27 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def quality_score_col(text_col: str = "text") -> Column:
+    """The combined [0,1]-ish quality score as a reusable column
+    expression (see ``quality_scores`` for the component signals)."""
+    t = F.trim(_c(text_col))
+    n_chars = F.length(t)
+    toks = tokens(text_col)
+    n_toks = token_count(text_col)
+    punct = n_chars - F.length(F.regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))
+    digits = n_chars - F.length(F.regexp_replace(t, "[0-9]", ""))
+    stop_hits = _count_matching(toks, EN_STOPWORDS)
+    punct_ratio = punct.cast("double") / n_chars.cast("double")
+    digit_ratio = digits.cast("double") / n_chars.cast("double")
+    stop_ratio = stop_hits.cast("double") / n_toks.cast("double")
+    return (
+        F.lit(1.0)
+        - F.least(F.lit(1.0), punct_ratio * 4.0)
+        * F.lit(0.25)
+        - F.least(F.lit(1.0), digit_ratio * 4.0) * F.lit(0.25)
+    ) * (F.lit(0.5) + F.least(F.lit(0.5), stop_ratio * 2.0))
+
+
 def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic document-quality signals (length, punctuation density,
     digit density, stopword ratio) + a combined [0,1]-ish score.  The usual
@@ -230,12 +251,6 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     punct_ratio = punct.cast("double") / n_chars.cast("double")
     digit_ratio = digits.cast("double") / n_chars.cast("double")
     stop_ratio = stop_hits.cast("double") / n_toks.cast("double")
-    score = (
-        F.lit(1.0)
-        - F.least(F.lit(1.0), punct_ratio * 4.0)
-        * F.lit(0.25)
-        - F.least(F.lit(1.0), digit_ratio * 4.0) * F.lit(0.25)
-    ) * (F.lit(0.5) + F.least(F.lit(0.5), stop_ratio * 2.0))
     return df.select(
         id_col,
         n_chars.alias("n_chars"),
@@ -243,8 +258,30 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         punct_ratio.alias("punct_ratio"),
         digit_ratio.alias("digit_ratio"),
         stop_ratio.alias("stopword_ratio"),
-        score.alias("quality_score"),
+        quality_score_col(text_col).alias("quality_score"),
     )
+
+
+def filter_funnel(df: DataFrame,
+                  stages: list[tuple[str, Column]]) -> DataFrame:
+    """Cumulative survivor counts for a sequence of named filter stages —
+    the observability layer of a corpus-cleaning pipeline ("how many
+    documents did each cut remove?").
+
+    ONE scan, one 1-row aggregate: stage predicates AND-chain cumulatively
+    (stage i counts rows passing stages 1..i), so the columns are
+    monotonically non-increasing by construction.  NULL predicates count
+    as failing, matching SQL's CASE WHEN.  Returns
+    (n_total, n_<stage1>, n_<stage2>, ...).
+    """
+    aggs = [F.count(F.lit(1)).alias("n_total")]
+    cum = F.lit(True)
+    for name, pred in stages:
+        cum = cum & pred
+        aggs.append(
+            F.sum(F.when(cum, 1).otherwise(0)).cast("long").alias(f"n_{name}")
+        )
+    return df.agg(*aggs)
 
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -692,3 +692,20 @@ def test_bigram_novelty_bounds_and_values(spark):
     assert out[1]["n_bigrams"] == 2 and out[1]["n_novel"] == 1
     assert out[2]["n_bigrams"] == 2 and out[2]["n_novel"] == 1
     assert out[1]["novelty_ratio"] == 0.5
+
+
+def test_filter_funnel_cumulative_counts(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        filter_funnel,
+    )
+    df = spark.createDataFrame(
+        [(1, "good text here", "en"), (2, "x", "en"),
+         (3, "good text here", "de"), (4, None, "en")],
+        "doc_id long, text string, lang string",
+    )
+    r = filter_funnel(df, [
+        ("long_enough", F.length("text") > 3),
+        ("english", F.col("lang") == "en"),
+    ]).first()
+    # NULL text fails the first stage (SQL CASE semantics)
+    assert (r["n_total"], r["n_long_enough"], r["n_english"]) == (4, 2, 1)
