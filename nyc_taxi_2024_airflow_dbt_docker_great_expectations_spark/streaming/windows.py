@@ -72,6 +72,29 @@ def tumbling_counts_stream(events_stream: DataFrame, duration: str = "5 minutes"
     )
 
 
+def sliding_counts_stream(events_stream: DataFrame,
+                          duration: str = "10 minutes",
+                          slide: str = "5 minutes", ts_col: str = "ts",
+                          watermark: str = "20 minutes") -> DataFrame:
+    """Streaming twin of ``sliding_counts_batch``: the watermark bounds
+    per-window state to ``(watermark + duration) / slide`` live windows per
+    key group — without it every slide ever seen stays resident."""
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def session_window_stream(events_stream: DataFrame, gap: str = "30 minutes",
                           ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
     """Streaming sessionization via the built-in ``session_window`` (dynamic

@@ -156,3 +156,38 @@ def test_download_monthly_files(tmp_path):
     assert download_monthly_files(
         f"file://{src}", str(dest), months=range(1, 4)
     ) == got
+
+
+def test_sliding_stream_availablenow(spark, tmp_warehouse):
+    """Sliding windows as a real streaming job: each event lands in
+    duration/slide windows, totals match the batch twin."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.streaming.windows import (
+        sliding_counts_batch,
+        sliding_counts_stream,
+    )
+    src_dir = os.path.join(tmp_warehouse, "slide_src")
+    _events_fixture(spark).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string, value double"
+        ).parquet(src_dir)
+    )
+    agg = sliding_counts_stream(stream, "10 minutes", "5 minutes",
+                                watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tmp_warehouse, "ckpt_sl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(str(r["window_start"]), str(r["window_end"])):
+           (r["n_events"], r["total_value"])
+           for r in spark.sql("select * from sliding_test").collect()}
+    want = {(str(r["window_start"]), str(r["window_end"])):
+            (r["n_events"], r["total_value"])
+            for r in sliding_counts_batch(
+                _events_fixture(spark), "10 minutes", "5 minutes").collect()}
+    assert got == want
