@@ -41,4 +41,8 @@ from .text import (  # noqa: F401
 )
 from .analytics import cohort_retention  # noqa: F401
 from .entity import fuzzy_match_pairs  # noqa: F401
-from .packing import global_shuffle, pack_sequences  # noqa: F401
+from .packing import (  # noqa: F401
+    global_shuffle,
+    pack_sequences,
+    write_training_shards,
+)

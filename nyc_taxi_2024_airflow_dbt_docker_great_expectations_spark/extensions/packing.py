@@ -172,3 +172,29 @@ def global_shuffle(df: DataFrame, id_col: str = "doc_id",
     keyed = df.withColumn("__skey", key).withColumn("__one", F.lit(1).cast("long"))
     out = _with_prefix_sum(keyed, "__skey", "__one", out_col="pos")
     return out.drop("__one", "__skey")
+
+
+def write_training_shards(df: DataFrame, path: str,
+                          rows_per_shard: int = 1024,
+                          id_col: str = "doc_id",
+                          salt: str = "shuf") -> int:
+    """Materialize the corpus as numbered training shards: global_shuffle
+    order -> ``shard = pos div rows_per_shard`` -> one directory per shard
+    (``partitionBy("shard")``).  Returns the shard count.
+
+    The write is the whole point of the deterministic shuffle: a training
+    job reads shard k and gets the SAME rows in the same set on any re-run
+    or engine, so resumable data loading needs only a shard cursor.  The
+    shuffle output is already range-partitioned by the md5 sort key and
+    ``pos`` is monotone within each partition, so rows land in few shard
+    directories per task — the write does not re-shuffle.
+    """
+    if rows_per_shard <= 0:
+        raise ValueError(f"rows_per_shard must be positive, got {rows_per_shard}")
+    shuffled = global_shuffle(df, id_col=id_col, salt=salt)
+    out = shuffled.withColumn(
+        "shard", F.expr(f"pos div {int(rows_per_shard)}")
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)
+    n = out.sparkSession.read.parquet(path).select("shard").distinct().count()
+    return n

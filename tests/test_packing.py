@@ -71,3 +71,32 @@ def test_global_shuffle_is_dense_permutation_and_deterministic(spark):
          for r in global_shuffle(df, salt="other").collect()}
     assert c != a
     assert sorted(c.values()) == list(range(50))
+
+
+def test_write_training_shards_deterministic(spark, tmp_warehouse):
+    import os
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import (
+        write_training_shards,
+    )
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("text"),
+    )
+    p1 = os.path.join(tmp_warehouse, "shards1")
+    n1 = write_training_shards(docs, p1, rows_per_shard=16)
+    assert n1 == 7  # ceil(100 / 16)
+    out = spark.read.parquet(p1)
+    assert out.count() == 100
+    # every shard except the last is full; shard membership is a pure
+    # function of the data, so a second write is byte-for-byte the same rows
+    sizes = {r["shard"]: r["n"] for r in out.groupBy("shard")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sorted(sizes) == list(range(7))
+    assert all(sizes[s] == 16 for s in range(6)) and sizes[6] == 4
+    p2 = os.path.join(tmp_warehouse, "shards2")
+    write_training_shards(docs, p2, rows_per_shard=16)
+    a = sorted(map(tuple, spark.read.parquet(p1).collect()))
+    b = sorted(map(tuple, spark.read.parquet(p2).collect()))
+    assert a == b

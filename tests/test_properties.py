@@ -311,3 +311,40 @@ def test_connected_components_multi_parent_star(spark):
     got = {r["node"]: r["component"]
            for r in connected_components(df, strict=True).collect()}
     assert got == {1: 1, 2: 1, 7: 1}
+
+
+@settings(**SETTINGS)
+@given(texts=pack_docs_strategy,
+       chunk=st.integers(min_value=2, max_value=8),
+       overlap=st.integers(min_value=0, max_value=6))
+def test_chunk_documents_properties(spark, texts, chunk, overlap):
+    """For ANY corpus and any valid (chunk, overlap): chunk 0 starts at 0,
+    starts advance by exactly chunk-overlap, every chunk is full-size
+    except a clipped last, and the windows cover every token index."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        chunk_documents,
+    )
+
+    if overlap >= chunk:
+        return  # invalid combination (rejected by the operator)
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    tokens = {i: len(t.split()) for i, t in enumerate(texts)}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {i for i, n in tokens.items() if n > 0}
+    step = chunk - overlap
+    for doc, chunks in by_doc.items():
+        n = tokens[doc]
+        chunks.sort(key=lambda r: r["chunk_id"])
+        covered = set()
+        for j, r in enumerate(chunks):
+            assert r["chunk_id"] == j
+            assert r["start_tok"] == j * step
+            want_len = min(chunk, n - j * step)
+            assert r["n_chunk_tokens"] == want_len
+            assert len(r["chunk_text"].split()) == want_len
+            covered |= set(range(r["start_tok"],
+                                 r["start_tok"] + r["n_chunk_tokens"]))
+        assert covered == set(range(n))
