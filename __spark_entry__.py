@@ -3146,6 +3146,38 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 GROUP BY 1""",
 )
 
+
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup screening (extensions/dedup.py:
+    ngram_jaccard_pairs_vs): an incoming batch (doc_id % 10 == 0) checked
+    against the existing corpus — the continuous-ingest dedup step.  ONE
+    combined prefix index (the PPJoin theorem needs a global shingle
+    order); candidates keep only cross-side pairs; exact verify."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        ngram_jaccard_pairs_vs,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return ngram_jaccard_pairs_vs(new, corpus, k=3, threshold=0.6)
+
+
+ORACLE_INCREMENTAL_NEARDUP = f"""
+WITH sh AS (
+  SELECT doc_id, {DUCK_SHINGLES_3} AS s FROM documents
+  WHERE len({DUCK_TOKS}) >= 3
+)
+SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                  AS DOUBLE) AS jaccard
+FROM sh a JOIN sh b
+  ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                 AS DOUBLE) >= 0.6
+"""
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "silver_clean": q_silver_clean,
@@ -3231,6 +3263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_hard_delete": q_scd2_hard_delete,
         "filter_funnel": q_filter_funnel,
         "dedup_rate_by_source": q_dedup_rate_by_source,
+        "incremental_neardup": q_incremental_neardup,
     }
 
 
@@ -3319,4 +3352,5 @@ def oracle_sql() -> dict[str, str]:
         "scd2_hard_delete": ORACLE_SCD2_HARD_DELETE,
         "filter_funnel": ORACLE_FILTER_FUNNEL,
         "dedup_rate_by_source": ORACLE_DEDUP_RATE_BY_SOURCE,
+        "incremental_neardup": ORACLE_INCREMENTAL_NEARDUP,
     }

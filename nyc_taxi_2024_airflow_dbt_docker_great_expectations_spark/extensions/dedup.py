@@ -182,6 +182,94 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def ngram_jaccard_pairs_vs(new: DataFrame, corpus: DataFrame,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           k: int = 3, threshold: float = 0.6,
+                           max_df: int | None = None) -> DataFrame:
+    """Cross-corpus near-dup screening: every (new_id, corpus_id) pair with
+    word-k-gram Jaccard >= ``threshold`` — the continuous-ingest dedup
+    step ("is this incoming batch already in the corpus?"), where the
+    self-join form would wastefully re-pair the corpus against itself.
+
+    Same PPJoin machinery as :func:`ngram_jaccard_pairs` — the two sides
+    union with a side tag, ONE prefix index is built over the COMBINED
+    document frequency (the prefix theorem needs a single global shingle
+    order, so per-side indexing would lose recall), and candidates keep
+    only cross-side pairs.  Exact: candidates verify with the full set
+    intersection, so the result equals the brute-force cross join.  Returns
+    (new_id, corpus_id, jaccard).
+    """
+    from pyspark.sql import Window as W
+
+    tagged = new.select(
+        F.col(id_col), F.col(text_col), F.lit(0).alias("__side")
+    ).unionByName(
+        corpus.select(F.col(id_col), F.col(text_col), F.lit(1).alias("__side"))
+    )
+    base = materialize_once(
+        shingled_arrays(
+            tagged.select(
+                # composite key keeps ids unique across sides even when the
+                # same document appears in both inputs
+                F.concat(F.col("__side").cast("string"), F.lit(":"),
+                         F.col(id_col).cast("string")).alias("__uid"),
+                text_col,
+            ),
+            text_col, "__uid", k,
+        )
+    )
+    posts = base.select(
+        "__uid", F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    ranked = posts.withColumn(
+        "df_cnt", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+    )
+    if max_df is not None:
+        ranked = ranked.filter(F.col("df_cnt") <= max_df)
+    ranked = ranked.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("__uid").orderBy("df_cnt", "shingle")),
+    )
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select(
+        "__uid", "n_sh", "shingle"
+    )
+    pa = prefix.filter(F.col("__uid").startswith("0:")).select(
+        F.col("__uid").alias("__ua"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    pb = prefix.filter(F.col("__uid").startswith("1:")).select(
+        F.col("__uid").alias("__ub"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    candidates = (
+        pa.join(pb, "shingle")
+        .filter(
+            (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+            & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b")))
+        )
+        .select("__ua", "__ub")
+        .distinct()
+    )
+    sh_a = base.select(F.col("__uid").alias("__ua"),
+                       F.col("shingles").alias("sh_a"))
+    sh_b = base.select(F.col("__uid").alias("__ub"),
+                       F.col("shingles").alias("sh_b"))
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    n_union = F.size("sh_a") + F.size("sh_b") - n_inter
+    id_t = new.schema[id_col].dataType
+    return (
+        candidates.join(sh_a, "__ua")
+        .join(sh_b, "__ub")
+        .withColumn("jaccard", n_inter.cast("double") / n_union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.substring_index("__ua", ":", -1).cast(id_t).alias("new_id"),
+            F.substring_index("__ub", ":", -1).cast(id_t).alias("corpus_id"),
+            "jaccard",
+        )
+    )
+
+
 # --- MinHash + LSH ---------------------------------------------------------
 # One permutation = min over shingles of md5(seed || ':' || shingle); the
 # hex-string min is a valid uniform order and the seed prefix is the

@@ -709,3 +709,33 @@ def test_filter_funnel_cumulative_counts(spark):
     ]).first()
     # NULL text fails the first stage (SQL CASE semantics)
     assert (r["n_total"], r["n_long_enough"], r["n_english"]) == (4, 2, 1)
+
+
+def test_ngram_jaccard_pairs_vs_bruteforce(spark, docs):
+    """Cross-corpus screening equals the brute-force cross Jaccard, and a
+    document present in BOTH sides self-matches at 1.0."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        ngram_jaccard_pairs_vs,
+    )
+
+    new = docs.filter(F.col("doc_id").isin(1, 3))        # 1 has dup 4 in corpus
+    corpus = docs.filter(F.col("doc_id").isin(2, 4, 5, 6))
+    got = {(r["new_id"], r["corpus_id"]): r["jaccard"]
+           for r in ngram_jaccard_pairs_vs(new, corpus, threshold=0.3).collect()}
+    # brute force via python shingles
+    def shingles(t, k=3):
+        toks = t.split()
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    want = {}
+    for a in (1, 3):
+        for b in (2, 4, 5, 6):
+            sa, sb = shingles(rows[a]), shingles(rows[b])
+            if sa and sb:
+                j = len(sa & sb) / len(sa | sb)
+                if j >= 0.3:
+                    want[(a, b)] = j
+    assert set(got) == set(want)
+    for p, j in want.items():
+        assert abs(got[p] - j) < 1e-12
+    assert got[(1, 4)] == 1.0  # exact dup across sides
