@@ -3178,6 +3178,31 @@ WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                  AS DOUBLE) >= 0.6
 """
 
+
+def q_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing — the remaining ranking-window family member: each
+    document's length quartile within its language, totally ordered
+    (n_chars, doc_id) so bucket membership is engine-independent.  Keyed
+    window (partition = lang): scales like any per-key sort, no global
+    window."""
+    from pyspark.sql import Window as W
+    docs = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.col("n_chars").asc(),
+                                      F.col("doc_id").asc())
+    return docs.select(
+        "doc_id", "lang", "n_chars",
+        F.ntile(4).over(w).alias("length_quartile"),
+    )
+
+
+ORACLE_LENGTH_QUARTILES = """
+SELECT doc_id, lang, n_chars,
+       CAST(NTILE(4) OVER (PARTITION BY lang
+                           ORDER BY n_chars, doc_id) AS INTEGER)
+           AS length_quartile
+FROM documents
+"""
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "silver_clean": q_silver_clean,
@@ -3264,6 +3289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_funnel": q_filter_funnel,
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "incremental_neardup": q_incremental_neardup,
+        "length_quartiles": q_length_quartiles,
     }
 
 
@@ -3353,4 +3379,5 @@ def oracle_sql() -> dict[str, str]:
         "filter_funnel": ORACLE_FILTER_FUNNEL,
         "dedup_rate_by_source": ORACLE_DEDUP_RATE_BY_SOURCE,
         "incremental_neardup": ORACLE_INCREMENTAL_NEARDUP,
+        "length_quartiles": ORACLE_LENGTH_QUARTILES,
     }
