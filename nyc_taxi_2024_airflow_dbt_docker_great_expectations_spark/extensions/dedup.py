@@ -256,15 +256,19 @@ def ngram_jaccard_pairs_vs(new: DataFrame, corpus: DataFrame,
                        F.col("shingles").alias("sh_b"))
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     n_union = F.size("sh_a") + F.size("sh_b") - n_inter
-    id_t = new.schema[id_col].dataType
+    # strip the fixed 2-char "0:"/"1:" side prefix positionally — NOT via
+    # substring_index(':'), which would truncate string ids that themselves
+    # contain a colon; each side casts back to its OWN id type
     return (
         candidates.join(sh_a, "__ua")
         .join(sh_b, "__ub")
         .withColumn("jaccard", n_inter.cast("double") / n_union.cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select(
-            F.substring_index("__ua", ":", -1).cast(id_t).alias("new_id"),
-            F.substring_index("__ub", ":", -1).cast(id_t).alias("corpus_id"),
+            F.expr("substring(__ua, 3)")
+            .cast(new.schema[id_col].dataType).alias("new_id"),
+            F.expr("substring(__ub, 3)")
+            .cast(corpus.schema[id_col].dataType).alias("corpus_id"),
             "jaccard",
         )
     )

@@ -159,7 +159,16 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
         if strict:
             raise RuntimeError(msg)
         warnings.warn(msg, ConvergenceWarning, stacklevel=2)
-    children = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    # min-aggregate the child->parent edges: at the fixpoint this is a
+    # no-op (one parent per child), but on the warned non-converged path a
+    # multi-parent child would otherwise emit DUPLICATE (node, component)
+    # rows and fan out every downstream join — stale labels are the
+    # documented failure mode there, duplicated rows are not
+    children = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
     return (
         nodes.join(children, "node", "left")
         .select(
@@ -249,7 +258,10 @@ def triangle_count(edges: DataFrame, src: str = "id_a",
         .distinct()
     )
     e = materialize_once(canon)  # consumed several times below
-    o = _orient_by_degree(e)
+    # the oriented table is consumed three times (both wedge sides + the
+    # closing semi-join); without its own materialization the degree
+    # aggregate and both degree-attach joins would re-execute per consumer
+    o = materialize_once(_orient_by_degree(e))
     # wedges (u -> v, u -> w) with v before w in the (degree, id) order:
     # every triangle has exactly one lowest-order apex u, hence one wedge
     wedge = (

@@ -196,5 +196,7 @@ def write_training_shards(df: DataFrame, path: str,
         "shard", F.expr(f"pos div {int(rows_per_shard)}")
     )
     out.write.mode("overwrite").partitionBy("shard").parquet(path)
-    n = out.sparkSession.read.parquet(path).select("shard").distinct().count()
-    return n
+    # shard count from the (checkpointed, narrow) lineage — never by
+    # re-listing and re-scanning everything just written
+    top = out.agg(F.max("pos").alias("m")).first()["m"]
+    return 0 if top is None else int(top) // int(rows_per_shard) + 1

@@ -141,11 +141,15 @@ def _grouped_topk_scores(corpus_pairs: DataFrame, query_pairs: DataFrame,
     function of the data.
     """
     def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            "__qid": pd.array([], dtype="int64"),
-            "__id": pd.array([], dtype="int64"),
-            "__sim": pd.array([], dtype="float64"),
-        })
+        # dtype-agnostic empty frame: Arrow casts empty object columns to
+        # the declared schema types, so non-long ids work too
+        empty = pd.DataFrame({"__qid": [], "__id": [],
+                              "__sim": pd.array([], dtype="float64")})
+        # NULL embeddings score NULL in the old per-pair cosine_arrow form
+        # and a NULL sim never survives a DESC top-k — dropping the rows is
+        # result-identical and keeps np.stack rectangular
+        left = left[left["__vec"].notna()]
+        right = right[right["__qvec"].notna()]
         if len(left) == 0 or len(right) == 0:
             return empty
         ids = left["__id"].to_numpy()
@@ -619,8 +623,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
     def assign_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"__id": pd.array([], dtype="int64"),
-                              "__list": pd.array([], dtype="int64")})
+        empty = pd.DataFrame({"__id": [], "__list": []})
+        left = left[left["__vec"].notna()]  # NULL vectors join no list
         if len(left) == 0 or len(right) == 0:
             return empty
         ids = left["__id"].to_numpy()
@@ -629,12 +633,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         # iterate centroids in ascending cid with a strict > update: the
         # winner is the max-sim centroid, ties to the smallest cid — the
         # exact max_by((sim, -cid)) order of the round-2 form, decided on
-        # bit-identical scores.
-        order = np.argsort(right["__cid"].to_numpy(), kind="stable")
+        # bit-identical scores.  best_cid dtype follows the input (string
+        # ids work) and initializes to the SMALLEST cid, so a zero-norm
+        # vector (NaN against every centroid — 'NaN > x' is false) still
+        # lands in a REAL inverted list instead of a fabricated id.
+        cids = right["__cid"].to_numpy()
+        order = np.argsort(cids, kind="stable")
         best_sim = np.full(len(ma), -np.inf)
-        best_cid = np.zeros(len(ma), dtype=np.int64)
+        best_cid = np.full(len(ma), cids[order[0]])
         for idx in order:
-            cid = right["__cid"].iloc[idx]
+            cid = cids[idx]
             sims = _fold_scores(
                 ma, sna, np.asarray(right["__cvec"].iloc[idx], dtype=np.float64)
             )

@@ -216,9 +216,10 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
-def quality_score_col(text_col: str = "text") -> Column:
-    """The combined [0,1]-ish quality score as a reusable column
-    expression (see ``quality_scores`` for the component signals)."""
+def _quality_components(text_col: str) -> dict[str, Column]:
+    """The shared quality-signal expressions — ONE definition feeds both
+    the per-component report and the combined score, so they can never
+    drift apart (or from the SQL oracle)."""
     t = F.trim(_c(text_col))
     n_chars = F.length(t)
     toks = tokens(text_col)
@@ -229,36 +230,35 @@ def quality_score_col(text_col: str = "text") -> Column:
     punct_ratio = punct.cast("double") / n_chars.cast("double")
     digit_ratio = digits.cast("double") / n_chars.cast("double")
     stop_ratio = stop_hits.cast("double") / n_toks.cast("double")
-    return (
+    score = (
         F.lit(1.0)
         - F.least(F.lit(1.0), punct_ratio * 4.0)
         * F.lit(0.25)
         - F.least(F.lit(1.0), digit_ratio * 4.0) * F.lit(0.25)
     ) * (F.lit(0.5) + F.least(F.lit(0.5), stop_ratio * 2.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_toks,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def quality_score_col(text_col: str = "text") -> Column:
+    """The combined [0,1]-ish quality score as a reusable column
+    expression (see ``quality_scores`` for the component signals)."""
+    return _quality_components(text_col)["quality_score"]
 
 
 def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic document-quality signals (length, punctuation density,
     digit density, stopword ratio) + a combined [0,1]-ish score.  The usual
     pre-training corpus filter: cheap, scan-local, shuffle-free."""
-    t = F.trim(F.col(text_col))
-    n_chars = F.length(t)
-    toks = tokens(text_col)
-    n_toks = token_count(text_col)
-    punct = n_chars - F.length(F.regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))
-    digits = n_chars - F.length(F.regexp_replace(t, "[0-9]", ""))
-    stop_hits = _count_matching(toks, EN_STOPWORDS)
-    punct_ratio = punct.cast("double") / n_chars.cast("double")
-    digit_ratio = digits.cast("double") / n_chars.cast("double")
-    stop_ratio = stop_hits.cast("double") / n_toks.cast("double")
+    comps = _quality_components(text_col)
     return df.select(
-        id_col,
-        n_chars.alias("n_chars"),
-        n_toks.alias("n_tokens"),
-        punct_ratio.alias("punct_ratio"),
-        digit_ratio.alias("digit_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        quality_score_col(text_col).alias("quality_score"),
+        id_col, *[col.alias(name) for name, col in comps.items()]
     )
 
 

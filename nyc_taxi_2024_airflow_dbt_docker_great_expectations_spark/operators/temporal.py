@@ -27,8 +27,11 @@ def _epoch_us(c: Column) -> Column:
     """Epoch microseconds for TIMESTAMP *and* TIMESTAMP_NTZ inputs
     (``unix_micros`` alone rejects NTZ, which is what Spark 4 infers for
     parquet timestamp[us] without timezone).  The NTZ->LTZ cast interprets
-    in the session zone; every use here is a difference or a bucket key, so
-    the absolute offset cancels."""
+    in the session zone; the uses here are bucket keys and range bounds,
+    where a consistent offset only shifts bucket boundaries.  NOT suitable
+    for wall-clock gap arithmetic when the session zone observes DST (the
+    offset differs per instant) — gap logic uses ``timestampdiff``
+    instead (see ``asof_join``'s tolerance)."""
     return F.unix_micros(c.cast("timestamp"))
 
 
@@ -84,8 +87,12 @@ def asof_join(left: DataFrame, right: DataFrame, key: str = "user_id",
     )
     out = filled.filter(F.col("__side") == 1)
     if tolerance_us is not None:
+        # timestampdiff, not an epoch-cast difference: for TIMESTAMP_NTZ
+        # inputs the NTZ->session-zone epoch cast shifts by the zone offset
+        # AT EACH instant, so a DST transition between the two timestamps
+        # would distort the gap by an hour
         gap = F.abs(
-            _epoch_us(F.col(ts_col)) - _epoch_us(F.col(f"__f_{ts_col}"))
+            F.expr(f"timestampdiff(MICROSECOND, __f_{ts_col}, {ts_col})")
         )
         keep = F.col(f"__f_{ts_col}").isNotNull() & (gap <= tolerance_us)
         out = out.select(

@@ -98,6 +98,16 @@ def exact_zscore_outliers(df: DataFrame, key_col: str, value_col: str,
     # 6.25), changing which points are flagged with no warning.
     from fractions import Fraction
     frac = Fraction(str(k))
+    if frac.denominator > 1000:
+        # k = 1/3 etc. has no short decimal form: its squared denominator
+        # (10^32 for '0.3333333333333333') cannot be a long literal and
+        # would overflow the decimal(38,0) cross-multiplication into NULL
+        # comparisons — silently undercounting.  The exactness contract
+        # only holds for decimally-representable k; fail loudly otherwise.
+        raise ValueError(
+            f"k={k!r} is not exactly representable as a short decimal "
+            "(denominator > 1000); pass a decimal like 2.5 or 3.25"
+        )
     p2, q2 = frac.numerator ** 2, frac.denominator ** 2
     j = with_u.join(F.broadcast(stats), key_col)
     lhs = (F.col("__n") * F.col("__u") - F.col("__s"))

@@ -739,3 +739,59 @@ def test_ngram_jaccard_pairs_vs_bruteforce(spark, docs):
     for p, j in want.items():
         assert abs(got[p] - j) < 1e-12
     assert got[(1, 4)] == 1.0  # exact dup across sides
+
+
+def test_ann_null_embeddings_dropped_not_crashed(spark):
+    """NULL embeddings must be DROPPED by the cogrouped scorers (the old
+    per-pair cosine scored them NULL, which never survives a DESC top-k) —
+    not crash np.stack."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        ivf_topk,
+    )
+    rows = [(i, [float(i % 3), 1.0, 0.5, 0.2]) for i in range(20)]
+    rows.append((99, None))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk(emb, qs, k=3).collect()
+    assert len(got) == 6 and all(r["vec_id"] != 99 for r in got)
+    lsh = lsh_topk(emb, qs, k=3, n_planes=4, dim=4).collect()
+    assert all(r["vec_id"] != 99 for r in lsh)
+    ivf = ivf_topk(emb, qs, k=3, n_lists=4, n_probe=2).collect()
+    assert all(r["vec_id"] != 99 for r in ivf)
+
+
+def test_ivf_zero_vector_joins_real_list(spark):
+    """A zero-norm vector (NaN cosine against every centroid) must be
+    assigned to a REAL inverted list, not a fabricated id."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        ivf_topk,
+    )
+    rows = [(i + 10, [1.0 + i, 0.5, 0.1, 0.2]) for i in range(20)]
+    rows.append((999, [0.0, 0.0, 0.0, 0.0]))  # zero vector; no centroid id 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.filter("vec_id = 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # must not crash, and with full probing the zero vector is reachable
+    # (its NaN score ranks last, so it only appears when k covers the list)
+    out = ivf_topk(emb, qs, k=25, n_lists=2, n_probe=2).collect()
+    assert len(out) > 0
+
+
+def test_ngram_jaccard_pairs_vs_colon_string_ids(spark):
+    """String ids containing ':' must round-trip intact through the
+    side-tagged composite key."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        ngram_jaccard_pairs_vs,
+    )
+    text = "the quick brown fox jumps over the lazy dog"
+    new = spark.createDataFrame([("crawl:2024:a", text)],
+                                "doc_id string, text string")
+    corpus = spark.createDataFrame([("web:2023:b", text)],
+                                   "doc_id string, text string")
+    got = ngram_jaccard_pairs_vs(new, corpus, threshold=0.5).collect()
+    assert [(r["new_id"], r["corpus_id"], r["jaccard"]) for r in got] == [
+        ("crawl:2024:a", "web:2023:b", 1.0)
+    ]
