@@ -164,6 +164,14 @@ def _grouped_topk_scores(corpus_pairs: DataFrame, query_pairs: DataFrame,
                 sid, ssim = ids[keep], sims[keep]
             else:
                 sid, ssim = ids, sims
+            # a zero-norm vector (corpus or query side) scores NaN against
+            # everything; np.lexsort ranks NaN LAST while SQL engines'
+            # ORDER BY sim DESC rank it FIRST — drop the rows outright
+            # (same treatment as NULL embeddings: a no-signal score never
+            # belongs in a cosine top-k), keeping Spark and oracle aligned
+            # even on degenerate inputs.
+            ok = ~np.isnan(ssim)
+            sid, ssim = sid[ok], ssim[ok]
             if len(sid) == 0:
                 continue
             order = np.lexsort((sid, -ssim))
@@ -633,23 +641,25 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         # iterate centroids in ascending cid with a strict > update: the
         # winner is the max-sim centroid, ties to the smallest cid — the
         # exact max_by((sim, -cid)) order of the round-2 form, decided on
-        # bit-identical scores.  best_cid dtype follows the input (string
-        # ids work) and initializes to the SMALLEST cid, so a zero-norm
-        # vector (NaN against every centroid — 'NaN > x' is false) still
-        # lands in a REAL inverted list instead of a fabricated id.
+        # bit-identical scores.  The winner is tracked as an INDEX into
+        # cids, never as a value array: np.full(..., cids[order[0]]) would
+        # infer a fixed-width '<U n' dtype from the first (smallest) string
+        # id and silently truncate longer ids on update.  Initializes to
+        # the SMALLEST cid, so a zero-norm vector (NaN against every
+        # centroid — 'NaN > x' is false) still lands in a REAL inverted
+        # list instead of a fabricated id.
         cids = right["__cid"].to_numpy()
         order = np.argsort(cids, kind="stable")
         best_sim = np.full(len(ma), -np.inf)
-        best_cid = np.full(len(ma), cids[order[0]])
+        best_idx = np.full(len(ma), order[0])
         for idx in order:
-            cid = cids[idx]
             sims = _fold_scores(
                 ma, sna, np.asarray(right["__cvec"].iloc[idx], dtype=np.float64)
             )
             upd = sims > best_sim
             best_sim[upd] = sims[upd]
-            best_cid[upd] = cid
-        return pd.DataFrame({"__id": ids, "__list": best_cid})
+            best_idx[upd] = idx
+        return pd.DataFrame({"__id": ids, "__list": cids[best_idx]})
 
     assign = (
         blocks.groupBy("__g")

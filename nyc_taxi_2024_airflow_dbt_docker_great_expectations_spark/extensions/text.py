@@ -453,7 +453,11 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
     step = chunk_tokens - overlap
     toks = tokens(text_col)
     n = token_count(text_col).cast("long")
-    # integer ceil: 1 + (n - chunk + step - 1) div step — stays in longs
+    # integer ceil: 1 + floor((n - chunk + step - 1) / step).  The '/' is
+    # DOUBLE division under F.floor, so the result is exact only while the
+    # numerator stays below 2^53 — a per-DOCUMENT token count, which never
+    # gets near it (unlike packing.py's global offsets, which use true
+    # integer div for exactly this reason).
     n_chunks = F.when(n <= chunk_tokens, F.lit(1).cast("long")).otherwise(
         F.lit(1) + F.floor((n - chunk_tokens + step - 1) / F.lit(step))
     )

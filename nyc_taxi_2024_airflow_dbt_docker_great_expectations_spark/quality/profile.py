@@ -113,8 +113,22 @@ def exact_zscore_outliers(df: DataFrame, key_col: str, value_col: str,
     lhs = (F.col("__n") * F.col("__u") - F.col("__s"))
     rhs = F.lit(p2) * (F.col("__n") * F.col("__s2")
                        - F.col("__s") * F.col("__s"))
+    # Magnitude budget: q2 <= 10^6 consumes up to 6 of the 38 decimal
+    # digits, so the cross-multiplication q2*(n*u - S)^2 must fit in ~10^32
+    # — i.e. n * max|u| below ~10^16 (n=10^9 rows at scale=10^4 and 1000x
+    # value range is ~10^16, right at the edge).  Decimal overflow under
+    # non-ANSI Spark yields NULL, which a silent cast would undercount as
+    # "not an outlier"; instead a NULL comparison raises loudly — the
+    # contract is exact-or-error, never silently wrong.
+    cmp = F.lit(q2) * lhs * lhs > rhs
     flagged = j.withColumn(
-        "__out", (F.lit(q2) * lhs * lhs > rhs).cast("long")
+        "__out",
+        F.when(cmp.isNotNull(), cmp.cast("long")).otherwise(
+            F.raise_error(F.lit(
+                "robust_outliers: decimal(38,0) overflow in the "
+                "cross-multiplication — reduce scale or k's denominator"
+            )).cast("long")
+        ),
     )
     return flagged.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n"),

@@ -774,10 +774,12 @@ def test_ivf_zero_vector_joins_real_list(spark):
     qs = emb.filter("vec_id = 10").select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # must not crash, and with full probing the zero vector is reachable
-    # (its NaN score ranks last, so it only appears when k covers the list)
+    # must not crash; the zero vector's NaN cosine is DROPPED from rankings
+    # (the same treatment as a NULL embedding — SQL engines disagree on NaN
+    # ordering, so a no-signal score never enters a top-k)
     out = ivf_topk(emb, qs, k=25, n_lists=2, n_probe=2).collect()
     assert len(out) > 0
+    assert all(r["vec_id"] != 999 for r in out)
 
 
 def test_ngram_jaccard_pairs_vs_colon_string_ids(spark):
@@ -795,3 +797,57 @@ def test_ngram_jaccard_pairs_vs_colon_string_ids(spark):
     assert [(r["new_id"], r["corpus_id"], r["jaccard"]) for r in got] == [
         ("crawl:2024:a", "web:2023:b", 1.0)
     ]
+
+
+def test_ivf_variable_length_string_ids_full_probe_exact(spark):
+    """Inverted-list assignment must carry string centroid ids INTACT.
+
+    Regression: the winner used to be tracked in a np.full value array whose
+    '<U n' width came from the smallest centroid id — longer ids truncated
+    on update, assigned vectors to nonexistent lists, and the probe join
+    silently dropped them.  With ids of wildly different lengths and
+    n_probe == n_lists (probe everything), IVF must equal brute force.
+    """
+    import hashlib
+    import math as m
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions import (
+        ivf_topk,
+    )
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 0x7FFFFFFF - 1.0
+
+    rows = []
+    for i in range(60):
+        # id lengths 1..~40 chars — any fixed-width dtype truncates some
+        vid = ("d" * (1 + (i * 7) % 40)) + f"-{i}"
+        v = [h(f"v:{i}:{d}") for d in range(16)]
+        n = m.sqrt(sum(x * x for x in v))
+        rows.append((vid, [float(x / n) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    qs = spark.createDataFrame(rows[:4], "query_id string, embedding array<float>")
+
+    exact = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in cosine_topk(emb, qs, k=5).collect()
+    )
+    ivf = sorted(
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(emb, qs, k=5, n_lists=4, n_probe=4).collect()
+    )
+    assert ivf == exact
+
+
+def test_grouped_topk_drops_nan_cosines(spark):
+    """A zero-norm CORPUS vector scores NaN against every query; engines
+    disagree on NaN ordering (np.lexsort ranks it last, SQL ORDER BY DESC
+    first), so the scorer drops NaN rows outright — the zero vector must
+    never appear in any top-k, even when k exceeds the corpus size."""
+    rows = [(1, [1.0, 0.0]), (2, [0.6, 0.8]), (3, [0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = spark.createDataFrame([(10, [1.0, 0.0])],
+                               "query_id long, embedding array<float>")
+    out = cosine_topk(emb, qs, k=10).collect()
+    assert sorted(r["vec_id"] for r in out) == [1, 2]
+    assert all(not math.isnan(r["cosine_sim"]) for r in out)

@@ -39,12 +39,26 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]")
         elif df[c].dtype == object:
-            try:
+            # Spark DateType arrives as object-dtype datetime.date; string
+            # timestamps are always ISO here.  Pinning format="ISO8601" for
+            # the string case avoids pandas' per-element dateutil fallback
+            # (slow + UserWarning spam on every mixed column).
+            import datetime as _dt
+
+            nn = df[c].dropna()
+            if len(nn) and isinstance(nn.iloc[0], (_dt.date, _dt.datetime)):
                 df[c] = (
                     pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]")
                 )
-            except (ValueError, TypeError):
-                df[c] = df[c].astype(str)
+            else:
+                try:
+                    df[c] = (
+                        pd.to_datetime(df[c], format="ISO8601")
+                        .dt.tz_localize(None)
+                        .astype("datetime64[us]")
+                    )
+                except (ValueError, TypeError):
+                    df[c] = df[c].astype(str)
         elif df[c].dtype.kind in "iu":
             df[c] = df[c].astype("int64")
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
