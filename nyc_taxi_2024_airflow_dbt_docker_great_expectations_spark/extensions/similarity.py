@@ -511,17 +511,28 @@ def _lloyd_refine(corpus: DataFrame, cents: DataFrame, refine_iters: int,
     order differs between engines, flipping assignments on the last ulp.
     Here the update is exact: sample vectors quantize to integer micro
     units (``floor(x * 1e6 + 0.5)`` — the portable rounding of
-    quantize_int8), per-dimension sums are exact integers (decimal(38,0) /
-    HUGEINT), and the new centroid coordinate is ONE division
-    ``sum / (n * 1e6)`` of identical integers — bit-identical doubles on
-    any engine.  Assignment scores with the left-fold cosine and
-    (sim desc, cid asc) ties, sample = the ``sample_size`` rows with the
-    smallest ``md5('lloyd:' || id)`` (decorrelated from the seed draw, a
-    distributed TakeOrdered, no RNG).  Empty clusters keep their previous
-    centroid.  The whole index stays a pure function of the data, so the
-    SQL oracle replays it CTE-for-CTE.
+    quantize_int8), per-dimension sums are exact integers, and the new
+    centroid coordinate is ONE division ``sum / (n * 1e6)`` of identical
+    integers — bit-identical doubles on any engine.  Assignment scores
+    with the left-fold cosine and (sim desc, cid asc) ties; sample = the
+    ``sample_size`` rows with the smallest ``md5('lloyd:' || id)``
+    (decorrelated from the seed draw, a distributed TakeOrdered, no RNG).
+    Empty clusters keep their previous centroid.  The whole index stays a
+    pure function of the data, so the SQL oracle replays it CTE-for-CTE.
+
+    Execution shape: the sample draw is the only distributed work (one
+    TakeOrderedAndProject over the corpus).  ALL ``refine_iters``
+    iterations then run driver-side on the collected sample — it is
+    O(sample_size) rows by construction, i.e. metadata-sized, and the
+    round-3 distributed form paid ~2 Spark jobs of pure fixed overhead
+    per iteration for work a single numpy pass does in microseconds.
+    Bit-identity with the oracle is preserved because every operation
+    replays the distributed arithmetic exactly: the same left-fold cosine
+    (``_fold_scores``), the same ``np.lexsort`` tie order, the same
+    integer quantization, and the same single double division.
     """
-    samp = materialize_once(
+    spark = corpus.sparkSession
+    samp_plan = (
         corpus.orderBy(
             F.md5(F.concat(F.lit("lloyd:"), F.col(id_col).cast("string"))),
             F.col(id_col),
@@ -529,42 +540,64 @@ def _lloyd_refine(corpus: DataFrame, cents: DataFrame, refine_iters: int,
         .limit(sample_size)
         .select(F.col(id_col).alias("__sid"), F.col(vec_col).alias("__svec"))
     )
-    su = samp.select(
-        "__sid",
-        F.posexplode(
-            F.transform(
-                F.col("__svec"),
-                lambda x: F.floor(
-                    x.cast("double") * F.lit(float(LLOYD_SCALE)) + F.lit(0.5)
-                ).cast("decimal(38,0)"),
-            )
-        ).alias("pos", "__u"),
+    # ONE collect job for both TakeOrdered draws (union of two limits);
+    # float->double widening of the sample is value-exact and matches the
+    # x.cast("double") the quantization applied anyway
+    both = (
+        cents.select(F.lit(0).alias("__t"), F.col("__cid").alias("__id"),
+                     F.col("__cvec").alias("__v"))
+        .unionByName(samp_plan.select(
+            F.lit(1).alias("__t"), F.col("__sid").alias("__id"),
+            F.transform(F.col("__svec"), lambda x: x.cast("double"))
+            .alias("__v"),
+        ))
+        .collect()
     )
-    for _ in range(refine_iters):
-        assign = _grouped_topk_scores(
-            cents.select(F.lit(0).alias("__g"), F.col("__cid").alias("__id"),
-                         F.col("__cvec").alias("__vec")),
-            samp.select(F.lit(0).alias("__g"), F.col("__sid").alias("__qid"),
-                        F.col("__svec").alias("__qvec")),
-            1, False, id_t, id_t,
-        ).select(F.col("__qid").alias("__sid"), F.col("__id").alias("__cid"))
-        sums = su.join(assign, "__sid").groupBy("__cid", "pos").agg(
-            F.sum("__u").alias("__s"), F.count(F.lit(1)).alias("__n")
-        )
-        newc = sums.groupBy("__cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "__s", "__n"))),
-                lambda x: x["__s"].cast("double")
-                / (x["__n"] * F.lit(LLOYD_SCALE)).cast("double"),
-            ).alias("__newvec")
-        )
-        cents = materialize_once(
-            cents.join(newc, "__cid", "left").select(
-                "__cid",
-                F.coalesce(F.col("__newvec"), F.col("__cvec")).alias("__cvec"),
-            )
-        )
-    return cents
+    cent_rows = [{"__cid": r["__id"], "__cvec": r["__v"]}
+                 for r in both if r["__t"] == 0]
+    samp_rows = [{"__sid": r["__id"], "__svec": r["__v"]}
+                 for r in both if r["__t"] == 1]
+    cids_list = [r["__cid"] for r in cent_rows]
+    cvecs = {r["__cid"]: np.asarray(r["__cvec"], dtype=np.float64)
+             for r in cent_rows}
+    samp_rows = [r for r in samp_rows if r["__svec"] is not None]
+    if samp_rows and cent_rows:
+        sm = np.stack([np.asarray(r["__svec"], dtype=np.float64)
+                       for r in samp_rows])
+        # integer micro-units; exact in int64 (|u| <= 1e6 * max|x| << 2^53)
+        su = np.floor(sm * float(LLOYD_SCALE) + 0.5).astype(np.int64)
+        cids = np.array(cids_list, dtype=object)
+        for _ in range(refine_iters):
+            cm = np.stack([cvecs[c] for c in cids_list])
+            cna = _fold_dot_norms(cm)
+            # per-cluster exact integer sums + counts over assigned samples
+            sums: dict = {}
+            counts: dict = {}
+            for si in range(len(sm)):
+                sims = _fold_scores(cm, cna, sm[si])
+                ok = ~np.isnan(sims)
+                if not ok.any():
+                    continue  # zero-norm sample: no assignment (NaN drop)
+                order = np.lexsort((cids[ok], -sims[ok]))
+                win = cids[ok][order[0]]
+                if win in sums:
+                    sums[win] = sums[win] + su[si]
+                    counts[win] += 1
+                else:
+                    sums[win] = su[si].copy()
+                    counts[win] = 1
+            for c, s in sums.items():
+                n = counts[c]
+                # sum/(n*1e6): ONE double division of exact integers —
+                # identical to the SQL oracle's decimal->double cast
+                cvecs[c] = np.array(
+                    [float(int(v)) / float(n * LLOYD_SCALE) for v in s],
+                    dtype=np.float64,
+                )
+    return spark.createDataFrame(
+        [(c, [float(x) for x in cvecs[c]]) for c in cids_list],
+        f"__cid {id_t}, __cvec array<double>",
+    )
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -613,6 +646,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     if refine_iters > 0:
         cents = _lloyd_refine(
             corpus, cents, refine_iters, sample_size, id_col, vec_col, id_t
+        )
+    else:
+        # localize the n_lists-row draw: cents feeds BOTH the replicated
+        # assignment side and the probe scorer, and leaving the corpus
+        # TakeOrdered in its lineage would re-run it once per consumer.
+        # Metadata-sized by construction; collect->recreate is value-exact.
+        cents = corpus.sparkSession.createDataFrame(
+            [(r["__cid"], r["__cvec"]) for r in cents.collect()],
+            f"__cid {id_t}, __cvec array<double>",
         )
 
     # inverted-list assignment: nearest centroid per vector, ties to the
