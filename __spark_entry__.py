@@ -3203,6 +3203,40 @@ SELECT doc_id, lang, n_chars,
 FROM documents
 """
 
+
+def q_neardup_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup screening against a PERSISTED corpus index
+    (extensions/dedup.py: build_ngram_index / probe_ngram_index) — the
+    amortized form of incremental_neardup: the corpus tokenizes ONCE into
+    three bucketed warehouse tables (prefix postings + df order + verify
+    sets, the reference's build-once/merge-deltas incremental pattern,
+    dbt/nyc_taxi/models/bronze/bronze_yellow_tripdata.sql:1-5), and each incoming
+    batch probes them without touching corpus text.  Build-if-absent per
+    (session, sf_dir); repeated runs are probe-only.  Same batch split and
+    exact semantics as incremental_neardup, so the oracle is identical —
+    equivalence of probe vs rebuild is also pytest-asserted."""
+    import re
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        NGRAM_INDEX_TABLES,
+        build_ngram_index,
+        probe_ngram_index,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    prefix = "neardup_idx_" + re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    if not all(spark.catalog.tableExists(f"{prefix}_{t}")
+               for t in NGRAM_INDEX_TABLES):
+        build_ngram_index(corpus, prefix, k=3, threshold=0.6)
+    return probe_ngram_index(new, prefix, k=3, threshold=0.6)
+
+
+# exact verify makes the probe result identical to the rebuild form — the
+# brute-force oracle is shared with incremental_neardup
+ORACLE_NEARDUP_VS_INDEX = ORACLE_INCREMENTAL_NEARDUP
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "silver_clean": q_silver_clean,
@@ -3289,6 +3323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_funnel": q_filter_funnel,
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "incremental_neardup": q_incremental_neardup,
+        "neardup_vs_index": q_neardup_vs_index,
         "length_quartiles": q_length_quartiles,
     }
 
@@ -3379,5 +3414,6 @@ def oracle_sql() -> dict[str, str]:
         "filter_funnel": ORACLE_FILTER_FUNNEL,
         "dedup_rate_by_source": ORACLE_DEDUP_RATE_BY_SOURCE,
         "incremental_neardup": ORACLE_INCREMENTAL_NEARDUP,
+        "neardup_vs_index": ORACLE_NEARDUP_VS_INDEX,
         "length_quartiles": ORACLE_LENGTH_QUARTILES,
     }

@@ -274,6 +274,174 @@ def ngram_jaccard_pairs_vs(new: DataFrame, corpus: DataFrame,
     )
 
 
+# --- persisted n-gram index ------------------------------------------------
+# The round-3 probe (ngram_jaccard_pairs_vs) re-tokenized the WHOLE corpus on
+# every incoming batch.  Real 100 TB ingest amortizes that: the corpus-side
+# artifacts are written ONCE as bucketed warehouse tables (the reference's
+# incremental-materialization pattern — dbt/nyc_taxi/models/bronze/
+# bronze_yellow_tripdata.sql:1-5: build once, merge deltas — applied to the
+# extension surface's most expensive artifact), and each batch probes them.
+#
+# Cross-side prefix filtering stays exact under a DIFFERENT global order than
+# the combined-df order the self-contained form uses: the PPJoin prefix
+# theorem holds for ANY fixed total order of the shingle universe shared by
+# both sides.  Here the order is (corpus df, shingle) with unseen shingles
+# at df 0 — the corpus prefixes baked at build time and the batch prefixes
+# computed at probe time agree on it, so every J >= t pair still collides in
+# the prefix join, and the exact verify keeps the RESULT identical to the
+# rebuild form (property-tested in tests/test_extensions.py).
+
+NGRAM_INDEX_TABLES = ("prefix_postings", "shingle_df", "doc_shingles")
+
+
+def _index_table_names(prefix: str) -> dict[str, str]:
+    return {t: f"{prefix}_{t}" for t in NGRAM_INDEX_TABLES}
+
+
+def build_ngram_index(corpus: DataFrame, table_prefix: str,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 3, threshold: float = 0.6,
+                      max_df: int | None = None,
+                      num_buckets: int = 8) -> dict[str, str]:
+    """Tokenize the corpus ONCE and persist the near-dup index as three
+    bucketed warehouse tables (``<prefix>_prefix_postings`` bucketed by
+    shingle, ``<prefix>_shingle_df`` bucketed by shingle,
+    ``<prefix>_doc_shingles`` bucketed by doc id):
+
+    - **prefix_postings** (shingle, doc_id, n_sh): the corpus-side PPJoin
+      prefix for the baked ``threshold`` — the only rows the candidate
+      join ever touches, bucketed on its join key so repeated probes pay
+      no index-side shuffle.
+    - **shingle_df** (shingle, df_cnt): full corpus document frequencies —
+      the global prefix order probes must replay (their own shingles rank
+      by corpus df, unseen ones at 0).
+    - **doc_shingles** (doc_id, n_sh, shingles): exact verify sets.
+
+    ``threshold`` is a floor baked into the index: probes at the same or
+    HIGHER threshold are exact (a higher t needs a shorter prefix — a
+    subset of the indexed one); probing lower than the build t would lose
+    recall, so :func:`probe_ngram_index` rejects it.  Returns the table
+    names.  One tokenize pass + one df window — the same work the
+    self-contained operator spends per query, paid once per corpus.
+    """
+    from pyspark.sql import Window as W
+
+    from ..operators.layout import write_bucketed
+
+    names = _index_table_names(table_prefix)
+    base = materialize_once(shingled_arrays(corpus, text_col, id_col, k))
+    write_bucketed(
+        base.select(id_col, F.size("shingles").alias("n_sh"), "shingles"),
+        names["doc_shingles"], [id_col], num_buckets,
+    )
+    posts = base.select(
+        F.col(id_col), F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    ranked = posts.withColumn(
+        "df_cnt", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+    )
+    write_bucketed(
+        ranked.groupBy("shingle").agg(F.first("df_cnt").alias("df_cnt")),
+        names["shingle_df"], ["shingle"], num_buckets,
+    )
+    if max_df is not None:
+        ranked = ranked.filter(F.col("df_cnt") <= max_df)
+    ranked = ranked.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy(id_col).orderBy("df_cnt", "shingle")),
+    )
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    write_bucketed(
+        ranked.filter(F.col("rn") <= prefix_len).select(
+            "shingle", id_col, "n_sh"
+        ),
+        names["prefix_postings"], ["shingle"], num_buckets,
+    )
+    return names
+
+
+def probe_ngram_index(new: DataFrame, table_prefix: str,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 3, threshold: float = 0.6,
+                      built_threshold: float | None = None,
+                      max_df: int | None = None) -> DataFrame:
+    """Screen an incoming batch against a :func:`build_ngram_index` corpus
+    WITHOUT touching corpus text: every (new_id, corpus_id, jaccard) with
+    word-k-gram Jaccard >= ``threshold``.
+
+    Only the batch is tokenized; the corpus side is three index-table
+    scans.  Batch shingles rank by the PERSISTED corpus df (left join on
+    the bucketed df table; unseen shingles coalesce to 0 — the same total
+    order the build used), the candidate join hits only the bucketed
+    prefix postings (no index-side shuffle), and the exact verify joins
+    the persisted shingle sets — identical results to the rebuild form
+    ``ngram_jaccard_pairs_vs``.  ``k`` and ``max_df`` must match the
+    build; ``threshold`` may exceed ``built_threshold`` (defaults to
+    equal) but never undercut it.
+    """
+    from pyspark.sql import Window as W
+
+    if built_threshold is None:
+        built_threshold = threshold
+    if threshold < built_threshold:
+        raise ValueError(
+            f"index built at threshold {built_threshold}; probing at "
+            f"{threshold} < that would lose recall — rebuild the index"
+        )
+    spark = new.sparkSession
+    names = _index_table_names(table_prefix)
+    postings = spark.table(names["prefix_postings"])
+    shingle_df = spark.table(names["shingle_df"])
+    doc_shingles = spark.table(names["doc_shingles"])
+    corpus_id_t = doc_shingles.schema[id_col].dataType
+
+    base = materialize_once(shingled_arrays(new, text_col, id_col, k))
+    nposts = base.select(
+        F.col(id_col).alias("new_id"), F.size("shingles").alias("n_a"),
+        F.explode("shingles").alias("shingle"),
+    ).join(shingle_df, "shingle", "left").withColumn(
+        "df_cnt", F.coalesce(F.col("df_cnt"), F.lit(0).cast("long"))
+    )
+    if max_df is not None:
+        nposts = nposts.filter(F.col("df_cnt") <= max_df)
+    nprefix = nposts.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("new_id").orderBy("df_cnt", "shingle")),
+    ).filter(
+        F.col("rn")
+        <= F.col("n_a") - F.ceil(F.lit(threshold) * F.col("n_a")) + 1
+    ).select("new_id", "n_a", "shingle")
+
+    candidates = (
+        nprefix.join(postings.withColumnRenamed(id_col, "corpus_id")
+                     .withColumnRenamed("n_sh", "n_b"), "shingle")
+        .filter(
+            (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+            & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b")))
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sh_a = base.select(F.col(id_col).alias("new_id"),
+                       F.col("shingles").alias("sh_a"))
+    sh_b = doc_shingles.select(F.col(id_col).alias("corpus_id"),
+                               F.col("shingles").alias("sh_b"))
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    n_union = F.size("sh_a") + F.size("sh_b") - n_inter
+    return (
+        candidates.join(sh_a, "new_id")
+        .join(sh_b, "corpus_id")
+        .withColumn("jaccard", n_inter.cast("double") / n_union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("new_id").cast(new.schema[id_col].dataType),
+            F.col("corpus_id").cast(corpus_id_t),
+            "jaccard",
+        )
+    )
+
+
 # --- MinHash + LSH ---------------------------------------------------------
 # One permutation = min over shingles of md5(seed || ':' || shingle); the
 # hex-string min is a valid uniform order and the seed prefix is the

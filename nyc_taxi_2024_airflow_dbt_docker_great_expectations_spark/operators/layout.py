@@ -28,6 +28,22 @@ def write_bucketed(df: DataFrame, table: str, keys: list[str],
     """Persist as a bucketed (and optionally sorted) managed table.
     Requires a catalog (saveAsTable); path-only parquet cannot record bucket
     metadata."""
+    spark = df.sparkSession
+    # A managed table's LOCATION can outlive its catalog entry: the default
+    # in-memory catalog forgets tables at session end but the warehouse
+    # directory persists, and saveAsTable then fails with
+    # LOCATION_ALREADY_EXISTS on the next session.  Drop any stale entry
+    # and clear the orphaned location (Hadoop FS API — works on any
+    # warehouse filesystem, not just local disk).
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    jvm = spark._jvm
+    loc = jvm.org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+        + "/" + table.lower()
+    )
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
     w = df.write.mode("overwrite").bucketBy(num_buckets, *keys)
     if sort_by:
         w = w.sortBy(*sort_by)

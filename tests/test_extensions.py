@@ -851,3 +851,46 @@ def test_grouped_topk_drops_nan_cosines(spark):
     out = cosine_topk(emb, qs, k=10).collect()
     assert sorted(r["vec_id"] for r in out) == [1, 2]
     assert all(not math.isnan(r["cosine_sim"]) for r in out)
+
+
+def test_ngram_index_probe_equals_rebuild(spark):
+    """Probing the persisted bucketed index must return EXACTLY the pairs
+    the self-contained rebuild form returns (the prefix theorem holds for
+    the corpus-df order just as for the combined-df order, and the exact
+    verify equalizes the rest), and the probe plan must scan the index
+    tables instead of re-tokenizing corpus text."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        build_ngram_index,
+        ngram_jaccard_pairs_vs,
+        probe_ngram_index,
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter("doc_id % 10 = 0")
+    corpus = docs.filter("doc_id % 10 != 0")
+    build_ngram_index(corpus, "t_ndidx", k=3, threshold=0.6)
+
+    probe = probe_ngram_index(new, "t_ndidx", k=3, threshold=0.6)
+    got = sorted((r["new_id"], r["corpus_id"], r["jaccard"])
+                 for r in probe.collect())
+    want = sorted((r["new_id"], r["corpus_id"], r["jaccard"])
+                  for r in ngram_jaccard_pairs_vs(new, corpus,
+                                                  threshold=0.6).collect())
+    assert got == want and len(want) > 0
+
+    # the corpus side is index-table scans only — no corpus re-tokenization
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "t_ndidx_prefix_postings" in plan
+    assert "t_ndidx_doc_shingles" in plan
+    assert "t_ndidx_shingle_df" in plan
+
+    # probing at a HIGHER threshold stays exact (shorter prefix = subset of
+    # the indexed one); undercutting the build threshold is rejected
+    hi = sorted((r["new_id"], r["corpus_id"], r["jaccard"])
+                for r in probe_ngram_index(new, "t_ndidx", threshold=0.8,
+                                           built_threshold=0.6).collect())
+    want_hi = sorted((r["new_id"], r["corpus_id"], r["jaccard"])
+                     for r in ngram_jaccard_pairs_vs(new, corpus,
+                                                     threshold=0.8).collect())
+    assert hi == want_hi
+    with pytest.raises(ValueError):
+        probe_ngram_index(new, "t_ndidx", threshold=0.5, built_threshold=0.6)
