@@ -624,11 +624,18 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # one state-store instance (HDFS-backed dir + task + Python worker) is
-    # created PER shuffle partition: 32 partitions cost ~4x the runtime of 8
-    # on a single-batch availableNow run with a few thousand keys.  8 is
-    # still parallel; a real deployment sizes this to keys/executor.
+    # created PER shuffle partition, but the per-key fold also parallelizes
+    # across them: measured at sf0.1 warm best-of-3, 2 parts = 6.7s,
+    # 4 = 4.1s, 8 = 2.4s, 16 = 1.8s, 32 = 1.9s — 16 is the knee where
+    # store/worker fixed cost meets fold parallelism on local[32].  A real
+    # deployment sizes this to keys/executor.  The availableNow run also
+    # skips the trailing no-data micro-batch (pure commit overhead here:
+    # NoTimeout state never advances without data).
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     # the checkpoint of this ephemeral query is write-heavy fsync traffic;
     # RAM-backed tmpfs when available (a durable deployment would point this
     # at real storage — durability is the checkpoint's entire job there)
@@ -650,6 +657,8 @@ def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                       prev_nodata)
     return spark.table(sink)
 
 
