@@ -1884,6 +1884,78 @@ ORACLE_BPE_TOKEN_COUNT = (
 )
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BPE encoding (extensions/text.py:bpe_encode) against the
+    fixture merges table — the real token budget behind bpe_token_count's
+    estimate.  Encode work is vocabulary-sized (one Arrow pass over
+    DISTINCT pre-tokens); the oracle replays the identical incremental
+    leftmost-best merge loop as a DuckDB recursive CTE."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        bpe_encode,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode(docs)
+
+
+def _oracle_bpe_encode() -> str:
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        BPE_TOKEN_PATTERN,
+        DEFAULT_BPE_MERGES,
+    )
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    keys = ", ".join(
+        "'" + (a + chr(2) + b).replace("'", "''") + "'"
+        for a, b in DEFAULT_BPE_MERGES
+    )
+    vals = ", ".join(str(i + 1) for i in range(len(DEFAULT_BPE_MERGES)))
+    # chr(2) separates the pair halves in the rank-map key (never occurs in
+    # text); chr(1) joins output pieces (mirrors BPE_PIECE_SEP)
+    return f"""
+WITH RECURSIVE
+pt AS (
+  SELECT doc_id, u.pos, u.w FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(arr)+1),
+                   i -> struct_pack(pos := i, w := arr[i]))) AS u
+    FROM (SELECT doc_id, regexp_extract_all(text, '{pat}') AS arr
+          FROM documents)
+  )
+),
+vocab AS (SELECT DISTINCT w FROM pt),
+mm AS (SELECT map([{keys}], [{vals}]) AS m),
+enc(w, syms) AS (
+  SELECT w, list_transform(range(1, length(w)+1), i -> substring(w, i, 1))
+  FROM vocab
+  UNION ALL
+  SELECT w, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:]
+  FROM (
+    SELECT w, syms,
+           list_position(ranks,
+             list_min(list_filter(ranks, x -> x IS NOT NULL))) AS bi
+    FROM (
+      SELECT e.w, e.syms,
+             list_transform(range(1, len(e.syms)), i ->
+               list_extract(map_extract(mm.m,
+                 e.syms[i] || chr(2) || e.syms[i+1]), 1)) AS ranks
+      FROM enc e, mm
+    )
+  ) WHERE bi IS NOT NULL AND bi > 0
+),
+final AS (SELECT w, arg_min(syms, len(syms)) AS pieces FROM enc GROUP BY w),
+pieces AS (
+  SELECT pt.doc_id, pt.pos, t.s.pidx AS pidx, t.s.pc AS pc FROM pt
+  JOIN final ON pt.w = final.w,
+  LATERAL (SELECT unnest(list_transform(range(1, len(final.pieces)+1),
+            i -> struct_pack(pidx := i, pc := final.pieces[i]))) AS s) t(s)
+)
+SELECT doc_id, COUNT(*) AS n_bpe_tokens,
+       string_agg(pc, chr(1) ORDER BY pos, pidx) AS bpe_tokens
+FROM pieces GROUP BY doc_id
+"""
+
+
+ORACLE_BPE_ENCODE = _oracle_bpe_encode()
+
+
 def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
         repetition_scores,
@@ -3291,6 +3363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "set_ops": q_set_ops,
         "bpe_token_count": q_bpe_token_count,
+        "bpe_encode": q_bpe_encode,
         "repetition_scores": q_repetition_scores,
         "json_extract": q_json_extract,
         "funnel": q_funnel,
@@ -3382,6 +3455,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh_topk": ORACLE_EMBEDDING_LSH_TOPK,
         "set_ops": ORACLE_SET_OPS,
         "bpe_token_count": ORACLE_BPE_TOKEN_COUNT,
+        "bpe_encode": ORACLE_BPE_ENCODE,
         "repetition_scores": ORACLE_REPETITION_SCORES,
         "json_extract": ORACLE_JSON_EXTRACT,
         "funnel": ORACLE_FUNNEL,

@@ -29,6 +29,7 @@ from .similarity import (  # noqa: F401
 )
 from .text import (  # noqa: F401
     bigram_novelty,
+    bpe_encode,
     build_vocab,
     chunk_documents,
     filter_funnel,

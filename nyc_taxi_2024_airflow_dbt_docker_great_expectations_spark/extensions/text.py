@@ -89,6 +89,103 @@ def bpe_token_count(col: Column | str) -> Column:
     return F.regexp_count(_c(col), F.lit(BPE_TOKEN_PATTERN))
 
 
+# Fixture merges table for exact BPE encoding: a deterministic, ranked list
+# of (left, right) symbol merges over characters (GPT-2-style cascades —
+# 'th'+'e' requires the earlier 't'+'h').  A production deployment swaps in
+# a learned merges file; the ALGORITHM below is what the engine provides.
+DEFAULT_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"),
+    ("o", "r"), ("e", "s"), ("in", "g"), ("a", "l"), ("s", "t"),
+    ("o", "u"), ("a", "r"), ("i", "s"), ("i", "t"), ("o", "f"),
+    ("l", "e"), ("c", "o"), ("m", "e"), ("d", "e"), ("h", "e"),
+    ("u", "s"), ("p", "a"), ("s", "e"), (" ", "t"), (" t", "he"),
+    (" ", "a"), (" ", "s"), (" ", "o"), (" ", "w"), (" ", "c"),
+    (" ", "p"),
+)
+
+# joins encoded pieces within a document; \x01 cannot appear in \s-split or
+# BPE pre-tokens, so the joined string round-trips unambiguously
+BPE_PIECE_SEP = "\x01"
+
+
+def bpe_encode(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               merges: tuple[tuple[str, str], ...] = DEFAULT_BPE_MERGES,
+               ) -> DataFrame:
+    """Exact BPE encoding against a fixed merges table — the real token
+    budget behind ``bpe_token_count``'s pre-tokenizer estimate: (doc_id,
+    n_bpe_tokens, bpe_tokens) where ``bpe_tokens`` is every encoded piece
+    in document order joined by ``BPE_PIECE_SEP``.
+
+    Algorithm (per pre-token, characters as initial symbols): repeatedly
+    merge the LEFTMOST occurrence of the best-ranked adjacent symbol pair
+    until no pair is in the merges table — the *incremental leftmost-best*
+    variant of BPE, chosen because one merge per step makes the loop a
+    plain structural recursion that a SQL engine replays exactly (the
+    DuckDB oracle is a recursive CTE); with cascade-ordered merges tables
+    (every learned BPE merges file is) it coincides with the classic
+    merge-all-occurrences form on real text.
+
+    Scale shape: pre-tokenization (``regexp_extract_all``) is a codegen'd
+    scan-local expression; the Python merge loop runs once per DISTINCT
+    pre-token (Zipf: vocabulary << corpus — the encode work is
+    vocabulary-sized while the corpus-sized joins stay JVM-side), with the
+    merges table a closure broadcast into the Arrow workers.  Reassembly
+    is one equi-join on the pre-token plus a per-document sort of
+    O(pre-tokens) structs — no global window, no driver collect.
+    """
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def encode(batches):
+        def enc_word(w: str) -> list[str]:
+            syms = list(w)
+            while len(syms) > 1:
+                best = None
+                bi = -1
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best, bi = r, i  # strict < keeps the LEFTMOST min
+                if best is None:
+                    break
+                syms[bi:bi + 2] = [syms[bi] + syms[bi + 1]]
+            return syms
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "w": pdf["w"],
+                "pieces": [enc_word(w) for w in pdf["w"]],
+            })
+
+    pt = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(_c(text_col), F.lit(BPE_TOKEN_PATTERN),
+                                 F.lit(0))
+        ).alias("pos", "w"),
+    )
+    vocab = pt.select("w").distinct()
+    enc = vocab.mapInPandas(encode, "w string, pieces array<string>")
+    return (
+        pt.join(enc, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.size("pieces")).cast("long").alias("n_bpe_tokens"),
+            F.concat_ws(
+                BPE_PIECE_SEP,
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "pieces"))),
+                        lambda s: s["pieces"],
+                    )
+                ),
+            ).alias("bpe_tokens"),
+        )
+    )
+
+
 def repetition_scores(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """Repetition signal: the share of a document's word k-grams taken by

@@ -894,3 +894,30 @@ def test_ngram_index_probe_equals_rebuild(spark):
     assert hi == want_hi
     with pytest.raises(ValueError):
         probe_ngram_index(new, "t_ndidx", threshold=0.5, built_threshold=0.6)
+
+
+def test_bpe_encode_known_text(spark):
+    """The incremental leftmost-best merge must replay the hand-computed
+    cascade: in ' theme', rank-0 't'+'h' fires before ' '+'t' ever can, so
+    the chain is 'th' -> 'the' -> 'me' leaving [' ', 'the', 'me'] — the
+    leading space stays unmerged (' t'+'he' needs a ' t' symbol that never
+    forms)."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        BPE_PIECE_SEP,
+        bpe_encode,
+    )
+    df = spark.createDataFrame(
+        [(1, "the theme"), (2, "it's"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bpe_encode(df).collect()}
+    assert out[1]["bpe_tokens"].split(BPE_PIECE_SEP) == [
+        "the", " ", "the", "me"
+    ]
+    assert out[1]["n_bpe_tokens"] == 4
+    # contraction pre-tokenizer: it + 's ; 'i'+'t' merges, but no merge
+    # rebuilds "'s" from its chars
+    assert out[2]["bpe_tokens"].split(BPE_PIECE_SEP) == ["it", "'", "s"]
+    # empty text yields no pre-tokens -> doc dropped (matches the oracle's
+    # inner-join semantics)
+    assert 3 not in out
