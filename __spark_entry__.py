@@ -1170,6 +1170,10 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # (16, 4, 512) == ivf_params(500): the scaling-law defaults
+    # (n_lists = pow2 floor of sqrt N, n_probe = n_lists/4, sample =
+    # 32*n_lists) instantiated at the sf0.01 corpus, passed explicitly so
+    # the SQL oracle stays a static string
     return ivf_topk(emb, qs, k=10, n_lists=16, n_probe=4, refine_iters=2,
                     sample_size=512)
 

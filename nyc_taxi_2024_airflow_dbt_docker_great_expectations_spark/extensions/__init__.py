@@ -23,6 +23,7 @@ from .dedup import (  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_topk,
     hyperplane_lsh_buckets,
+    ivf_params,
     ivf_topk,
     lsh_topk,
     neardup_pairs,

@@ -19,6 +19,7 @@ are bit-deterministic and oracle-checkable.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -502,6 +503,38 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 LLOYD_SCALE = 10 ** 6
 
 
+def ivf_params(n: int) -> tuple[int, int, int]:
+    """Scaling-law defaults for :func:`ivf_topk` from corpus size ``n``:
+
+    - ``n_lists``: the largest power of two <= sqrt(n) — sqrt(N) balances
+      the per-list re-score cost (N / n_lists rows per probed list) against
+      the probe-selection cost (n_lists centroid scores per query), the
+      classic IVF operating point; the power-of-two floor keeps list
+      counts stable under small corpus drift so repeated builds bucket
+      identically.
+    - ``n_probe = n_lists / 4``: probing 25% of the lists is the
+      recall/cost knee on clustered data (recall property test below);
+      raise toward n_lists for exact-equivalence, lower for latency.
+    - ``sample_size = 32 * n_lists``: ~32 Lloyd sample points per centroid
+      — enough for the integer-exact mean to move centroids into cluster
+      mass, small enough that the driver-side refinement stays
+      metadata-sized at any corpus scale.
+
+    The sf0.01 embeddings corpus (N = 500) instantiates to (16, 4, 512) —
+    exactly the constants ``q_embedding_ivf_topk`` bakes into its static
+    SQL oracle.  Deriving defaults needs one COUNT job; pass explicit
+    values when the corpus size is already known (any production index
+    build does).
+    """
+    if n < 1:
+        return 1, 1, 32
+    root = math.isqrt(n)
+    n_lists = 1
+    while n_lists * 2 <= root:
+        n_lists *= 2
+    return n_lists, max(1, n_lists // 4), 32 * n_lists
+
+
 def _lloyd_refine(corpus: DataFrame, cents: DataFrame, refine_iters: int,
                   sample_size: int, id_col: str, vec_col: str,
                   id_t: str) -> DataFrame:
@@ -601,10 +634,10 @@ def _lloyd_refine(corpus: DataFrame, cents: DataFrame, refine_iters: int,
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
-             n_lists: int = 16, n_probe: int = 4, id_col: str = "vec_id",
-             vec_col: str = "embedding",
+             n_lists: int | None = None, n_probe: int | None = None,
+             id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", refine_iters: int = 0,
-             sample_size: int = 512) -> DataFrame:
+             sample_size: int | None = None) -> DataFrame:
     """IVF-flat ANN: coarse quantizer -> inverted lists -> probe -> exact
     re-score.  The third leg of the ANN family (brute-force `cosine_topk`,
     hash-bucketed `lsh_topk`, cluster-bucketed `ivf_topk`).
@@ -629,6 +662,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     id_t = corpus.schema[id_col].dataType.simpleString()
     qid_t = queries.schema[query_id_col].dataType.simpleString()
     n_blocks = 8
+
+    # scaling-law defaults (ivf_params) when the caller didn't size the
+    # index; the COUNT job this costs is why production callers pass
+    # explicit values
+    if n_lists is None or n_probe is None or sample_size is None:
+        d_lists, d_probe, d_sample = ivf_params(corpus.count())
+        n_lists = d_lists if n_lists is None else n_lists
+        n_probe = d_probe if n_probe is None else n_probe
+        sample_size = d_sample if sample_size is None else sample_size
 
     # deterministic centroid draw; orderBy+limit plans as a distributed
     # TakeOrderedAndProject (never a single-partition global window).

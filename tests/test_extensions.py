@@ -921,3 +921,31 @@ def test_bpe_encode_known_text(spark):
     # empty text yields no pre-tokens -> doc dropped (matches the oracle's
     # inner-join semantics)
     assert 3 not in out
+
+
+def test_ivf_params_scaling_law_and_recall_two_sfs(spark):
+    """ivf_params must reproduce the sf0.01 constants at N=500 and scale
+    at sqrt(N); derived defaults must give useful recall@k against brute
+    force at BOTH test scales."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions import (
+        ivf_params,
+        ivf_topk,
+    )
+    assert ivf_params(500) == (16, 4, 512)
+    assert ivf_params(2000) == (32, 8, 1024)
+    assert ivf_params(10**12) == (2**19, 2**17, 32 * 2**19)
+    assert ivf_params(0) == (1, 1, 32)
+
+    for sf in ("sf0.001", "sf0.1"):
+        emb = spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
+        # 10 queries: recall on 3 is too noisy to gate on (50 truth pairs
+        # here vs 15)
+        qs = emb.filter("vec_id < 10").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        truth = {(r["query_id"], r["vec_id"])
+                 for r in cosine_topk(emb, qs, k=5).collect()}
+        got = {(r["query_id"], r["vec_id"])
+               for r in ivf_topk(emb, qs, k=5, refine_iters=2).collect()}
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.5, (sf, recall)
