@@ -38,13 +38,45 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    compact = {k: round(v, 2) for k, v in timings.items()}
+    full = {
         "metric": "total_headline_query_time",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": compact,
         "sf": float(sf),
-    }))
+    }
+    full_line = json.dumps(full, separators=(",", ":"))
+
+    # The driver records only the last ~2000 chars of bench output; a
+    # single long JSON line gets head-truncated there and fails to parse
+    # (BENCH_r03.json: parsed=null).  Persist the complete result to a
+    # repo-root artifact, print the full line first, and — when the full
+    # line is too long to survive the tail window — ALSO print a short
+    # final summary line (total + slowest queries) that always parses.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=2)
+
+    print(full_line)
+    if len(full_line) > 1800:
+        kept: dict[str, float] = {}
+        summary = {
+            "metric": "total_headline_query_time",
+            "value": total,
+            "unit": "sec",
+            "queries": kept,
+            "sf": float(sf),
+            "n_queries": len(timings),
+            "truncated_to_slowest": True,
+            "full": "BENCH_FULL.json",
+        }
+        for k, v in sorted(timings.items(), key=lambda kv: -kv[1]):
+            kept[k] = round(v, 2)
+            if len(json.dumps(summary, separators=(",", ":"))) > 1500:
+                del kept[k]
+                break
+        print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -50,6 +50,26 @@ def write_bucketed(df: DataFrame, table: str, keys: list[str],
     w.saveAsTable(table)
 
 
+def table_if_absent(spark, table: str, build, keys: list[str],
+                    num_buckets: int = 8,
+                    sort_by: list[str] | None = None) -> DataFrame:
+    """Build-once / read-many materialization: if ``table`` is not in the
+    catalog, evaluate ``build()`` (a thunk returning a DataFrame) and
+    persist it bucketed on ``keys``; either way return the table scan.
+
+    This is the reference's incremental-materialization pattern
+    (dbt/nyc_taxi/models/bronze/bronze_yellow_tripdata.sql:1-5 — build the
+    expensive artifact once, reuse it) applied to derived artifacts: a
+    family of queries sharing one expensive intermediate (e.g. the near-dup
+    pair graph) pays its computation once per warehouse instead of once per
+    query.  Deterministic builds make the result independent of which
+    query triggered it.
+    """
+    if not spark.catalog.tableExists(table):
+        write_bucketed(build(), table, keys, num_buckets, sort_by)
+    return spark.table(table)
+
+
 def salted_join(big: DataFrame, small: DataFrame, key: str,
                 salt: int = 16, how: str = "inner") -> DataFrame:
     """Skew-resistant equi-join: explode the small side over ``salt``

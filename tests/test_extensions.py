@@ -949,3 +949,48 @@ def test_ivf_params_scaling_law_and_recall_two_sfs(spark):
                for r in ivf_topk(emb, qs, k=5, refine_iters=2).collect()}
         recall = len(got & truth) / len(truth)
         assert recall >= 0.5, (sf, recall)
+
+
+def test_persisted_pair_and_label_tables_equal_rebuild(spark):
+    """The build-once pair/label tables the dedup query family shares
+    (__spark_entry__._neardup_pairs_table / _neardup_labels_table) must be
+    row-identical to the self-contained rebuild, and the second access must
+    be a pure table scan (no shingle explode, no re-tokenization)."""
+    import __spark_entry__ as entry
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.graph import (
+        dedup_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+    got_pairs = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in entry._neardup_pairs_table(spark, sf).collect()
+    )
+    want_pairs = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.6).collect()
+    )
+    assert got_pairs == want_pairs and len(want_pairs) > 0
+
+    got_labels = sorted(
+        (r["doc_id"], r["component"], r["is_canonical"])
+        for r in entry._neardup_labels_table(spark, sf).collect()
+    )
+    want_labels = sorted(
+        (r["doc_id"], r["component"], r["is_canonical"])
+        for r in dedup_clusters(
+            docs, ngram_jaccard_pairs(docs, k=3, threshold=0.6)
+        ).collect()
+    )
+    assert got_labels == want_labels
+
+    # second access is a catalog-table scan, not a recomputation
+    plan = (entry._neardup_pairs_table(spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert f"neardup_pairs_{entry._sfx(sf)}" in plan
+    assert "Generate explode" not in plan
