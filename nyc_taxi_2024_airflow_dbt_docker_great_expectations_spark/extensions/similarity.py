@@ -27,7 +27,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..execution import materialize_once
 
 
 def _to_double(arr: Column) -> Column:
@@ -563,8 +562,12 @@ def _lloyd_refine(corpus: DataFrame, cents: DataFrame, refine_iters: int,
     replays the distributed arithmetic exactly: the same left-fold cosine
     (``_fold_scores``), the same ``np.lexsort`` tie order, the same
     integer quantization, and the same single double division.
+
+    Returns the refined centroids as LOCAL ``(cid, vec)`` tuples — they
+    are metadata-sized and the caller needs them both as a DataFrame (for
+    the in-plan assignment replication) and as numpy (for the map-side
+    probe selection).
     """
-    spark = corpus.sparkSession
     samp_plan = (
         corpus.orderBy(
             F.md5(F.concat(F.lit("lloyd:"), F.col(id_col).cast("string"))),
@@ -627,10 +630,7 @@ def _lloyd_refine(corpus: DataFrame, cents: DataFrame, refine_iters: int,
                     [float(int(v)) / float(n * LLOYD_SCALE) for v in s],
                     dtype=np.float64,
                 )
-    return spark.createDataFrame(
-        [(c, [float(x) for x in cvecs[c]]) for c in cids_list],
-        f"__cid {id_t}, __cvec array<double>",
-    )
+    return [(c, [float(x) for x in cvecs[c]]) for c in cids_list]
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -685,19 +685,20 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .alias("__cvec"),
         )
     )
+    # localize the n_lists-row centroid set: it is metadata-sized by
+    # construction and feeds THREE consumers — the replicated assignment
+    # side (as a DataFrame), and the probe selection (as numpy, below) —
+    # so one collect here replaces a re-run of the corpus TakeOrdered per
+    # consumer plus a whole probe-scoring Spark stage.  Value-exact.
     if refine_iters > 0:
-        cents = _lloyd_refine(
+        cent_local = _lloyd_refine(
             corpus, cents, refine_iters, sample_size, id_col, vec_col, id_t
         )
     else:
-        # localize the n_lists-row draw: cents feeds BOTH the replicated
-        # assignment side and the probe scorer, and leaving the corpus
-        # TakeOrdered in its lineage would re-run it once per consumer.
-        # Metadata-sized by construction; collect->recreate is value-exact.
-        cents = corpus.sparkSession.createDataFrame(
-            [(r["__cid"], r["__cvec"]) for r in cents.collect()],
-            f"__cid {id_t}, __cvec array<double>",
-        )
+        cent_local = [(r["__cid"], r["__cvec"]) for r in cents.collect()]
+    cents = corpus.sparkSession.createDataFrame(
+        cent_local, f"__cid {id_t}, __cvec array<double>"
+    )
 
     # inverted-list assignment: nearest centroid per vector, ties to the
     # smallest cid.  ONE cogrouped scorer per corpus hash block (centroids
@@ -715,7 +716,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
     def assign_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"__id": [], "__list": []})
+        # __vec must be object-dtyped even when empty: pandas defaults an
+        # empty column to float64, which Arrow cannot cast to list<float>
+        empty = pd.DataFrame({"__id": [], "__list": [],
+                              "__vec": pd.Series([], dtype=object)})
         left = left[left["__vec"].notna()]  # NULL vectors join no list
         if len(left) == 0 or len(right) == 0:
             return empty
@@ -743,42 +747,68 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             upd = sims > best_sim
             best_sim[upd] = sims[upd]
             best_idx[upd] = idx
-        return pd.DataFrame({"__id": ids, "__list": cids[best_idx]})
+        return pd.DataFrame({"__id": ids, "__list": cids[best_idx],
+                             "__vec": left["__vec"].to_numpy()})
 
+    # the vector rides THROUGH the assignment stage (same bytes that just
+    # crossed Arrow inward), so the re-score below never has to join back
+    # to the corpus — one scan of the corpus total, not two.
+    vec_t = corpus.schema[vec_col].dataType.simpleString()
     assign = (
         blocks.groupBy("__g")
         .cogroup(crep.groupBy("__g"))
-        .applyInPandas(assign_fn, f"__id {id_t}, __list {id_t}")
-        .withColumnRenamed("__id", id_col)
+        .applyInPandas(assign_fn, f"__id {id_t}, __list {id_t}, __vec {vec_t}")
     )
 
     qs = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
     )
-    # probe selection: top-n_probe centroids per query — one tiny group
-    # (n_queries x n_lists pairs) through the same grouped scorer; no
-    # self-exclusion (a query id colliding with a centroid id is a valid
-    # probe), ordering (sim desc, cid asc) as before.
-    # materialized once: probes feeds BOTH the semi-join prune and the
-    # query-replication join below, and its lineage (centroid draw + a
-    # Python stage) would otherwise run twice.  O(n_query x n_probe) rows.
-    probes = materialize_once(
-        _grouped_topk_scores(
-            cents.select(F.lit(0).alias("__g"), F.col("__cid").alias("__id"),
-                         F.col("__cvec").alias("__vec")),
-            qs.select(F.lit(0).alias("__g"), "__qid", "__qvec"),
-            n_probe, False, id_t, qid_t,
-        ).select("__qid", F.col("__id").alias("__list"))
-    )
+    # probe selection: top-n_probe centroids per query, computed MAP-SIDE
+    # against the local centroid set (closure-captured numpy — n_lists
+    # rows, metadata-sized at any corpus scale): a narrow mapInPandas over
+    # the queries, no shuffle, no extra job.  Replays the grouped scorer's
+    # exact semantics: NULL query vectors drop, NaN sims (zero-norm) drop,
+    # order (sim desc, cid asc) via the same left-fold cosine + lexsort;
+    # no self-exclusion (a query id colliding with a centroid id is a
+    # valid probe).
+    if cent_local:
+        cm = np.stack([np.asarray(v, dtype=np.float64)
+                       for _, v in cent_local])
+        cids_arr = np.array([c for c, _ in cent_local], dtype=object)
+        cna = _fold_dot_norms(cm)
+        n_probe_ = n_probe
+
+        def probe_fn(it):
+            for pdf in it:
+                pdf = pdf[pdf["__qvec"].notna()]
+                qids: list = []
+                lists: list = []
+                for qid, qvec in zip(pdf["__qid"].to_numpy(),
+                                     pdf["__qvec"].to_numpy()):
+                    sims = _fold_scores(
+                        cm, cna, np.asarray(qvec, dtype=np.float64)
+                    )
+                    ok = ~np.isnan(sims)
+                    sid, ssim = cids_arr[ok], sims[ok]
+                    if len(sid) == 0:
+                        continue
+                    order = np.lexsort((sid, -ssim))[:n_probe_]
+                    qids.extend([qid] * len(order))
+                    lists.extend(list(sid[order]))
+                yield pd.DataFrame({"__qid": qids, "__list": lists})
+
+        probes = qs.mapInPandas(probe_fn, f"__qid {qid_t}, __list {id_t}")
+    else:
+        probes = corpus.sparkSession.createDataFrame(
+            [], f"__qid {qid_t}, __list {id_t}"
+        )
 
     # exact re-score: candidate group = inverted list; each probed list
     # cogroups with the queries probing it, scored in one pass.  Unprobed
     # lists are pruned before the shuffle (broadcast semi-join against the
     # tiny probed-list set) — the IVF speedup IS this pruning.
-    cp = corpus.join(assign, id_col).select(
-        F.col("__list").alias("__g"),
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__vec"),
+    cp = assign.select(
+        F.col("__list").alias("__g"), "__id", "__vec"
     ).join(
         F.broadcast(probes.select(F.col("__list").alias("__g")).distinct()),
         "__g", "left_semi",
