@@ -2721,14 +2721,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle_count): triangle census of the >=0.6 n-gram-Jaccard near-dup
     graph — triangle-rich components are true duplicate cliques, stars are
     template collisions.  Two hash equi-joins over canonically ordered
-    edges; no adjacency lists anywhere."""
+    edges; no adjacency lists anywhere.  Edges come from the build-once
+    persisted pair table (_neardup_pairs_table)."""
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.graph import (
         triangle_count,
     )
-    pairs = ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), k=3, threshold=0.6
-    )
-    return triangle_count(pairs)
+    return triangle_count(_neardup_pairs_table(spark, sf_dir))
 
 
 ORACLE_TRIANGLE_COUNT = f"""
