@@ -3356,6 +3356,163 @@ def q_neardup_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_NEARDUP_VS_INDEX = ORACLE_INCREMENTAL_NEARDUP
 
 
+# --------------------------------------------------------------------------
+# round 4 additions: ranked retrieval, mixture sampling, substring dedup
+# --------------------------------------------------------------------------
+
+BM25_TERMS = ("vector", "hash", "merge")
+BM25_K = 20
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# lowercased whitespace tokens, as an inline DuckDB expression
+_DUCK_TOKS_LOWER = f"list_transform({DUCK_TOKS}, t -> lower(t))"
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked keyword retrieval (extensions/search.py:bm25_topk):
+    corpus statistics in one 1-row aggregate, map-side scoring against
+    the broadcast stats, global top-k via TakeOrdered.  The corpus-audit
+    /eval-slice search a training-data warehouse needs."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.search import (
+        bm25_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_TERMS, k=BM25_K, k1=BM25_K1, b=BM25_B)
+
+
+def _oracle_bm25() -> str:
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter({_DUCK_TOKS_LOWER}, t -> t = '{t}')) AS BIGINT)"
+        f" AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    # norm mirrors search.py exactly: k1 * ((1-b) + b * dl / (sumdl / n))
+    norm = (
+        f"{BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * CAST(dl AS DOUBLE)"
+        " / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))"
+    )
+    # rational idf, no ln: transcendentals are not correctly rounded and
+    # the JVM/libm implementations differ by 1 ulp on these inputs;
+    # +,-,*,/ are IEEE-exact, so this form is bit-identical cross-engine
+    contribs = " + ".join(
+        f"(((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf{i} AS DOUBLE) * {BM25_K1 + 1.0})"
+        f" / (CAST(tf{i} AS DOUBLE) + {norm}))"
+        for i in range(len(BM25_TERMS))
+    )
+    matched = " OR ".join(f"tf{i} > 0" for i in range(len(BM25_TERMS)))
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text, {DUCK_WS}) = '' THEN 0
+              ELSE len({DUCK_TOKS}) END AS BIGINT) AS dl,
+         {tf_cols}
+  FROM documents
+),
+s AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl, {df_cols} FROM d)
+SELECT doc_id, dl AS n_tokens, {contribs} AS score
+FROM d, s
+WHERE {matched}
+ORDER BY score DESC, doc_id
+LIMIT {BM25_K}
+"""
+
+
+ORACLE_BM25_SEARCH = _oracle_bm25()
+
+# token budgets per source: cut depths chosen to bisect a source at every
+# SF (a source holds ~1.4k tokens per 25 docs at sf0.01)
+MIXTURE_BUDGETS = {"src0": 400, "src1": 150, "src5": 700}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data-mixture sampling (extensions/sampling.py:
+    mixture_sample): each source contributes documents in deterministic
+    md5 order until its token budget is met — the Pile/LLaMA-style
+    mixture step, as one stratum-partitioned running-sum window."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.sampling import (
+        mixture_sample,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__nt", token_count("text")
+    )
+    return mixture_sample(docs, MIXTURE_BUDGETS, token_col="__nt")
+
+
+def _oracle_mixture() -> str:
+    srcs = ", ".join(f"'{s}'" for s in MIXTURE_BUDGETS)
+    budget = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {b}" for s, b in MIXTURE_BUDGETS.items()
+    ) + " END"
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN trim(text, {DUCK_WS}) = '' THEN 0
+              ELSE len({DUCK_TOKS}) END AS BIGINT) AS n_tokens
+  FROM documents WHERE source IN ({srcs})
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cum_tokens
+  FROM d
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens - n_tokens < {budget}
+"""
+
+
+ORACLE_MIXTURE_SAMPLE = _oracle_mixture()
+
+SUBSTR_N = 4  # matches DECONTAM_N: the corpus's longest cross-doc runs
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring audit (extensions/dedup.py:
+    duplicated_ngram_stats): per document, the fraction of its distinct
+    word 4-grams first seen in an earlier document — the Lee et al.
+    ACL'22 substring-level dedup signal (boilerplate/quotation share),
+    one gram-keyed exchange + one id-keyed aggregation."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        duplicated_ngram_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_ngram_stats(docs, n=SUBSTR_N)
+
+
+ORACLE_SUBSTRING_DEDUP = f"""
+WITH g AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES_N}) AS gram FROM documents
+  WHERE len({DUCK_TOKS}) >= {SUBSTR_N}
+),
+o AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY gram) AS owner FROM g
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_grams,
+       CAST(SUM(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
+FROM o GROUP BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "silver_clean": q_silver_clean,
@@ -3444,6 +3601,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "incremental_neardup": q_incremental_neardup,
         "neardup_vs_index": q_neardup_vs_index,
+        "bm25_search": q_bm25_search,
+        "mixture_sample": q_mixture_sample,
+        "substring_dedup": q_substring_dedup,
         "length_quartiles": q_length_quartiles,
     }
 
@@ -3536,5 +3696,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_rate_by_source": ORACLE_DEDUP_RATE_BY_SOURCE,
         "incremental_neardup": ORACLE_INCREMENTAL_NEARDUP,
         "neardup_vs_index": ORACLE_NEARDUP_VS_INDEX,
+        "bm25_search": ORACLE_BM25_SEARCH,
+        "mixture_sample": ORACLE_MIXTURE_SAMPLE,
+        "substring_dedup": ORACLE_SUBSTRING_DEDUP,
         "length_quartiles": ORACLE_LENGTH_QUARTILES,
     }

@@ -13,6 +13,7 @@
 """
 
 from .dedup import (  # noqa: F401
+    duplicated_ngram_stats,
     exact_dedup_keys,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -42,6 +43,7 @@ from .text import (  # noqa: F401
     word_shingles,
 )
 from .analytics import cohort_retention  # noqa: F401
+from .search import bm25_topk  # noqa: F401
 from .entity import fuzzy_match_pairs  # noqa: F401
 from .packing import (  # noqa: F401
     global_shuffle,

@@ -76,6 +76,54 @@ def weighted_sample(df: DataFrame, weight_col: str, n: int,
     )
 
 
+def mixture_sample(df: DataFrame, budgets: dict[str, int],
+                   token_col: str, strata_col: str = "source",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Token-budget mixture sampling — the "data mixture" step of LLM
+    pre-training (The Pile / LLaMA style): each source contributes
+    documents until its token budget is met, so the final corpus has the
+    prescribed source proportions by TOKEN count, not document count.
+
+    Documents are taken in deterministic ``(md5(id), id)`` order within
+    each source (an unbiased, reproducible draw — same rationale as
+    ``stratified_sample``); a document is kept while the running token
+    total BEFORE it is under the source's budget, so the boundary
+    document is included and each source overshoots by at most one
+    document.  Sources absent from ``budgets`` contribute nothing.
+
+    Plan: one hash-partitioned window per source computes the running
+    sum — a single exchange keyed on the stratum.  A source's rows land
+    in one task, which is exactly right when budgets cut deep (the
+    window stops mattering past the cut, and Spark >= 3.5 needs only the
+    partition-local running sum).  For a giant source with a budget near
+    its full size, swap the window for the one-exchange distributed
+    prefix sum in ``extensions/packing.py`` — same semantics, range-
+    partitioned cumsum.
+
+    Returns ``(id_col, strata_col, n_tokens, cum_tokens)`` where
+    ``cum_tokens`` is the running total INCLUDING the row.
+    """
+    if not budgets:
+        raise ValueError("budgets must be non-empty")
+    budget = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )[F.col(strata_col)]
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.col(token_col).cast("long")
+    return (
+        df.filter(F.col(strata_col).isin(*budgets.keys()))
+        .select(
+            F.col(id_col), F.col(strata_col), n_tok.alias("n_tokens"),
+            F.sum(n_tok).over(w).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget)
+    )
+
+
 def hash_fraction_sample(df: DataFrame, fraction: float,
                          id_col: str = "doc_id", salt: str = "") -> DataFrame:
     """Deterministic Bernoulli(fraction) sample, portable across engines:

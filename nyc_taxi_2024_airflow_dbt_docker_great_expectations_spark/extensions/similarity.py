@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..execution import materialize_once
+
 
 
 def _to_double(arr: Column) -> Column:
@@ -701,64 +703,70 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
     # inverted-list assignment: nearest centroid per vector, ties to the
-    # smallest cid.  ONE cogrouped scorer per corpus hash block (centroids
-    # replicate to every block in-plan) — each corpus vector crosses Arrow
-    # once, vs once per centroid in the round-2 crossJoin + max_by form.
-    blocks = corpus.select(
-        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_blocks))
-        .cast("int").alias("__g"),
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__vec"),
+    # smallest cid.  The centroid set is already LOCAL (metadata-sized by
+    # construction — n_lists ~ sqrt(N)), so assignment is a NARROW
+    # ``mapInPandas`` over the corpus with the centroid matrix captured in
+    # the task closure: zero exchanges, each corpus vector crosses Arrow
+    # once.  (The round-3 form cogrouped corpus hash blocks against an
+    # in-plan centroid replication — one whole exchange + Arrow stage of
+    # pure overhead once the centroids live on the driver anyway.  If
+    # n_lists ever outgrows closure shipping — ~10^6 centroids — the
+    # cogrouped form is the fallback.)
+    corpus_rows = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
     )
-    crep = cents.select(
-        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__g"),
-        "__cid", "__cvec",
-    )
+    if cent_local:
+        acm = np.stack([np.asarray(v, dtype=np.float64)
+                        for _, v in cent_local])
+        acids = np.array([c for c, _ in cent_local], dtype=object)
+        aorder = np.argsort(acids, kind="stable")
 
-    def assign_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    def assign_fn(it):
         # __vec must be object-dtyped even when empty: pandas defaults an
         # empty column to float64, which Arrow cannot cast to list<float>
         empty = pd.DataFrame({"__id": [], "__list": [],
                               "__vec": pd.Series([], dtype=object)})
-        left = left[left["__vec"].notna()]  # NULL vectors join no list
-        if len(left) == 0 or len(right) == 0:
-            return empty
-        ids = left["__id"].to_numpy()
-        ma = np.stack(left["__vec"].to_numpy()).astype(np.float64)
-        sna = _fold_dot_norms(ma)
-        # iterate centroids in ascending cid with a strict > update: the
-        # winner is the max-sim centroid, ties to the smallest cid — the
-        # exact max_by((sim, -cid)) order of the round-2 form, decided on
-        # bit-identical scores.  The winner is tracked as an INDEX into
-        # cids, never as a value array: np.full(..., cids[order[0]]) would
-        # infer a fixed-width '<U n' dtype from the first (smallest) string
-        # id and silently truncate longer ids on update.  Initializes to
-        # the SMALLEST cid, so a zero-norm vector (NaN against every
-        # centroid — 'NaN > x' is false) still lands in a REAL inverted
-        # list instead of a fabricated id.
-        cids = right["__cid"].to_numpy()
-        order = np.argsort(cids, kind="stable")
-        best_sim = np.full(len(ma), -np.inf)
-        best_idx = np.full(len(ma), order[0])
-        for idx in order:
-            sims = _fold_scores(
-                ma, sna, np.asarray(right["__cvec"].iloc[idx], dtype=np.float64)
-            )
-            upd = sims > best_sim
-            best_sim[upd] = sims[upd]
-            best_idx[upd] = idx
-        return pd.DataFrame({"__id": ids, "__list": cids[best_idx],
-                             "__vec": left["__vec"].to_numpy()})
+        for left in it:
+            left = left[left["__vec"].notna()]  # NULL vectors join no list
+            if len(left) == 0:
+                yield empty
+                continue
+            ids = left["__id"].to_numpy()
+            ma = np.stack(left["__vec"].to_numpy()).astype(np.float64)
+            sna = _fold_dot_norms(ma)
+            # iterate centroids in ascending cid with a strict > update:
+            # the winner is the max-sim centroid, ties to the smallest cid
+            # — the exact max_by((sim, -cid)) order of the round-2 form,
+            # decided on bit-identical scores.  The winner is tracked as an
+            # INDEX into cids, never as a value array: np.full(...,
+            # cids[order[0]]) would infer a fixed-width '<U n' dtype from
+            # the first (smallest) string id and silently truncate longer
+            # ids on update.  Initializes to the SMALLEST cid, so a
+            # zero-norm vector (NaN against every centroid — 'NaN > x' is
+            # false) still lands in a REAL inverted list instead of a
+            # fabricated id.
+            best_sim = np.full(len(ma), -np.inf)
+            best_idx = np.full(len(ma), aorder[0])
+            for idx in aorder:
+                sims = _fold_scores(ma, sna, acm[idx])
+                upd = sims > best_sim
+                best_sim[upd] = sims[upd]
+                best_idx[upd] = idx
+            yield pd.DataFrame({"__id": ids, "__list": acids[best_idx],
+                                "__vec": left["__vec"].to_numpy()})
 
     # the vector rides THROUGH the assignment stage (same bytes that just
     # crossed Arrow inward), so the re-score below never has to join back
     # to the corpus — one scan of the corpus total, not two.
     vec_t = corpus.schema[vec_col].dataType.simpleString()
-    assign = (
-        blocks.groupBy("__g")
-        .cogroup(crep.groupBy("__g"))
-        .applyInPandas(assign_fn, f"__id {id_t}, __list {id_t}, __vec {vec_t}")
-    )
+    if cent_local:
+        assign = corpus_rows.mapInPandas(
+            assign_fn, f"__id {id_t}, __list {id_t}, __vec {vec_t}"
+        )
+    else:
+        assign = corpus.sparkSession.createDataFrame(
+            [], f"__id {id_t}, __list {id_t}, __vec {vec_t}"
+        )
 
     qs = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
@@ -779,10 +787,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         n_probe_ = n_probe
 
         def probe_fn(it):
+            empty = pd.DataFrame({"__qid": [], "__list": [],
+                                  "__qvec": pd.Series([], dtype=object)})
             for pdf in it:
                 pdf = pdf[pdf["__qvec"].notna()]
                 qids: list = []
                 lists: list = []
+                vecs: list = []
                 for qid, qvec in zip(pdf["__qid"].to_numpy(),
                                      pdf["__qvec"].to_numpy()):
                     sims = _fold_scores(
@@ -795,12 +806,28 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     order = np.lexsort((sid, -ssim))[:n_probe_]
                     qids.extend([qid] * len(order))
                     lists.extend(list(sid[order]))
-                yield pd.DataFrame({"__qid": qids, "__list": lists})
+                    vecs.extend([qvec] * len(order))
+                if not qids:
+                    yield empty
+                    continue
+                yield pd.DataFrame({
+                    "__qid": qids, "__list": lists,
+                    "__qvec": pd.Series(vecs, dtype=object),
+                })
 
-        probes = qs.mapInPandas(probe_fn, f"__qid {qid_t}, __list {id_t}")
+        # the query VECTOR rides through probe selection (same trick as
+        # the assignment stage), so the re-score below never joins back to
+        # the queries; probes feed two consumers (the pruning semi-join +
+        # the re-score query side) and are O(queries x n_probe) rows, so
+        # one materialization serves both instead of re-running the query
+        # scan + probe scoring per consumer.
+        qvec_t = queries.schema[vec_col].dataType.simpleString()
+        probes = materialize_once(qs.mapInPandas(
+            probe_fn, f"__qid {qid_t}, __list {id_t}, __qvec {qvec_t}"
+        ))
     else:
         probes = corpus.sparkSession.createDataFrame(
-            [], f"__qid {qid_t}, __list {id_t}"
+            [], f"__qid {qid_t}, __list {id_t}, __qvec array<double>"
         )
 
     # exact re-score: candidate group = inverted list; each probed list
@@ -813,9 +840,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         F.broadcast(probes.select(F.col("__list").alias("__g")).distinct()),
         "__g", "left_semi",
     )
-    qp = probes.join(qs, "__qid").select(
-        F.col("__list").alias("__g"), "__qid", "__qvec"
-    )
+    qp = probes.select(F.col("__list").alias("__g"), "__qid", "__qvec")
     scored = _grouped_topk_scores(cp, qp, k, True, id_t, qid_t).select(
         F.col("__qid").alias(query_id_col),
         F.col("__id").alias(id_col),

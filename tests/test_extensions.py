@@ -994,3 +994,55 @@ def test_persisted_pair_and_label_tables_equal_rebuild(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert f"neardup_pairs_{entry._sfx(sf)}" in plan
     assert "Generate explode" not in plan
+
+
+def test_duplicated_ngram_stats(spark, docs):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        duplicated_ngram_stats,
+    )
+
+    out = {r["doc_id"]: r
+           for r in duplicated_ngram_stats(docs, n=3).collect()}
+    # doc 4 is an exact copy of doc 1: every gram owned earlier
+    assert out[4]["dup_fraction"] == 1.0
+    assert out[4]["n_grams"] == out[1]["n_grams"] == 7
+    # doc 1 is first: nothing duplicated
+    assert out[1]["n_dup_grams"] == 0
+    # doc 2 differs in the last word: 6 of its 7 grams are doc 1's
+    assert out[2]["n_dup_grams"] == 6 and out[2]["n_grams"] == 7
+    # doc 5 is shorter than n -> absent
+    assert 5 not in out
+
+
+def test_bm25_topk_ranking(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.search import (
+        bm25_topk,
+    )
+
+    rows = [
+        (1, "spark shuffle join"),                  # 1 hit, short
+        (2, "spark spark spark filter"),            # high tf
+        (3, "completely unrelated text here"),      # no hit
+        (4, "spark " * 50),                         # tf saturation vs len
+        (5, "shuffle exchange"),                    # other term
+    ]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    out = bm25_topk(df, ("spark", "shuffle"), k=10)
+    got = out.collect()
+    ids = [r["doc_id"] for r in got]
+    assert 3 not in ids                      # non-matching doc excluded
+    assert len(ids) == 4
+    # doc 1 matches both terms -> highest score
+    assert ids[0] == 1
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    # k truncates
+    assert bm25_topk(df, ("spark",), k=2).count() == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bm25_topk(df, ())
+    with _pytest.raises(ValueError):
+        bm25_topk(df, ("a", "a"))

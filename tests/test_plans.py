@@ -110,3 +110,29 @@ def test_prefix_sum_is_narrow_single_exchange(spark):
         assert "MapInPandas" in plan, name
         assert "Window" not in plan, name
         assert "Exchange" not in plan, name  # data moved in phase 1 only
+
+
+def test_round4_retrieval_and_mixture_plans(spark):
+    """Round-4 query shapes hold their scale-critical plan properties:
+
+    - bm25_search: the only nested-loop join is the 1-row corpus-stats
+      broadcast, and the top-k is a TakeOrdered (per-partition heaps),
+      never a global Sort+Limit;
+    - mixture_sample: exactly one data exchange (the source-partitioned
+      running-sum window), no global window;
+    - substring_dedup: two keyed exchanges (gram, then doc id), the gram
+      min via Window — the postings list is never joined against itself.
+    """
+    bm25 = _plan(entry.queries()["bm25_search"](spark, SF))
+    assert "TakeOrderedAndProject" in bm25
+    assert bm25.count("BroadcastNestedLoopJoin") <= 1  # 1-row stats only
+    assert "CartesianProduct" not in bm25
+
+    mix = _plan(entry.queries()["mixture_sample"](spark, SF))
+    assert mix.count("Exchange") - mix.count("BroadcastExchange") == 1
+    assert "Window" in mix and "hashpartitioning(source" in mix
+
+    sub = _plan(entry.queries()["substring_dedup"](spark, SF))
+    assert "CartesianProduct" not in sub
+    assert "BroadcastNestedLoopJoin" not in sub
+    assert "SortMergeJoin" not in sub and "BroadcastHashJoin" not in sub

@@ -45,3 +45,30 @@ def test_hash_fraction_sample(spark):
     # edge fractions
     assert hash_fraction_sample(df, 0.0).count() == 0
     assert hash_fraction_sample(df, 1.0).count() >= 3999
+
+def test_mixture_sample_budget_semantics(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.sampling import (
+        mixture_sample,
+    )
+
+    rows = [(i, "a" if i < 20 else "b", 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, nt long")
+    out = mixture_sample(df, {"a": 35, "b": 1000}, token_col="nt").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # budget 35 at 10 tokens/doc: docs with cum_before < 35 -> 4 docs kept
+    # (the 4th crosses the boundary and is included)
+    assert len(by_src["a"]) == 4
+    assert max(r["cum_tokens"] for r in by_src["a"]) == 40
+    # budget larger than the stratum keeps everything
+    assert len(by_src["b"]) == 20
+    # sources without a budget contribute nothing
+    out2 = mixture_sample(df, {"a": 35}, token_col="nt")
+    assert out2.filter(out2.source == "b").count() == 0
+    # deterministic: same draw on re-run
+    assert sorted(r["doc_id"] for r in out) == sorted(
+        r["doc_id"]
+        for r in mixture_sample(df, {"a": 35, "b": 1000},
+                                token_col="nt").collect()
+    )
