@@ -1252,14 +1252,17 @@ cents{x} AS (
 )"""
 
 
-ORACLE_EMBEDDING_IVF_TOPK = f"""
-WITH cents0 AS (
+# the shared IVF index replay — centroid seed draw, both Lloyd rounds,
+# inverted-list assignment — used by the ivf_topk AND semantic_dedup
+# oracles (the Spark twins share _ivf_index the same way)
+def _duck_ivf_index(n_lists: int, sample: int) -> str:
+    return f"""cents0 AS (
   SELECT vec_id AS cid,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce FROM (
     SELECT vec_id, embedding,
            ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
     FROM embeddings
-  ) WHERE rn <= 16
+  ) WHERE rn <= {n_lists}
 ),
 samp AS (
   SELECT vec_id AS sid, embedding AS sv FROM (
@@ -1267,7 +1270,7 @@ samp AS (
            ROW_NUMBER() OVER (
                ORDER BY md5('lloyd:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
     FROM embeddings
-  ) WHERE rn <= 512
+  ) WHERE rn <= {sample}
 ),
 su AS (
   SELECT sid, CAST(i AS INTEGER) AS pos,
@@ -1284,7 +1287,11 @@ assign AS (
                                        c.cid) AS rn
     FROM embeddings e CROSS JOIN cents c
   ) WHERE rn = 1
-),
+)"""
+
+
+ORACLE_EMBEDDING_IVF_TOPK = f"""
+WITH {_duck_ivf_index(16, 512)},
 q AS (
   SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERY_VECS}
 ),
@@ -1311,6 +1318,41 @@ FROM (
                                ORDER BY cosine_sim DESC, vec_id) AS rank
   FROM scored
 ) WHERE rank <= 10
+"""
+
+SEMANTIC_TAU = 0.45  # same bar as embedding_neardup, so recall is auditable
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity.py:semantic_dedup_pairs): embedding near-dup
+    pairs found WITHIN IVF clusters only — the sub-quadratic semantic-
+    dedup scale path (per-cluster half-matrix scans instead of
+    embedding_neardup's exact all-pairs grid).  Same index machinery as
+    embedding_ivf_topk but COARSER lists (4, not 16): this corpus's
+    0.45-cosine pairs are weak near-dups that straddle fine cluster
+    boundaries, so the cluster count trades recall (5/7 at 4 lists vs
+    1/7 at 16 on sf0.001 — see the subset/recall pytest) against the
+    per-list scan cost.  Same 0.45 bar as embedding_neardup, so the
+    recall loss of cluster-blocking is exactly the pairs that straddle a
+    centroid boundary — measurable by diffing the two queries."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, threshold=SEMANTIC_TAU, n_lists=4,
+                                refine_iters=2, sample_size=512)
+
+
+ORACLE_SEMANTIC_DEDUP = f"""
+WITH {_duck_ivf_index(4, 512)}
+SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       {_duck_cos('a.embedding', 'b.embedding')} AS cosine_sim
+FROM assign x
+JOIN assign y ON x.list = y.list AND x.vec_id < y.vec_id
+JOIN embeddings a ON a.vec_id = x.vec_id
+JOIN embeddings b ON b.vec_id = y.vec_id
+WHERE {_duck_cos('a.embedding', 'b.embedding')} >= {SEMANTIC_TAU}
 """
 
 
@@ -3604,6 +3646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "mixture_sample": q_mixture_sample,
         "substring_dedup": q_substring_dedup,
+        "semantic_dedup": q_semantic_dedup,
         "length_quartiles": q_length_quartiles,
     }
 
@@ -3699,5 +3742,6 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": ORACLE_BM25_SEARCH,
         "mixture_sample": ORACLE_MIXTURE_SAMPLE,
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
+        "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
         "length_quartiles": ORACLE_LENGTH_QUARTILES,
     }

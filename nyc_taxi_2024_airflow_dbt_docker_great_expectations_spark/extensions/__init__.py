@@ -28,6 +28,7 @@ from .similarity import (  # noqa: F401
     ivf_topk,
     lsh_topk,
     neardup_pairs,
+    semantic_dedup_pairs,
 )
 from .text import (  # noqa: F401
     bigram_novelty,

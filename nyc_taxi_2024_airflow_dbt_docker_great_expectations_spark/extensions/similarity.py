@@ -635,45 +635,28 @@ def _lloyd_refine(corpus: DataFrame, cents: DataFrame, refine_iters: int,
     return [(c, [float(x) for x in cvecs[c]]) for c in cids_list]
 
 
-def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
-             n_lists: int | None = None, n_probe: int | None = None,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             query_id_col: str = "query_id", refine_iters: int = 0,
-             sample_size: int | None = None) -> DataFrame:
-    """IVF-flat ANN: coarse quantizer -> inverted lists -> probe -> exact
-    re-score.  The third leg of the ANN family (brute-force `cosine_topk`,
-    hash-bucketed `lsh_topk`, cluster-bucketed `ivf_topk`).
+def _ivf_index(corpus: DataFrame, n_lists: int, refine_iters: int,
+               sample_size: int, id_col: str, vec_col: str):
+    """Build the IVF coarse-quantizer index: deterministic centroid draw
+    (+ optional sampled-Lloyd refinement) and the inverted-list
+    assignment of every corpus vector.
 
-    Initial centroids are the ``n_lists`` corpus vectors with the smallest
-    ``md5(id)`` — a deterministic seed draw; ``refine_iters`` rounds of
-    sampled Lloyd (``_lloyd_refine``, integer-exact mean update) then pull
-    them toward the data's actual cluster structure, which is what makes
-    probing recover the true neighbors (recall@k test in
-    tests/test_extensions.py beats the raw seed draw).  The whole index is
-    a pure function of the data and admits an exact SQL oracle.
+    Returns ``(cent_local, assign)``: the centroids as LOCAL (cid, vec)
+    tuples — metadata-sized by construction, n_lists ~ sqrt(N) — and the
+    assignment DataFrame ``(__id, __list, __vec)``.  Because the
+    centroid set is already driver-local, assignment is a NARROW
+    ``mapInPandas`` over the corpus with the centroid matrix captured in
+    the task closure: zero exchanges, each corpus vector crosses Arrow
+    once, and the vector rides THROUGH the stage (same bytes that just
+    crossed Arrow inward) so downstream consumers never join back to the
+    corpus.  If n_lists ever outgrows closure shipping — ~10^6
+    centroids — a cogrouped block form is the fallback.
 
-    Scale shape: the centroid set is tiny and replicates in-plan; every
-    stage (refinement assignment, inverted-list assignment, probe
-    selection, exact re-score) is ONE cogrouped Arrow scorer over its
-    candidate group (hash block / single group / inverted list), so each
-    corpus vector crosses the Arrow boundary once per stage — never once
-    per (pair, stage).  Refinement touches only the ``sample_size`` sample;
-    the re-score touches only ``n_probe / n_lists`` of the corpus per
-    query, hash-partitioned by list id.
+    Shared by ``ivf_topk`` (probe + re-score) and
+    ``semantic_dedup_pairs`` (within-list pair scan); both replay
+    identically in SQL, so the index is oracle-checkable CTE-for-CTE.
     """
     id_t = corpus.schema[id_col].dataType.simpleString()
-    qid_t = queries.schema[query_id_col].dataType.simpleString()
-    n_blocks = 8
-
-    # scaling-law defaults (ivf_params) when the caller didn't size the
-    # index; the COUNT job this costs is why production callers pass
-    # explicit values
-    if n_lists is None or n_probe is None or sample_size is None:
-        d_lists, d_probe, d_sample = ivf_params(corpus.count())
-        n_lists = d_lists if n_lists is None else n_lists
-        n_probe = d_probe if n_probe is None else n_probe
-        sample_size = d_sample if sample_size is None else sample_size
-
     # deterministic centroid draw; orderBy+limit plans as a distributed
     # TakeOrderedAndProject (never a single-partition global window).
     # array<double> from the start so refined (double) and fallback
@@ -687,31 +670,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .alias("__cvec"),
         )
     )
-    # localize the n_lists-row centroid set: it is metadata-sized by
-    # construction and feeds THREE consumers — the replicated assignment
-    # side (as a DataFrame), and the probe selection (as numpy, below) —
-    # so one collect here replaces a re-run of the corpus TakeOrdered per
-    # consumer plus a whole probe-scoring Spark stage.  Value-exact.
     if refine_iters > 0:
         cent_local = _lloyd_refine(
             corpus, cents, refine_iters, sample_size, id_col, vec_col, id_t
         )
     else:
         cent_local = [(r["__cid"], r["__cvec"]) for r in cents.collect()]
-    cents = corpus.sparkSession.createDataFrame(
-        cent_local, f"__cid {id_t}, __cvec array<double>"
-    )
 
-    # inverted-list assignment: nearest centroid per vector, ties to the
-    # smallest cid.  The centroid set is already LOCAL (metadata-sized by
-    # construction — n_lists ~ sqrt(N)), so assignment is a NARROW
-    # ``mapInPandas`` over the corpus with the centroid matrix captured in
-    # the task closure: zero exchanges, each corpus vector crosses Arrow
-    # once.  (The round-3 form cogrouped corpus hash blocks against an
-    # in-plan centroid replication — one whole exchange + Arrow stage of
-    # pure overhead once the centroids live on the driver anyway.  If
-    # n_lists ever outgrows closure shipping — ~10^6 centroids — the
-    # cogrouped form is the fallback.)
     corpus_rows = corpus.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
     )
@@ -755,9 +720,6 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             yield pd.DataFrame({"__id": ids, "__list": acids[best_idx],
                                 "__vec": left["__vec"].to_numpy()})
 
-    # the vector rides THROUGH the assignment stage (same bytes that just
-    # crossed Arrow inward), so the re-score below never has to join back
-    # to the corpus — one scan of the corpus total, not two.
     vec_t = corpus.schema[vec_col].dataType.simpleString()
     if cent_local:
         assign = corpus_rows.mapInPandas(
@@ -767,6 +729,116 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         assign = corpus.sparkSession.createDataFrame(
             [], f"__id {id_t}, __list {id_t}, __vec {vec_t}"
         )
+    return cent_local, assign
+
+
+def semantic_dedup_pairs(corpus: DataFrame, threshold: float,
+                         n_lists: int | None = None, refine_iters: int = 0,
+                         sample_size: int | None = None,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding near-duplicate pairs found
+    WITHIN k-means clusters only — the sub-quadratic scale path for
+    semantic dedup, vs ``neardup_pairs``'s exact all-pairs block grid.
+
+    Each corpus vector is assigned to its nearest IVF centroid
+    (``_ivf_index`` — the same deterministic index as ``ivf_topk``), then
+    one Arrow task per inverted list scores the list's half-matrix with
+    the deterministic left-fold cosine and keeps pairs at or above
+    ``threshold``.  Cost is sum of per-cluster |c|^2 instead of N^2; with
+    n_lists ~ sqrt(N) and balanced clusters that is ~N^1.5 candidate
+    work partitioned into embarrassingly parallel tasks, and recall
+    covers exactly the pairs that co-cluster (the SemDeDup bet: true
+    near-dups share a centroid).  A skewed mega-cluster bounds a task at
+    |c|^2 — at scale, raise n_lists (finer clusters) rather than
+    splitting a list across tasks, which would miss its cross-block
+    pairs.
+
+    Deterministic end-to-end (hash-seeded draw, integer-exact Lloyd,
+    left-fold cosine), so the SQL oracle replays index + pair scan
+    exactly.  Returns ``(id_a, id_b, cosine_sim)`` with ``id_a < id_b``;
+    NULL vectors join no list, zero-norm vectors score NaN and drop.
+    """
+    if n_lists is None or sample_size is None:
+        d_lists, _, d_sample = ivf_params(corpus.count())
+        n_lists = d_lists if n_lists is None else n_lists
+        sample_size = d_sample if sample_size is None else sample_size
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    _, assign = _ivf_index(
+        corpus, n_lists, refine_iters, sample_size, id_col, vec_col
+    )
+
+    def pair_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [],
+                              "cosine_sim": pd.array([], dtype="float64")})
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("__id", kind="mergesort")
+        ids = pdf["__id"].to_numpy()
+        ma = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+        sna = _fold_dot_norms(ma)
+        frames = []
+        for i in range(len(ids) - 1):
+            # row i vs the j > i tail: fold dot is dimension-ordered and
+            # multiplication commutes, so sims[j] is bit-identical to the
+            # oracle's cos(e_a, e_b) regardless of which side is "query"
+            sims = _fold_scores(ma, sna, ma[i])[i + 1:]
+            keep = sims >= threshold  # NaN (zero-norm) compares False
+            if keep.any():
+                frames.append(pd.DataFrame({
+                    "id_a": np.full(int(keep.sum()), ids[i]),
+                    "id_b": ids[i + 1:][keep],
+                    "cosine_sim": sims[keep],
+                }))
+        return pd.concat(frames) if frames else empty
+
+    return (
+        assign.groupBy("__list")
+        .applyInPandas(pair_fn, f"id_a {id_t}, id_b {id_t}, cosine_sim double")
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_lists: int | None = None, n_probe: int | None = None,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", refine_iters: int = 0,
+             sample_size: int | None = None) -> DataFrame:
+    """IVF-flat ANN: coarse quantizer -> inverted lists -> probe -> exact
+    re-score.  The third leg of the ANN family (brute-force `cosine_topk`,
+    hash-bucketed `lsh_topk`, cluster-bucketed `ivf_topk`).
+
+    Initial centroids are the ``n_lists`` corpus vectors with the smallest
+    ``md5(id)`` — a deterministic seed draw; ``refine_iters`` rounds of
+    sampled Lloyd (``_lloyd_refine``, integer-exact mean update) then pull
+    them toward the data's actual cluster structure, which is what makes
+    probing recover the true neighbors (recall@k test in
+    tests/test_extensions.py beats the raw seed draw).  The whole index is
+    a pure function of the data and admits an exact SQL oracle.
+
+    Scale shape: the centroid set is tiny and replicates in-plan; every
+    stage (refinement assignment, inverted-list assignment, probe
+    selection, exact re-score) is ONE cogrouped Arrow scorer over its
+    candidate group (hash block / single group / inverted list), so each
+    corpus vector crosses the Arrow boundary once per stage — never once
+    per (pair, stage).  Refinement touches only the ``sample_size`` sample;
+    the re-score touches only ``n_probe / n_lists`` of the corpus per
+    query, hash-partitioned by list id.
+    """
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+
+    # scaling-law defaults (ivf_params) when the caller didn't size the
+    # index; the COUNT job this costs is why production callers pass
+    # explicit values
+    if n_lists is None or n_probe is None or sample_size is None:
+        d_lists, d_probe, d_sample = ivf_params(corpus.count())
+        n_lists = d_lists if n_lists is None else n_lists
+        n_probe = d_probe if n_probe is None else n_probe
+        sample_size = d_sample if sample_size is None else sample_size
+
+    cent_local, assign = _ivf_index(
+        corpus, n_lists, refine_iters, sample_size, id_col, vec_col
+    )
 
     qs = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")

@@ -1046,3 +1046,26 @@ def test_bm25_topk_ranking(spark):
         bm25_topk(df, ())
     with _pytest.raises(ValueError):
         bm25_topk(df, ("a", "a"))
+
+
+def test_semantic_dedup_subset_and_recall(spark):
+    """SemDeDup pairs are a subset of the exact all-pairs near-dups (same
+    threshold, bit-identical sims) and, on the clustered synthetic
+    embeddings, cluster-blocking retains most true pairs."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        neardup_pairs,
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+             for r in neardup_pairs(emb, threshold=0.45).collect()}
+    sem = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+           for r in semantic_dedup_pairs(
+               emb, threshold=0.45, n_lists=4, refine_iters=2,
+               sample_size=512).collect()}
+    assert set(sem) <= set(exact)
+    for p, s in sem.items():
+        assert s == exact[p]  # bit-identical fold cosine
+    assert len(exact) > 0
+    assert len(sem) / len(exact) >= 0.5  # cluster-blocking recall
