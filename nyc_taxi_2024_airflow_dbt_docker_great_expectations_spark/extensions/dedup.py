@@ -338,9 +338,12 @@ def build_ngram_index(corpus: DataFrame, table_prefix: str,
         F.col(id_col), F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
     )
-    ranked = posts.withColumn(
+    # the df window's shingle exchange feeds BOTH the shingle_df write and
+    # the prefix ranking — materialize it once instead of re-shuffling the
+    # full posting list per consumer
+    ranked = materialize_once(posts.withColumn(
         "df_cnt", F.count(F.lit(1)).over(W.partitionBy("shingle"))
-    )
+    ))
     write_bucketed(
         ranked.groupBy("shingle").agg(F.first("df_cnt").alias("df_cnt")),
         names["shingle_df"], ["shingle"], num_buckets,
