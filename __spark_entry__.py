@@ -1355,6 +1355,76 @@ JOIN embeddings b ON b.vec_id = y.vec_id
 WHERE {_duck_cos('a.embedding', 'b.embedding')} >= {SEMANTIC_TAU}
 """
 
+PAGERANK_ITERS = 3
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-point PageRank (extensions/graph.py:
+    pagerank_fixed) over the part<->supplier co-occurrence graph from
+    lineitem: 3 synchronous power iterations, ALL arithmetic in integer
+    rank units (the only way a PageRank is bit-reproducible — float
+    inbound sums depend on shuffle order).  Pregel-shaped plan: degree
+    join paid once, then one hash join + one partial/final SUM per
+    iteration."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.graph import (
+        pagerank_fixed,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    # integer node ids (2*partkey / 2*suppkey+1): the scan reads two int
+    # columns and every exchange keys on a long — the string-labeled form
+    # ('p'||key) measured ~2x slower across the build
+    pairs = li.select(
+        (F.col("l_partkey") * 2).alias("a"),
+        (F.col("l_suppkey") * 2 + 1).alias("b"),
+    ).distinct()
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")) \
+        .unionByName(pairs.select(F.col("b").alias("src"),
+                                  F.col("a").alias("dst")))
+    # ranks broadcast: the node set is parts+suppliers — dimension-sized
+    # at every SF — so each iteration ships the rank vector map-side and
+    # never exchanges the edge list
+    return pagerank_fixed(edges, iters=PAGERANK_ITERS, broadcast_ranks=True)
+
+
+def _duck_pagerank_iter(x: int) -> str:
+    """One unrolled fixed-point iteration: integer contribution
+    (85 * r) // (100 * outdeg) per out-edge, teleport 150000."""
+    return f"""
+c{x} AS (
+  SELECT e.dst AS node, SUM((85 * r.r) // (100 * d.outdeg)) AS s
+  FROM edges e
+  JOIN deg d ON e.src = d.src
+  JOIN r{x - 1} r ON r.node = e.src
+  GROUP BY 1
+),
+r{x} AS (
+  SELECT n.node, CAST(150000 + COALESCE(c.s, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c{x} c USING (node)
+)"""
+
+
+ORACLE_PAGERANK = f"""
+WITH pairs AS (
+  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM lineitem
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges
+  )
+),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)
+{"".join("," + _duck_pagerank_iter(i) for i in range(1, PAGERANK_ITERS + 1))}
+SELECT node, r AS rank_fp FROM r{PAGERANK_ITERS}
+"""
+
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
@@ -3647,6 +3717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "substring_dedup": q_substring_dedup,
         "semantic_dedup": q_semantic_dedup,
+        "pagerank": q_pagerank,
         "length_quartiles": q_length_quartiles,
     }
 
@@ -3743,5 +3814,6 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": ORACLE_MIXTURE_SAMPLE,
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
         "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+        "pagerank": ORACLE_PAGERANK,
         "length_quartiles": ORACLE_LENGTH_QUARTILES,
     }

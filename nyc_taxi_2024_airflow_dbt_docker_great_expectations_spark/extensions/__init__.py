@@ -44,6 +44,7 @@ from .text import (  # noqa: F401
     word_shingles,
 )
 from .analytics import cohort_retention  # noqa: F401
+from .graph import pagerank_fixed  # noqa: F401
 from .search import bm25_topk  # noqa: F401
 from .entity import fuzzy_match_pairs  # noqa: F401
 from .packing import (  # noqa: F401

@@ -288,3 +288,78 @@ def triangle_count(edges: DataFrame, src: str = "id_a",
         .crossJoin(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+def pagerank_fixed(edges: DataFrame, iters: int = 3,
+                   src: str = "src", dst: str = "dst",
+                   damping_pct: int = 85,
+                   scale: int = 1_000_000,
+                   broadcast_ranks: bool = False) -> DataFrame:
+    """Deterministic fixed-point PageRank: ``iters`` synchronous power
+    iterations with ALL arithmetic in integer rank units, so the result
+    is a pure function of the graph — bit-identical across engines,
+    shuffle orders, and reruns, and therefore SQL-oracle-checkable.
+    Float PageRank cannot promise that: the per-node inbound SUM of
+    double contributions depends on shuffle arrival order.
+
+    - ranks start at ``scale`` units per node (the unnormalized form;
+      divide by node count for the probability vector);
+    - each out-edge of ``u`` carries ``(damping_pct * r_u) div
+      (100 * outdeg_u)`` units — integer division, the fixed-point twin
+      of ``d * r/deg`` (drift vs float PageRank is < outdeg ulps per
+      node per iteration, i.e. < 1e-5 at the default scale);
+    - ``r'_v = (100 - damping_pct) * scale / 100  +  sum(inbound)``;
+      nodes without in-edges keep the bare teleport term.  Dangling-node
+      mass is dropped (the standard simplification).
+
+    Plan shape: the out-degree join is ONE exchange paid once (the
+    degree-annotated edge list is materialized and reused by every
+    iteration); each iteration is then one hash join (ranks x edges on
+    the source) + one partial/final SUM on the destination — the
+    Pregel-style shape whose cost is O(iters x |E|) exchanged rows, flat
+    per iteration at any graph size.  Rank values stay in int64 while
+    ``iters * scale * |V|`` is far below 2^63 (bound: total mass <=
+    |V| * scale / (1 - d)).
+
+    Returns ``(node, rank_fp)``: rank in integer units.
+    """
+    # the node set and the degree-annotated edge list are re-read by every
+    # iteration (and the node set by every teleport re-join) — materialize
+    # both once; without the fence each of the `iters` left joins replays
+    # the full edge scan + distinct
+    nodes = materialize_once(
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__outdeg"))
+    ann = materialize_once(
+        edges.join(deg, src).select(
+            F.col(src).alias("__src"), F.col(dst).alias("__dst"), "__outdeg"
+        )
+    )
+    teleport = (100 - damping_pct) * scale // 100
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank_fp"))
+    for _ in range(iters):
+        # with broadcast_ranks the rank vector rides map-side along the
+        # stationary edge list — zero edge-list exchanges per iteration
+        # (only the |V|-sized partial-sum shuffle remains).  Correct when
+        # the node set is dimension-sized; the default hash join is the
+        # any-scale Pregel shape.
+        rside = F.broadcast(ranks) if broadcast_ranks else ranks
+        contribs = (
+            ann.join(rside, ann["__src"] == ranks["node"])
+            .select(
+                F.col("__dst").alias("node"),
+                F.expr(f"({damping_pct} * rank_fp) div (100 * __outdeg)")
+                .alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(teleport) + F.coalesce(F.col("__in"), F.lit(0)))
+            .cast("long").alias("rank_fp"),
+        )
+    return ranks

@@ -1069,3 +1069,33 @@ def test_semantic_dedup_subset_and_recall(spark):
         assert s == exact[p]  # bit-identical fold cosine
     assert len(exact) > 0
     assert len(sem) / len(exact) >= 0.5  # cluster-blocking recall
+
+
+def test_pagerank_fixed_matches_reference_simulation(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.graph import (
+        pagerank_fixed,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank_fp"]
+           for r in pagerank_fixed(df, iters=3).collect()}
+
+    # pure-python twin of the integer recurrence
+    nodes = {n for e in edges for n in e}
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(3):
+        inc = {n: 0 for n in nodes}
+        for s, d in edges:
+            inc[d] += (85 * r[s]) // (100 * outdeg[s])
+        r = {n: 150_000 + inc[n] for n in nodes}
+    assert got == r
+    # sink-free cycle members outrank the teleport-only source d
+    assert got["d"] == 150_000
+    assert min(got["a"], got["b"], got["c"]) > got["d"]
+    # determinism across reruns
+    assert got == {row["node"]: row["rank_fp"]
+                   for row in pagerank_fixed(df, iters=3).collect()}
