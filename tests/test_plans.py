@@ -136,3 +136,21 @@ def test_round4_retrieval_and_mixture_plans(spark):
     assert "CartesianProduct" not in sub
     assert "BroadcastNestedLoopJoin" not in sub
     assert "SortMergeJoin" not in sub and "BroadcastHashJoin" not in sub
+
+
+def test_semantic_and_pagerank_plans(spark):
+    """semantic_dedup: the index assignment is a NARROW mapInPandas and
+    the pair scan is one grouped Arrow stage — the whole plan has no join
+    at all and exactly one data exchange (the groupBy on the inverted
+    list).  pagerank: per-iteration rank joins broadcast (dimension-sized
+    node set), never nested-loop or cartesian."""
+    sem = _plan(entry.queries()["semantic_dedup"](spark, SF))
+    assert "FlatMapGroupsInPandas" in sem
+    assert "SortMergeJoin" not in sem and "BroadcastHashJoin" not in sem
+    assert "CartesianProduct" not in sem
+    assert sem.count("Exchange") - sem.count("BroadcastExchange") == 1
+
+    pr = _plan(entry.queries()["pagerank"](spark, SF))
+    assert "BroadcastHashJoin" in pr
+    assert "CartesianProduct" not in pr
+    assert "BroadcastNestedLoopJoin" not in pr
