@@ -1355,6 +1355,82 @@ JOIN embeddings b ON b.vec_id = y.vec_id
 WHERE {_duck_cos('a.embedding', 'b.embedding')} >= {SEMANTIC_TAU}
 """
 
+BPE_TRAIN_MERGES = 12
+BPE_TRAIN_WORDS = 64
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table learning (extensions/text.py:bpe_train) — the
+    training half of bpe_encode: ONE corpus aggregation to the
+    word-frequency dict (TakeOrdered top-64), then the classic
+    highest-count-pair merge loop driver-side on the metadata-sized dict.
+    The SQL oracle replays every step: pair counts via unnest, argmax
+    with the same total tie order, and the non-overlapping left-to-right
+    merge as a list_reduce fold with whole-symbol equality."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=BPE_TRAIN_MERGES,
+                     max_words=BPE_TRAIN_WORDS)
+
+
+def _oracle_bpe_train() -> str:
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        BPE_TOKEN_PATTERN,
+    )
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    steps = []
+    for x in range(1, BPE_TRAIN_MERGES + 1):
+        # AS MATERIALIZED: each step references its predecessor twice
+        # (pair counts + merge application); inlined CTEs would re-derive
+        # the whole chain per reference — exponential in n_merges
+        steps.append(f""",
+p{x} AS MATERIALIZED (
+  SELECT pair, SUM(cnt) AS c FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(sym)),
+        i -> sym[CAST(i AS INTEGER)] || chr(1) || sym[CAST(i AS INTEGER)+1]))
+        AS pair
+    FROM (SELECT cnt, string_split(seg, chr(1)) AS sym FROM s{x - 1})
+  ) GROUP BY 1
+),
+b{x} AS MATERIALIZED (
+  SELECT split_part(pair, chr(1), 1) AS l,
+         split_part(pair, chr(1), 2) AS r
+  FROM p{x} ORDER BY c DESC, pair LIMIT 1),
+s{x} AS MATERIALIZED (
+  SELECT s.cnt, s.word,
+     list_reduce(string_split(s.seg, chr(1)), (acc, x) ->
+       CASE WHEN x = b.r AND (acc = b.l OR ends_with(acc, chr(1) || b.l))
+            THEN left(acc, length(acc) - length(b.l)) || b.l || b.r
+            ELSE acc || chr(1) || x END) AS seg
+  FROM s{x - 1} s CROSS JOIN b{x} b
+)""")
+    ranks = "\nUNION ALL ".join(
+        f"SELECT CAST({x} AS INTEGER) AS merge_rank, l AS lhs, r AS rhs "
+        f"FROM b{x}"
+        for x in range(1, BPE_TRAIN_MERGES + 1)
+    )
+    return f"""
+WITH wf AS (
+  SELECT w AS word, COUNT(*) AS cnt FROM (
+    SELECT unnest(regexp_extract_all(text, '{pat}')) AS w FROM documents
+  ) GROUP BY 1 ORDER BY cnt DESC, word LIMIT {BPE_TRAIN_WORDS}
+),
+s0 AS (
+  SELECT cnt, word,
+         array_to_string(list_transform(range(1, length(word) + 1),
+             i -> word[CAST(i AS INTEGER)]), chr(1)) AS seg
+  FROM wf
+){"".join(steps)}
+{ranks}
+"""
+
+
+ORACLE_BPE_TRAIN = _oracle_bpe_train()
+
 PAGERANK_ITERS = 3
 
 
@@ -3718,6 +3794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "semantic_dedup": q_semantic_dedup,
         "pagerank": q_pagerank,
+        "bpe_train": q_bpe_train,
         "length_quartiles": q_length_quartiles,
     }
 
@@ -3815,5 +3892,6 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
         "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
         "pagerank": ORACLE_PAGERANK,
+        "bpe_train": ORACLE_BPE_TRAIN,
         "length_quartiles": ORACLE_LENGTH_QUARTILES,
     }

@@ -687,14 +687,12 @@ def _ivf_index(corpus: DataFrame, n_lists: int, refine_iters: int,
         aorder = np.argsort(acids, kind="stable")
 
     def assign_fn(it):
-        # __vec must be object-dtyped even when empty: pandas defaults an
-        # empty column to float64, which Arrow cannot cast to list<float>
-        empty = pd.DataFrame({"__id": [], "__list": [],
-                              "__vec": pd.Series([], dtype=object)})
+        # a batch with nothing to emit yields NOTHING (not an empty frame:
+        # pyspark's serializer pd.concat's the yielded batches, and mixing
+        # empty/all-NA frames in trips a pandas FutureWarning per task)
         for left in it:
             left = left[left["__vec"].notna()]  # NULL vectors join no list
             if len(left) == 0:
-                yield empty
                 continue
             ids = left["__id"].to_numpy()
             ma = np.stack(left["__vec"].to_numpy()).astype(np.float64)
@@ -859,8 +857,6 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         n_probe_ = n_probe
 
         def probe_fn(it):
-            empty = pd.DataFrame({"__qid": [], "__list": [],
-                                  "__qvec": pd.Series([], dtype=object)})
             for pdf in it:
                 pdf = pdf[pdf["__qvec"].notna()]
                 qids: list = []
@@ -880,8 +876,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     lists.extend(list(sid[order]))
                     vecs.extend([qvec] * len(order))
                 if not qids:
-                    yield empty
-                    continue
+                    continue  # yield nothing — see assign_fn's note
                 yield pd.DataFrame({
                     "__qid": qids, "__list": lists,
                     "__qvec": pd.Series(vecs, dtype=object),

@@ -606,3 +606,80 @@ def bigram_novelty(df: DataFrame, text_col: str = "text",
             F.col("n_novel").cast("double") / F.col("n_bigrams").cast("double"),
         )
     )
+
+
+def _bpe_merge_apply(seg: list[str], left: str, right: str) -> list[str]:
+    """Non-overlapping left-to-right merge of every (left, right) adjacency
+    — as a FOLD with whole-symbol equality, so a SQL ``list_reduce`` over
+    the same symbol list replays it exactly.  The fold never re-merges a
+    just-produced symbol: the merged symbol is ``left + right``, which can
+    equal ``left`` only if ``right`` were empty."""
+    out = [seg[0]]
+    for x in seg[1:]:
+        if out[-1] == left and x == right:
+            out[-1] = left + right
+        else:
+            out.append(x)
+    return out
+
+
+def bpe_train(df: DataFrame, n_merges: int = 12, max_words: int = 64,
+              text_col: str = "text") -> DataFrame:
+    """Learn a BPE merges table from the corpus — the training half of
+    :func:`bpe_encode` (which consumes a merges table): classic
+    Sennrich-style byte-pair learning over the word-frequency dictionary.
+
+    Distributed part: ONE aggregation — pre-tokenize
+    (``regexp_extract_all``, codegen'd), count occurrences per distinct
+    pre-token, keep the ``max_words`` most frequent (ties: lexicographic)
+    via a distributed TakeOrdered.  This is the only corpus-sized work;
+    BPE learning classically runs on the word-frequency dict, which is
+    vocabulary-sized (Zipf) and capped by ``max_words`` by construction,
+    so the merge loop itself runs driver-side on the collected dict —
+    the same metadata-sized-sample argument as the IVF Lloyd refinement.
+
+    Each of the ``n_merges`` steps: count every adjacent symbol pair
+    weighted by word frequency, take the argmax (ties: highest count,
+    then smallest ``left+SEP+right`` string — a total order), merge all
+    non-overlapping occurrences left-to-right (``_bpe_merge_apply``).
+    Deterministic end-to-end: integer counts, total tie orders, no RNG —
+    the SQL oracle replays the loop step-for-step with ``list_reduce``.
+
+    Returns ``(merge_rank, lhs, rhs)``, ``merge_rank`` starting at 1 in
+    learned order — cascade-ordered, directly consumable by
+    :func:`bpe_encode`.  Stops early if no pair repeats.
+    """
+    wf = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(_c(text_col), F.lit(BPE_TOKEN_PATTERN),
+                                     F.lit(0))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(max_words)
+    )
+    words = [(r["w"], r["cnt"]) for r in wf.collect()]
+    segs = {w: list(w) for w, _ in words}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for w, cnt in words:
+            seg = segs[w]
+            for i in range(len(seg) - 1):
+                pc[(seg[i], seg[i + 1])] = pc.get((seg[i], seg[i + 1]), 0) + cnt
+        if not pc:
+            break
+        best = min(pc.items(),
+                   key=lambda kv: (-kv[1], kv[0][0] + BPE_PIECE_SEP + kv[0][1]))
+        (left, right), _cnt = best
+        merges.append((left, right))
+        for w in segs:
+            if len(segs[w]) > 1:
+                segs[w] = _bpe_merge_apply(segs[w], left, right)
+    return df.sparkSession.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string",
+    )

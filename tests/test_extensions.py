@@ -1099,3 +1099,35 @@ def test_pagerank_fixed_matches_reference_simulation(spark):
     # determinism across reruns
     assert got == {row["node"]: row["rank_fp"]
                    for row in pagerank_fixed(df, iters=3).collect()}
+
+
+def test_bpe_train_learns_and_feeds_encode(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    # 'aa' dominates: 'banana'-free corpus where pair ('a','a') wins first
+    rows = [(1, "aaab aaab aab"), (2, "aaab xy"), (3, "aab aab")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(df, n_merges=3, max_words=10)
+    got = [(r["merge_rank"], r["lhs"], r["rhs"])
+           for r in merges.orderBy("merge_rank").collect()]
+    # pair counts over {aaab: 3x, aab: 3x, ' aaab', ' aab', ' xy', xy: 1}:
+    # ('a','a') is the clear first merge
+    assert got[0][1:] == ("a", "a")
+    assert len(got) == 3
+    assert [g[0] for g in got] == [1, 2, 3]
+    # learned merges are cascade-ordered and consumable by the encoder
+    enc = bpe_encode(
+        df, merges=tuple((l, r) for _, l, r in got)
+    ).orderBy("doc_id").collect()
+    assert all(r["n_bpe_tokens"] > 0 for r in enc)
+    # encoding with the learned table compresses vs raw characters
+    raw_chars = sum(len(t.replace(" ", "")) for _, t in rows)
+    assert sum(r["n_bpe_tokens"] for r in enc) < raw_chars
+    # determinism
+    again = [(r["merge_rank"], r["lhs"], r["rhs"])
+             for r in bpe_train(df, n_merges=3, max_words=10)
+             .orderBy("merge_rank").collect()]
+    assert again == got
