@@ -1355,6 +1355,46 @@ JOIN embeddings b ON b.vec_id = y.vec_id
 WHERE {_duck_cos('a.embedding', 'b.embedding')} >= {SEMANTIC_TAU}
 """
 
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS of extendedprice on quantity
+    (extensions/analytics.py:groupwise_ols) — distributed regression via
+    sufficient statistics: broadcast dim join, ONE partial/final
+    aggregate to five scalars per group, closed-form slope/intercept.
+    Decimal-exact sums keep the result engine- and shuffle-order-exact."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        groupwise_ols,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return groupwise_ols(j, ["p_brand"], "l_quantity", "l_extendedprice")
+
+
+ORACLE_OLS_TREND = """
+WITH j AS (
+  SELECT p.p_brand, l.l_quantity AS x, l.l_extendedprice AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+a AS (
+  SELECT p_brand, COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx
+  FROM j GROUP BY 1
+)
+SELECT p_brand, n,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) = 0 THEN NULL
+            ELSE (CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) = 0 THEN NULL
+            ELSE (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                 / CAST(n AS DOUBLE) END AS intercept
+FROM a
+"""
+
 BPE_TRAIN_MERGES = 12
 BPE_TRAIN_WORDS = 64
 
@@ -3795,6 +3835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "pagerank": q_pagerank,
         "bpe_train": q_bpe_train,
+        "ols_trend": q_ols_trend,
         "length_quartiles": q_length_quartiles,
     }
 
@@ -3893,5 +3934,6 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
         "pagerank": ORACLE_PAGERANK,
         "bpe_train": ORACLE_BPE_TRAIN,
+        "ols_trend": ORACLE_OLS_TREND,
         "length_quartiles": ORACLE_LENGTH_QUARTILES,
     }

@@ -44,3 +44,49 @@ def cohort_retention(df: DataFrame, user_col: str = "user_id",
         F.col("n_active").cast("long").alias("n_active"),
         (F.col("n_active") / F.col("cohort_size")).alias("retention_rate"),
     )
+
+
+def groupwise_ols(df: DataFrame, group_cols: list[str], x_col: str,
+                  y_col: str, scale: int = 4) -> DataFrame:
+    """Per-group simple linear regression (OLS of y on x) via sufficient
+    statistics — the distributed-ML pattern: one partial/final aggregate
+    computes (n, Σx, Σy, Σxy, Σx²) per group, and the closed-form slope
+    and intercept fall out of five scalars.  No iteration, no driver
+    data, the same single-aggregation shape at any scale.
+
+    Determinism: the sums are DECIMAL-exact (shuffle order can't change
+    them — same contract as ``exact_sum``; products of two money-like
+    doubles are exact at ``2*scale_in <= scale`` decimals, so the
+    double->decimal cast is unambiguous), and the slope/intercept
+    arithmetic after the aggregate is pure IEEE +,-,*,/ mirrored
+    operation-for-operation by the SQL oracle.  Degenerate groups
+    (constant x, where the variance denominator is exactly 0) yield NULL
+    slope/intercept rather than engine-dependent inf/NULL division
+    behavior.
+
+    Returns ``group_cols + (n, slope, intercept)``.
+    """
+    def dsum(c):
+        return F.sum(F.col(c).cast(f"decimal(18,{scale})")).cast("double")
+
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(x_col).alias("__sx"),
+        dsum(y_col).alias("__sy"),
+        F.sum((F.col(x_col) * F.col(y_col)).cast(f"decimal(28,{scale})"))
+        .cast("double").alias("__sxy"),
+        F.sum((F.col(x_col) * F.col(x_col)).cast(f"decimal(28,{scale})"))
+        .cast("double").alias("__sxx"),
+    )
+    nd = F.col("n").cast("double")
+    denom = nd * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = (nd * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / denom
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / nd
+    return agg.select(
+        *group_cols,
+        F.col("n"),
+        F.when(denom == F.lit(0.0), F.lit(None).cast("double"))
+        .otherwise(slope).alias("slope"),
+        F.when(denom == F.lit(0.0), F.lit(None).cast("double"))
+        .otherwise(intercept).alias("intercept"),
+    )

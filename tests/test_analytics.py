@@ -32,3 +32,19 @@ def test_cohort_retention_matrix(spark):
         ("2024-01-03", 0): (1, 1, 1.0),
         ("2024-01-03", 2): (1, 1, 1.0),
     }
+
+
+def test_groupwise_ols_recovers_known_line(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        groupwise_ols,
+    )
+
+    # group a: exact line y = 2x + 1; group b: constant x (degenerate)
+    rows = [("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0),
+            ("b", 4.0, 1.0), ("b", 4.0, 9.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in
+           groupwise_ols(df, ["g"], "x", "y").collect()}
+    assert out["a"]["slope"] == 2.0 and out["a"]["intercept"] == 1.0
+    assert out["a"]["n"] == 3
+    assert out["b"]["slope"] is None and out["b"]["intercept"] is None
