@@ -1395,6 +1395,56 @@ SELECT p_brand, n,
 FROM a
 """
 
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TOPK = 30
+
+
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (extensions/sketches.py:
+    cms_heavy_hitters): top-30 corpus tokens by CMS estimate through a
+    4x512 md5-seeded counter sketch — the mergeable/streamable frequent-
+    items path, deterministic and oracle-replayable unlike engine-private
+    sketch layouts."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.sketches import (
+        cms_heavy_hitters,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    return cms_heavy_hitters(toks, "tok", depth=CMS_DEPTH, width=CMS_WIDTH,
+                             k=CMS_TOPK)
+
+
+ORACLE_CMS_TOPK = f"""
+WITH items AS (
+  SELECT tok FROM (SELECT unnest({DUCK_TOKS}) AS tok FROM documents)
+  WHERE tok <> ''
+),
+cells AS (
+  SELECT tok, d,
+         CAST(CAST('0x' || substr(md5('cms' || d || ':' || tok), 1, 8)
+              AS BIGINT) % {CMS_WIDTH} AS INTEGER) AS pos
+  FROM items CROSS JOIN range(0, {CMS_DEPTH}) r(d)
+),
+counters AS (SELECT d, pos, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+ccells AS (
+  SELECT tok, d,
+         CAST(CAST('0x' || substr(md5('cms' || d || ':' || tok), 1, 8)
+              AS BIGINT) % {CMS_WIDTH} AS INTEGER) AS pos
+  FROM (SELECT DISTINCT tok FROM items) CROSS JOIN range(0, {CMS_DEPTH}) r(d)
+)
+SELECT tok, cms_count FROM (
+  SELECT c.tok, MIN(ct.cnt) AS cms_count
+  FROM ccells c JOIN counters ct USING (d, pos) GROUP BY 1
+) ORDER BY cms_count DESC, tok LIMIT {CMS_TOPK}
+"""
+
 BPE_TRAIN_MERGES = 12
 BPE_TRAIN_WORDS = 64
 
@@ -3836,6 +3886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "bpe_train": q_bpe_train,
         "ols_trend": q_ols_trend,
+        "cms_topk": q_cms_topk,
         "length_quartiles": q_length_quartiles,
     }
 
@@ -3935,5 +3986,6 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": ORACLE_PAGERANK,
         "bpe_train": ORACLE_BPE_TRAIN,
         "ols_trend": ORACLE_OLS_TREND,
+        "cms_topk": ORACLE_CMS_TOPK,
         "length_quartiles": ORACLE_LENGTH_QUARTILES,
     }

@@ -33,6 +33,7 @@ from .similarity import (  # noqa: F401
 from .text import (  # noqa: F401
     bigram_novelty,
     bpe_encode,
+    bpe_train,
     build_vocab,
     chunk_documents,
     filter_funnel,
@@ -43,7 +44,7 @@ from .text import (  # noqa: F401
     token_count,
     word_shingles,
 )
-from .analytics import cohort_retention  # noqa: F401
+from .analytics import cohort_retention, groupwise_ols  # noqa: F401
 from .graph import pagerank_fixed  # noqa: F401
 from .search import bm25_topk  # noqa: F401
 from .entity import fuzzy_match_pairs  # noqa: F401

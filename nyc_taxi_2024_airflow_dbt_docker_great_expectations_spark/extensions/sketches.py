@@ -59,3 +59,63 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str,
         .alias("est_distinct"),
         F.col("sketch_k").cast("int").alias("sketch_k"),
     )
+
+
+def cms_heavy_hitters(items: DataFrame, value_col: str,
+                      depth: int = 4, width: int = 512,
+                      k: int = 30) -> DataFrame:
+    """Count-min-sketch heavy hitters: estimate every distinct value's
+    frequency through a ``depth x width`` counter sketch and report the
+    top-``k`` by estimate — the streaming/mergeable way to find frequent
+    items when the exact per-value aggregate is too wide to keep.
+
+    Like :func:`kmv_distinct`, the hash family is md5-derived (seeded per
+    row of the sketch), so the counters — and therefore every estimate —
+    are identical on any engine and SQL-oracle-checkable, unlike
+    engine-private sketch layouts.  Estimates overcount (never
+    undercount) by at most ``2 * total / width`` with probability
+    ``1 - 2^-depth`` — the classic CM guarantee.
+
+    Plan: ONE pass explodes each item into its ``depth`` counter cells
+    (partial/final hash agg to ``depth * width`` rows — the sketch is
+    broadcast-sized by construction); estimates then join the distinct
+    values' cells against the broadcast sketch and take a min over
+    ``depth`` rows per value; top-k is a TakeOrdered.  The sketch table
+    itself is the mergeable artifact a streaming deployment persists.
+
+    Returns ``(value_col, cms_count)``, ties broken by value.
+    """
+    def cells_for(col: str):
+        vv = F.col(col).cast("string")
+
+        def cell(d: int):
+            return F.pmod(
+                F.conv(F.substring(F.md5(F.concat(F.lit(f"cms{d}:"), vv)),
+                                   1, 8), 16, 10).cast("long"),
+                F.lit(width),
+            ).cast("int")
+
+        return F.array(*[
+            F.struct(F.lit(d).alias("d"), cell(d).alias("pos"))
+            for d in range(depth)
+        ])
+
+    counters = (
+        items.select(F.explode(cells_for(value_col)).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cand = (
+        items.select(F.col(value_col).cast("string").alias("__v"))
+        .distinct()
+        .select("__v", F.explode(cells_for("__v")).alias("c"))
+    )
+    return (
+        cand.join(F.broadcast(counters),
+                  (F.col("c.d") == F.col("d")) & (F.col("c.pos") == F.col("pos")))
+        .groupBy("__v")
+        .agg(F.min("cnt").alias("cms_count"))
+        .select(F.col("__v").alias(value_col), "cms_count")
+        .orderBy(F.col("cms_count").desc(), value_col)
+        .limit(k)
+    )

@@ -1131,3 +1131,26 @@ def test_bpe_train_learns_and_feeds_encode(spark):
              for r in bpe_train(df, n_merges=3, max_words=10)
              .orderBy("merge_rank").collect()]
     assert again == got
+
+
+def test_cms_heavy_hitters_overcounts_only(spark):
+    """CMS estimates are >= exact counts (never undercount), equal for the
+    heavy tail when the sketch is wide enough, and the top-k ordering of
+    truly-frequent items survives."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.sketches import (
+        cms_heavy_hitters,
+    )
+
+    rows = [("x",)] * 50 + [("y",)] * 30 + [("z",)] * 5 + [("w",)]
+    df = spark.createDataFrame(rows, "tok string")
+    got = {r["tok"]: r["cms_count"]
+           for r in cms_heavy_hitters(df, "tok", depth=4, width=64,
+                                      k=10).collect()}
+    exact = {"x": 50, "y": 30, "z": 5, "w": 1}
+    assert set(got) == set(exact)
+    for t, c in got.items():
+        assert c >= exact[t]          # CM never undercounts
+    # 4 values in a 64-wide sketch: collisions are possible but the two
+    # heavy items must stay on top in order
+    top = sorted(got.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert top[0][0] == "x" and top[1][0] == "y"
