@@ -1395,6 +1395,54 @@ SELECT p_brand, n,
 FROM a
 """
 
+def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (operators/temporal.py:interval_overlap_join):
+    each signup opens a 2-hour window, each purchase a 1-hour window;
+    emit every same-user overlapping pair with the overlap length.
+    Bucketized equi-join, first-overlap-bucket dedup — no inequality
+    nested loop, no post-join distinct."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id",
+        F.col("ts").alias("l_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("l_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("r_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("r_end"),
+    )
+    return interval_overlap_join(
+        signups, purchases, key="user_id",
+        left_id="signup_id", right_id="purchase_id",
+        bucket_width_s=7200,
+    )
+
+
+ORACLE_OVERLAP_JOIN = """
+WITH s AS (
+  SELECT event_id AS signup_id, user_id,
+         CAST(ts AS TIMESTAMP) AS ls,
+         CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS le
+  FROM events WHERE event_type = 'signup'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id,
+         CAST(ts AS TIMESTAMP) AS rs,
+         CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS re
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT s.signup_id, s.user_id, p.purchase_id,
+       least(epoch_us(s.le), epoch_us(p.re))
+       - greatest(epoch_us(s.ls), epoch_us(p.rs)) AS overlap_us
+FROM s JOIN p ON s.user_id = p.user_id
+             AND s.ls < p.re AND p.rs < s.le
+"""
+
 CMS_DEPTH = 4
 CMS_WIDTH = 512
 CMS_TOPK = 30
@@ -3887,6 +3935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "ols_trend": q_ols_trend,
         "cms_topk": q_cms_topk,
+        "overlap_join": q_overlap_join,
         "length_quartiles": q_length_quartiles,
     }
 
@@ -3987,5 +4036,6 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": ORACLE_BPE_TRAIN,
         "ols_trend": ORACLE_OLS_TREND,
         "cms_topk": ORACLE_CMS_TOPK,
+        "overlap_join": ORACLE_OVERLAP_JOIN,
         "length_quartiles": ORACLE_LENGTH_QUARTILES,
     }

@@ -159,3 +159,70 @@ def interval_count_join(intervals: DataFrame, events: DataFrame,
         intervals.join(matched, interval_id, "left")
         .withColumn("n_events", F.coalesce(F.col("n_events"), F.lit(0)))
     )
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          key: str = "user_id",
+                          left_id: str = "l_id", right_id: str = "r_id",
+                          l_start: str = "l_start", l_end: str = "l_end",
+                          r_start: str = "r_start", r_end: str = "r_end",
+                          bucket_width_s: int | None = None) -> DataFrame:
+    """Interval-OVERLAP join (both sides are intervals): all same-key pairs
+    with ``[l_start, l_end) ∩ [r_start, r_end) ≠ ∅`` plus the overlap
+    length — the generalization of ``interval_count_join``'s
+    point-in-interval shape (dbt-utils' date-spine overlaps, incident
+    correlation, session-vs-campaign attribution).
+
+    Both sides explode onto a shared bucket grid and candidates come from
+    a (key, bucket) EQUI-join — never an inequality nested loop.  A pair
+    overlapping k shared buckets would surface k times; it is emitted
+    exactly once instead by keeping only the match in the bucket of
+    ``greatest(l_start, r_start)`` — the first overlapped instant, which
+    BOTH intervals are guaranteed to cover — so no post-join
+    ``distinct`` (a second shuffle of the full candidate set) is needed.
+    ``bucket_width_s`` defaults to the larger side's max interval length
+    (two scalar aggregates, driver metadata); any interval then spans <=2
+    buckets and candidate fan-out stays linear in co-bucketed mass.
+
+    Returns ``(left_id, key, right_id, overlap_us)``.
+    """
+    if bucket_width_s is None:
+        mx = [
+            df.select(F.max(
+                _epoch_us(F.col(e)) - _epoch_us(F.col(s))
+            ).alias("m")).first()["m"]
+            for df, s, e in ((left, l_start, l_end), (right, r_start, r_end))
+        ]
+        bucket_width_s = int(max(m or 0 for m in mx) // 1_000_000) or 1
+    width_us = bucket_width_s * 1_000_000
+
+    def bucket(col):
+        return F.floor(col / F.lit(width_us)).cast("long")
+
+    def explode_side(df, id_col, s, e):
+        return df.filter(F.col(e) > F.col(s)).select(
+            id_col, key, s, e,
+            F.explode(F.sequence(
+                bucket(_epoch_us(F.col(s))),
+                bucket(_epoch_us(F.col(e)) - 1),
+            )).alias("__bucket"),
+        )
+
+    lv = explode_side(left, left_id, l_start, l_end)
+    rv = explode_side(right, right_id, r_start, r_end)
+    first_overlap = F.greatest(
+        _epoch_us(F.col(l_start)), _epoch_us(F.col(r_start))
+    )
+    return (
+        lv.join(rv, [key, "__bucket"])
+        .filter(
+            (F.col(l_start) < F.col(r_end))
+            & (F.col(r_start) < F.col(l_end))
+            & (F.col("__bucket") == bucket(first_overlap))
+        )
+        .select(
+            left_id, key, right_id,
+            (F.least(_epoch_us(F.col(l_end)), _epoch_us(F.col(r_end)))
+             - first_overlap).alias("overlap_us"),
+        )
+    )

@@ -144,3 +144,43 @@ def test_asof_join_tolerance(spark):
     got = {str(r["ts"]): r["value_asof"] for r in out}
     assert got["2024-01-01 00:00:10"] == 1.0   # 10s gap, inside 60s
     assert got["2024-01-01 00:05:00"] is None  # 5min gap, outside
+
+
+def test_interval_overlap_join_dedup_and_lengths(spark):
+    """Pairs overlapping multiple shared buckets surface exactly once; the
+    overlap length is exact; non-overlapping and cross-key pairs drop."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "u", "2024-01-01 00:00:00", "2024-01-01 03:00:00"),
+         (2, "u", "2024-01-01 05:00:00", "2024-01-01 06:00:00"),
+         (3, "v", "2024-01-01 00:00:00", "2024-01-01 03:00:00")],
+        "l_id long, user_id string, l_start string, l_end string",
+    ).selectExpr("l_id", "user_id", "CAST(l_start AS TIMESTAMP) l_start",
+                 "CAST(l_end AS TIMESTAMP) l_end")
+    right = spark.createDataFrame(
+        [(10, "u", "2024-01-01 01:00:00", "2024-01-01 02:30:00"),  # inside 1
+         (11, "u", "2024-01-01 02:30:00", "2024-01-01 07:00:00"),  # 1 and 2
+         (12, "u", "2024-01-01 03:00:00", "2024-01-01 04:00:00"),  # abuts 1
+         (13, "w", "2024-01-01 01:00:00", "2024-01-01 02:00:00")],  # other key
+        "r_id long, user_id string, r_start string, r_end string",
+    ).selectExpr("r_id", "user_id", "CAST(r_start AS TIMESTAMP) r_start",
+                 "CAST(r_end AS TIMESTAMP) r_end")
+    # 30-min buckets: pair (1, 10) shares 3 buckets — must dedup to one row
+    out = {(r["l_id"], r["r_id"]): r["overlap_us"]
+           for r in interval_overlap_join(left, right,
+                                          bucket_width_s=1800,
+                                          left_id="l_id",
+                                          right_id="r_id").collect()}
+    assert out == {
+        (1, 10): 90 * 60 * 1_000_000,   # fully inside: 1.5h
+        (1, 11): 30 * 60 * 1_000_000,   # tail overlap: 30min
+        (2, 11): 60 * 60 * 1_000_000,   # window 2 fully inside 11
+    }
+    # default width (max interval length) gives the identical pair set
+    auto = {(r["l_id"], r["r_id"]): r["overlap_us"]
+            for r in interval_overlap_join(left, right, left_id="l_id",
+                                           right_id="r_id").collect()}
+    assert auto == out
