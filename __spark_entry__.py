@@ -2917,6 +2917,65 @@ SELECT h.doc_id,
 FROM hit h JOIN tot t USING (doc_id)
 """
 
+BLOOM_M = 1 << 15
+BLOOM_K = 3
+
+
+def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (extensions/contamination.py:
+    bloom_contamination): same benchmark split as `decontamination`, but
+    the benchmark n-gram set compresses to a 32k-bit md5-seeded bitset
+    compiled into the train-side filter expression — O(1) memory at any
+    benchmark size, bounded over-flagging (FPs ~0.4%% at this load), no
+    joins.  The oracle reproduces the bitset via the same hash family,
+    so the FP-inclusive counts match exactly."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.contamination import (
+        bloom_contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD != 0)
+    bench = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+    return bloom_contamination(train, bench, n=DECONTAM_N,
+                               m_bits=BLOOM_M, k_hashes=BLOOM_K)
+
+
+def _duck_bloom_positions(col: str) -> str:
+    return ", ".join(
+        f"CAST(CAST('0x' || substr(md5('bf{j}:' || {col}), 1, 12) AS BIGINT)"
+        f" % {BLOOM_M} AS INTEGER)"
+        for j in range(BLOOM_K)
+    )
+
+
+ORACLE_BLOOM_DECONTAMINATION = f"""
+WITH be AS (
+  SELECT DISTINCT unnest({_DUCK_SHINGLES_N}) AS shingle FROM documents
+  WHERE doc_id % {DECONTAM_BENCH_MOD} = 0 AND len({DUCK_TOKS}) >= {DECONTAM_N}
+),
+bitpos AS (
+  SELECT DISTINCT unnest([{_duck_bloom_positions('shingle')}]) AS pos FROM be
+),
+tr AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES_N}) AS shingle FROM documents
+  WHERE doc_id % {DECONTAM_BENCH_MOD} <> 0 AND len({DUCK_TOKS}) >= {DECONTAM_N}
+),
+hits AS (
+  SELECT doc_id,
+         CASE WHEN {" AND ".join(
+             f"CAST(CAST('0x' || substr(md5('bf{j}:' || shingle), 1, 12)"
+             f" AS BIGINT) % {BLOOM_M} AS INTEGER)"
+             " IN (SELECT pos FROM bitpos)" for j in range(BLOOM_K))}
+              THEN 1 ELSE 0 END AS hit
+  FROM tr
+)
+SELECT doc_id, CAST(SUM(hit) AS BIGINT) AS n_flagged,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS flag_ratio
+FROM hits GROUP BY 1 HAVING SUM(hit) > 0
+"""
+
+
 TC_QUALITY_MIN = 0.55   # quality_score cut (keeps ~80% at sf0.01; the score
                         # is bit-identical across engines — see quality_scores)
 TC_TOKENS_MIN = 5       # drop near-empty docs before packing
@@ -3936,6 +3995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_trend": q_ols_trend,
         "cms_topk": q_cms_topk,
         "overlap_join": q_overlap_join,
+        "bloom_decontamination": q_bloom_decontamination,
         "length_quartiles": q_length_quartiles,
     }
 
@@ -4037,5 +4097,6 @@ def oracle_sql() -> dict[str, str]:
         "ols_trend": ORACLE_OLS_TREND,
         "cms_topk": ORACLE_CMS_TOPK,
         "overlap_join": ORACLE_OVERLAP_JOIN,
+        "bloom_decontamination": ORACLE_BLOOM_DECONTAMINATION,
         "length_quartiles": ORACLE_LENGTH_QUARTILES,
     }

@@ -61,3 +61,82 @@ def ngram_contamination(train: DataFrame, benchmark: DataFrame, n: int = 13,
              / F.col("n_shingles").cast("double")).alias("hit_ratio"),
         )
     )
+
+
+def bloom_contamination(train: DataFrame, benchmark: DataFrame, n: int = 13,
+                        m_bits: int = 1 << 16, k_hashes: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Bloom-filter decontamination: the O(1)-memory form of
+    :func:`ngram_contamination` for benchmark sets too large to broadcast
+    as strings — a 10B-n-gram suite is ~1 TB of text but fits any
+    ``m_bits`` budget as a bitset (the classic production trade: a
+    bounded, tunable false-positive rate — ~``(k/ (m/n_grams))^k``, FPs
+    only ever OVER-flag, never miss).
+
+    Construction: each benchmark n-gram sets ``k_hashes`` md5-derived bit
+    positions; the DISTINCT position set is bounded by ``m_bits`` BY
+    CONSTRUCTION — collecting it is bounded driver metadata regardless of
+    benchmark size, and it compiles into a literal long[] bitmask inside
+    the train-side filter expression: membership is pure whole-stage
+    codegen (two shifts + a compare per hash), zero joins, zero shuffle
+    of the training corpus beyond the per-doc aggregate.
+
+    The hash family is the engine-portable md5 idiom, so the SQL oracle
+    reproduces the exact bitset and the exact (false-positive-inclusive)
+    flag counts.  Returns (id, n_flagged, n_shingles, flag_ratio) for
+    docs with >= 1 flagged n-gram — same shape as ngram_contamination,
+    whose exact result is a subset (pytest-asserted).
+    """
+    from .text import shingle_postings
+
+    def positions(col):
+        return [
+            F.pmod(
+                F.conv(F.substring(
+                    F.md5(F.concat(F.lit(f"bf{j}:"), col)), 1, 12
+                ), 16, 10).cast("long"),
+                F.lit(m_bits),
+            ).cast("int")
+            for j in range(k_hashes)
+        ]
+
+    bench_pos = (
+        shingle_postings(benchmark, text_col, id_col, k=n)
+        .select(F.explode(F.array(*positions(F.col("shingle"))))
+                .alias("pos"))
+        .distinct()
+    )
+    # bounded by m_bits by construction — driver metadata at any scale
+    mask = [0] * ((m_bits + 63) // 64)
+    for r in bench_pos.collect():
+        p = r["pos"]
+        mask[p >> 6] |= 1 << (p & 63)
+    # two's-complement to fit Spark's signed long literals
+    mask_lit = F.array(*[
+        F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long")
+        for w in mask
+    ])
+
+    posts = shingle_postings(train, text_col, id_col, k=n)
+    member = None
+    for p in positions(F.col("shingle")):
+        # bit (p mod 64) of word (p div 64), LSB-first — bit_get takes a
+        # COLUMN position (the python shiftright wrappers only take ints)
+        word = F.element_at(mask_lit, F.floor(p / F.lit(64)).cast("int") + 1)
+        bit = F.bit_get(word, (p % F.lit(64)).cast("int")) == F.lit(1)
+        member = bit if member is None else member & bit
+    flagged = posts.withColumn("__hit", member.cast("int"))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.sum("__hit").cast("long").alias("n_flagged"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .filter(F.col("n_flagged") > 0)
+        .select(
+            id_col, "n_flagged", "n_shingles",
+            (F.col("n_flagged").cast("double")
+             / F.col("n_shingles").cast("double")).alias("flag_ratio"),
+        )
+    )

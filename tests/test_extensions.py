@@ -1154,3 +1154,32 @@ def test_cms_heavy_hitters_overcounts_only(spark):
     # heavy items must stay on top in order
     top = sorted(got.items(), key=lambda kv: (-kv[1], kv[0]))
     assert top[0][0] == "x" and top[1][0] == "y"
+
+
+def test_bloom_contamination_never_misses(spark):
+    """Bloom decontamination is a SUPERSET of the exact check (no false
+    negatives, bounded false positives): every exactly-contaminated doc
+    is flagged with at least its exact hit count."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.contamination import (
+        bloom_contamination,
+        ngram_contamination,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 41 != 0)
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    exact = {r["doc_id"]: r["n_hits"]
+             for r in ngram_contamination(train, bench, n=4).collect()}
+    bloom = {r["doc_id"]: r["n_flagged"]
+             for r in bloom_contamination(train, bench, n=4,
+                                          m_bits=1 << 15,
+                                          k_hashes=3).collect()}
+    assert exact, "fixture must produce contamination"
+    assert set(exact) <= set(bloom)
+    for d, h in exact.items():
+        assert bloom[d] >= h
+    # a tiny filter over-flags much more — FP rate is the m_bits dial
+    tiny = {r["doc_id"] for r in
+            bloom_contamination(train, bench, n=4, m_bits=64,
+                                k_hashes=3).collect()}
+    assert set(bloom) <= tiny
