@@ -1569,6 +1569,8 @@ s0 AS (
 
 ORACLE_BPE_TRAIN = _oracle_bpe_train()
 
+
+
 PAGERANK_ITERS = 3
 
 
@@ -2917,6 +2919,7 @@ SELECT h.doc_id,
 FROM hit h JOIN tot t USING (doc_id)
 """
 
+
 BLOOM_M = 1 << 15
 BLOOM_K = 3
 
@@ -3898,6 +3901,35 @@ FROM o GROUP BY doc_id
 """
 
 
+def q_bm25_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 against the PERSISTED inverted index (extensions/search.py:
+    build_bm25_index / probe_bm25_index): the corpus tokenizes once into
+    a term-bucketed postings table + 1-row stats; the probe touches only
+    the query terms' postings — no corpus scan, no re-tokenization.
+    Build-if-absent per (session, sf_dir); probe result is bit-identical
+    to bm25_search, so the oracle is shared (probe == direct is also
+    pytest-asserted)."""
+    import re
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.search import (
+        BM25_INDEX_TABLES,
+        build_bm25_index,
+        probe_bm25_index,
+    )
+
+    prefix = "bm25_idx_" + re.sub(r"\W", "_",
+                                  sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    if not all(spark.catalog.tableExists(f"{prefix}_{t}")
+               for t in BM25_INDEX_TABLES):
+        build_bm25_index(_t(spark, sf_dir, "documents"), prefix)
+    return probe_bm25_index(spark, prefix, BM25_TERMS, k=BM25_K,
+                            k1=BM25_K1, b=BM25_B)
+
+
+# the probe replays the direct form bit-for-bit — oracle shared
+ORACLE_BM25_VS_INDEX = ORACLE_BM25_SEARCH
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "silver_clean": q_silver_clean,
@@ -3996,6 +4028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk": q_cms_topk,
         "overlap_join": q_overlap_join,
         "bloom_decontamination": q_bloom_decontamination,
+        "bm25_vs_index": q_bm25_vs_index,
         "length_quartiles": q_length_quartiles,
     }
 
@@ -4098,5 +4131,6 @@ def oracle_sql() -> dict[str, str]:
         "cms_topk": ORACLE_CMS_TOPK,
         "overlap_join": ORACLE_OVERLAP_JOIN,
         "bloom_decontamination": ORACLE_BLOOM_DECONTAMINATION,
+        "bm25_vs_index": ORACLE_BM25_VS_INDEX,
         "length_quartiles": ORACLE_LENGTH_QUARTILES,
     }

@@ -106,3 +106,112 @@ def bm25_topk(df: DataFrame, terms: tuple[str, ...], k: int = 20,
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+BM25_INDEX_TABLES = ("postings", "stats")
+
+
+def _bm25_table_names(prefix: str) -> dict[str, str]:
+    return {t: f"{prefix}_{t}" for t in BM25_INDEX_TABLES}
+
+
+def build_bm25_index(corpus: DataFrame, table_prefix: str,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     num_buckets: int = 8) -> dict[str, str]:
+    """Tokenize the corpus ONCE and persist the classic search-engine
+    inverted index as warehouse tables: ``postings`` (term, id, dl, tf —
+    bucketed on the term, so every probe's term lookup is a bucket-local
+    scan; the doc length rides denormalized in the posting, the standard
+    Lucene layout, so scoring never joins back to the corpus) and the
+    1-row ``stats`` (n_docs, sum_dl).  The build-once/probe-many analog
+    of :func:`bm25_topk`'s two-scan direct form — the same
+    incremental-materialization pattern as the n-gram near-dup index
+    (extensions/dedup.py:build_ngram_index).
+    """
+    from ..operators.layout import write_bucketed
+
+    names = _bm25_table_names(table_prefix)
+    toks = corpus.select(
+        F.col(id_col).alias("id"),
+        token_count(text_col).cast("long").alias("dl"),
+        F.explode_outer(F.transform(tokens(text_col),
+                                    lambda t: F.lower(t))).alias("term"),
+    )
+    write_bucketed(
+        toks.filter(F.col("term").isNotNull())
+        .groupBy("term", "id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf")),
+        names["postings"], ["term"], num_buckets,
+    )
+    stats = corpus.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col).cast("long")).alias("sum_dl"),
+    )
+    stats.write.mode("overwrite").saveAsTable(names["stats"])
+    return names
+
+
+def probe_bm25_index(spark, table_prefix: str, terms: tuple[str, ...],
+                     k: int = 20, k1: float = 1.2, b: float = 0.75,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Top-``k`` BM25 against the PERSISTED index — no corpus scan, no
+    re-tokenization: the probe touches only the query terms' posting
+    rows (term filter pushed into the bucketed scan), the matched docs'
+    lengths, and the 1-row stats.
+
+    Bit-identical to :func:`bm25_topk` on the same corpus: per-term tf
+    pivots into FIXED columns (a conditional aggregate per term — a
+    groupBy SUM of contributions would add in shuffle order) and the
+    score chain replays the direct form's literal order, so the shared
+    SQL oracle hash-matches both paths.  A term absent from a doc has no
+    posting row; its pivoted tf coalesces to 0 and contributes exactly
+    ``idf * 0 / norm = 0.0``, matching the direct form's zero count.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if len(set(terms)) != len(terms):
+        raise ValueError("terms must be distinct")
+    names = _bm25_table_names(table_prefix)
+    posts = spark.table(names["postings"]).filter(
+        F.col("term").isin(*terms)
+    )
+    stats = spark.table(names["stats"])
+    dfs = posts.groupBy("term").agg(
+        F.countDistinct("id").alias("df_cnt")
+    )
+
+    cand = posts.groupBy("id", "dl").agg(*[
+        F.coalesce(
+            F.sum(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+        ).cast("long").alias(f"__tf_{i}")
+        for i, t in enumerate(terms)
+    ])
+    dfm = dfs.groupBy().pivot("term", list(terms)).agg(F.first("df_cnt"))
+    dfm = dfm.select(*[
+        F.coalesce(F.col(f"`{t}`"), F.lit(0)).cast("long").alias(f"__df_{i}")
+        for i, t in enumerate(terms)
+    ])
+    scored = cand.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(dfm))
+
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n
+    norm = F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl").cast("double") / avgdl
+    )
+    score = None
+    for i in range(len(terms)):
+        dfi = F.col(f"__df_{i}").cast("double")
+        idf = (n - dfi + F.lit(0.5)) / (dfi + F.lit(0.5))
+        tfi = F.col(f"__tf_{i}").cast("double")
+        contrib = idf * (tfi * F.lit(float(k1) + 1.0)) / (tfi + norm)
+        score = contrib if score is None else score + contrib
+
+    return (
+        scored.select(
+            F.col("id").alias(id_col),
+            F.col("dl").alias("n_tokens"),
+            score.alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1183,3 +1183,24 @@ def test_bloom_contamination_never_misses(spark):
             bloom_contamination(train, bench, n=4, m_bits=64,
                                 k_hashes=3).collect()}
     assert set(bloom) <= tiny
+
+
+def test_bm25_index_probe_equals_direct(spark, tmp_path):
+    """The persisted-index probe must replay the direct two-scan form
+    bit-for-bit (same ids, same n_tokens, same score doubles)."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.search import (
+        bm25_topk,
+        build_bm25_index,
+        probe_bm25_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    terms = ("vector", "hash", "merge")
+    direct = [(r["doc_id"], r["n_tokens"], r["score"])
+              for r in bm25_topk(docs, terms, k=15).collect()]
+    build_bm25_index(docs, "bm25_t_idx")
+    probe = [(r["doc_id"], r["n_tokens"], r["score"])
+             for r in probe_bm25_index(spark, "bm25_t_idx", terms,
+                                       k=15).collect()]
+    assert probe == direct
+    assert len(direct) == 15
