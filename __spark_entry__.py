@@ -1190,6 +1190,42 @@ FROM (
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining
+    (similarity.py:hard_negative_topk): per query vector, the exact top-k
+    most-similar corpus vectors with a DIFFERENT label.  The label
+    constraint lives in the cogroup key — corpus blocks on
+    (hash block, label), queries replicate to every other-label cell via a
+    broadcast join on the distinct label dim — so the group-local top-k cut
+    is label-aware and nothing rankable is lost."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        hard_negative_topk,
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return hard_negative_topk(emb, qs, k=10)
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe, label AS ql
+  FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+),
+scored AS (
+  SELECT q.qid AS query_id, e.vec_id, {_DUCK_COS} AS cosine_sim
+  FROM embeddings e JOIN q ON e.label <> q.ql
+)
+SELECT query_id, vec_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 def _duck_cos(a: str, b: str) -> str:
     """Fixed-fold-order cosine between two (alias.column) refs — the DuckDB
     twin of similarity.cosine, bit-identical for 64-dim float inputs."""
@@ -3969,6 +4005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_topk": q_embedding_topk,
+        "hard_negatives": q_hard_negatives,
         "embedding_neardup": q_embedding_neardup,
         "rollup_summary": q_rollup_summary,
         "topk_orders": q_topk_orders,
@@ -4072,6 +4109,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": ORACLE_MINHASH,
         "simhash_dedup": ORACLE_SIMHASH,
         "embedding_topk": ORACLE_EMBEDDING_TOPK,
+        "hard_negatives": ORACLE_HARD_NEGATIVES,
         "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
         "rollup_summary": ORACLE_ROLLUP_SUMMARY,
         "topk_orders": ORACLE_TOPK_ORDERS,

@@ -244,6 +244,67 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return _final_topk(scored, k, id_col, query_id_col)
 
 
+def hard_negative_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       label_col: str = "label",
+                       query_id_col: str = "query_id",
+                       n_blocks: int = 8) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector, the
+    exact top-k most-similar corpus vectors with a DIFFERENT label — the
+    "confusable" negatives a contrastive loss learns most from.
+
+    Shape: the label constraint moves INTO the grouping key.  The corpus
+    blocks on (hash(id) mod n_blocks, label); each query replicates to every
+    (block, label != its own) cell via a broadcast join against the distinct
+    label set (labels are a small dimension — classes, sources, shards) plus
+    an in-plan block explode.  ``_grouped_topk_scores`` then runs unchanged:
+    one Arrow crossing per corpus row, group-local top-k, and the final
+    window ranks O(n_blocks x labels x k) rows per query.  Crucially the
+    label filter applies BEFORE the group-local top-k cut (filtering after
+    would lose negatives ranked past k among same-label rows).
+
+    queries: (query_id, vec, label).  Exact, deterministic, linear-scan
+    like ``cosine_topk`` — the verification baseline an ANN-backed miner
+    would be checked against at scale.
+    """
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    labels = corpus.select(F.col(label_col).alias("__l")).distinct()
+    cp = corpus.select(
+        F.concat_ws(
+            "|",
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                   F.lit(n_blocks)).cast("int"),
+            F.col(label_col).cast("string"),
+        ).alias("__g"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+    )
+    qp = (
+        queries
+        .join(F.broadcast(labels),
+              F.col(label_col).cast("string") != F.col("__l").cast("string"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__b"),
+            F.col("__l"),
+            F.col(query_id_col).alias("__qid"),
+            F.col(vec_col).alias("__qvec"),
+        )
+        .select(
+            F.concat_ws("|", F.col("__b"), F.col("__l").cast("string"))
+            .alias("__g"),
+            "__qid", "__qvec",
+        )
+    )
+    # label differs => never a self-match; exclude_self stays off
+    scored = _grouped_topk_scores(cp, qp, k, False, id_t, qid_t).select(
+        F.col("__qid").alias(query_id_col),
+        F.col("__id").alias(id_col),
+        F.col("__sim").alias("cosine_sim"),
+    )
+    return _final_topk(scored, k, id_col, query_id_col)
+
+
 def neardup_pairs(corpus: DataFrame, threshold: float,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   blas_candidates: bool = True) -> DataFrame:

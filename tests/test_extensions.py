@@ -154,6 +154,35 @@ def test_cosine_topk(spark, vectors):
     assert rows[0]["rank"] == 1
 
 
+def test_hard_negative_topk_excludes_own_label(spark, vectors):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        hard_negative_topk,
+    )
+    labeled = vectors.withColumn(
+        "label", (F.col("vec_id") % 2).cast("int")
+    )
+    qs = labeled.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out = sorted(hard_negative_topk(labeled, qs, k=3).collect(),
+                 key=lambda r: r["rank"])
+    # query 0 has label 0; only odd vec_ids (label 1) are eligible
+    assert all(r["vec_id"] % 2 == 1 for r in out)
+    # brute-force check: score every other-label vector, take top-3
+    import numpy as np
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in labeled.collect()}
+    qv = rows[0]
+    sims = sorted(
+        ((vid, float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv))))
+         for vid, v in rows.items() if vid % 2 == 1),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert [r["vec_id"] for r in out] == [vid for vid, _ in sims[:3]]
+    for r, (_, s) in zip(out, sims):
+        assert r["cosine_sim"] == pytest.approx(s)
+
+
 def test_neardup_pairs_embedding(spark, vectors):
     out = {(r["id_a"], r["id_b"]): r["cosine_sim"]
            for r in neardup_pairs(vectors, threshold=0.9).collect()}
