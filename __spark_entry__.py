@@ -3758,21 +3758,78 @@ def q_neardup_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session, sf_dir); repeated runs are probe-only.  Same batch split and
     exact semantics as incremental_neardup, so the oracle is identical —
     equivalence of probe vs rebuild is also pytest-asserted."""
-    import re
-
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
-        NGRAM_INDEX_TABLES,
-        build_ngram_index,
         probe_ngram_index,
     )
     docs = _t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 10 == 0)
-    corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    prefix = "neardup_idx_" + re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    prefix = _ngram_index_if_absent(spark, sf_dir)
+    return probe_ngram_index(new, prefix, k=3, threshold=0.6)
+
+
+def _ngram_index_if_absent(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once persisted n-gram near-dup index over the CORPUS side of
+    the batch split (doc_id % 10 != 0); returns the table prefix.  Shared
+    by neardup_vs_index and incremental_clusters."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        NGRAM_INDEX_TABLES,
+        build_ngram_index,
+    )
+    prefix = f"neardup_idx_{_sfx(sf_dir)}"
     if not all(spark.catalog.tableExists(f"{prefix}_{t}")
                for t in NGRAM_INDEX_TABLES):
+        corpus = _t(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 != 0
+        )
         build_ngram_index(corpus, prefix, k=3, threshold=0.6)
-    return probe_ngram_index(new, prefix, k=3, threshold=0.6)
+    return prefix
+
+
+def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance — the composition a growing corpus
+    runs per ingest batch (graph.py:incremental_components): corpus
+    cluster labels live in a persisted table (built once from
+    corpus-internal pairs); the batch contributes (a) cross-side pairs
+    from probing the PERSISTED n-gram index — corpus text never re-read —
+    and (b) its own intra-batch pairs; star contraction then merges the
+    label forest with those new edges, converging in ~1 round because the
+    forest is already contracted.  Value equality with full re-clustering
+    is exact (the forest preserves connectivity), so the oracle is the
+    same full-graph recompute as dedup_clusters."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        ngram_jaccard_pairs,
+        probe_ngram_index,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.graph import (
+        dedup_clusters,
+        incremental_components,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    labels = table_if_absent(
+        spark, f"incr_corpus_labels_{_sfx(sf_dir)}",
+        lambda: dedup_clusters(
+            corpus, ngram_jaccard_pairs(corpus, k=3, threshold=0.6)
+        ).select(F.col("doc_id").alias("node"), "component"),
+        keys=["node"],
+    )
+    prefix = _ngram_index_if_absent(spark, sf_dir)
+    cross = probe_ngram_index(new, prefix, k=3, threshold=0.6).select(
+        F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b")
+    )
+    intra = ngram_jaccard_pairs(new, k=3, threshold=0.6).select(
+        "id_a", "id_b"
+    )
+    merged = incremental_components(labels, cross.unionByName(intra))
+    return docs.select("doc_id").join(
+        merged.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        (F.coalesce(F.col("component"), F.col("doc_id")) == F.col("doc_id"))
+        .alias("is_canonical"),
+    )
 
 
 # exact verify makes the probe result identical to the rebuild form — the
@@ -4055,6 +4112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "incremental_neardup": q_incremental_neardup,
         "neardup_vs_index": q_neardup_vs_index,
+        "incremental_clusters": q_incremental_clusters,
         "bm25_search": q_bm25_search,
         "mixture_sample": q_mixture_sample,
         "substring_dedup": q_substring_dedup,
@@ -4159,6 +4217,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_rate_by_source": ORACLE_DEDUP_RATE_BY_SOURCE,
         "incremental_neardup": ORACLE_INCREMENTAL_NEARDUP,
         "neardup_vs_index": ORACLE_NEARDUP_VS_INDEX,
+        "incremental_clusters": ORACLE_DEDUP_CLUSTERS,
         "bm25_search": ORACLE_BM25_SEARCH,
         "mixture_sample": ORACLE_MIXTURE_SAMPLE,
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,

@@ -178,6 +178,53 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     )
 
 
+def incremental_components(labels: DataFrame, new_edges: DataFrame,
+                           node_col: str = "node",
+                           comp_col: str = "component",
+                           src: str = "id_a", dst: str = "id_b",
+                           max_iter: int = 20,
+                           strict: bool = False) -> DataFrame:
+    """Merge a batch of NEW edges into persisted component labels without
+    re-discovering (or even reading) the corpus's own edge set — the
+    incremental form of :func:`connected_components` a growing 100 TB
+    corpus needs: cluster labels are a warehouse table; each ingest batch
+    contributes only its new edges (e.g. from ``probe_ngram_index``) and
+    this merge.
+
+    Correctness: the label table IS the contracted graph.  Each
+    (node, component) row with ``node != component`` is an edge of a
+    min-rooted star forest with exactly the corpus's connectivity, so
+    components of (forest UNION new_edges) equal components of
+    (original corpus edges UNION new_edges) — and min-reachable-id labels
+    are a pure function of the components.  Cost: the forest is
+    already one contraction from converged, so the star-contraction
+    rounds run on |V_labeled| + |new| edges and converge almost
+    immediately, vs re-clustering the full pair graph.
+
+    ``labels``: (node, component) — singletons (node == component) carry
+    no edge but are preserved.  ``new_edges``: undirected (src, dst)
+    pairs; may reference brand-new nodes.  Returns (node, component) over
+    the union of both node sets.
+    """
+    forest = labels.filter(F.col(node_col) != F.col(comp_col)).select(
+        F.col(node_col).alias("u"), F.col(comp_col).alias("v")
+    )
+    newe = new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    comp = connected_components(
+        forest.unionByName(newe), "u", "v", max_iter, strict
+    )
+    all_nodes = (
+        labels.select(F.col(node_col).alias("node"))
+        .unionByName(new_edges.select(F.col(src).alias("node")))
+        .unionByName(new_edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    return all_nodes.join(comp, "node", "left").select(
+        "node",
+        F.coalesce(F.col("component"), F.col("node")).alias("component"),
+    )
+
+
 def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                    pair_a: str = "id_a", pair_b: str = "id_b",
                    max_iter: int = 20, strict: bool = False) -> DataFrame:

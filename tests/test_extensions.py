@@ -342,6 +342,33 @@ def test_connected_components_and_cluster_dedup(spark, docs):
     assert sorted(survivors) == [1, 3, 5]
 
 
+def test_incremental_components_equals_full_recompute(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    # corpus graph: {1,2,4} and {5,6}; 7 is a labeled singleton
+    old_edges = spark.createDataFrame(
+        [(1, 2), (2, 4), (5, 6)], "id_a long, id_b long"
+    )
+    labels = connected_components(old_edges).unionByName(
+        spark.createDataFrame([(7, 7)], "node long, component long")
+    )
+    # batch: bridges the two components via new node 9, adds a fresh pair
+    new_edges = spark.createDataFrame(
+        [(4, 9), (9, 6), (10, 11)], "id_a long, id_b long"
+    )
+    inc = {r["node"]: r["component"]
+           for r in incremental_components(labels, new_edges).collect()}
+    full = {r["node"]: r["component"]
+            for r in connected_components(
+                old_edges.unionByName(new_edges)).collect()}
+    full[7] = 7  # singleton appears in no edge; carried by the label table
+    assert inc == full
+    assert inc[6] == 1 and inc[9] == 1 and inc[10] == 10 and inc[7] == 7
+
+
 def test_bpe_token_count_vs_whitespace(spark):
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
         bpe_token_count,
