@@ -3413,6 +3413,63 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(planted)
 
 
+def q_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-to-text cleaning (extensions/text.py:strip_markup): wrap each
+    document in deterministic id-derived markup (tags + entities — the
+    synth-then-parse pattern of audio_meta/pii_redact), strip tags, decode
+    entities amp-last, collapse whitespace, and report tag count + markup
+    ratio.  All codegen'd regexp/replace chains; the oracle replays the
+    wrap and the scrub step-for-step."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        strip_markup,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body data-id="'), F.col("doc_id").cast("string"),
+            F.lit('"><p>'), F.col("text"),
+            F.lit('</p>&nbsp;<b>&amp;lt;tail&gt;</b></body></html>'),
+        ).alias("text"),
+    )
+    return strip_markup(wrapped)
+
+
+ORACLE_MARKUP_STRIP = """
+WITH wrapped AS (
+  SELECT doc_id,
+         '<html><body data-id="' || CAST(doc_id AS VARCHAR) || '"><p>'
+           || text || '</p>&nbsp;<b>&amp;lt;tail&gt;</b></body></html>'
+           AS html
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id, html,
+         regexp_replace(html, '<[^>]*>', ' ', 'g') AS no_tags
+  FROM wrapped
+),
+decoded AS (
+  SELECT doc_id, html,
+         replace(replace(replace(replace(replace(replace(
+           no_tags, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS ent
+  FROM stripped
+),
+cleaned AS (
+  SELECT doc_id, html,
+         trim(regexp_replace(ent, '\\s+', ' ', 'g')) AS clean_text
+  FROM decoded
+)
+SELECT doc_id, clean_text,
+       CAST(len(regexp_extract_all(html, '<[^>]*>')) AS INTEGER) AS n_tags,
+       CASE WHEN length(html) > 0
+            THEN CAST(length(html) - length(clean_text) AS DOUBLE)
+                 / CAST(length(html) AS DOUBLE)
+            ELSE 0.0 END AS markup_ratio
+FROM cleaned
+"""
+
+
 ORACLE_PII_REDACT = f"""
 WITH planted AS (
   SELECT doc_id,
@@ -4103,6 +4160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "daily_gapfill": q_daily_gapfill,
         "pii_redact": q_pii_redact,
+        "markup_strip": q_markup_strip,
         "sliding_window": q_sliding_window,
         "vocab_build": q_vocab_build,
         "doc_chunks": q_doc_chunks,
@@ -4208,6 +4266,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": ORACLE_KMV_DISTINCT,
         "daily_gapfill": ORACLE_DAILY_GAPFILL,
         "pii_redact": ORACLE_PII_REDACT,
+        "markup_strip": ORACLE_MARKUP_STRIP,
         "sliding_window": ORACLE_SLIDING_WINDOW,
         "vocab_build": ORACLE_VOCAB_BUILD,
         "doc_chunks": ORACLE_DOC_CHUNKS,

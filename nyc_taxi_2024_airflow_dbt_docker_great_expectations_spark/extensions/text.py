@@ -436,6 +436,43 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 # (Spark), RE2, and PCRE-style engines: character classes, +/{m,n}
 # quantifiers, alternation — no lookaround, no backreferences — so the SAME
 # pattern string runs verbatim in the SQL oracle and any other engine.
+def strip_markup(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Boilerplate/markup scrub — the HTML-to-text step of a web-crawl
+    training pipeline: drop tags, decode the common HTML entities,
+    collapse whitespace, and keep a per-doc markup ratio for quality
+    filtering downstream.
+
+    Pure codegen'd ``regexp_replace``/``length`` chains — scan-local, zero
+    shuffle, runs at parquet-scan speed at any corpus size.  Entity order
+    matters: ``&amp;`` decodes LAST so ``&amp;lt;`` becomes the literal
+    ``&lt;`` instead of ``<`` (the classic double-decode bug).  The
+    markup_ratio guard returns 0.0 for empty input rather than NULL/NaN.
+
+    Returns (id, clean_text, n_tags, markup_ratio).
+    """
+    raw = F.col(text_col)
+    n_tags = F.regexp_count(raw, F.lit(r"<[^>]*>"))
+    no_tags = F.regexp_replace(raw, r"<[^>]*>", " ")
+    ent = no_tags
+    for pat, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+        ent = F.replace(ent, F.lit(pat), F.lit(rep))
+    clean = F.trim(F.regexp_replace(ent, r"\s+", " "))
+    raw_len = F.length(raw)
+    # exact cross-engine float: one subtraction + one division on integer
+    # lengths, both IEEE-exact
+    ratio = F.when(raw_len > 0,
+                   (raw_len - F.length(clean)).cast("double")
+                   / raw_len.cast("double")).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_tags.cast("int").alias("n_tags"),
+        ratio.alias("markup_ratio"),
+    )
+
+
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "phone": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}",

@@ -342,6 +342,28 @@ def test_connected_components_and_cluster_dedup(spark, docs):
     assert sorted(survivors) == [1, 3, 5]
 
 
+def test_strip_markup_entities_and_ratio(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        strip_markup,
+    )
+    df = spark.createDataFrame(
+        [
+            (1, '<p>hello  <b>world</b></p>'),
+            (2, 'a &amp;lt;b&gt; &nbsp; c'),   # &amp;lt; decodes to &lt;
+            (3, ''),
+            (4, 'no markup at all'),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_markup(df).collect()}
+    assert out[1]["clean_text"] == "hello world" and out[1]["n_tags"] == 4
+    # amp-last ordering: '&amp;lt;' -> literal '&lt;', not '<'
+    assert out[2]["clean_text"] == "a &lt;b> c"
+    assert out[3]["clean_text"] == "" and out[3]["markup_ratio"] == 0.0
+    assert out[4]["clean_text"] == "no markup at all"
+    assert out[4]["n_tags"] == 0 and out[4]["markup_ratio"] == 0.0
+
+
 def test_incremental_components_equals_full_recompute(spark):
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.graph import (
         connected_components,
