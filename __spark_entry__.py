@@ -2468,6 +2468,56 @@ FROM seg
 """
 
 
+def q_bpe_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing driven by EXACT BPE token counts
+    (packing.py:pack_precounted over text.py:bpe_encode) — the production
+    composition: the whitespace estimate in sequence_pack packs to
+    approximate budgets, this packs to the byte-exact boundaries the
+    training loader sees.  Same single-exchange distributed prefix-sum
+    plan; the oracle replays the recursive-CTE BPE cascade and the
+    window-based pack on top of it."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import (
+        pack_precounted,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        bpe_encode,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    counts = bpe_encode(docs).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    return pack_precounted(counts, budget=256).select(
+        "doc_id", "seq_id", "n_tokens", "seg_tokens", "seg_offset"
+    )
+
+
+ORACLE_BPE_SEQUENCE_PACK = f"""
+WITH tf AS (
+  SELECT doc_id, CAST(n_bpe_tokens AS BIGINT) AS n_tokens
+  FROM ({ORACLE_BPE_ENCODE})
+  WHERE n_bpe_tokens > 0
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT)
+             AS start
+  FROM tf
+),
+seg AS (
+  SELECT doc_id, n_tokens, start,
+         unnest(generate_series(start // 256,
+                                (start + n_tokens - 1) // 256)) AS seq_id
+  FROM cum
+)
+SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id, n_tokens,
+       CAST(least(start + n_tokens, (seq_id + 1) * 256)
+            - greatest(start, seq_id * 256) AS BIGINT) AS seg_tokens,
+       CAST(greatest(start, seq_id * 256) - seq_id * 256 AS BIGINT)
+           AS seg_offset
+FROM seg
+"""
+
+
 def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global corpus shuffle (extensions/packing.py:
     global_shuffle): each document's 0-based position in (md5(salt:id), id)
@@ -4139,6 +4189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_skew_join": q_salted_skew_join,
         "tfidf_terms": q_tfidf_terms,
         "sequence_pack": q_sequence_pack,
+        "bpe_sequence_pack": q_bpe_sequence_pack,
         "corpus_shuffle": q_corpus_shuffle,
         "stream_dedup": q_stream_dedup,
         "scd2_history": q_scd2_history,
@@ -4245,6 +4296,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_skew_join": ORACLE_SALTED_SKEW_JOIN,
         "tfidf_terms": ORACLE_TFIDF_TERMS,
         "sequence_pack": ORACLE_SEQUENCE_PACK,
+        "bpe_sequence_pack": ORACLE_BPE_SEQUENCE_PACK,
         "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
         "stream_dedup": ORACLE_STREAM_DEDUP,
         "scd2_history": ORACLE_SCD2_HISTORY,

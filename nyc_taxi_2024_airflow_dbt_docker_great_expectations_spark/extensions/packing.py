@@ -128,10 +128,29 @@ def pack_sequences(df: DataFrame, text_col: str = "text",
     with ``n_tokens > budget`` spans multiple rows — segments always tile
     the document exactly: ``sum(seg_tokens) group by doc = n_tokens``.
     """
+    return pack_precounted(
+        df.select(F.col(id_col),
+                  token_count(text_col).cast("long").alias("n_tokens")),
+        id_col=id_col, count_col="n_tokens", budget=budget,
+    )
+
+
+def pack_precounted(df: DataFrame, id_col: str = "doc_id",
+                    count_col: str = "n_tokens",
+                    budget: int = 512) -> DataFrame:
+    """``pack_sequences`` over PRE-COMPUTED per-document token counts —
+    the form a real pipeline uses once exact tokenizer counts exist
+    (e.g. ``text.bpe_encode``'s ``n_bpe_tokens``): the whitespace
+    estimate packs to approximate budgets; exact counts pack to the
+    byte-exact sequence boundaries the training loader will see.
+
+    ``df``: (id, count).  Same output contract and the same single-exchange
+    distributed-prefix-sum plan as :func:`pack_sequences`.
+    """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     base = df.select(
-        F.col(id_col), token_count(text_col).cast("long").alias("n_tokens")
+        F.col(id_col), F.col(count_col).cast("long").alias("n_tokens")
     ).filter(F.col("n_tokens") > 0)
     spanned = _with_prefix_sum(base, id_col, "n_tokens", out_col="start")
     # one shared constant for both forms: `div` (64-bit integer division —

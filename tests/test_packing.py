@@ -60,6 +60,32 @@ def test_pack_sequences_drops_empty_and_spans_long_docs(spark):
     assert sum(s for _, s in segs) == 25
 
 
+def test_pack_precounted_matches_pack_sequences(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import (
+        pack_precounted,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        token_count,
+    )
+    df = _docs(spark, [
+        (1, "a b c d e f g"),
+        (2, "h i j k l m n o"),
+        (3, "p q"),
+    ])
+    counts = df.select("doc_id", token_count("text").alias("n"))
+    via_counts = sorted(
+        pack_precounted(counts, count_col="n", budget=10).collect())
+    direct = sorted(pack_sequences(df, budget=10).collect())
+    assert via_counts == direct
+    # non-whitespace counts change the boundaries as given
+    bpeish = spark.createDataFrame(
+        [(1, 11), (2, 0)], "doc_id long, n long")
+    rows = sorted((r["doc_id"], r["seq_id"], r["seg_tokens"])
+                  for r in pack_precounted(bpeish, count_col="n",
+                                           budget=10).collect())
+    assert rows == [(1, 0, 10), (1, 1, 1)]
+
+
 def test_global_shuffle_is_dense_permutation_and_deterministic(spark):
     df = _docs(spark, [(i, f"doc {i}") for i in range(50)])
     a = {r["doc_id"]: r["pos"] for r in global_shuffle(df).collect()}
