@@ -2196,6 +2196,52 @@ FROM documents
 
 
 
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit — the eval-integrity check every
+    corpus split needs: a near-dup pair straddling the split leaks test
+    content into training.  Composition of two persisted artifacts: the
+    build-once pair table (_neardup_pairs_table) joined twice against the
+    deterministic md5 split assignment (broadcast-sized expression, no
+    extra table), keeping only cross-split pairs.  At 100 TB this is two
+    map-side expression evaluations over the (already tiny) pair table —
+    the expensive similarity join was paid once at index-build time."""
+    split_expr = F.when(
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16, 10).cast("int") % 100) < SPLIT_TEST_PCT,
+        F.lit("test"),
+    ).otherwise(F.lit("train"))
+    pairs = _neardup_pairs_table(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", split_expr.alias("split")
+    )
+    return (
+        pairs
+        .join(docs.select(F.col("doc_id").alias("id_a"),
+                          F.col("split").alias("split_a")), "id_a")
+        .join(docs.select(F.col("doc_id").alias("id_b"),
+                          F.col("split").alias("split_b")), "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+    )
+
+
+ORACLE_SPLIT_LEAKAGE = f"""
+WITH {_DUCK_PAIR_JACCARD},
+splits AS (
+  SELECT doc_id,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                        AS INTEGER) % 100 < {SPLIT_TEST_PCT}
+              THEN 'test' ELSE 'train' END AS split
+  FROM documents
+)
+SELECT p.id_a, p.id_b, p.jaccard, sa.split AS split_a, sb.split AS split_b
+FROM pair_j p
+JOIN splits sa ON p.id_a = sa.doc_id
+JOIN splits sb ON p.id_b = sb.doc_id
+WHERE p.jaccard >= 0.6 AND sa.split <> sb.split
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON column extraction (scalar-function superset: the reference uses
     no JSON, SURVEY 2.6): parse events.props and aggregate the payload."""
@@ -4182,6 +4228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "dedup_clusters": q_dedup_clusters,
         "train_test_split": q_train_test_split,
+        "split_leakage_audit": q_split_leakage_audit,
         "moving_avg": q_moving_avg,
         "pivot_status_by_year": q_pivot_status_by_year,
         "binary_meta": q_binary_meta,
@@ -4289,6 +4336,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": ORACLE_FUNNEL,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "train_test_split": ORACLE_TRAIN_TEST_SPLIT,
+        "split_leakage_audit": ORACLE_SPLIT_LEAKAGE,
         "moving_avg": ORACLE_MOVING_AVG,
         "pivot_status_by_year": ORACLE_PIVOT_STATUS_BY_YEAR,
         "binary_meta": ORACLE_BINARY_META,
