@@ -1190,6 +1190,50 @@ FROM (
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement — recall@10 of the IVF index against the
+    exact scan, per query: the "measure, don't guess" evaluation every
+    approximate index needs before serving.  Runs both paths (each already
+    oracle-checked on its own) and reduces the join to one small
+    per-query aggregate; the denominator is the EXACT side's row count
+    (not a literal k), so queries with fewer than k eligible neighbors
+    still score in [0, 1].  The oracle composes the two existing replay
+    oracles verbatim, so any divergence localizes to the composition."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, qs, k=10).select(
+        "query_id", F.col("vec_id").alias("exact_id")
+    )
+    approx = ivf_topk(emb, qs, k=10, n_lists=16, n_probe=4, refine_iters=2,
+                      sample_size=512).select(
+        "query_id", F.col("vec_id").alias("approx_id")
+    )
+    hit = F.sum(
+        F.when(F.col("approx_id").isNotNull(), 1).otherwise(0)
+    ).alias("n_hits")
+    return (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["exact_id"] == approx["approx_id"]),
+            "left",
+        )
+        .drop(approx["query_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            hit,
+            (F.sum(F.when(F.col("approx_id").isNotNull(), 1).otherwise(0))
+             .cast("double") / F.count(F.lit(1)).cast("double"))
+            .alias("recall_at_10"),
+        )
+    )
+
+
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-training hard-negative mining
     (similarity.py:hard_negative_topk): per query vector, the exact top-k
@@ -1355,6 +1399,23 @@ FROM (
   FROM scored
 ) WHERE rank <= 10
 """
+
+
+ORACLE_ANN_RECALL = f"""
+WITH exact_side AS ({ORACLE_EMBEDDING_TOPK}),
+approx_side AS ({ORACLE_EMBEDDING_IVF_TOPK})
+SELECT e.query_id,
+       COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS recall_at_10
+FROM exact_side e
+LEFT JOIN approx_side a
+  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY e.query_id
+"""
+
 
 SEMANTIC_TAU = 0.45  # same bar as embedding_neardup, so recall is auditable
 
@@ -4200,6 +4261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "hash_sample": q_hash_sample,
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        "ann_recall": q_ann_recall,
         "profile_orders": q_profile_orders,
         "cube_summary": q_cube_summary,
         "top_revenue_orders": q_top_revenue_orders,
@@ -4308,6 +4370,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
         "hash_sample": ORACLE_HASH_SAMPLE,
         "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
+        "ann_recall": ORACLE_ANN_RECALL,
         "profile_orders": ORACLE_PROFILE_ORDERS,
         "cube_summary": ORACLE_CUBE_SUMMARY,
         "top_revenue_orders": ORACLE_TOP_REVENUE_ORDERS,
