@@ -75,6 +75,7 @@ from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.tempora
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.layout import (
     salted_join,
     table_if_absent,
+    zorder_key,
 )
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.sampling import (
     hash_fraction_sample,
@@ -2125,6 +2126,50 @@ FROM documents
 """
 
 
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (operators/layout.py:zorder_key): Morton
+    interleave of quantized (total price, order day) — the
+    multi-dimensional sort key `write_zordered` clusters files by so
+    parquet min/max stats prune scans on EITHER column.  Pure unrolled
+    codegen arithmetic (shiftright/bitwiseAND sum), verified bit-for-bit
+    by the oracle's shift-and-mask replay."""
+    orders = _t(spark, sf_dir, "orders")
+    # quantizers are static arithmetic (floor/datediff), portable across
+    # engines: price -> 16-step buckets (max ~37.5k), date -> day number
+    # since 1992-01-01 (max ~2.5k); both < 2^16
+    xq = F.floor(F.col("o_totalprice") / F.lit(16.0)).cast("long")
+    yq = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).cast("long")
+    return orders.select(
+        "o_orderkey",
+        xq.alias("price_bucket"),
+        yq.alias("day_number"),
+        zorder_key(xq, yq).alias("zkey"),
+    )
+
+
+def _oracle_zorder() -> str:
+    terms = " + ".join(
+        f"((xq >> {i}) & 1) * {1 << (2 * i)}"
+        f" + ((yq >> {i}) & 1) * {1 << (2 * i + 1)}"
+        for i in range(16)
+    )
+    return f"""
+WITH q AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice / 16.0) AS BIGINT) AS xq,
+         CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+             AS yq
+  FROM orders
+)
+SELECT o_orderkey, xq AS price_bucket, yq AS day_number,
+       CAST({terms} AS BIGINT) AS zkey
+FROM q
+"""
+
+
+ORACLE_ZORDER_KEY = _oracle_zorder()
 
 
 def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4296,6 +4341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_meta": q_binary_meta,
         "audio_meta": q_audio_meta,
         "salted_skew_join": q_salted_skew_join,
+        "zorder_key": q_zorder_key,
         "tfidf_terms": q_tfidf_terms,
         "sequence_pack": q_sequence_pack,
         "bpe_sequence_pack": q_bpe_sequence_pack,
@@ -4405,6 +4451,7 @@ def oracle_sql() -> dict[str, str]:
         "binary_meta": ORACLE_BINARY_META,
         "audio_meta": ORACLE_AUDIO_META,
         "salted_skew_join": ORACLE_SALTED_SKEW_JOIN,
+        "zorder_key": ORACLE_ZORDER_KEY,
         "tfidf_terms": ORACLE_TFIDF_TERMS,
         "sequence_pack": ORACLE_SEQUENCE_PACK,
         "bpe_sequence_pack": ORACLE_BPE_SEQUENCE_PACK,

@@ -61,3 +61,55 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, salted_l.collect()), key=str) == sorted(
         map(tuple, plain_l.collect()), key=str
     )
+
+
+def test_zorder_key_interleaves_and_round_trips(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.layout import (
+        zorder_key,
+    )
+    pts = [(x, y) for x in (0, 1, 2, 3, 255, 65535)
+           for y in (0, 1, 2, 3, 170, 65535)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select("x", "y", zorder_key("x", "y").alias("z")).collect()
+
+    def morton(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in rows:
+        assert r["z"] == morton(r["x"], r["y"])
+    # bijective on the grid: decode round-trips
+    assert len({r["z"] for r in rows}) == len(pts)
+    assert morton(65535, 65535) == (1 << 32) - 1
+
+
+def test_write_zordered_clusters_both_dims(spark, tmp_path):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.layout import (
+        write_zordered,
+    )
+    import itertools
+
+    grid = [(x, y, x * 64 + y) for x, y in
+            itertools.product(range(64), range(64))]
+    df = spark.createDataFrame(grid, "x long, y long, payload long").repartition(8)
+    out = str(tmp_path / "zordered")
+    write_zordered(df, out, "x", "y", bits=6, num_files=16)
+    back = spark.read.parquet(out)
+    assert back.count() == len(grid)
+    # per-file bounding boxes cover far less than the full grid on BOTH
+    # dims: a linear x-sort would leave the y-range at full width in every
+    # file; z-order keeps both spans narrow (the data-skipping property)
+    import pyspark.sql.functions as F
+    spans = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg((F.max("x") - F.min("x")).alias("sx"),
+             (F.max("y") - F.min("y")).alias("sy"))
+        .collect()
+    )
+    assert len(spans) > 1
+    avg_sx = sum(r["sx"] for r in spans) / len(spans)
+    avg_sy = sum(r["sy"] for r in spans) / len(spans)
+    assert avg_sx < 48 and avg_sy < 48
