@@ -2540,6 +2540,53 @@ FROM per_gram GROUP BY 1
 """
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (extensions/text.py:collocations): top-20
+    adjacent-pair collocations by exact PMI lift — all-integer counts and
+    ONE fixed-order double expression, so the score (not just the rank)
+    is engine-exact, unlike ln-based tf-idf whose raw score had to be
+    excluded from the oracle contract."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        collocations,
+    )
+    return collocations(_t(spark, sf_dir, "documents"), min_count=5, k=20)
+
+
+ORACLE_COLLOCATIONS = f"""
+WITH toks AS (
+  SELECT unnest({DUCK_TOKS}) AS w FROM documents
+  WHERE trim(text, {DUCK_WS}) <> ''
+),
+uni AS (SELECT w, COUNT(*) AS n_w FROM toks GROUP BY w),
+tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_tokens FROM uni),
+bigr AS (
+  SELECT unnest(list_transform(range(1, len({DUCK_TOKS})),
+         i -> array_to_string(({DUCK_TOKS})[i:i+1], ' '))) AS gram
+  FROM documents
+  WHERE len({DUCK_TOKS}) >= 2
+),
+grams AS (SELECT gram, COUNT(*) AS n_xy FROM bigr GROUP BY gram),
+mt AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_bigrams FROM grams),
+sp AS (
+  SELECT split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2,
+         n_xy
+  FROM grams WHERE n_xy >= 5
+)
+SELECT w1, w2, CAST(n_xy AS BIGINT) AS n_xy,
+       CAST(u1.n_w AS BIGINT) AS n_x, CAST(u2.n_w AS BIGINT) AS n_y,
+       ((CAST(n_xy AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        * CAST(n_tokens AS DOUBLE))
+       / ((CAST(n_bigrams AS DOUBLE) * CAST(u1.n_w AS DOUBLE))
+          * CAST(u2.n_w AS DOUBLE)) AS lift
+FROM sp
+JOIN uni u1 ON sp.w1 = u1.w
+JOIN uni u2 ON sp.w2 = u2.w
+CROSS JOIN tot CROSS JOIN mt
+ORDER BY lift DESC, w1, w2
+LIMIT 20
+"""
+
+
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf top terms per document (extensions/text.py:tfidf_top_terms):
     inverted-index aggregates, shuffle volume = distinct (doc, term) mass;
@@ -4343,6 +4390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_skew_join": q_salted_skew_join,
         "zorder_key": q_zorder_key,
         "tfidf_terms": q_tfidf_terms,
+        "collocations": q_collocations,
         "sequence_pack": q_sequence_pack,
         "bpe_sequence_pack": q_bpe_sequence_pack,
         "corpus_shuffle": q_corpus_shuffle,
@@ -4453,6 +4501,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_skew_join": ORACLE_SALTED_SKEW_JOIN,
         "zorder_key": ORACLE_ZORDER_KEY,
         "tfidf_terms": ORACLE_TFIDF_TERMS,
+        "collocations": ORACLE_COLLOCATIONS,
         "sequence_pack": ORACLE_SEQUENCE_PACK,
         "bpe_sequence_pack": ORACLE_BPE_SEQUENCE_PACK,
         "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,

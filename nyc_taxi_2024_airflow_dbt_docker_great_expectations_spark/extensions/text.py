@@ -436,6 +436,79 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 # (Spark), RE2, and PCRE-style engines: character classes, +/{m,n}
 # quantifiers, alternation — no lookaround, no backreferences — so the SAME
 # pattern string runs verbatim in the SQL oracle and any other engine.
+def collocations(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", min_count: int = 5,
+                 k: int = 20) -> DataFrame:
+    """Corpus-level collocation mining — the phrase/multi-word-expression
+    discovery step of tokenizer and vocab construction: adjacent token
+    pairs ranked by PMI-style *lift* = p(xy) / (p(x) p(y)) =
+    (n_xy * N * N) / (M * n_x * n_y), where N = total tokens and
+    M = total bigrams.
+
+    Exactness: counts are integer aggregates; the lift is computed in ONE
+    fixed left-to-right double expression ``((n_xy * N) * N) /
+    ((M * n_x) * n_y)`` — every operand an int64-exact double (counts
+    < 2^53), every operation IEEE — so the score is bit-identical across
+    engines and rankable without tolerance.  (log2(lift) would be the
+    textbook PMI; the log is monotone, so ranking by lift is ranking by
+    PMI without a transcendental.)
+
+    Shape: two explode+count aggregates (tokens, bigrams: shuffle =
+    distinct-term mass, partial aggs map-side), two broadcast-able joins
+    of the bigram table against unigram counts, one 1-row scalar
+    cross-join, TakeOrdered top-k.  ``min_count`` prunes the long tail
+    before the joins — the df-cut that keeps the bigram table sparse at
+    100 TB.
+    """
+    toks = df.filter(token_count(text_col) >= 1).select(
+        F.explode(tokens(text_col)).alias("w")
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    n_total = uni.agg(F.sum("n_w").alias("n_tokens"))
+    # NOT word_shingles: that is the Jaccard SET form (array_distinct);
+    # collocation counts are multiset occurrences
+    tk = tokens(text_col)
+    bigram_arr = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 1),
+        lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
+    )
+    big = df.filter(token_count(text_col) >= 2).select(
+        F.explode(bigram_arr).alias("gram")
+    )
+    grams = big.groupBy("gram").agg(F.count(F.lit(1)).alias("n_xy"))
+    m_total = grams.agg(F.sum("n_xy").alias("n_bigrams"))
+    split = grams.filter(F.col("n_xy") >= min_count).select(
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"),
+        "n_xy",
+    )
+    joined = (
+        split
+        # unigram joins stay plain equi-joins: the vocab is usually
+        # broadcast-sized and AQE will pick that, but it is not guaranteed
+        # dimension-sized at web scale — only the 1-row scalars get a
+        # forced broadcast
+        .join(uni.withColumnRenamed("w", "w1")
+              .withColumnRenamed("n_w", "n_x"), "w1")
+        .join(uni.withColumnRenamed("w", "w2")
+              .withColumnRenamed("n_w", "n_y"), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(m_total))
+    )
+    lift = (
+        (F.col("n_xy").cast("double") * F.col("n_tokens").cast("double"))
+        * F.col("n_tokens").cast("double")
+    ) / (
+        (F.col("n_bigrams").cast("double") * F.col("n_x").cast("double"))
+        * F.col("n_y").cast("double")
+    )
+    return (
+        joined.select("w1", "w2", "n_xy", "n_x", "n_y", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(k)
+    )
+
+
 def strip_markup(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Boilerplate/markup scrub — the HTML-to-text step of a web-crawl

@@ -342,6 +342,29 @@ def test_connected_components_and_cluster_dedup(spark, docs):
     assert sorted(survivors) == [1, 3, 5]
 
 
+def test_collocations_lift_and_mincount(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        collocations,
+    )
+    # "new york" always collocates; "the cat"/"the dog" dilute "the"
+    df = spark.createDataFrame(
+        [(1, "new york new york new york"),
+         (2, "the cat saw the dog in new york"),
+         (3, "the dog saw the cat")],
+        "doc_id long, text string",
+    )
+    out = collocations(df, min_count=2, k=5).collect()
+    by_pair = {(r["w1"], r["w2"]): r for r in out}
+    ny = by_pair[("new", "york")]
+    # counts: 'new' x4, 'york' x4, bigram 'new york' x4; N=19 tokens, M=16
+    assert (ny["n_xy"], ny["n_x"], ny["n_y"]) == (4, 4, 4)
+    assert ny["lift"] == pytest.approx((4 * 19 * 19) / (16 * 4 * 4))
+    # perfect collocation outranks the diluted 'the *' pairs
+    assert out[0]["w1"] == "new" and out[0]["w2"] == "york"
+    # min_count prunes singletons ('saw the' occurs twice, 'in new' once)
+    assert ("in", "new") not in by_pair
+
+
 def test_strip_markup_entities_and_ratio(spark):
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
         strip_markup,
