@@ -4113,10 +4113,17 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    # corpus-internal pairs are a FILTER of the family's shared persisted
+    # pair table (both endpoints on the corpus side) — never a second
+    # PPJoin: one warehouse pays the similarity join exactly once for the
+    # whole dedup family including this incremental path
     labels = table_if_absent(
         spark, f"incr_corpus_labels_{_sfx(sf_dir)}",
         lambda: dedup_clusters(
-            corpus, ngram_jaccard_pairs(corpus, k=3, threshold=0.6)
+            corpus,
+            _neardup_pairs_table(spark, sf_dir).filter(
+                (F.col("id_a") % 10 != 0) & (F.col("id_b") % 10 != 0)
+            ),
         ).select(F.col("doc_id").alias("node"), "component"),
         keys=["node"],
     )
