@@ -4081,8 +4081,15 @@ def _ngram_index_if_absent(spark: SparkSession, sf_dir: str) -> str:
         NGRAM_INDEX_TABLES,
         build_ngram_index,
     )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.layout import (
+        adopt_bucketed_table,
+    )
+
     prefix = f"neardup_idx_{_sfx(sf_dir)}"
+    idx_keys = {"prefix_postings": ["shingle"], "shingle_df": ["shingle"],
+                "doc_shingles": ["doc_id"]}
     if not all(spark.catalog.tableExists(f"{prefix}_{t}")
+               or adopt_bucketed_table(spark, f"{prefix}_{t}", idx_keys[t])
                for t in NGRAM_INDEX_TABLES):
         corpus = _t(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 10 != 0
@@ -4323,9 +4330,16 @@ def q_bm25_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_bm25_index,
     )
 
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.layout import (
+        adopt_bucketed_table,
+    )
+
     prefix = "bm25_idx_" + re.sub(r"\W", "_",
                                   sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    # keys per table: postings bucket on term; stats is a 1-row table
+    bm25_keys = {"postings": ["term"], "stats": None}
     if not all(spark.catalog.tableExists(f"{prefix}_{t}")
+               or adopt_bucketed_table(spark, f"{prefix}_{t}", bm25_keys[t])
                for t in BM25_INDEX_TABLES):
         build_bm25_index(_t(spark, sf_dir, "documents"), prefix)
     return probe_bm25_index(spark, prefix, BM25_TERMS, k=BM25_K,

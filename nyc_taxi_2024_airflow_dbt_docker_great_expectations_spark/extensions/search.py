@@ -147,6 +147,12 @@ def build_bm25_index(corpus: DataFrame, table_prefix: str,
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(text_col).cast("long")).alias("sum_dl"),
     )
+    # 1-row table: no bucketing, but the stale-location cleanup still
+    # applies (a fresh session against an existing warehouse dir would
+    # otherwise die with LOCATION_ALREADY_EXISTS)
+    from ..operators.layout import drop_table_and_location
+
+    drop_table_and_location(corpus.sparkSession, names["stats"])
     stats.write.mode("overwrite").saveAsTable(names["stats"])
     return names
 

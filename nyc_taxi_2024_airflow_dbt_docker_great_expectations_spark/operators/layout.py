@@ -22,19 +22,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def write_bucketed(df: DataFrame, table: str, keys: list[str],
-                   num_buckets: int = 8,
-                   sort_by: list[str] | None = None) -> None:
-    """Persist as a bucketed (and optionally sorted) managed table.
-    Requires a catalog (saveAsTable); path-only parquet cannot record bucket
-    metadata."""
-    spark = df.sparkSession
-    # A managed table's LOCATION can outlive its catalog entry: the default
-    # in-memory catalog forgets tables at session end but the warehouse
-    # directory persists, and saveAsTable then fails with
-    # LOCATION_ALREADY_EXISTS on the next session.  Drop any stale entry
-    # and clear the orphaned location (Hadoop FS API — works on any
-    # warehouse filesystem, not just local disk).
+def drop_table_and_location(spark, table: str) -> None:
+    """Drop a managed table AND its orphaned warehouse location.
+
+    A managed table's LOCATION can outlive its catalog entry: the default
+    in-memory catalog forgets tables at session end but the warehouse
+    directory persists, and saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS on the next session.  Drop any stale entry
+    and clear the orphaned location (Hadoop FS API — works on any
+    warehouse filesystem, not just local disk).  Every managed-table
+    write in the repo must route through this (or ``write_bucketed``,
+    which calls it).
+    """
     spark.sql(f"DROP TABLE IF EXISTS `{table}`")
     jvm = spark._jvm
     loc = jvm.org.apache.hadoop.fs.Path(
@@ -44,10 +43,63 @@ def write_bucketed(df: DataFrame, table: str, keys: list[str],
     fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(loc):
         fs.delete(loc, True)
+
+
+def write_bucketed(df: DataFrame, table: str, keys: list[str],
+                   num_buckets: int = 8,
+                   sort_by: list[str] | None = None) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+    Requires a catalog (saveAsTable); path-only parquet cannot record bucket
+    metadata."""
+    spark = df.sparkSession
+    drop_table_and_location(spark, table)
     w = df.write.mode("overwrite").bucketBy(num_buckets, *keys)
     if sort_by:
         w = w.sortBy(*sort_by)
     w.saveAsTable(table)
+
+
+def _warehouse_location(spark, table: str) -> str:
+    return (spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+            + "/" + table.lower())
+
+
+def adopt_bucketed_table(spark, table: str, keys: list[str] | None = None,
+                         num_buckets: int = 8) -> bool:
+    """Re-register a previously-written managed table whose files survived
+    in the warehouse directory but whose catalog entry died with the
+    session (the default in-memory catalog forgets tables on exit; a Hive
+    metastore would remember, but Derby's single-process lock rules it out
+    for concurrent local runs).
+
+    Builds written by :func:`write_bucketed` are deterministic pure
+    functions of the source data, so adopting the surviving files is
+    value-identical to rebuilding — this is what turns "build-once" from
+    per-session to per-warehouse.  Adoption requires the committed-write
+    marker (``_SUCCESS``); a partial dir from a crashed write is ignored
+    (and later cleaned by ``drop_table_and_location``).  The CREATE TABLE
+    replays the bucket spec, so bucket-pruned scans and shuffle-free
+    joins still apply to the adopted files.  Returns True on adoption.
+    """
+    loc = _warehouse_location(spark, table)
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(loc)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    marker = jvm.org.apache.hadoop.fs.Path(loc + "/_SUCCESS")
+    if not fs.exists(p) or not fs.exists(marker):
+        return False
+    schema = spark.read.parquet(loc).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                     for f in schema.fields)
+    cluster = ""
+    if keys:
+        key_list = ", ".join(f"`{k}`" for k in keys)
+        cluster = f" CLUSTERED BY ({key_list}) INTO {num_buckets} BUCKETS"
+    spark.sql(
+        f"CREATE TABLE `{table}` ({cols}) USING PARQUET{cluster} "
+        f"LOCATION '{loc}'"
+    )
+    return True
 
 
 def table_if_absent(spark, table: str, build, keys: list[str],
@@ -66,7 +118,8 @@ def table_if_absent(spark, table: str, build, keys: list[str],
     query triggered it.
     """
     if not spark.catalog.tableExists(table):
-        write_bucketed(build(), table, keys, num_buckets, sort_by)
+        if not adopt_bucketed_table(spark, table, keys, num_buckets):
+            write_bucketed(build(), table, keys, num_buckets, sort_by)
     return spark.table(table)
 
 

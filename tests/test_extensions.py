@@ -412,6 +412,12 @@ def test_incremental_components_equals_full_recompute(spark):
     full[7] = 7  # singleton appears in no edge; carried by the label table
     assert inc == full
     assert inc[6] == 1 and inc[9] == 1 and inc[10] == 10 and inc[7] == 7
+    # the distributed fallback (driver_max_edges=0 forces it) agrees with
+    # the driver-side union-find path
+    dist = {r["node"]: r["component"]
+            for r in incremental_components(
+                labels, new_edges, driver_max_edges=0).collect()}
+    assert dist == inc
 
 
 def test_bpe_token_count_vs_whitespace(spark):

@@ -113,3 +113,33 @@ def test_write_zordered_clusters_both_dims(spark, tmp_path):
     avg_sx = sum(r["sx"] for r in spans) / len(spans)
     avg_sy = sum(r["sy"] for r in spans) / len(spans)
     assert avg_sx < 48 and avg_sy < 48
+
+
+def test_adopt_bucketed_table_recovers_files(spark, tmp_path):
+    import shutil, os
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.layout import (
+        adopt_bucketed_table,
+        drop_table_and_location,
+        write_bucketed,
+    )
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)],
+                               "k long, v string")
+    write_bucketed(df, "adopt_src", ["k"], num_buckets=4)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    # simulate a catalog that forgot the table but kept the files
+    shutil.copytree(os.path.join(wh, "adopt_src"),
+                    os.path.join(wh, "adopt_dst"))
+    assert not spark.catalog.tableExists("adopt_dst")
+    assert adopt_bucketed_table(spark, "adopt_dst", ["k"], num_buckets=4)
+    got = sorted(map(tuple, spark.table("adopt_dst").collect()))
+    assert got == sorted(map(tuple, df.collect()))
+    # bucket spec survives adoption
+    ddl = spark.sql("SHOW CREATE TABLE adopt_dst").first()[0]
+    assert "CLUSTERED BY" in ddl and "4 BUCKETS" in ddl
+    # a partial dir (no _SUCCESS) is NOT adopted
+    shutil.copytree(os.path.join(wh, "adopt_src"),
+                    os.path.join(wh, "adopt_partial"))
+    os.remove(os.path.join(wh, "adopt_partial", "_SUCCESS"))
+    assert not adopt_bucketed_table(spark, "adopt_partial", ["k"])
+    for t in ("adopt_src", "adopt_dst", "adopt_partial"):
+        drop_table_and_location(spark, t)
