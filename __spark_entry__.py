@@ -3593,6 +3593,68 @@ FROM bk WHERE rk <= 256 GROUP BY 1
 GAPFILL_MIN_PRICE = 400000  # rare high-value orders -> guaranteed day gaps
 
 
+def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection
+    (operators/timeseries.py:rolling_zscore): daily per-event-type value
+    totals, 7-day trailing mean/variance from DECIMAL window sums (exact
+    integers — stddev_samp is engine-divergent in the last ulp and never
+    used), z = (v - mean)/sqrt(var) as one fixed-order IEEE chain the
+    oracle replays cast-for-cast."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(exact_sum("value", 6).alias("d_val"))
+    return rolling_zscore(daily, ["event_type"], "day", "d_val",
+                          window=7, z_threshold=3.0, min_points=4)
+
+
+ORACLE_VALUE_ANOMALIES = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS d_val
+  FROM events GROUP BY 1, 2
+),
+mic AS (
+  SELECT event_type, day, d_val,
+         CAST(floor(CAST(d_val AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+             AS micro
+  FROM daily
+),
+win AS (
+  SELECT event_type, day, d_val,
+         COUNT(micro) OVER w AS n,
+         SUM(micro) OVER w AS s1,
+         CAST(SUM(CAST(micro AS DECIMAL(19,0))
+                  * CAST(micro AS DECIMAL(19,0))) OVER w
+              AS DECIMAL(34,0)) AS s2
+  FROM mic
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+),
+stats AS (
+  SELECT event_type, day, d_val, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
+         CAST(CAST(n AS DECIMAL(4,0)) * s2
+              - CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0))
+              AS DOUBLE)
+           / CAST(n * (n - 1) AS DOUBLE) / 10000.0 AS var
+  FROM win
+)
+SELECT event_type, day, d_val,
+       CAST(n AS BIGINT) AS n_window,
+       mean AS rolling_mean,
+       CASE WHEN n >= 4 AND var > 0
+            THEN (CAST(d_val AS DOUBLE) - mean) / sqrt(var) END AS zscore,
+       CASE WHEN n >= 4 AND var > 0
+            THEN abs((CAST(d_val AS DOUBLE) - mean) / sqrt(var)) > 3.0
+            ELSE FALSE END AS is_anomaly
+FROM stats
+"""
+
+
 def q_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series densification (operators/timeseries.py:gapfill_periods):
     daily high-value-order revenue per priority, zero-filled over each
@@ -4434,6 +4496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "kmv_distinct": q_kmv_distinct,
         "daily_gapfill": q_daily_gapfill,
+        "value_anomalies": q_value_anomalies,
         "pii_redact": q_pii_redact,
         "markup_strip": q_markup_strip,
         "sliding_window": q_sliding_window,
@@ -4545,6 +4608,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
         "kmv_distinct": ORACLE_KMV_DISTINCT,
         "daily_gapfill": ORACLE_DAILY_GAPFILL,
+        "value_anomalies": ORACLE_VALUE_ANOMALIES,
         "pii_redact": ORACLE_PII_REDACT,
         "markup_strip": ORACLE_MARKUP_STRIP,
         "sliding_window": ORACLE_SLIDING_WINDOW,

@@ -78,3 +78,86 @@ def gapfill_periods(df: DataFrame, key_cols: list[str], period_col: str,
             for c in value_cols
         ]
     return dense.select(*key_cols, period_col, *filled, "is_gap")
+
+
+def rolling_zscore(df: DataFrame, key_cols: list[str], order_col: str,
+                   value_col: str, window: int = 7,
+                   z_threshold: float = 3.0,
+                   min_points: int = 4, scale: int = 2) -> DataFrame:
+    """Rolling z-score anomaly detection over a regular per-key series —
+    the metric-monitoring primitive (spike/drop detection on daily event
+    volumes, revenue, error rates).
+
+    Exactness is the whole design: stddev_samp is NOT used — engines
+    disagree in the last ulp because their accumulation algorithms differ
+    (Welford vs sum-of-squares) and float addition is order-sensitive.
+    Instead values quantize to integer units at ``10^scale`` (portable
+    round-half-up), both moments come from integer/decimal window sums
+    (exact, order-independent), and every float op after that is one
+    fixed-order IEEE expression shared with the SQL oracle — sub, div,
+    sqrt (correctly rounded by IEEE-754), div — so z is bit-identical
+    across engines:
+
+    - ``s1 = SUM(q)``, ``s2 = SUM(q*q)`` over the trailing frame
+      (squares in pinned DECIMAL widths: Spark silently loses precision
+      above 38, DuckDB hard-errors);
+    - ``var = (n*s2 - s1*s1) / (n*(n-1)) / 10^(2*scale)`` — numerator
+      decimal-exact, ONE double division.  For the full chain to be
+      bit-exact the numerator must also convert to double exactly:
+      choose ``scale`` so ``window * (v * 10^scale)^2 < 2^53`` (the
+      default scale=2 covers |v| up to ~10^6 at window 7; larger values
+      trade quantization precision via a smaller scale);
+    - ``z = (v - s1/n/10^scale) / sqrt(var)``.
+
+    The frame is ``window PRECEDING .. 1 PRECEDING`` — the current row is
+    EXCLUDED from its own baseline (self-inclusion inflates the variance
+    and masks exactly the spikes being hunted).  Rows with fewer than
+    ``min_points`` prior observations emit NULL z (warm-up); zero
+    variance emits NULL z (a constant series has no scale).
+    ``is_anomaly`` = |z| > z_threshold.  One hash exchange on the keys;
+    per-key sort.
+    """
+    # floor(x + 0.5) because Spark's double->long cast truncates while
+    # DuckDB's rounds — neither bare cast is portable
+    factor = float(10 ** scale)
+    micro = F.floor(
+        F.col(value_col).cast("double") * F.lit(factor) + F.lit(0.5)
+    ).cast("long")
+    # the frame EXCLUDES the current row: a spike must not inflate its own
+    # baseline (self-inclusion masks exactly the anomalies being hunted)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(-window, -1)
+    )
+    # count the non-NULL observations (the s1/s2 basis), not the frame rows
+    n = F.count(micro).over(w)
+    s1 = F.sum(micro).over(w)
+    sq = micro.cast("decimal(19,0)") * micro.cast("decimal(19,0)")
+    s2 = F.sum(sq).over(w).cast("decimal(34,0)")
+    nd = n.cast("double")
+    # decimal-exact numerator in quantized^2 units; ONE double division,
+    # then the factor^2 unit conversion — each step a single IEEE op
+    # shared with the SQL oracle
+    num = (
+        n.cast("decimal(4,0)") * s2
+        - s1.cast("decimal(19,0)") * s1.cast("decimal(19,0)")
+    )
+    var = (
+        num.cast("double") / (n * (n - F.lit(1))).cast("double")
+        / F.lit(factor * factor)
+    )
+    mean = s1.cast("double") / nd / F.lit(factor)
+    z = (F.col(value_col).cast("double") - mean) / F.sqrt(var)
+    z_ok = (n >= F.lit(min_points)) & (var > 0)
+    z_out = F.when(z_ok, z)
+    return df.select(
+        *key_cols,
+        order_col,
+        F.col(value_col),
+        n.cast("long").alias("n_window"),
+        mean.alias("rolling_mean"),
+        z_out.alias("zscore"),
+        F.when(z_ok, F.abs(z) > F.lit(z_threshold))
+        .otherwise(F.lit(False)).alias("is_anomaly"),
+    )

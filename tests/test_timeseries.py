@@ -58,3 +58,44 @@ def test_gapfill_month(spark):
         gapfill_periods(df, ["k"], "m", ["n"], granularity="week")
     with pytest.raises(ValueError):
         gapfill_periods(df, ["k"], "m", ["n"], fill="interpolate")
+
+
+def test_rolling_zscore_flags_spike(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+    import datetime as dt
+    base = dt.date(2024, 1, 1)
+    vals = [10.0, 11.0, 9.0, 10.0, 100.0, 10.0]
+    rows = [("a", base + dt.timedelta(days=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    out = {r["day"].day: r
+           for r in rolling_zscore(df, ["k"], "day", "v",
+                                   window=7, min_points=4).collect()}
+    # warm-up rows (fewer than 4 PRIOR observations) have NULL z
+    assert out[1]["zscore"] is None and not out[1]["is_anomaly"]
+    assert out[4]["zscore"] is None
+    # the spike on day 5 scores against the 4 prior days only (the frame
+    # excludes the current row, so the spike cannot inflate its baseline)
+    import statistics
+    prior = vals[:4]
+    mean4 = statistics.mean(prior)
+    sd4 = statistics.stdev(prior)
+    assert out[5]["zscore"] == pytest.approx((100.0 - mean4) / sd4)
+    assert out[5]["is_anomaly"]
+    # day 6: the spike sits in the baseline now, inflating it — the
+    # ordinary current value is not anomalous
+    assert not out[6]["is_anomaly"]
+    assert out[6]["n_window"] == 5
+
+
+def test_rolling_zscore_constant_series_null_z(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+    import datetime as dt
+    rows = [("c", dt.date(2024, 1, 1) + dt.timedelta(days=i), 5.0)
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    out = rolling_zscore(df, ["k"], "day", "v", window=7).collect()
+    assert all(r["zscore"] is None and not r["is_anomaly"] for r in out)
