@@ -734,6 +734,58 @@ ORACLE_PROFILE_ORDERS = " UNION ALL ".join(
 )
 
 
+SKEW_TOP_K = 20
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnosis — the planning query run BEFORE sizing a
+    100 TB shuffle: top-20 hottest customer keys in orders with each key's
+    exact share of the table and the share a uniform distribution would
+    predict.  One partial/final count aggregate + a 1-row broadcast of the
+    totals + TakeOrdered — the distribution insight that decides between a
+    plain join, AQE skew splitting, and salting (operators/layout.py:
+    salted_join)."""
+    orders = _t(spark, sf_dir, "orders")
+    per_key = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = per_key.agg(
+        F.sum("n_rows").alias("n_total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .select(
+            "key", "n_rows",
+            (F.col("n_rows").cast("double") / F.col("n_total").cast("double"))
+            .alias("share"),
+            (F.col("n_rows").cast("double") * F.col("n_keys").cast("double")
+             / F.col("n_total").cast("double")).alias("skew_factor"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(SKEW_TOP_K)
+    )
+
+
+ORACLE_SKEW_PROFILE = f"""
+WITH per_key AS (
+  SELECT o_custkey AS key, COUNT(*) AS n_rows FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total,
+         COUNT(*) AS n_keys
+  FROM per_key
+)
+SELECT key, n_rows,
+       CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+       CAST(n_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
+         / CAST(n_total AS DOUBLE) AS skew_factor
+FROM per_key CROSS JOIN tot
+ORDER BY n_rows DESC, key ASC
+LIMIT {SKEW_TOP_K}
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-rebalancing sample — extensions/sampling.py:stratified_sample:
     deterministic 30-per-language draw from the skewed documents corpus
@@ -4438,6 +4490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "ann_recall": q_ann_recall,
         "profile_orders": q_profile_orders,
+        "skew_profile": q_skew_profile,
         "cube_summary": q_cube_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "inactive_customers": q_inactive_customers,
@@ -4550,6 +4603,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
         "ann_recall": ORACLE_ANN_RECALL,
         "profile_orders": ORACLE_PROFILE_ORDERS,
+        "skew_profile": ORACLE_SKEW_PROFILE,
         "cube_summary": ORACLE_CUBE_SUMMARY,
         "top_revenue_orders": ORACLE_TOP_REVENUE_ORDERS,
         "inactive_customers": ORACLE_INACTIVE_CUSTOMERS,
