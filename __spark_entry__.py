@@ -1243,6 +1243,52 @@ FROM (
 """
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids — the classification-data audit
+    (class separation, drifted labels, mislabeled clusters all start
+    here): per (label, dimension) exact mean via the same integer
+    micro-unit quantization as the IVF Lloyd step
+    (similarity.py:_lloyd_refine) — float sums are shuffle-order
+    dependent, quantized-integer sums are not, so the centroid table is a
+    pure function of the data.  posexplode + one partial/final agg;
+    output is (labels x dims) rows — dimension-sized at any corpus
+    scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qarr = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long"),
+    )
+    exploded = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select("label", F.posexplode(qarr).alias("pos", "qv"))
+        .select("label", (F.col("pos") + 1).alias("dim"), "qv")
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.sum("qv").cast("double") / F.count(F.lit(1)).cast("double")
+         / F.lit(1000000.0)).alias("centroid"),
+    )
+
+
+ORACLE_LABEL_CENTROIDS = """
+WITH q1 AS (
+  SELECT label,
+         list_transform(range(1, 65), i -> struct_pack(
+           dim := CAST(i AS INTEGER),
+           qv := CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                            * 1000000.0 + 0.5) AS BIGINT))) AS arr
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+q AS (SELECT label, unnest(arr) AS s FROM q1)
+SELECT label, s.dim AS dim, COUNT(*) AS n_vecs,
+       CAST(SUM(s.qv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0
+           AS centroid
+FROM q GROUP BY label, s.dim
+"""
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality measurement — recall@10 of the IVF index against the
     exact scan, per query: the "measure, don't guess" evaluation every
@@ -4489,6 +4535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "ann_recall": q_ann_recall,
+        "label_centroids": q_label_centroids,
         "profile_orders": q_profile_orders,
         "skew_profile": q_skew_profile,
         "cube_summary": q_cube_summary,
@@ -4602,6 +4649,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": ORACLE_HASH_SAMPLE,
         "embedding_ivf_topk": ORACLE_EMBEDDING_IVF_TOPK,
         "ann_recall": ORACLE_ANN_RECALL,
+        "label_centroids": ORACLE_LABEL_CENTROIDS,
         "profile_orders": ORACLE_PROFILE_ORDERS,
         "skew_profile": ORACLE_SKEW_PROFILE,
         "cube_summary": ORACLE_CUBE_SUMMARY,
