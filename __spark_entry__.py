@@ -4122,6 +4122,45 @@ FROM base
 """
 
 
+def q_cross_source_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup PAIR counts per
+    (source_a, source_b) — which ingestion feeds copy from each other
+    (mirror detection / license-leak triage), the pairwise complement of
+    dedup_rate_by_source's per-feed rollup.  Two joins of the build-once
+    persisted pair table against the doc->source dim; the source pair is
+    canonicalized (least, greatest) so each unordered feed pair is one
+    row."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = _neardup_pairs_table(spark, sf_dir)
+    j = (
+        pairs
+        .join(docs.select(F.col("doc_id").alias("id_a"),
+                          F.col("source").alias("src_a")), "id_a")
+        .join(docs.select(F.col("doc_id").alias("id_b"),
+                          F.col("source").alias("src_b")), "id_b")
+    )
+    return (
+        j.groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+ORACLE_CROSS_SOURCE_DUPES = f"""
+WITH {_DUCK_PAIR_JACCARD}
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       COUNT(*) AS n_pairs
+FROM pair_j p
+JOIN documents da ON p.id_a = da.doc_id
+JOIN documents db ON p.id_b = db.doc_id
+WHERE p.jaccard >= 0.6
+GROUP BY 1, 2
+"""
+
+
 def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup observability composition: near-dup clusters (star-contraction
     components over the n-gram-Jaccard graph) rolled up per source —
@@ -4606,6 +4645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_hard_delete": q_scd2_hard_delete,
         "filter_funnel": q_filter_funnel,
         "dedup_rate_by_source": q_dedup_rate_by_source,
+        "cross_source_dupes": q_cross_source_dupes,
         "incremental_neardup": q_incremental_neardup,
         "neardup_vs_index": q_neardup_vs_index,
         "incremental_clusters": q_incremental_clusters,
@@ -4720,6 +4760,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_hard_delete": ORACLE_SCD2_HARD_DELETE,
         "filter_funnel": ORACLE_FILTER_FUNNEL,
         "dedup_rate_by_source": ORACLE_DEDUP_RATE_BY_SOURCE,
+        "cross_source_dupes": ORACLE_CROSS_SOURCE_DUPES,
         "incremental_neardup": ORACLE_INCREMENTAL_NEARDUP,
         "neardup_vs_index": ORACLE_NEARDUP_VS_INDEX,
         "incremental_clusters": ORACLE_DEDUP_CLUSTERS,
