@@ -2336,6 +2336,37 @@ FROM documents
 """
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image preprocessing end-to-end (multimodal.py:synth_bitmap ->
+    resize_nearest): deterministic 8x8 grayscale bitmaps synthesized
+    executor-side, REAL nearest-neighbor 4x4 resize in vectorized numpy
+    over Arrow batches, position-weighted integer checksum out.  The
+    oracle replays pixel formula + NN index map + checksum arithmetic in
+    SQL, so any off-by-one in the resize indexing is a value mismatch."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.multimodal import (
+        resize_nearest,
+        synth_bitmap,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_bitmap(docs.select(F.col("doc_id").alias("media_id")))
+    return resize_nearest(media, 4, 4).select(
+        "media_id", "out_w", "out_h", "checksum"
+    )
+
+
+# resized pixel (dy,dx) of the 8x8 source = formula at (2dy, 2dx); checksum
+# weights are 1-based row-major positions
+ORACLE_IMAGE_RESIZE = """
+SELECT doc_id AS media_id,
+       CAST(4 AS INTEGER) AS out_w,
+       CAST(4 AS INTEGER) AS out_h,
+       CAST(list_sum(list_transform(range(0, 16), k ->
+         ((doc_id * 31 + ((k // 4) * 2) * 7 + ((k % 4) * 2) * 13) % 256)
+         * (k + 1))) AS BIGINT) AS checksum
+FROM documents
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster canonicalization: connected components over the
     n-gram-Jaccard pair graph (min-reachable-id labels); survivors of
@@ -4625,6 +4656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "value_outliers": q_value_outliers,
         "frame_sample": q_frame_sample,
+        "image_resize": q_image_resize,
         "price_histogram": q_price_histogram,
         "embedding_quantize": q_embedding_quantize,
         "cluster_canonical_best": q_cluster_canonical_best,
@@ -4740,6 +4772,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": ORACLE_TRIANGLE_COUNT,
         "value_outliers": ORACLE_VALUE_OUTLIERS,
         "frame_sample": ORACLE_FRAME_SAMPLE,
+        "image_resize": ORACLE_IMAGE_RESIZE,
         "price_histogram": ORACLE_PRICE_HISTOGRAM,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
         "cluster_canonical_best": ORACLE_CLUSTER_CANONICAL_BEST,

@@ -288,3 +288,80 @@ def frame_sample(df: DataFrame, frame_size: int, every_n: int = 10) -> DataFrame
     return df.select("media_id", "content").mapInPandas(
         fan_out, FRAME_SAMPLE_SCHEMA
     )
+
+
+# --- image: synthetic bitmaps + real nearest-neighbor resize ---------------
+
+def synth_bitmap(df: DataFrame, id_col: str = "media_id",
+                 width: int = 8, height: int = 8) -> DataFrame:
+    """(id) -> (id, width, height, pixels binary): deterministic grayscale
+    bitmap, pixel(y, x) = (id*31 + y*7 + x*13) % 256 in row-major bytes.
+    Executor-side generation (nothing large crosses the driver), and the
+    formula replays in SQL so downstream pixel math is oracle-checkable."""
+    import pandas as pd
+
+    def gen(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame({
+                "media_id": ids,
+                "width": width,
+                "height": height,
+                "pixels": [
+                    bytes(
+                        (int(i) * 31 + y * 7 + x * 13) % 256
+                        for y in range(height) for x in range(width)
+                    )
+                    for i in ids
+                ],
+            })
+
+    return df.select(F.col(id_col)).mapInPandas(
+        gen, "media_id long, width int, height int, pixels binary"
+    )
+
+
+def resize_nearest(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL nearest-neighbor resize over raw grayscale bitmaps — the
+    image-preprocessing step of a multimodal training pipeline, vectorized
+    numpy inside Arrow ``mapInPandas`` (the compressed-format decode that
+    needs Pillow stays behind ``decode_image_meta``'s backend guard; raw
+    bitmap math needs no image library).
+
+    Source index per axis is the standard NN map ``src = (dst * n) div
+    out`` (integer division — engine-portable, no float rounding).
+    Emits the resized bytes plus an integer position-weighted checksum
+    (``sum(pixel_k * (k+1))``) so correctness audits don't need to
+    compare binaries."""
+    import numpy as np
+    import pandas as pd
+
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"output dims must be positive, got {out_w}x{out_h}")
+
+    def run(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for mid, w, h, px in zip(pdf["media_id"], pdf["width"],
+                                     pdf["height"], pdf["pixels"]):
+                if px is None or w is None or h is None or w <= 0 or h <= 0:
+                    rows.append((mid, out_w, out_h, None, None))
+                    continue
+                a = np.frombuffer(bytes(px), dtype=np.uint8)[: w * h]
+                a = a.reshape(int(h), int(w))
+                ys = (np.arange(out_h) * int(h)) // out_h
+                xs = (np.arange(out_w) * int(w)) // out_w
+                r = a[np.ix_(ys, xs)]
+                weights = np.arange(1, r.size + 1, dtype=np.int64)
+                checksum = int((r.astype(np.int64).ravel() * weights).sum())
+                rows.append((mid, out_w, out_h, r.tobytes(), checksum))
+            out = pd.DataFrame(
+                rows,
+                columns=["media_id", "out_w", "out_h", "pixels", "checksum"],
+            )
+            out["checksum"] = pd.array(out["checksum"], dtype="Int64")
+            yield out
+
+    return df.select("media_id", "width", "height", "pixels").mapInPandas(
+        run, "media_id long, out_w int, out_h int, pixels binary, checksum long"
+    )

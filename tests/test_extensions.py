@@ -1311,3 +1311,34 @@ def test_bm25_index_probe_equals_direct(spark, tmp_path):
                                        k=15).collect()]
     assert probe == direct
     assert len(direct) == 15
+
+
+def test_resize_nearest_downsamples_and_checksums(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.multimodal import (
+        resize_nearest,
+        synth_bitmap,
+    )
+    ids = spark.createDataFrame([(7,), (8,)], "media_id long")
+    media = synth_bitmap(ids, width=8, height=8)
+    out = {r["media_id"]: r for r in resize_nearest(media, 4, 4).collect()}
+    # replay the NN map in python: resized (dy,dx) = source (2dy, 2dx)
+    for mid in (7, 8):
+        pix = [((mid * 31 + (2 * (k // 4)) * 7 + (2 * (k % 4)) * 13) % 256)
+               for k in range(16)]
+        assert list(out[mid]["pixels"]) == pix
+        assert out[mid]["checksum"] == sum(v * (k + 1)
+                                           for k, v in enumerate(pix))
+    # upscale also works: 2x2 -> 3x3 repeats nearest sources
+    small = synth_bitmap(ids, width=2, height=2)
+    up = {r["media_id"]: r for r in resize_nearest(small, 3, 3).collect()}
+    srcs = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    for mid in (7, 8):
+        src = {(y, x): (mid * 31 + y * 7 + x * 13) % 256 for y, x in srcs}
+        expect = [src[((dy * 2) // 3, (dx * 2) // 3)]
+                  for dy in range(3) for dx in range(3)]
+        assert list(up[mid]["pixels"]) == expect
+    # NULL payload -> NULL outputs, row preserved
+    import pyspark.sql.functions as F
+    nulled = media.withColumn("pixels", F.lit(None).cast("binary"))
+    nr = resize_nearest(nulled, 4, 4).collect()
+    assert all(r["checksum"] is None and r["pixels"] is None for r in nr)
