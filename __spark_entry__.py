@@ -3968,6 +3968,61 @@ GROUP BY 1, 2
 """
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit: per source, the share of token occurrences
+    a top-1000 frequency vocabulary (vocab_build's exact output) fails to
+    cover — the tokenizer-fit signal that decides vocab size and flags
+    domain-shifted feeds.  Vocab joins broadcast (bounded by max_size,
+    dimension-sized by construction); one explode + one agg; rate is one
+    exact double division."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        build_vocab,
+        tokens,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, min_count=2, max_size=1000).select("term")
+    toks = docs.select(
+        "source", F.explode(tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("__in_vocab", F.lit(1))), "term", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_oov"),
+        (F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+         .cast("double") / F.count(F.lit(1)).cast("double"))
+        .alias("oov_rate"),
+    )
+
+
+ORACLE_OOV_RATE = f"""
+WITH toks AS (
+  SELECT unnest({DUCK_TOKS}) AS term FROM documents
+),
+counts AS (
+  SELECT term, COUNT(*) AS n_occurrences FROM toks
+  WHERE term <> '' GROUP BY 1 HAVING COUNT(*) >= 2
+),
+vocab AS (
+  SELECT term FROM counts ORDER BY n_occurrences DESC, term LIMIT 1000
+),
+src_toks AS (
+  SELECT source, unnest({DUCK_TOKS}) AS term FROM documents
+)
+SELECT s.source,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+FROM src_toks s LEFT JOIN vocab v ON s.term = v.term
+WHERE s.term <> ''
+GROUP BY s.source
+"""
+
+
 def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency vocabulary (extensions/text.py:build_vocab) — the
     tokenizer-training primitive: top-1000 terms with >= 2 occurrences,
@@ -4672,6 +4727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markup_strip": q_markup_strip,
         "sliding_window": q_sliding_window,
         "vocab_build": q_vocab_build,
+        "oov_rate": q_oov_rate,
         "doc_chunks": q_doc_chunks,
         "bigram_novelty": q_bigram_novelty,
         "scd2_hard_delete": q_scd2_hard_delete,
@@ -4788,6 +4844,7 @@ def oracle_sql() -> dict[str, str]:
         "markup_strip": ORACLE_MARKUP_STRIP,
         "sliding_window": ORACLE_SLIDING_WINDOW,
         "vocab_build": ORACLE_VOCAB_BUILD,
+        "oov_rate": ORACLE_OOV_RATE,
         "doc_chunks": ORACLE_DOC_CHUNKS,
         "bigram_novelty": ORACLE_BIGRAM_NOVELTY,
         "scd2_hard_delete": ORACLE_SCD2_HARD_DELETE,
