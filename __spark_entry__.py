@@ -1022,6 +1022,43 @@ FROM base
 """
 
 
+def q_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-source quality filtering (the FineWeb-style step a
+    fixed global threshold gets wrong — a cutoff tuned on web text
+    guillotines code or legal feeds): each source keeps documents at or
+    above ITS OWN exact 25th-percentile quality score.  Thresholds are one
+    per-source percentile aggregate (source-count rows — broadcast), the
+    filter is a map-side broadcast join; the scoring itself is
+    quality_scores' pure-codegen expression chain."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "source").join(
+        quality_scores(docs).select("doc_id", "quality_score"), "doc_id"
+    )
+    thresholds = scored.groupBy("source").agg(
+        F.percentile("quality_score", 0.25).alias("src_p25")
+    )
+    return (
+        scored.join(F.broadcast(thresholds), "source")
+        .filter(F.col("quality_score") >= F.col("src_p25"))
+        .select("doc_id", "source", "quality_score", "src_p25")
+    )
+
+
+ORACLE_ADAPTIVE_QUALITY = f"""
+WITH scored AS (
+  SELECT q.doc_id, d.source, q.quality_score
+  FROM ({ORACLE_QUALITY_SCORES}) q JOIN documents d USING (doc_id)
+),
+thr AS (
+  SELECT source, quantile_cont(quality_score, 0.25) AS src_p25
+  FROM scored GROUP BY 1
+)
+SELECT s.doc_id, s.source, s.quality_score, t.src_p25
+FROM scored s JOIN thr t USING (source)
+WHERE s.quality_score >= t.src_p25
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_t(spark, sf_dir, "documents"))
 
@@ -4670,6 +4707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quartiles": q_price_quartiles,
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
+        "adaptive_quality_filter": q_adaptive_quality_filter,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -4787,6 +4825,7 @@ def oracle_sql() -> dict[str, str]:
         "price_quartiles": ORACLE_PRICE_QUARTILES,
         "text_stats": ORACLE_TEXT_STATS,
         "quality_scores": ORACLE_QUALITY_SCORES,
+        "adaptive_quality_filter": ORACLE_ADAPTIVE_QUALITY,
         "lang_id": ORACLE_LANG_ID,
         "fingerprints": ORACLE_FINGERPRINTS,
         "exact_dedup": ORACLE_EXACT_DEDUP,
