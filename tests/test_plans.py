@@ -154,3 +154,36 @@ def test_semantic_and_pagerank_plans(spark):
     assert "BroadcastHashJoin" in pr
     assert "CartesianProduct" not in pr
     assert "BroadcastNestedLoopJoin" not in pr
+
+
+def test_session_round4_additions_plan_shapes(spark):
+    """Round-4 session additions: the load-bearing plan properties of the
+    new operators — keyed windows, broadcast relabel/threshold joins,
+    codegen-only text scrubbing, no data-path nested loops (the only BNLJ
+    allowed is a 1-row stat combine or the label-dim inequality join in
+    hard_negatives, whose build side is the label dimension)."""
+    qs = entry.queries()
+    # value_anomalies: keyed window (never a global sort), no NL joins
+    p = _plan(qs["value_anomalies"](spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # markup_strip: pure projection chain — no exchange, no join, no agg
+    p = _plan(qs["markup_strip"](spark, SF))
+    assert "Exchange" not in p and "Join" not in p.replace("Join", "Join")
+    assert "HashAggregate" not in p
+    # zorder_key: pure projection — expression-only, no exchange
+    p = _plan(qs["zorder_key"](spark, SF))
+    assert "Exchange" not in p and "HashAggregate" not in p
+    # adaptive_quality_filter: the per-source threshold joins BROADCAST
+    p = _plan(qs["adaptive_quality_filter"](spark, SF))
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+    # oov_rate: vocab joins broadcast (dimension-sized by construction)
+    p = _plan(qs["oov_rate"](spark, SF))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    # split_leakage_audit / cross_source_dupes: hash equi-joins only
+    for name in ("split_leakage_audit", "cross_source_dupes"):
+        p = _plan(qs[name](spark, SF))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+    # image_resize: Arrow mapInPandas end-to-end, no exchange
+    p = _plan(qs["image_resize"](spark, SF))
+    assert "MapInPandas" in p and "Exchange" not in p
