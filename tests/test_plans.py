@@ -168,7 +168,7 @@ def test_session_round4_additions_plan_shapes(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     # markup_strip: pure projection chain — no exchange, no join, no agg
     p = _plan(qs["markup_strip"](spark, SF))
-    assert "Exchange" not in p and "Join" not in p.replace("Join", "Join")
+    assert "Exchange" not in p and "Join" not in p
     assert "HashAggregate" not in p
     # zorder_key: pure projection — expression-only, no exchange
     p = _plan(qs["zorder_key"](spark, SF))
