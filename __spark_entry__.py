@@ -2907,6 +2907,62 @@ FROM documents
 """
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment (streaming/joins.py:
+    enrich_stream): the events stream joins a BATCH dim (distinct event
+    types + derived label) under availableNow — Spark re-resolves the
+    static side each micro-batch (live dim refresh) and broadcasts it, so
+    there is NO streaming state.  The emitted set is a pure function of
+    the data (== the batch left join), hence an exact SQL oracle — this
+    puts the streaming-join family under the driver's correctness gate,
+    not just pytest."""
+    import os
+    import tempfile
+    import uuid
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.streaming.joins import (
+        enrich_stream,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    sink = "stream_enrich_" + uuid.uuid4().hex[:8]
+    try:
+        dim = (
+            _t(spark, sf_dir, "events")
+            .select("event_type").distinct()
+            .withColumn("type_label", F.upper(F.col("event_type")))
+        )
+        stream = _events_stream(spark, sf_dir).select(
+            "event_id", "user_id", "event_type"
+        )
+        q = (
+            enrich_stream(stream, dim, "event_type")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation",
+                    tempfile.mkdtemp(prefix="se_ckpt_", dir=ckpt_root))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return spark.table(sink)
+
+
+ORACLE_STREAM_ENRICH = """
+SELECT event_id, user_id, event_type, upper(event_type) AS type_label
+FROM events
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup with bounded state (streaming/dedup.py:
     dedup_keys_stream): at-least-once event feeds re-deliver, so the stream
@@ -4741,6 +4797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_sequence_pack": q_bpe_sequence_pack,
         "corpus_shuffle": q_corpus_shuffle,
         "stream_dedup": q_stream_dedup,
+        "stream_enrich": q_stream_enrich,
         "scd2_history": q_scd2_history,
         "fuzzy_match": q_fuzzy_match,
         "training_corpus": q_training_corpus,
@@ -4859,6 +4916,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_sequence_pack": ORACLE_BPE_SEQUENCE_PACK,
         "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
         "stream_dedup": ORACLE_STREAM_DEDUP,
+        "stream_enrich": ORACLE_STREAM_ENRICH,
         "scd2_history": ORACLE_SCD2_HISTORY,
         "fuzzy_match": ORACLE_FUZZY_MATCH,
         "training_corpus": ORACLE_TRAINING_CORPUS,
