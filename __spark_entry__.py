@@ -2963,6 +2963,68 @@ FROM events
 """
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (streaming/joins.py:
+    interval_join_streams): per user, purchases within 10 minutes after a
+    click — the attribution join.  Watermarks bound STATE, not output: for
+    an inner join whose input terminates (availableNow), the emitted rows
+    are exactly the batch interval join's, hence an exact SQL oracle."""
+    import os
+    import tempfile
+    import uuid
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    sink = "stream_ijoin_" + uuid.uuid4().hex[:8]
+    try:
+        base = _events_stream(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "ts"
+        )
+        clicks = base.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        buys = base.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        q = (
+            interval_join_streams(clicks, buys, "user_id",
+                                  lower="0 seconds", upper="10 minutes")
+            .select("event_id", "user_id", "ts",
+                    "r_event_id", "r_ts")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation",
+                    tempfile.mkdtemp(prefix="sij_ckpt_", dir=ckpt_root))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    return spark.table(sink)
+
+
+ORACLE_STREAM_INTERVAL_JOIN = """
+SELECT c.event_id, c.user_id, c.ts,
+       p.event_id AS r_event_id, p.ts AS r_ts
+FROM events c JOIN events p
+  ON c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 10 MINUTE
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup with bounded state (streaming/dedup.py:
     dedup_keys_stream): at-least-once event feeds re-deliver, so the stream
@@ -4798,6 +4860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "stream_dedup": q_stream_dedup,
         "stream_enrich": q_stream_enrich,
+        "stream_interval_join": q_stream_interval_join,
         "scd2_history": q_scd2_history,
         "fuzzy_match": q_fuzzy_match,
         "training_corpus": q_training_corpus,
@@ -4917,6 +4980,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
         "stream_dedup": ORACLE_STREAM_DEDUP,
         "stream_enrich": ORACLE_STREAM_ENRICH,
+        "stream_interval_join": ORACLE_STREAM_INTERVAL_JOIN,
         "scd2_history": ORACLE_SCD2_HISTORY,
         "fuzzy_match": ORACLE_FUZZY_MATCH,
         "training_corpus": ORACLE_TRAINING_CORPUS,
