@@ -2514,6 +2514,37 @@ WHERE p.jaccard >= 0.6 AND sa.split <> sb.split
 """
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus ingest (the de-facto training-data interchange format):
+    documents serialize to line-delimited JSON and read back through
+    ``spark.read.schema(...).json`` — schema pinned up front (an inferred
+    schema means a second full scan AND type drift between drops; at
+    100 TB both are disqualifying).  The oracle is the round-trip identity
+    on the carried columns, so any serialization asymmetry (escaping,
+    unicode, nulls) is a value mismatch."""
+    import os
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"jsonl_rt_{_sfx(sf_dir)}"
+    )
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(out)
+    return back.select("doc_id", "lang", "source", "n_chars",
+                       F.length("text").alias("text_len"))
+
+
+ORACLE_JSONL_ROUNDTRIP = """
+SELECT doc_id, lang, source, n_chars, length(text) AS text_len
+FROM documents
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON column extraction (scalar-function superset: the reference uses
     no JSON, SURVEY 2.6): parse events.props and aggregate the payload."""
@@ -4843,6 +4874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "repetition_scores": q_repetition_scores,
         "json_extract": q_json_extract,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "funnel": q_funnel,
         "dedup_clusters": q_dedup_clusters,
         "train_test_split": q_train_test_split,
@@ -4963,6 +4995,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": ORACLE_BPE_ENCODE,
         "repetition_scores": ORACLE_REPETITION_SCORES,
         "json_extract": ORACLE_JSON_EXTRACT,
+        "jsonl_roundtrip": ORACLE_JSONL_ROUNDTRIP,
         "funnel": ORACLE_FUNNEL,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "train_test_split": ORACLE_TRAIN_TEST_SPLIT,
