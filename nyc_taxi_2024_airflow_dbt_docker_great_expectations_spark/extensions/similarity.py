@@ -898,7 +898,20 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     cent_local, assign = _ivf_index(
         corpus, n_lists, refine_iters, sample_size, id_col, vec_col
     )
+    return _ivf_probe(cent_local, assign, queries, k, n_probe,
+                      id_t, qid_t, id_col, vec_col, query_id_col)
 
+
+def _ivf_probe(cent_local, assign: DataFrame, queries: DataFrame, k: int,
+               n_probe: int, id_t: str, qid_t: str, id_col: str,
+               vec_col: str, query_id_col: str) -> DataFrame:
+    """The probe half of IVF: select top-``n_probe`` centroids per query
+    map-side, prune unprobed inverted lists pre-shuffle, exact re-score
+    per probed list.  Split out so the index (``cent_local`` + the
+    ``assign`` list table) can come from :func:`_ivf_index` (fresh build)
+    or from persisted warehouse tables (:func:`ivf_topk_from_index`) —
+    identical results either way, since the index is a pure function of
+    the corpus."""
     qs = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
     )
@@ -954,7 +967,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             probe_fn, f"__qid {qid_t}, __list {id_t}, __qvec {qvec_t}"
         ))
     else:
-        probes = corpus.sparkSession.createDataFrame(
+        probes = queries.sparkSession.createDataFrame(
             [], f"__qid {qid_t}, __list {id_t}, __qvec array<double>"
         )
 
@@ -1004,3 +1017,66 @@ def quantize_int8(corpus: DataFrame, id_col: str = "vec_id",
         .alias("q"),
         "scale",
     )
+
+
+# --- persisted IVF index ---------------------------------------------------
+
+IVF_INDEX_TABLES = ("centroids", "lists")
+
+
+def _ivf_table_names(prefix: str) -> dict[str, str]:
+    return {t: f"{prefix}_{t}" for t in IVF_INDEX_TABLES}
+
+
+def build_ivf_index_tables(corpus: DataFrame, table_prefix: str,
+                           n_lists: int, refine_iters: int = 0,
+                           sample_size: int = 512,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           num_buckets: int = 8) -> dict[str, str]:
+    """Persist the IVF index as warehouse tables — the FAISS-on-disk
+    layout: ``<prefix>_centroids`` (cid, cvec — n_lists rows,
+    metadata-sized) and ``<prefix>_lists`` (id, list, vec) BUCKETED on
+    the list id, i.e. the corpus re-clustered so each inverted list is a
+    bucket-local scan.  Build once per corpus (the Lloyd refinement and
+    the full assignment pass are paid here); every probe after that reads
+    only its probed lists' buckets and never touches the raw corpus.
+    Same determinism as the in-flight index (:func:`_ivf_index`), so
+    probe-from-table results are identical to the direct form."""
+    from ..operators.layout import drop_table_and_location, write_bucketed
+
+    spark = corpus.sparkSession
+    names = _ivf_table_names(table_prefix)
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    cent_local, assign = _ivf_index(
+        corpus, n_lists, refine_iters, sample_size, id_col, vec_col
+    )
+    drop_table_and_location(spark, names["centroids"])
+    spark.createDataFrame(
+        [(c, list(v)) for c, v in cent_local],
+        f"__cid {id_t}, __cvec array<double>",
+    ).write.mode("overwrite").saveAsTable(names["centroids"])
+    write_bucketed(assign, names["lists"], ["__list"], num_buckets)
+    return names
+
+
+def ivf_topk_from_index(spark, table_prefix: str, queries: DataFrame,
+                        k: int = 10, n_probe: int = 4,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        query_id_col: str = "query_id") -> DataFrame:
+    """IVF ANN against the PERSISTED index of
+    :func:`build_ivf_index_tables`: centroids load driver-local (n_lists
+    rows — the same metadata-sized footprint the in-flight form carries
+    in task closures), probes select lists map-side, and the re-score
+    joins only the probed buckets of the lists table.  No corpus scan, no
+    assignment pass, no Lloyd jobs — the per-query cost a serving path
+    actually pays."""
+    names = _ivf_table_names(table_prefix)
+    cents = spark.table(names["centroids"])
+    cent_local = [(r["__cid"], r["__cvec"])
+                  for r in cents.orderBy("__cid").collect()]
+    assign = spark.table(names["lists"])
+    id_t = assign.schema["__id"].dataType.simpleString()
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    return _ivf_probe(cent_local, assign, queries, k, n_probe,
+                      id_t, qid_t, id_col, vec_col, query_id_col)

@@ -1342,3 +1342,32 @@ def test_resize_nearest_downsamples_and_checksums(spark):
     nulled = media.withColumn("pixels", F.lit(None).cast("binary"))
     nr = resize_nearest(nulled, 4, 4).collect()
     assert all(r["checksum"] is None and r["pixels"] is None for r in nr)
+
+
+def test_ivf_index_tables_probe_equals_direct(spark):
+    import pyspark.sql.functions as F
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        build_ivf_index_tables,
+        ivf_topk,
+        ivf_topk_from_index,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.layout import (
+        drop_table_and_location,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    direct = sorted(map(tuple, ivf_topk(
+        emb, qs, k=5, n_lists=8, n_probe=3, refine_iters=1, sample_size=64
+    ).collect()))
+    try:
+        build_ivf_index_tables(emb, "ivf_eq_test", n_lists=8,
+                               refine_iters=1, sample_size=64)
+        from_table = sorted(map(tuple, ivf_topk_from_index(
+            spark, "ivf_eq_test", qs, k=5, n_probe=3
+        ).collect()))
+        assert from_table == direct and len(direct) > 0
+    finally:
+        for t in ("ivf_eq_test_centroids", "ivf_eq_test_lists"):
+            drop_table_and_location(spark, t)
