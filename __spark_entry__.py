@@ -2534,6 +2534,45 @@ WHERE p.jaccard >= 0.6 AND sa.split <> sb.split
 """
 
 
+def q_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation (the compliance twin of the S8
+    merge primitive): drop every event belonging to an erasure cohort and
+    emit the audit the DPO actually wants — per event type, rows kept,
+    rows erased, and erased distinct users.  The cohort arrives as a key
+    set; the data path is ONE broadcast-able anti-join-shaped conditional
+    (here an md5-bucket predicate, so the oracle replays it exactly) plus
+    a single partial/final aggregate.  At 100 TB the same shape runs per
+    partition with dynamic partition overwrite (operators/merge.py) to
+    rewrite only affected partitions."""
+    ev = _t(spark, sf_dir, "events")
+    erased = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+               16, 10).cast("int") % 100 == 0
+    )
+    return ev.groupBy("event_type").agg(
+        F.sum(F.when(~erased, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(erased, 1).otherwise(0)).cast("long").alias("n_erased"),
+        F.count_distinct(F.when(erased, F.col("user_id")))
+        .cast("long").alias("n_erased_users"),
+    )
+
+
+ORACLE_USER_ERASURE = """
+SELECT event_type,
+       CAST(SUM(CASE WHEN NOT (CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+                        AS INTEGER) % 100 = 0) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(SUM(CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+                        AS INTEGER) % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_erased,
+       CAST(COUNT(DISTINCT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+                        AS INTEGER) % 100 = 0 THEN user_id END) AS BIGINT)
+           AS n_erased_users
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL corpus ingest (the de-facto training-data interchange format):
     documents serialize to line-delimited JSON and read back through
@@ -4895,6 +4934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "json_extract": q_json_extract,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "user_erasure": q_user_erasure,
         "funnel": q_funnel,
         "dedup_clusters": q_dedup_clusters,
         "train_test_split": q_train_test_split,
@@ -5016,6 +5056,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_scores": ORACLE_REPETITION_SCORES,
         "json_extract": ORACLE_JSON_EXTRACT,
         "jsonl_roundtrip": ORACLE_JSONL_ROUNDTRIP,
+        "user_erasure": ORACLE_USER_ERASURE,
         "funnel": ORACLE_FUNNEL,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "train_test_split": ORACLE_TRAIN_TEST_SPLIT,
