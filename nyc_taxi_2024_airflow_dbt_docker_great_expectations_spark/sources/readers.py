@@ -116,3 +116,24 @@ def read_csv_seed(spark: SparkSession, path: str) -> DataFrame:
         .csv(path)
     )
     return df.select(*[c for c in TRIP_COLUMNS])
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-tolerant parquet scan for a directory of monthly
+    drops whose column set changed over time (the reference's data
+    provider added/renamed columns across years; a pinned-schema read
+    silently drops the new ones, a naive read takes whichever file's
+    footer wins).
+
+    ``mergeSchema=true`` unions every file's footer schema: files missing
+    a column read NULL for it, so downstream projections see ONE stable
+    superset schema regardless of which months the scan prunes down to.
+    Merging costs a footer read per file at planning time (not a data
+    scan) — at 100 TB with many files, pin the merged schema in the
+    catalog after the first read instead of re-merging per query.
+    Column-name normalization applies after the merge, same as
+    :func:`read_trip_parquet`.
+    """
+    return normalize_columns(
+        spark.read.option("mergeSchema", "true").parquet(path)
+    )

@@ -191,3 +191,23 @@ def test_sliding_stream_availablenow(spark, tmp_warehouse):
             for r in sliding_counts_batch(
                 _events_fixture(spark), "10 minutes", "5 minutes").collect()}
     assert got == want
+
+
+def test_read_parquet_evolving_merges_schemas(spark, tmp_path):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.sources.readers import (
+        read_parquet_evolving,
+    )
+    base = str(tmp_path / "drops")
+    spark.createDataFrame(
+        [(1, "a")], "id long, v string"
+    ).write.parquet(base + "/m=1")
+    # later drop adds a column (and uses a different name case)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, Extra_Col double"
+    ).write.parquet(base + "/m=2")
+    out = read_parquet_evolving(spark, base)
+    assert set(out.columns) >= {"id", "v", "extra_col"}
+    rows = {r["id"]: r for r in out.collect()}
+    # the old drop reads NULL for the column it predates
+    assert rows[1]["extra_col"] is None
+    assert rows[2]["extra_col"] == 9.5
