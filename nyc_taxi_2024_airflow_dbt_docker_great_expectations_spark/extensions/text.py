@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..execution import materialize_once
+
 # Small distinctive stopword families for the lang-ID heuristic.  Deliberately
 # disjoint sets (no 'la' which is es+fr, etc.).
 LANG_STOPWORDS = {
@@ -460,19 +462,23 @@ def collocations(df: DataFrame, text_col: str = "text",
     before the joins — the df-cut that keeps the bigram table sparse at
     100 TB.
     """
-    toks = df.filter(token_count(text_col) >= 1).select(
-        F.explode(tokens(text_col)).alias("w")
+    # tokenize ONCE: the unigram and bigram aggregates both read the
+    # materialized token arrays instead of re-running the split over the
+    # raw text per consumer (tokenization is the scan-side cost here)
+    arrs = materialize_once(
+        df.filter(token_count(text_col) >= 1)
+        .select(tokens(text_col).alias("__toks"))
     )
+    toks = arrs.select(F.explode("__toks").alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
     n_total = uni.agg(F.sum("n_w").alias("n_tokens"))
     # NOT word_shingles: that is the Jaccard SET form (array_distinct);
     # collocation counts are multiset occurrences
-    tk = tokens(text_col)
     bigram_arr = F.transform(
-        F.sequence(F.lit(1), F.size(tk) - 1),
-        lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
+        F.sequence(F.lit(1), F.size(F.col("__toks")) - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, 2)),
     )
-    big = df.filter(token_count(text_col) >= 2).select(
+    big = arrs.filter(F.size("__toks") >= 2).select(
         F.explode(bigram_arr).alias("gram")
     )
     grams = big.groupBy("gram").agg(F.count(F.lit(1)).alias("n_xy"))
