@@ -1199,6 +1199,57 @@ WHERE p.jaccard >= 0.5
 """
 
 
+def q_minhash_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash screening against a PERSISTED band index
+    (extensions/dedup.py:build_minhash_index / probe_minhash_index) — the
+    MinHash twin of neardup_vs_index.  Band keys are per-document pure
+    functions (no corpus statistics, unlike the n-gram prefix order), so
+    a batch computes its own keys and equi-joins the bucketed corpus
+    band table; exact shingle-Jaccard verify against the persisted
+    shingle sets.  Same batch split as the rest of the incremental
+    family."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        MINHASH_INDEX_TABLES,
+        build_minhash_index,
+        probe_minhash_index,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.layout import (
+        adopt_bucketed_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    prefix = f"minhash_idx_{_sfx(sf_dir)}"
+    mh_keys = {"bands": ["band_key"], "shingles": ["doc_id"]}
+    if not all(spark.catalog.tableExists(f"{prefix}_{t}")
+               or adopt_bucketed_table(spark, f"{prefix}_{t}", mh_keys[t])
+               for t in MINHASH_INDEX_TABLES):
+        corpus = docs.filter(F.col("doc_id") % 10 != 0)
+        build_minhash_index(corpus, prefix, k=3, num_hashes=12, bands=4)
+    return probe_minhash_index(new, prefix, k=3, num_hashes=12, bands=4,
+                               threshold=0.5)
+
+
+# cross-side variant of ORACLE_MINHASH: candidates restricted to
+# (batch, corpus) band collisions; jaccard from the unordered pair CTE
+ORACLE_MINHASH_VS_INDEX = f"""
+WITH {_DUCK_PAIR_JACCARD},
+bands AS (
+  SELECT doc_id, unnest([{_DUCK_BANDS}]) AS band_key FROM sh
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+  FROM bands a JOIN bands b ON a.band_key = b.band_key
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+)
+SELECT c.new_id, c.corpus_id, p.jaccard
+FROM cand c JOIN pair_j p
+  ON least(c.new_id, c.corpus_id) = p.id_a
+ AND greatest(c.new_id, c.corpus_id) = p.id_b
+WHERE p.jaccard >= 0.5
+"""
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
@@ -4928,6 +4979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "minhash_dedup": q_minhash_dedup,
+        "minhash_vs_index": q_minhash_vs_index,
         "simhash_dedup": q_simhash_dedup,
         "embedding_topk": q_embedding_topk,
         "hard_negatives": q_hard_negatives,
@@ -5050,6 +5102,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": ORACLE_EXACT_DEDUP,
         "ngram_jaccard_dedup": ORACLE_NGRAM_JACCARD,
         "minhash_dedup": ORACLE_MINHASH,
+        "minhash_vs_index": ORACLE_MINHASH_VS_INDEX,
         "simhash_dedup": ORACLE_SIMHASH,
         "embedding_topk": ORACLE_EMBEDDING_TOPK,
         "hard_negatives": ORACLE_HARD_NEGATIVES,

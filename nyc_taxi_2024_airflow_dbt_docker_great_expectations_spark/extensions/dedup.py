@@ -470,31 +470,26 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     )
 
 
-def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", k: int = 3,
-                      num_hashes: int = 12, bands: int = 4,
-                      threshold: float = 0.5) -> DataFrame:
-    """Near-dup pairs: LSH banding for candidates, exact Jaccard to verify.
-
-    ``num_hashes / bands`` rows per band; two docs collide iff some band's
-    signature slice matches exactly.  With 12 hashes / 4 bands (r=3) the
-    collision probability at J=0.5 is ~1-(1-0.125)^4 = 0.41 and rises steeply
-    — tune (bands, rows) per corpus.  Candidates are then *verified* with the
-    exact shingle Jaccard so the output has no false positives.
-    """
+def _minhash_band_keys(base: DataFrame, id_col: str, num_hashes: int,
+                       bands: int) -> DataFrame:
+    """(id, band_key) rows from a (id, shingles) table: per-permutation
+    MinHash signatures (min of md5("j:shingle") — the seed prefix IS the
+    permutation, no RNG) folded into ``bands`` md5 band keys.  A pure
+    per-document function — no corpus statistics — which is what lets a
+    probe side compute ITS keys independently and equi-join a persisted
+    corpus band table."""
     rows_per_band = num_hashes // bands
-    # one materialized shingle pass feeds signatures AND both verify sides
-    # (exploding the stored arrays re-derives the distinct postings without
-    # a second tokenize/window pass)
-    base = materialize_once(shingled_arrays(df, text_col, id_col, k))
-    exploded = base.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    exploded = base.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
     sigs = exploded.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"sig_{j}")
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))))
+            .alias(f"sig_{j}")
             for j in range(num_hashes)
         ]
     )
-    band_keys = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.array(
             *[
@@ -512,6 +507,25 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             ]
         ).alias("bands"),
     ).select(F.col(id_col), F.explode("bands").alias("band_key"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      num_hashes: int = 12, bands: int = 4,
+                      threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs: LSH banding for candidates, exact Jaccard to verify.
+
+    ``num_hashes / bands`` rows per band; two docs collide iff some band's
+    signature slice matches exactly.  With 12 hashes / 4 bands (r=3) the
+    collision probability at J=0.5 is ~1-(1-0.125)^4 = 0.41 and rises steeply
+    — tune (bands, rows) per corpus.  Candidates are then *verified* with the
+    exact shingle Jaccard so the output has no false positives.
+    """
+    # one materialized shingle pass feeds signatures AND both verify sides
+    # (exploding the stored arrays re-derives the distinct postings without
+    # a second tokenize/window pass)
+    base = materialize_once(shingled_arrays(df, text_col, id_col, k))
+    band_keys = _minhash_band_keys(base, id_col, num_hashes, bands)
 
     ca = band_keys.select(F.col(id_col).alias("id_a"), "band_key")
     cb = band_keys.select(F.col(id_col).alias("id_b"), "band_key")
@@ -682,4 +696,84 @@ def duplicated_ngram_stats(df: DataFrame, n: int = 5,
         F.col(id_col), F.col("n_grams"), F.col("n_dup_grams"),
         (F.col("n_dup_grams").cast("double")
          / F.col("n_grams").cast("double")).alias("dup_fraction"),
+    )
+
+
+# --- persisted MinHash index -----------------------------------------------
+
+MINHASH_INDEX_TABLES = ("bands", "shingles")
+
+
+def _minhash_table_names(prefix: str) -> dict[str, str]:
+    return {t: f"{prefix}_{t}" for t in MINHASH_INDEX_TABLES}
+
+
+def build_minhash_index(corpus: DataFrame, table_prefix: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3, num_hashes: int = 12, bands: int = 4,
+                        num_buckets: int = 8) -> dict[str, str]:
+    """Persist the MinHash-LSH side of the dedup family as warehouse
+    tables: ``<prefix>_bands`` (id, band_key — bucketed on the band key,
+    the candidate join's key) and ``<prefix>_shingles`` (id, shingles —
+    the exact-verify sets, bucketed on the id).  Unlike the n-gram prefix
+    index (:func:`build_ngram_index`), MinHash band keys carry NO corpus
+    statistics — each document's keys are a pure function of its own
+    text — so probes of any batch compose with this index without
+    replaying a global ordering.  Same build-once/probe-many shape as the
+    rest of the persisted-index family."""
+    from ..operators.layout import write_bucketed
+
+    names = _minhash_table_names(table_prefix)
+    base = materialize_once(shingled_arrays(corpus, text_col, id_col, k))
+    write_bucketed(
+        _minhash_band_keys(base, id_col, num_hashes, bands),
+        names["bands"], ["band_key"], num_buckets,
+    )
+    write_bucketed(
+        base.select(id_col, "shingles"), names["shingles"], [id_col],
+        num_buckets,
+    )
+    return names
+
+
+def probe_minhash_index(new: DataFrame, table_prefix: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3, num_hashes: int = 12, bands: int = 4,
+                        threshold: float = 0.5) -> DataFrame:
+    """Screen an incoming batch against a :func:`build_minhash_index`
+    corpus: every (new_id, corpus_id, jaccard) whose band keys collide
+    AND whose exact shingle Jaccard >= ``threshold`` — corpus text never
+    re-read, candidates restricted to the batch's band keys (a
+    bucket-local lookup on the persisted band table).  ``k``,
+    ``num_hashes``, ``bands`` must match the build (band keys are
+    per-document but scheme-dependent).  Identical semantics to running
+    ``minhash_lsh_pairs`` over (batch UNION corpus) and keeping the
+    cross-side pairs."""
+    spark = new.sparkSession
+    names = _minhash_table_names(table_prefix)
+    corpus_bands = spark.table(names["bands"])
+    corpus_shingles = spark.table(names["shingles"])
+
+    nbase = materialize_once(shingled_arrays(new, text_col, id_col, k))
+    nbands = _minhash_band_keys(nbase, id_col, num_hashes, bands)
+    candidates = (
+        nbands.select(F.col(id_col).alias("new_id"), "band_key")
+        .join(corpus_bands.select(F.col(id_col).alias("corpus_id"),
+                                  "band_key"), "band_key")
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sh_a = nbase.select(F.col(id_col).alias("new_id"),
+                        F.col("shingles").alias("sh_a"))
+    sh_b = corpus_shingles.select(F.col(id_col).alias("corpus_id"),
+                                  F.col("shingles").alias("sh_b"))
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    n_union = F.size("sh_a") + F.size("sh_b") - n_inter
+    return (
+        candidates.join(sh_a, "new_id")
+        .join(sh_b, "corpus_id")
+        .withColumn("jaccard",
+                    n_inter.cast("double") / n_union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
     )

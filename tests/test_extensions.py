@@ -1371,3 +1371,36 @@ def test_ivf_index_tables_probe_equals_direct(spark):
     finally:
         for t in ("ivf_eq_test_centroids", "ivf_eq_test_lists"):
             drop_table_and_location(spark, t)
+
+
+def test_minhash_index_probe_equals_joint_run(spark, docs):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs,
+        probe_minhash_index,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.layout import (
+        drop_table_and_location,
+    )
+    import pyspark.sql.functions as F
+    new = docs.filter(F.col("doc_id") % 2 == 0)
+    corpus = docs.filter(F.col("doc_id") % 2 != 0)
+    try:
+        build_minhash_index(corpus, "mh_eq_test", k=3, num_hashes=12,
+                            bands=4)
+        probed = {(r["new_id"], r["corpus_id"]): r["jaccard"]
+                  for r in probe_minhash_index(
+                      new, "mh_eq_test", k=3, num_hashes=12, bands=4,
+                      threshold=0.5).collect()}
+        # joint run over the union, restricted to cross-side pairs
+        joint = {}
+        for r in minhash_lsh_pairs(docs, k=3, num_hashes=12, bands=4,
+                                   threshold=0.5).collect():
+            a, b = r["id_a"], r["id_b"]
+            if (a % 2 == 0) != (b % 2 == 0):
+                n, c = (a, b) if a % 2 == 0 else (b, a)
+                joint[(n, c)] = r["jaccard"]
+        assert probed == joint and len(probed) > 0
+    finally:
+        for t in ("mh_eq_test_bands", "mh_eq_test_shingles"):
+            drop_table_and_location(spark, t)
