@@ -1699,6 +1699,92 @@ SELECT p_brand, n,
 FROM a
 """
 
+def q_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag Pearson correlation of quantity vs extended price
+    (extensions/analytics.py:groupwise_corr) — sufficient statistics, NOT
+    F.corr: built-in correlation accumulates floats in shuffle order;
+    the six decimal sums here are exact and the IEEE finish (sqrt is
+    correctly rounded) is bit-identical cross-engine."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        groupwise_corr,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return groupwise_corr(li, ["l_returnflag"], "l_quantity",
+                          "l_extendedprice")
+
+
+ORACLE_PRICE_QTY_CORR = """
+WITH a AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4)))
+              AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4)))
+              AS DOUBLE) AS syy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) <= 0
+              OR (CAST(n AS DOUBLE) * syy - sy * sy) <= 0 THEN NULL
+            ELSE (CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) END AS corr
+FROM a
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-path transition matrix — the product-analytics
+    primitive behind funnels and Markov attribution: for each
+    (event_type -> next event_type) step in a user's timeline, the count
+    and the exact transition probability P(next | current).  One keyed
+    window (lead over each user's ts-ordered events — tie-broken by
+    event_id for a total order), one partial/final agg, one 1-level
+    window for the row-conditional denominator; probability is a single
+    exact integer division."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "user_id", "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = steps.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_steps")
+    )
+    total = W.partitionBy("event_type")
+    return counts.select(
+        "event_type", "next_type", "n_steps",
+        (F.col("n_steps").cast("double")
+         / F.sum("n_steps").over(total).cast("double")).alias("p_next"),
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH steps AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+counts AS (
+  SELECT event_type, next_type, COUNT(*) AS n_steps
+  FROM steps WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, next_type, n_steps,
+       CAST(n_steps AS DOUBLE)
+         / CAST(SUM(n_steps) OVER (PARTITION BY event_type) AS DOUBLE)
+           AS p_next
+FROM counts
+"""
+
+
 def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-OVERLAP join (operators/temporal.py:interval_overlap_join):
     each signup opens a 2-hour window, each purchase a 1-hour window;
@@ -5053,6 +5139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "bpe_train": q_bpe_train,
         "ols_trend": q_ols_trend,
+        "price_qty_corr": q_price_qty_corr,
+        "event_transitions": q_event_transitions,
         "cms_topk": q_cms_topk,
         "overlap_join": q_overlap_join,
         "bloom_decontamination": q_bloom_decontamination,
@@ -5176,6 +5264,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": ORACLE_PAGERANK,
         "bpe_train": ORACLE_BPE_TRAIN,
         "ols_trend": ORACLE_OLS_TREND,
+        "price_qty_corr": ORACLE_PRICE_QTY_CORR,
+        "event_transitions": ORACLE_EVENT_TRANSITIONS,
         "cms_topk": ORACLE_CMS_TOPK,
         "overlap_join": ORACLE_OVERLAP_JOIN,
         "bloom_decontamination": ORACLE_BLOOM_DECONTAMINATION,

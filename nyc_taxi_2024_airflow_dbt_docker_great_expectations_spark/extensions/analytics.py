@@ -90,3 +90,46 @@ def groupwise_ols(df: DataFrame, group_cols: list[str], x_col: str,
         F.when(denom == F.lit(0.0), F.lit(None).cast("double"))
         .otherwise(intercept).alias("intercept"),
     )
+
+
+def groupwise_corr(df: DataFrame, group_cols: list[str], x_col: str,
+                   y_col: str, scale: int = 4) -> DataFrame:
+    """Per-group Pearson correlation via the same sufficient-statistics
+    pattern as :func:`groupwise_ols` — and NOT ``F.corr``: built-in
+    correlation aggregates accumulate floats in shuffle order (per-engine,
+    per-run drift in the last ulp), while the six decimal sums here are
+    exact and the finish is a fixed-order IEEE chain the SQL oracle
+    mirrors operation-for-operation (sqrt is correctly rounded, so the
+    whole chain is bit-identical).
+
+    ``r = (n·Σxy − Σx·Σy) / (sqrt(n·Σx² − (Σx)²) · sqrt(n·Σy² − (Σy)²))``
+
+    Degenerate groups (either variance exactly 0) yield NULL.  Returns
+    ``group_cols + (n, corr)``.
+    """
+    def dsum(c):
+        return F.sum(F.col(c).cast(f"decimal(18,{scale})")).cast("double")
+
+    def dsum2(a, b):
+        return F.sum((F.col(a) * F.col(b)).cast(f"decimal(28,{scale})")) \
+            .cast("double")
+
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(x_col).alias("__sx"),
+        dsum(y_col).alias("__sy"),
+        dsum2(x_col, y_col).alias("__sxy"),
+        dsum2(x_col, x_col).alias("__sxx"),
+        dsum2(y_col, y_col).alias("__syy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = nd * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    num = nd * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    r = num / (F.sqrt(vx) * F.sqrt(vy))
+    return agg.select(
+        *group_cols,
+        F.col("n"),
+        F.when((vx <= F.lit(0.0)) | (vy <= F.lit(0.0)),
+               F.lit(None).cast("double")).otherwise(r).alias("corr"),
+    )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
@@ -48,3 +49,20 @@ def test_groupwise_ols_recovers_known_line(spark):
     assert out["a"]["slope"] == 2.0 and out["a"]["intercept"] == 1.0
     assert out["a"]["n"] == 3
     assert out["b"]["slope"] is None and out["b"]["intercept"] is None
+
+
+def test_groupwise_corr_known_values(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        groupwise_corr,
+    )
+    rows = (
+        [("lin", float(x), float(2 * x + 1)) for x in range(1, 6)]      # r=1
+        + [("anti", float(x), float(-x)) for x in range(1, 6)]          # r=-1
+        + [("flat", float(x), 7.0) for x in range(1, 6)]                # r undefined
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in groupwise_corr(df, ["g"], "x", "y").collect()}
+    assert out["lin"]["corr"] == pytest.approx(1.0)
+    assert out["anti"]["corr"] == pytest.approx(-1.0)
+    assert out["flat"]["corr"] is None  # zero variance -> NULL, not NaN
+    assert out["lin"]["n"] == 5
