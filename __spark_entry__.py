@@ -4242,6 +4242,49 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(planted)
 
 
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (extensions/text.py:cdc_chunks): rolling
+    md5 window boundaries (rate 1/16), chunk digests for position-
+    independent passage dedup.  All array-local HOFs in one projection +
+    one posexplode — zero shuffles; edit-locality is pytest-asserted."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        cdc_chunks,
+    )
+    return cdc_chunks(_t(spark, sf_dir, "documents"), k=3)
+
+
+ORACLE_CDC_CHUNKS = f"""
+WITH base AS (
+  SELECT doc_id, {DUCK_TOKS} AS toks FROM documents
+  WHERE trim(text, {DUCK_WS}) <> ''
+),
+st AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         list_filter(range(1, len(toks) + 1),
+           p -> p = 1 OR (p >= 2 AND p <= len(toks) - 2
+                 AND md5(array_to_string(toks[p:p+2], ' ')) LIKE '0%'))
+             AS starts
+  FROM base
+),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(starts) + 1), j -> struct_pack(
+           idx := j,
+           nt := (CASE WHEN j < len(starts) THEN starts[j+1]
+                       ELSE n + 1 END) - starts[j],
+           txt := array_to_string(
+             toks[starts[j]:(CASE WHEN j < len(starts) THEN starts[j+1]
+                                  ELSE n + 1 END) - 1], ' ')
+         ))) AS s
+  FROM st
+)
+SELECT doc_id, CAST(s.idx AS BIGINT) AS chunk_idx,
+       CAST(s.nt AS BIGINT) AS n_tokens,
+       md5(s.txt) AS chunk_md5, s.txt AS chunk_text
+FROM ch
+"""
+
+
 def q_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML-to-text cleaning (extensions/text.py:strip_markup): wrap each
     document in deterministic id-derived markup (tags + entities — the
@@ -5120,6 +5163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_anomalies": q_value_anomalies,
         "pii_redact": q_pii_redact,
         "markup_strip": q_markup_strip,
+        "cdc_chunks": q_cdc_chunks,
         "sliding_window": q_sliding_window,
         "vocab_build": q_vocab_build,
         "oov_rate": q_oov_rate,
@@ -5245,6 +5289,7 @@ def oracle_sql() -> dict[str, str]:
         "value_anomalies": ORACLE_VALUE_ANOMALIES,
         "pii_redact": ORACLE_PII_REDACT,
         "markup_strip": ORACLE_MARKUP_STRIP,
+        "cdc_chunks": ORACLE_CDC_CHUNKS,
         "sliding_window": ORACLE_SLIDING_WINDOW,
         "vocab_build": ORACLE_VOCAB_BUILD,
         "oov_rate": ORACLE_OOV_RATE,

@@ -799,3 +799,65 @@ def bpe_train(df: DataFrame, n_merges: int = 12, max_words: int = 64,
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "merge_rank int, lhs string, rhs string",
     )
+
+
+def cdc_chunks(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Content-defined chunking — the rolling-hash boundary scheme of
+    dedup systems (LBFS/rsync/restic, and chunk-level corpus dedup): a
+    chunk boundary opens at token position ``p`` whenever the md5 of the
+    k-token window starting at ``p`` begins with hex '0' (rate 1/16 ->
+    mean chunk ~16 tokens).  Because boundaries depend only on LOCAL
+    window content, an edit reflows only its own chunk (vs fixed-size
+    chunking, where one inserted token shifts every later chunk) — so
+    chunk digests dedup shared passages across documents regardless of
+    position.  Locality is pytest-asserted.
+
+    Shape: boundary detection, chunk assembly, and digesting are all
+    array-local higher-order functions inside ONE projection — zero
+    shuffles, one posexplode to emit (id, chunk_idx, n_tokens,
+    chunk_md5, chunk_text).  Documents shorter than ``k`` tokens are a
+    single chunk.  md5 boundaries are engine-portable (the same rolling
+    scheme as fingerprints), so the whole operator replays in SQL.
+    """
+    tk = tokens(text_col)
+    n = F.size(tk)
+    # boundary at p (p>=2): the k-window starting at p exists and hashes
+    # into the boundary class
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda p: (p == 1) | (
+            (p >= 2) & (p <= n - F.lit(k - 1))
+            & F.md5(F.concat_ws(" ", F.slice(tk, p, k))).startswith("0")
+        ),
+    )
+    n_starts = F.size(starts)
+    chunk_structs = F.transform(
+        F.sequence(F.lit(1), n_starts),
+        lambda j: F.struct(
+            (F.when(j < n_starts, F.element_at(starts, (j + 1).cast("int")))
+             .otherwise(n + 1)
+             - F.element_at(starts, j.cast("int"))).alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    tk,
+                    F.element_at(starts, j.cast("int")),
+                    F.when(j < n_starts,
+                           F.element_at(starts, (j + 1).cast("int")))
+                    .otherwise(n + 1)
+                    - F.element_at(starts, j.cast("int")),
+                ),
+            ).alias("chunk_text"),
+        ),
+    )
+    base = df.filter(token_count(text_col) >= 1).select(
+        F.col(id_col), F.posexplode(chunk_structs).alias("pos", "c")
+    )
+    return base.select(
+        F.col(id_col),
+        (F.col("pos") + 1).cast("long").alias("chunk_idx"),
+        F.col("c.n_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.col("c.chunk_text")).alias("chunk_md5"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

@@ -1404,3 +1404,33 @@ def test_minhash_index_probe_equals_joint_run(spark, docs):
     finally:
         for t in ("mh_eq_test_bands", "mh_eq_test_shingles"):
             drop_table_and_location(spark, t)
+
+
+def test_cdc_chunks_tile_and_edit_locality(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        cdc_chunks,
+    )
+    base_text = " ".join(f"tok{i}" for i in range(200))
+    edited = "INSERTED " + base_text  # one token prepended
+    df = spark.createDataFrame(
+        [(1, base_text), (2, edited)], "doc_id long, text string"
+    )
+    out = cdc_chunks(df, k=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d in (1, 2):
+        rows = sorted(by_doc[d], key=lambda r: r["chunk_idx"])
+        # chunks tile the document exactly
+        assert sum(r["n_tokens"] for r in rows) == (200 if d == 1 else 201)
+        assert " ".join(r["chunk_text"] for r in rows) == (
+            base_text if d == 1 else edited
+        )
+        assert [r["chunk_idx"] for r in rows] == list(range(1, len(rows) + 1))
+    # EDIT LOCALITY: boundaries are content-local, so beyond the edited
+    # prefix the two docs share most chunk digests (fixed-size chunking
+    # would share none after a 1-token shift)
+    d1 = {r["chunk_md5"] for r in by_doc[1]}
+    d2 = {r["chunk_md5"] for r in by_doc[2]}
+    shared = len(d1 & d2)
+    assert shared >= max(1, len(d1) - 2)
