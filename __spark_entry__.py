@@ -4285,6 +4285,48 @@ FROM ch
 """
 
 
+def q_cdc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level duplication audit — the CDC complement of
+    substring_dedup: per document, how many of its content-defined chunks
+    (and what token mass) first appeared in an EARLIER document, by chunk
+    digest.  Catches shared passages at chunk granularity regardless of
+    position.  One window exchange keyed on the digest over the chunk
+    table, then a per-doc rollup — shuffle volume is chunk count, ~1/16
+    of token count."""
+    from pyspark.sql import Window as W
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        cdc_chunks,
+    )
+    chunks = cdc_chunks(_t(spark, sf_dir, "documents"), k=3)
+    w = W.partitionBy("chunk_md5")
+    owned = chunks.withColumn("owner", F.min("doc_id").over(w))
+    return owned.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("owner") < F.col("doc_id")).cast("long"))
+        .alias("n_dup_chunks"),
+        F.sum(F.when(F.col("owner") < F.col("doc_id"),
+                     F.col("n_tokens")).otherwise(0))
+        .cast("long").alias("dup_token_mass"),
+    )
+
+
+ORACLE_CDC_DEDUP_STATS = f"""
+WITH chunks AS ({ORACLE_CDC_CHUNKS}),
+owned AS (
+  SELECT doc_id, n_tokens,
+         MIN(doc_id) OVER (PARTITION BY chunk_md5) AS owner
+  FROM chunks
+)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_chunks,
+       CAST(SUM(CASE WHEN owner < doc_id THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS dup_token_mass
+FROM owned GROUP BY doc_id
+"""
+
+
 def q_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML-to-text cleaning (extensions/text.py:strip_markup): wrap each
     document in deterministic id-derived markup (tags + entities — the
@@ -5164,6 +5206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "markup_strip": q_markup_strip,
         "cdc_chunks": q_cdc_chunks,
+        "cdc_dedup_stats": q_cdc_dedup_stats,
         "sliding_window": q_sliding_window,
         "vocab_build": q_vocab_build,
         "oov_rate": q_oov_rate,
@@ -5290,6 +5333,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": ORACLE_PII_REDACT,
         "markup_strip": ORACLE_MARKUP_STRIP,
         "cdc_chunks": ORACLE_CDC_CHUNKS,
+        "cdc_dedup_stats": ORACLE_CDC_DEDUP_STATS,
         "sliding_window": ORACLE_SLIDING_WINDOW,
         "vocab_build": ORACLE_VOCAB_BUILD,
         "oov_rate": ORACLE_OOV_RATE,
