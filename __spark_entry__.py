@@ -1091,6 +1091,80 @@ FROM h
 """
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation in-engine: the lang-ID heuristic scored
+    against the corpus's labeled ``lang`` column as a confusion matrix —
+    (true_lang, detected_lang, n_docs) plus each cell's share of its true
+    class.  The eval-loop query any in-pipeline classifier needs; one
+    join-free pass (lang_id is a projection over the same rows) + one
+    agg + one keyed share window."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = lang_id(docs).select("doc_id", "detected_lang")
+    j = docs.select("doc_id", F.col("lang").alias("true_lang")).join(
+        pred, "doc_id"
+    )
+    counts = j.groupBy("true_lang", "detected_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = W.partitionBy("true_lang")
+    return counts.select(
+        "true_lang", "detected_lang", "n_docs",
+        (F.col("n_docs").cast("double")
+         / F.sum("n_docs").over(w).cast("double")).alias("class_share"),
+    )
+
+
+ORACLE_LANGID_CONFUSION = f"""
+WITH pred AS ({ORACLE_LANG_ID}),
+j AS (
+  SELECT d.lang AS true_lang, p.detected_lang
+  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+),
+counts AS (
+  SELECT true_lang, detected_lang, COUNT(*) AS n_docs
+  FROM j GROUP BY 1, 2
+)
+SELECT true_lang, detected_lang, n_docs,
+       CAST(n_docs AS DOUBLE)
+         / CAST(SUM(n_docs) OVER (PARTITION BY true_lang) AS DOUBLE)
+           AS class_share
+FROM counts
+"""
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality measurement for the dedup family — the MinHash twin
+    of ann_recall: per exact near-dup pair mass (word-3-gram Jaccard >=
+    0.5, from the persisted pair-graph machinery rerun at the probe
+    threshold), how much the banded MinHash candidate generator recovers.
+    ONE row: exact pairs, LSH-found pairs, recall — integer counts and
+    one exact division, composed from the two already-oracle-checked
+    operators."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        ngram_jaccard_pairs,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, k=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    lsh = minhash_lsh_pairs(docs, k=3, num_hashes=12, bands=4,
+                            threshold=0.5).select("id_a", "id_b")
+    hit = exact.join(lsh, ["id_a", "id_b"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_found")))
+        .select(
+            "n_exact", "n_found",
+            (F.col("n_found").cast("double")
+             / F.col("n_exact").cast("double")).alias("recall"),
+        )
+    )
+
+
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_t(spark, sf_dir, "documents"), k=5)
 
@@ -1197,6 +1271,31 @@ SELECT c.id_a, c.id_b, p.jaccard
 FROM cand c JOIN pair_j p ON c.id_a = p.id_a AND c.id_b = p.id_b
 WHERE p.jaccard >= 0.5
 """
+
+
+ORACLE_LSH_RECALL = f"""
+WITH {_DUCK_PAIR_JACCARD},
+exact_pairs AS (
+  SELECT id_a, id_b FROM pair_j WHERE jaccard >= 0.5
+),
+bands AS (
+  SELECT doc_id, unnest([{_DUCK_BANDS}]) AS band_key FROM sh
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+found AS (
+  SELECT e.id_a, e.id_b FROM exact_pairs e
+  JOIN cand c ON e.id_a = c.id_a AND e.id_b = c.id_b
+)
+SELECT (SELECT COUNT(*) FROM exact_pairs) AS n_exact,
+       (SELECT COUNT(*) FROM found) AS n_found,
+       CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM exact_pairs) AS DOUBLE) AS recall
+"""
+
 
 
 def q_minhash_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5146,6 +5245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "adaptive_quality_filter": q_adaptive_quality_filter,
         "lang_id": q_lang_id,
+        "langid_confusion": q_langid_confusion,
+        "lsh_recall": q_lsh_recall,
         "fingerprints": q_fingerprints,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
@@ -5273,6 +5374,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": ORACLE_QUALITY_SCORES,
         "adaptive_quality_filter": ORACLE_ADAPTIVE_QUALITY,
         "lang_id": ORACLE_LANG_ID,
+        "langid_confusion": ORACLE_LANGID_CONFUSION,
+        "lsh_recall": ORACLE_LSH_RECALL,
         "fingerprints": ORACLE_FINGERPRINTS,
         "exact_dedup": ORACLE_EXACT_DEDUP,
         "ngram_jaccard_dedup": ORACLE_NGRAM_JACCARD,
