@@ -1142,15 +1142,24 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE row: exact pairs, LSH-found pairs, recall — integer counts and
     one exact division, composed from the two already-oracle-checked
     operators."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.execution import (
+        materialize_once,
+    )
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
         ngram_jaccard_pairs,
     )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        shingled_arrays,
+    )
     docs = _t(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(docs, k=3, threshold=0.5).select(
+    # ONE shingle pass shared by the exact and the LSH side
+    base = materialize_once(shingled_arrays(docs, "text", "doc_id", 3))
+    exact = ngram_jaccard_pairs(docs, k=3, threshold=0.5,
+                                shingled=base).select("id_a", "id_b")
+    lsh = minhash_lsh_pairs(docs, k=3, num_hashes=12, bands=4,
+                            threshold=0.5, shingled=base).select(
         "id_a", "id_b"
     )
-    lsh = minhash_lsh_pairs(docs, k=3, num_hashes=12, bands=4,
-                            threshold=0.5).select("id_a", "id_b")
     hit = exact.join(lsh, ["id_a", "id_b"], "left_semi")
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))

@@ -79,7 +79,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.6,
                         prefix_filter: bool = True,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = None,
+                        shingled: DataFrame | None = None) -> DataFrame:
     """Exact word-k-gram Jaccard near-dup pairs above ``threshold``.
 
     With ``prefix_filter`` (default), applies PPJoin-style **prefix
@@ -122,8 +123,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
     # the shingled base feeds three plan branches (postings + both verify
     # sides); materialize it once or the tokenize/window/collect_set pass
-    # re-executes per branch (materialize_once(storage="disk") at 100 TB)
-    base = materialize_once(shingled_arrays(df, text_col, id_col, k))
+    # re-executes per branch (materialize_once(storage="disk") at 100 TB).
+    # Callers running several shingle consumers over the same corpus (e.g.
+    # lsh_recall) pass their own materialized base via ``shingled``.
+    base = (shingled if shingled is not None
+            else materialize_once(shingled_arrays(df, text_col, id_col, k)))
     posts = base.select(
         F.col(id_col), F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
@@ -512,7 +516,8 @@ def _minhash_band_keys(base: DataFrame, id_col: str, num_hashes: int,
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
                       num_hashes: int = 12, bands: int = 4,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      shingled: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs: LSH banding for candidates, exact Jaccard to verify.
 
     ``num_hashes / bands`` rows per band; two docs collide iff some band's
@@ -523,8 +528,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     """
     # one materialized shingle pass feeds signatures AND both verify sides
     # (exploding the stored arrays re-derives the distinct postings without
-    # a second tokenize/window pass)
-    base = materialize_once(shingled_arrays(df, text_col, id_col, k))
+    # a second tokenize/window pass); ``shingled`` lets callers share it
+    # across several consumers
+    base = (shingled if shingled is not None
+            else materialize_once(shingled_arrays(df, text_col, id_col, k)))
     band_keys = _minhash_band_keys(base, id_col, num_hashes, bands)
 
     ca = band_keys.select(F.col(id_col).alias("id_a"), "band_key")
