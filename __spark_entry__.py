@@ -3095,6 +3095,91 @@ LIMIT 20
 """
 
 
+NEXT_TOKEN_MIN_COUNT = 3
+
+
+def q_next_token_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram language model head: for every context token
+    seen >= 3 times, the argmax next token with its exact conditional
+    probability P(next | context) = n_pair / n_context_state — the
+    sanity-check LM (and n-gram-novelty baseline) a corpus pipeline keeps
+    beside its neural models.  All integer counts; ties break (count
+    desc, token asc); one explode + two aggs + one keyed ranking
+    window.  The denominator counts the context's appearances AS a
+    bigram left side (not raw unigram count — a document-final token
+    predicts nothing), so the probabilities per context sum to exactly
+    1."""
+    from pyspark.sql import Window as W
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        token_count,
+        tokens,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    tk = tokens("text")
+    bigram_arr = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 1),
+        lambda i: F.struct(
+            F.element_at(tk, i.cast("int")).alias("w1"),
+            F.element_at(tk, (i + 1).cast("int")).alias("w2"),
+        ),
+    )
+    pairs = (
+        docs.filter(token_count("text") >= 2)
+        .select(F.explode(bigram_arr).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    w = W.partitionBy("w1")
+    ranked = counts.select(
+        "w1", "w2", "n_pair",
+        F.sum("n_pair").over(w).alias("n_ctx"),
+        F.row_number().over(
+            w.orderBy(F.col("n_pair").desc(), F.col("w2").asc())
+        ).alias("rk"),
+    )
+    return (
+        ranked.filter((F.col("rk") == 1)
+                      & (F.col("n_ctx") >= NEXT_TOKEN_MIN_COUNT))
+        .select(
+            F.col("w1").alias("context"),
+            F.col("w2").alias("next_token"),
+            "n_pair", "n_ctx",
+            (F.col("n_pair").cast("double") / F.col("n_ctx").cast("double"))
+            .alias("p_next"),
+        )
+    )
+
+
+ORACLE_NEXT_TOKEN_MODEL = f"""
+WITH bigr AS (
+  SELECT list_extract(t, 1) AS w1, list_extract(t, 2) AS w2
+  FROM (
+    SELECT unnest(list_transform(range(1, len({DUCK_TOKS})),
+           i -> [({DUCK_TOKS})[i], ({DUCK_TOKS})[i+1]])) AS t
+    FROM documents
+    WHERE len({DUCK_TOKS}) >= 2
+  )
+),
+counts AS (
+  SELECT w1, w2, COUNT(*) AS n_pair FROM bigr GROUP BY 1, 2
+),
+ranked AS (
+  SELECT w1, w2, n_pair,
+         SUM(n_pair) OVER (PARTITION BY w1) AS n_ctx,
+         ROW_NUMBER() OVER (PARTITION BY w1
+                            ORDER BY n_pair DESC, w2 ASC) AS rk
+  FROM counts
+)
+SELECT w1 AS context, w2 AS next_token,
+       CAST(n_pair AS BIGINT) AS n_pair,
+       CAST(n_ctx AS BIGINT) AS n_ctx,
+       CAST(n_pair AS DOUBLE) / CAST(n_ctx AS DOUBLE) AS p_next
+FROM ranked
+WHERE rk = 1 AND n_ctx >= {NEXT_TOKEN_MIN_COUNT}
+"""
+
+
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf top terms per document (extensions/text.py:tfidf_top_terms):
     inverted-index aggregates, shuffle volume = distinct (doc, term) mass;
@@ -5287,6 +5372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "tfidf_terms": q_tfidf_terms,
         "collocations": q_collocations,
+        "next_token_model": q_next_token_model,
         "sequence_pack": q_sequence_pack,
         "bpe_sequence_pack": q_bpe_sequence_pack,
         "corpus_shuffle": q_corpus_shuffle,
@@ -5416,6 +5502,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_key": ORACLE_ZORDER_KEY,
         "tfidf_terms": ORACLE_TFIDF_TERMS,
         "collocations": ORACLE_COLLOCATIONS,
+        "next_token_model": ORACLE_NEXT_TOKEN_MODEL,
         "sequence_pack": ORACLE_SEQUENCE_PACK,
         "bpe_sequence_pack": ORACLE_BPE_SEQUENCE_PACK,
         "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
