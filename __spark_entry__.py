@@ -3116,19 +3116,22 @@ def q_next_token_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens,
     )
     docs = _t(spark, sf_dir, "documents")
-    tk = tokens("text")
-    bigram_arr = F.transform(
-        F.sequence(F.lit(1), F.size(tk) - 1),
-        lambda i: F.struct(
-            F.element_at(tk, i.cast("int")).alias("w1"),
-            F.element_at(tk, (i + 1).cast("int")).alias("w2"),
-        ),
-    )
-    pairs = (
+    # posexplode + lead, NOT an array-HOF over tokens(): Catalyst inlines
+    # the split() into every lambda element evaluation (the CollapseProject
+    # trap — measured O(n^2) per doc on cdc_chunks), while this form is one
+    # codegen'd window over the exploded token mass
+    toks = (
         docs.filter(token_count("text") >= 2)
-        .select(F.explode(bigram_arr).alias("b"))
-        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .select(F.col("doc_id"), F.posexplode(tokens("text"))
+                .alias("pos", "w1"))
     )
+    from pyspark.sql import Window as PW
+    pairs = toks.select(
+        "w1",
+        F.lead("w1").over(
+            PW.partitionBy("doc_id").orderBy("pos")
+        ).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
     counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
     w = W.partitionBy("w1")
     ranked = counts.select(
