@@ -1329,8 +1329,10 @@ def q_minhash_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 10 == 0)
     prefix = f"minhash_idx_{_sfx(sf_dir)}"
     mh_keys = {"bands": ["band_key"], "shingles": ["doc_id"]}
+    mh_props = {"kind": "minhash_index", "k": 3, "num_hashes": 12, "bands": 4}
     if not all(spark.catalog.tableExists(f"{prefix}_{t}")
-               or adopt_bucketed_table(spark, f"{prefix}_{t}", mh_keys[t])
+               or adopt_bucketed_table(spark, f"{prefix}_{t}", mh_keys[t],
+                                       props=mh_props)
                for t in MINHASH_INDEX_TABLES):
         corpus = docs.filter(F.col("doc_id") % 10 != 0)
         build_minhash_index(corpus, prefix, k=3, num_hashes=12, bands=4)
@@ -1609,8 +1611,11 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prefix = f"ivf_idx_{_sfx(sf_dir)}"
     ivf_keys = {"centroids": None, "lists": ["__list"]}
+    ivf_props = {"kind": "ivf_index", "n_lists": 16, "refine_iters": 2,
+                 "sample_size": 512}
     if not all(spark.catalog.tableExists(f"{prefix}_{t}")
-               or adopt_bucketed_table(spark, f"{prefix}_{t}", ivf_keys[t])
+               or adopt_bucketed_table(spark, f"{prefix}_{t}", ivf_keys[t],
+                                       props=ivf_props)
                for t in IVF_INDEX_TABLES):
         build_ivf_index_tables(emb, prefix, n_lists=16, refine_iters=2,
                                sample_size=512)
@@ -5043,8 +5048,11 @@ def _ngram_index_if_absent(spark: SparkSession, sf_dir: str) -> str:
     prefix = f"neardup_idx_{_sfx(sf_dir)}"
     idx_keys = {"prefix_postings": ["shingle"], "shingle_df": ["shingle"],
                 "doc_shingles": ["doc_id"]}
+    idx_props = {"kind": "ngram_index", "k": 3, "threshold": 0.6,
+                 "max_df": None}
     if not all(spark.catalog.tableExists(f"{prefix}_{t}")
-               or adopt_bucketed_table(spark, f"{prefix}_{t}", idx_keys[t])
+               or adopt_bucketed_table(spark, f"{prefix}_{t}", idx_keys[t],
+                                       props=idx_props)
                for t in NGRAM_INDEX_TABLES):
         corpus = _t(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 10 != 0
@@ -5293,8 +5301,10 @@ def q_bm25_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   sf_dir.rstrip("/").rsplit("/", 1)[-1])
     # keys per table: postings bucket on term; stats is a 1-row table
     bm25_keys = {"postings": ["term"], "stats": None}
+    bm25_props = {"kind": "bm25_index"}
     if not all(spark.catalog.tableExists(f"{prefix}_{t}")
-               or adopt_bucketed_table(spark, f"{prefix}_{t}", bm25_keys[t])
+               or adopt_bucketed_table(spark, f"{prefix}_{t}", bm25_keys[t],
+                                       props=bm25_props)
                for t in BM25_INDEX_TABLES):
         build_bm25_index(_t(spark, sf_dir, "documents"), prefix)
     return probe_bm25_index(spark, prefix, BM25_TERMS, k=BM25_K,

@@ -15,6 +15,7 @@
 from .dedup import (  # noqa: F401
     duplicated_ngram_stats,
     exact_dedup_keys,
+    minhash_hot_bands,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,

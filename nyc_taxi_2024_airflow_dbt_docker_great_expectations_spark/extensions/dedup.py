@@ -333,10 +333,16 @@ def build_ngram_index(corpus: DataFrame, table_prefix: str,
     from ..operators.layout import write_bucketed
 
     names = _index_table_names(table_prefix)
+    # the probe replays the build's tokenization and prefix theorem, so a
+    # probe under different hyperparameters is silently wrong (mostly-empty
+    # candidates, not an error): record them in the sidecar of every index
+    # table and have probe_ngram_index refuse a mismatch.
+    props = {"kind": "ngram_index", "k": k, "threshold": threshold,
+             "max_df": max_df}
     base = materialize_once(shingled_arrays(corpus, text_col, id_col, k))
     write_bucketed(
         base.select(id_col, F.size("shingles").alias("n_sh"), "shingles"),
-        names["doc_shingles"], [id_col], num_buckets,
+        names["doc_shingles"], [id_col], num_buckets, props=props,
     )
     posts = base.select(
         F.col(id_col), F.size("shingles").alias("n_sh"),
@@ -350,7 +356,7 @@ def build_ngram_index(corpus: DataFrame, table_prefix: str,
     ))
     write_bucketed(
         ranked.groupBy("shingle").agg(F.first("df_cnt").alias("df_cnt")),
-        names["shingle_df"], ["shingle"], num_buckets,
+        names["shingle_df"], ["shingle"], num_buckets, props=props,
     )
     if max_df is not None:
         ranked = ranked.filter(F.col("df_cnt") <= max_df)
@@ -363,7 +369,7 @@ def build_ngram_index(corpus: DataFrame, table_prefix: str,
         ranked.filter(F.col("rn") <= prefix_len).select(
             "shingle", id_col, "n_sh"
         ),
-        names["prefix_postings"], ["shingle"], num_buckets,
+        names["prefix_postings"], ["shingle"], num_buckets, props=props,
     )
     return names
 
@@ -386,9 +392,36 @@ def probe_ngram_index(new: DataFrame, table_prefix: str,
     ``ngram_jaccard_pairs_vs``.  ``k`` and ``max_df`` must match the
     build; ``threshold`` may exceed ``built_threshold`` (defaults to
     equal) but never undercut it.
+
+    The build parameters are validated against the ``_table_meta.json``
+    sidecar :func:`build_ngram_index` recorded: a probe whose ``k`` or
+    ``max_df`` differs from the build would return plausible-but-wrong
+    (mostly empty) candidate sets, so it raises instead.  The recorded
+    threshold also supplies ``built_threshold`` when the caller omits it.
     """
     from pyspark.sql import Window as W
 
+    from ..operators.layout import read_table_meta
+
+    spark = new.sparkSession
+    names = _index_table_names(table_prefix)
+    meta = read_table_meta(spark, names["prefix_postings"])
+    if meta is not None and meta.get("props"):
+        built = meta["props"]
+        for param, got in (("k", k), ("max_df", max_df)):
+            if built.get(param) != got:
+                raise ValueError(
+                    f"ngram index `{table_prefix}` was built with "
+                    f"{param}={built.get(param)!r}; probing with {got!r} "
+                    "would return wrong candidates — rebuild or match it"
+                )
+        if built_threshold is None:
+            built_threshold = built.get("threshold")
+        elif built_threshold != built.get("threshold"):
+            raise ValueError(
+                f"ngram index `{table_prefix}` was built at threshold "
+                f"{built.get('threshold')}, not {built_threshold}"
+            )
     if built_threshold is None:
         built_threshold = threshold
     if threshold < built_threshold:
@@ -396,8 +429,6 @@ def probe_ngram_index(new: DataFrame, table_prefix: str,
             f"index built at threshold {built_threshold}; probing at "
             f"{threshold} < that would lose recall — rebuild the index"
         )
-    spark = new.sparkSession
-    names = _index_table_names(table_prefix)
     postings = spark.table(names["prefix_postings"])
     shingle_df = spark.table(names["shingle_df"])
     doc_shingles = spark.table(names["doc_shingles"])
@@ -513,10 +544,32 @@ def _minhash_band_keys(base: DataFrame, id_col: str, num_hashes: int,
     ).select(F.col(id_col), F.explode("bands").alias("band_key"))
 
 
+def minhash_hot_bands(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      num_hashes: int = 12, bands: int = 4,
+                      max_bucket: int = 500,
+                      shingled: DataFrame | None = None) -> DataFrame:
+    """Audit companion to :func:`minhash_lsh_pairs`'s ``max_bucket`` cut:
+    the (band_key, bucket_n) rows the cap EXCLUDES from candidate
+    generation.  Empty means the cap changed nothing (the property the
+    default relies on at current scale); non-empty is the visible record
+    of what a web-scale run truncated — run it alongside any capped dedup
+    so truncation is never silent."""
+    base = (shingled if shingled is not None
+            else materialize_once(shingled_arrays(df, text_col, id_col, k)))
+    return (
+        _minhash_band_keys(base, id_col, num_hashes, bands)
+        .groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket)
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
                       num_hashes: int = 12, bands: int = 4,
                       threshold: float = 0.5,
+                      max_bucket: int | None = 500,
                       shingled: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs: LSH banding for candidates, exact Jaccard to verify.
 
@@ -525,7 +578,20 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     collision probability at J=0.5 is ~1-(1-0.125)^4 = 0.41 and rises steeply
     — tune (bands, rows) per corpus.  Candidates are then *verified* with the
     exact shingle Jaccard so the output has no false positives.
+
+    ``max_bucket`` bounds the band self-join: a band bucket of B documents
+    emits O(B^2) candidate rows, and a boilerplate-heavy web corpus grows
+    hot buckets whose quadratic blowup no verify step can recover from —
+    buckets larger than the cap are excluded from candidate generation
+    (the LSH analog of :func:`ngram_jaccard_pairs`' ``max_df`` index cut;
+    candidate volume is then <= ``max_bucket`` * band rows, linear).  Like
+    ``max_df`` it can lose recall — ONLY for pairs whose every colliding
+    band is hot, which at sane caps means near-duplicate boilerplate
+    clusters a dedup pass wants collapsed by exact-dedup anyway.  Audit
+    what a cap excluded with :func:`minhash_hot_bands`; ``None`` disables.
     """
+    from pyspark.sql import Window
+
     # one materialized shingle pass feeds signatures AND both verify sides
     # (exploding the stored arrays re-derives the distinct postings without
     # a second tokenize/window pass); ``shingled`` lets callers share it
@@ -533,6 +599,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     base = (shingled if shingled is not None
             else materialize_once(shingled_arrays(df, text_col, id_col, k)))
     band_keys = _minhash_band_keys(base, id_col, num_hashes, bands)
+    if max_bucket is not None:
+        # bucket sizes via a window on the SAME key the self-join shuffles
+        # on: one exchange, reused by both join sides
+        band_keys = band_keys.withColumn(
+            "__bucket_n",
+            F.count(F.lit(1)).over(Window.partitionBy("band_key")),
+        ).filter(F.col("__bucket_n") <= max_bucket).drop("__bucket_n")
 
     ca = band_keys.select(F.col(id_col).alias("id_a"), "band_key")
     cb = band_keys.select(F.col(id_col).alias("id_b"), "band_key")
@@ -731,14 +804,19 @@ def build_minhash_index(corpus: DataFrame, table_prefix: str,
     from ..operators.layout import write_bucketed
 
     names = _minhash_table_names(table_prefix)
+    # band keys are scheme-dependent (k, num_hashes, bands): a probe under
+    # a different scheme joins disjoint key spaces and silently finds
+    # nothing — record the scheme so probe_minhash_index can refuse it
+    props = {"kind": "minhash_index", "k": k, "num_hashes": num_hashes,
+             "bands": bands}
     base = materialize_once(shingled_arrays(corpus, text_col, id_col, k))
     write_bucketed(
         _minhash_band_keys(base, id_col, num_hashes, bands),
-        names["bands"], ["band_key"], num_buckets,
+        names["bands"], ["band_key"], num_buckets, props=props,
     )
     write_bucketed(
         base.select(id_col, "shingles"), names["shingles"], [id_col],
-        num_buckets,
+        num_buckets, props=props,
     )
     return names
 
@@ -753,11 +831,26 @@ def probe_minhash_index(new: DataFrame, table_prefix: str,
     re-read, candidates restricted to the batch's band keys (a
     bucket-local lookup on the persisted band table).  ``k``,
     ``num_hashes``, ``bands`` must match the build (band keys are
-    per-document but scheme-dependent).  Identical semantics to running
-    ``minhash_lsh_pairs`` over (batch UNION corpus) and keeping the
-    cross-side pairs."""
+    per-document but scheme-dependent) — validated against the
+    ``_table_meta.json`` sidecar the build recorded; a mismatch raises
+    instead of silently returning an empty candidate set.  Identical
+    semantics to running ``minhash_lsh_pairs`` over (batch UNION corpus)
+    and keeping the cross-side pairs."""
+    from ..operators.layout import read_table_meta
+
     spark = new.sparkSession
     names = _minhash_table_names(table_prefix)
+    meta = read_table_meta(spark, names["bands"])
+    if meta is not None and meta.get("props"):
+        built = meta["props"]
+        for param, got in (("k", k), ("num_hashes", num_hashes),
+                           ("bands", bands)):
+            if built.get(param) != got:
+                raise ValueError(
+                    f"minhash index `{table_prefix}` was built with "
+                    f"{param}={built.get(param)!r}; probing with {got!r} "
+                    "joins a disjoint band-key space — rebuild or match it"
+                )
     corpus_bands = spark.table(names["bands"])
     corpus_shingles = spark.table(names["shingles"])
 

@@ -128,9 +128,13 @@ def build_bm25_index(corpus: DataFrame, table_prefix: str,
     incremental-materialization pattern as the n-gram near-dup index
     (extensions/dedup.py:build_ngram_index).
     """
-    from ..operators.layout import write_bucketed
+    from ..operators.layout import write_bucketed, write_unbucketed
 
     names = _bm25_table_names(table_prefix)
+    # k1/b are PROBE-time score parameters (the index stores only tf/dl/df
+    # inputs), so no scheme needs recording beyond the kind — the sidecar
+    # still guards adoption against a mismatched bucket spec
+    props = {"kind": "bm25_index"}
     toks = corpus.select(
         F.col(id_col).alias("id"),
         token_count(text_col).cast("long").alias("dl"),
@@ -141,19 +145,15 @@ def build_bm25_index(corpus: DataFrame, table_prefix: str,
         toks.filter(F.col("term").isNotNull())
         .groupBy("term", "id", "dl")
         .agg(F.count(F.lit(1)).alias("tf")),
-        names["postings"], ["term"], num_buckets,
+        names["postings"], ["term"], num_buckets, props=props,
     )
     stats = corpus.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(text_col).cast("long")).alias("sum_dl"),
     )
-    # 1-row table: no bucketing, but the stale-location cleanup still
-    # applies (a fresh session against an existing warehouse dir would
-    # otherwise die with LOCATION_ALREADY_EXISTS)
-    from ..operators.layout import drop_table_and_location
-
-    drop_table_and_location(corpus.sparkSession, names["stats"])
-    stats.write.mode("overwrite").saveAsTable(names["stats"])
+    # 1-row table: no bucketing, but the stale-location cleanup + meta
+    # sidecar still apply (write_unbucketed handles both)
+    write_unbucketed(stats, names["stats"], props=props)
     return names
 
 

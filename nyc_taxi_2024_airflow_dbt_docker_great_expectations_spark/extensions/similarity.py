@@ -1043,20 +1043,27 @@ def build_ivf_index_tables(corpus: DataFrame, table_prefix: str,
     only its probed lists' buckets and never touches the raw corpus.
     Same determinism as the in-flight index (:func:`_ivf_index`), so
     probe-from-table results are identical to the direct form."""
-    from ..operators.layout import drop_table_and_location, write_bucketed
+    from ..operators.layout import write_bucketed, write_unbucketed
 
     spark = corpus.sparkSession
     names = _ivf_table_names(table_prefix)
     id_t = corpus.schema[id_col].dataType.simpleString()
+    # recorded for probe-side validation/audit: a probe only needs the
+    # persisted centroids (scheme-independent), but n_lists bounds n_probe
+    props = {"kind": "ivf_index", "n_lists": n_lists,
+             "refine_iters": refine_iters, "sample_size": sample_size}
     cent_local, assign = _ivf_index(
         corpus, n_lists, refine_iters, sample_size, id_col, vec_col
     )
-    drop_table_and_location(spark, names["centroids"])
-    spark.createDataFrame(
-        [(c, list(v)) for c, v in cent_local],
-        f"__cid {id_t}, __cvec array<double>",
-    ).write.mode("overwrite").saveAsTable(names["centroids"])
-    write_bucketed(assign, names["lists"], ["__list"], num_buckets)
+    write_unbucketed(
+        spark.createDataFrame(
+            [(c, list(v)) for c, v in cent_local],
+            f"__cid {id_t}, __cvec array<double>",
+        ),
+        names["centroids"], props=props,
+    )
+    write_bucketed(assign, names["lists"], ["__list"], num_buckets,
+                   props=props)
     return names
 
 

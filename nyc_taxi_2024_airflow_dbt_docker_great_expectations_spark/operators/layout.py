@@ -19,7 +19,16 @@ deployment lives or dies by them):
 
 from __future__ import annotations
 
+import json
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
+
+#: sidecar carrying the physical layout a table was ACTUALLY written with
+#: (bucket keys/count/sort) plus caller-supplied build parameters (index
+#: hyperparameters).  Lives next to ``_SUCCESS`` so it commits and survives
+#: with the data files themselves.
+TABLE_META_FILE = "_table_meta.json"
 
 
 def drop_table_and_location(spark, table: str) -> None:
@@ -47,16 +56,43 @@ def drop_table_and_location(spark, table: str) -> None:
 
 def write_bucketed(df: DataFrame, table: str, keys: list[str],
                    num_buckets: int = 8,
-                   sort_by: list[str] | None = None) -> None:
+                   sort_by: list[str] | None = None,
+                   props: dict | None = None) -> None:
     """Persist as a bucketed (and optionally sorted) managed table.
     Requires a catalog (saveAsTable); path-only parquet cannot record bucket
-    metadata."""
+    metadata.
+
+    Writes a ``_table_meta.json`` sidecar recording the bucket spec the
+    files were ACTUALLY written with plus ``props`` (caller build
+    parameters, e.g. index hyperparameters) — the source of truth
+    :func:`adopt_bucketed_table` validates against, so a later adoption
+    can never declare false bucketing on surviving files.
+    """
     spark = df.sparkSession
     drop_table_and_location(spark, table)
     w = df.write.mode("overwrite").bucketBy(num_buckets, *keys)
     if sort_by:
         w = w.sortBy(*sort_by)
     w.saveAsTable(table)
+    write_table_meta(spark, table, {
+        "keys": list(keys),
+        "num_buckets": num_buckets,
+        "sort_by": list(sort_by or []),
+        "props": props or {},
+    })
+
+
+def write_unbucketed(df: DataFrame, table: str,
+                     props: dict | None = None) -> None:
+    """Persist a small (metadata-sized: stats rows, centroids) managed
+    table with the same stale-location cleanup and meta sidecar as
+    :func:`write_bucketed`, just without a bucket spec."""
+    spark = df.sparkSession
+    drop_table_and_location(spark, table)
+    df.write.mode("overwrite").saveAsTable(table)
+    write_table_meta(spark, table, {
+        "keys": [], "num_buckets": 0, "sort_by": [], "props": props or {},
+    })
 
 
 def _warehouse_location(spark, table: str) -> str:
@@ -64,8 +100,42 @@ def _warehouse_location(spark, table: str) -> str:
             + "/" + table.lower())
 
 
+def write_table_meta(spark, table: str, meta: dict) -> None:
+    """Write the layout sidecar through the Hadoop FS API (works on any
+    warehouse filesystem, not just local disk)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(
+        _warehouse_location(spark, table) + "/" + TABLE_META_FILE
+    )
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(meta, sort_keys=True).encode()))
+    finally:
+        out.close()
+
+
+def read_table_meta(spark, table: str) -> dict | None:
+    """Read the layout sidecar for a (possibly not-yet-adopted) managed
+    table's warehouse location; None when absent (pre-sidecar writes)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(
+        _warehouse_location(spark, table) + "/" + TABLE_META_FILE
+    )
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(txt)
+
+
 def adopt_bucketed_table(spark, table: str, keys: list[str] | None = None,
-                         num_buckets: int = 8) -> bool:
+                         num_buckets: int = 8,
+                         props: dict | None = None) -> bool:
     """Re-register a previously-written managed table whose files survived
     in the warehouse directory but whose catalog entry died with the
     session (the default in-memory catalog forgets tables on exit; a Hive
@@ -77,9 +147,16 @@ def adopt_bucketed_table(spark, table: str, keys: list[str] | None = None,
     value-identical to rebuilding — this is what turns "build-once" from
     per-session to per-warehouse.  Adoption requires the committed-write
     marker (``_SUCCESS``); a partial dir from a crashed write is ignored
-    (and later cleaned by ``drop_table_and_location``).  The CREATE TABLE
-    replays the bucket spec, so bucket-pruned scans and shuffle-free
-    joins still apply to the adopted files.  Returns True on adoption.
+    (and later cleaned by ``drop_table_and_location``).
+
+    The CREATE TABLE replays the bucket spec FROM THE SIDECAR the write
+    recorded, never from the caller's expectation: declaring a spec the
+    files weren't written with would make Spark silently skip shuffles in
+    bucketed joins and return wrong rows.  ``keys``/``num_buckets``/
+    ``props`` are the caller's expectation — any mismatch with the sidecar
+    (including a missing sidecar when bucketing is expected) refuses
+    adoption and returns False, so :func:`table_if_absent` falls through
+    to a clean rebuild under the new spec.  Returns True on adoption.
     """
     loc = _warehouse_location(spark, table)
     jvm = spark._jvm
@@ -88,13 +165,47 @@ def adopt_bucketed_table(spark, table: str, keys: list[str] | None = None,
     marker = jvm.org.apache.hadoop.fs.Path(loc + "/_SUCCESS")
     if not fs.exists(p) or not fs.exists(marker):
         return False
+    meta = read_table_meta(spark, table)
+    if meta is None:
+        if keys:
+            warnings.warn(
+                f"refusing to adopt `{table}`: bucketing on {keys} expected "
+                f"but no {TABLE_META_FILE} records how the files were "
+                "written — rebuilding instead",
+                stacklevel=2,
+            )
+            return False
+        meta = {"keys": [], "num_buckets": 0, "sort_by": [], "props": {}}
+    expected = {"keys": list(keys or []),
+                "num_buckets": num_buckets if keys else meta["num_buckets"]}
+    actual = {"keys": meta["keys"], "num_buckets": meta["num_buckets"]}
+    if keys is not None and expected != actual:
+        warnings.warn(
+            f"refusing to adopt `{table}`: caller expects bucket spec "
+            f"{expected}, files were written with {actual} — rebuilding",
+            stacklevel=2,
+        )
+        return False
+    if props is not None and props != meta.get("props", {}):
+        warnings.warn(
+            f"refusing to adopt `{table}`: caller expects build params "
+            f"{props}, files were built with {meta.get('props')} — "
+            "rebuilding",
+            stacklevel=2,
+        )
+        return False
     schema = spark.read.parquet(loc).schema
     cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                      for f in schema.fields)
     cluster = ""
-    if keys:
-        key_list = ", ".join(f"`{k}`" for k in keys)
-        cluster = f" CLUSTERED BY ({key_list}) INTO {num_buckets} BUCKETS"
+    if meta["keys"]:
+        key_list = ", ".join(f"`{k}`" for k in meta["keys"])
+        sort = ""
+        if meta.get("sort_by"):
+            sort_list = ", ".join(f"`{k}`" for k in meta["sort_by"])
+            sort = f" SORTED BY ({sort_list})"
+        cluster = (f" CLUSTERED BY ({key_list}){sort} "
+                   f"INTO {meta['num_buckets']} BUCKETS")
     spark.sql(
         f"CREATE TABLE `{table}` ({cols}) USING PARQUET{cluster} "
         f"LOCATION '{loc}'"
@@ -104,7 +215,8 @@ def adopt_bucketed_table(spark, table: str, keys: list[str] | None = None,
 
 def table_if_absent(spark, table: str, build, keys: list[str],
                     num_buckets: int = 8,
-                    sort_by: list[str] | None = None) -> DataFrame:
+                    sort_by: list[str] | None = None,
+                    props: dict | None = None) -> DataFrame:
     """Build-once / read-many materialization: if ``table`` is not in the
     catalog, evaluate ``build()`` (a thunk returning a DataFrame) and
     persist it bucketed on ``keys``; either way return the table scan.
@@ -118,8 +230,8 @@ def table_if_absent(spark, table: str, build, keys: list[str],
     query triggered it.
     """
     if not spark.catalog.tableExists(table):
-        if not adopt_bucketed_table(spark, table, keys, num_buckets):
-            write_bucketed(build(), table, keys, num_buckets, sort_by)
+        if not adopt_bucketed_table(spark, table, keys, num_buckets, props):
+            write_bucketed(build(), table, keys, num_buckets, sort_by, props)
     return spark.table(table)
 
 

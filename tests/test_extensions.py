@@ -1434,3 +1434,91 @@ def test_cdc_chunks_tile_and_edit_locality(spark):
     d2 = {r["chunk_md5"] for r in by_doc[2]}
     shared = len(d1 & d2)
     assert shared >= max(1, len(d1) - 2)
+
+
+def test_minhash_max_bucket_caps_hot_band(spark, docs):
+    """The band self-join must be bounded: a synthetic hot band (many
+    near-identical boilerplate docs) produces O(B^2) candidates uncapped;
+    with max_bucket it is excluded from candidate generation, the audit
+    reports it, and pairs outside the hot cluster are untouched."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        minhash_hot_bands,
+        minhash_lsh_pairs,
+    )
+
+    boiler = " ".join(f"boiler tok{i} filler" for i in range(20))
+    hot = spark.createDataFrame(
+        [(1000 + i, boiler) for i in range(40)], "doc_id long, text string"
+    )
+    both = docs.select("doc_id", "text").unionByName(hot)
+
+    # an inert cap (> any bucket) equals the uncapped result exactly
+    uncapped = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(
+        both, k=3, threshold=0.5, max_bucket=None).collect()}
+    inert = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(
+        both, k=3, threshold=0.5, max_bucket=1000).collect()}
+    assert inert == uncapped
+    hot_pairs = {(a, b) for a, b in uncapped if a >= 1000 and b >= 1000}
+    assert len(hot_pairs) == 40 * 39 // 2  # the quadratic cluster
+
+    # a cap below the hot-bucket size drops ONLY hot-cluster candidates
+    capped = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(
+        both, k=3, threshold=0.5, max_bucket=10).collect()}
+    assert capped == uncapped - hot_pairs
+
+    # ...and the audit surfaces exactly what was truncated
+    audit = minhash_hot_bands(both, k=3, max_bucket=10).collect()
+    assert len(audit) > 0 and all(r["bucket_n"] == 40 for r in audit)
+    assert minhash_hot_bands(both, k=3, max_bucket=1000).count() == 0
+
+
+def test_index_probe_rejects_mismatched_hyperparams(spark, docs):
+    """A probe under different hyperparameters than the build silently
+    returns plausible-but-wrong (mostly empty) candidates; the persisted
+    _table_meta.json sidecar must turn that into a loud error."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        build_minhash_index,
+        build_ngram_index,
+        probe_minhash_index,
+        probe_ngram_index,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.layout import (
+        drop_table_and_location,
+    )
+
+    new = docs.filter(F.col("doc_id") % 2 == 0)
+    corpus = docs.filter(F.col("doc_id") % 2 != 0)
+    try:
+        build_minhash_index(corpus, "mh_meta_test", k=3, num_hashes=12,
+                            bands=4)
+        for bad in (dict(k=4), dict(num_hashes=8), dict(bands=6)):
+            kw = dict(k=3, num_hashes=12, bands=4, threshold=0.5) | bad
+            with pytest.raises(ValueError, match="was built with"):
+                probe_minhash_index(new, "mh_meta_test", **kw).collect()
+        # matching params still probe fine
+        probe_minhash_index(new, "mh_meta_test", k=3, num_hashes=12,
+                            bands=4, threshold=0.5).count()
+
+        build_ngram_index(corpus, "ng_meta_test", k=3, threshold=0.6)
+        with pytest.raises(ValueError, match="was built with"):
+            probe_ngram_index(new, "ng_meta_test", k=4,
+                              threshold=0.6).collect()
+        with pytest.raises(ValueError, match="was built with"):
+            probe_ngram_index(new, "ng_meta_test", k=3, threshold=0.6,
+                              max_df=100).collect()
+        # the recorded threshold is the floor even when the caller does
+        # not pass built_threshold
+        with pytest.raises(ValueError, match="lose recall"):
+            probe_ngram_index(new, "ng_meta_test", k=3,
+                              threshold=0.5).collect()
+        probe_ngram_index(new, "ng_meta_test", k=3, threshold=0.7).count()
+    finally:
+        for t in ("mh_meta_test_bands", "mh_meta_test_shingles",
+                  "ng_meta_test_prefix_postings", "ng_meta_test_shingle_df",
+                  "ng_meta_test_doc_shingles"):
+            drop_table_and_location(spark, t)

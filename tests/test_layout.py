@@ -143,3 +143,92 @@ def test_adopt_bucketed_table_recovers_files(spark, tmp_path):
     assert not adopt_bucketed_table(spark, "adopt_partial", ["k"])
     for t in ("adopt_src", "adopt_dst", "adopt_partial"):
         drop_table_and_location(spark, t)
+
+
+def test_adoption_validates_bucket_spec_and_props(spark):
+    """Adoption must never declare a bucket spec (or build params) the
+    files weren't written with — a false spec makes Spark silently skip
+    shuffles in bucketed joins and return wrong rows."""
+    import warnings
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.layout import (
+        adopt_bucketed_table,
+        drop_table_and_location,
+        read_table_meta,
+        write_bucketed,
+        write_unbucketed,
+    )
+
+    import os
+    import shutil
+
+    df = spark.createDataFrame([(i, i % 7) for i in range(100)],
+                               "k long, g long")
+    props = {"kind": "t_index", "k": 3}
+    write_bucketed(df, "meta_src", ["k"], num_buckets=4, sort_by=["g"],
+                   props=props)
+    meta = read_table_meta(spark, "meta_src")
+    assert meta == {"keys": ["k"], "num_buckets": 4, "sort_by": ["g"],
+                    "props": props}
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+
+    def orphan(name: str) -> None:
+        # simulate a catalog that forgot the table but kept the files
+        # (DROP TABLE on a managed table would purge the location)
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.copytree(os.path.join(wh, "meta_src"), os.path.join(wh, name))
+
+    orphan("meta_tbl")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no warning on the happy path
+        assert adopt_bucketed_table(spark, "meta_tbl", ["k"], 4, props=props)
+    ddl = spark.sql("SHOW CREATE TABLE meta_tbl").first()[0]
+    assert "CLUSTERED BY" in ddl and "4 BUCKETS" in ddl and "SORTED BY" in ddl
+    spark.sql("DROP TABLE meta_tbl")
+
+    # wrong keys / bucket count / props are each refused (-> rebuild path)
+    for bad in (
+        dict(keys=["g"], num_buckets=4, props=props),
+        dict(keys=["k"], num_buckets=8, props=props),
+        dict(keys=["k"], num_buckets=4, props={"kind": "t_index", "k": 5}),
+    ):
+        orphan("meta_tbl")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            assert not adopt_bucketed_table(spark, "meta_tbl", **bad)
+        assert any("refusing to adopt" in str(x.message) for x in w)
+
+    # caller passing no expectation adopts under the RECORDED spec
+    orphan("meta_tbl")
+    assert adopt_bucketed_table(spark, "meta_tbl")
+    ddl = spark.sql("SHOW CREATE TABLE meta_tbl").first()[0]
+    assert "CLUSTERED BY" in ddl and "4 BUCKETS" in ddl
+    drop_table_and_location(spark, "meta_tbl")
+    drop_table_and_location(spark, "meta_src")
+
+    # a meta-less dir (legacy write) refuses adoption when bucketing is
+    # expected, but adopts as a plain table when it is not
+    drop_table_and_location(spark, "meta_less")
+    df.write.saveAsTable("meta_less_src")
+    shutil.copytree(os.path.join(wh, "meta_less_src"),
+                    os.path.join(wh, "meta_less"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert not adopt_bucketed_table(spark, "meta_less", ["k"], 4)
+    assert any("refusing to adopt" in str(x.message) for x in w)
+    assert adopt_bucketed_table(spark, "meta_less")
+    assert spark.table("meta_less").count() == 100
+    drop_table_and_location(spark, "meta_less")
+    drop_table_and_location(spark, "meta_less_src")
+
+    # write_unbucketed records an empty spec + props
+    write_unbucketed(df.limit(1), "meta_small", props={"kind": "stats"})
+    assert read_table_meta(spark, "meta_small")["props"] == {"kind": "stats"}
+    shutil.copytree(os.path.join(wh, "meta_small"),
+                    os.path.join(wh, "meta_small2"))
+    assert adopt_bucketed_table(spark, "meta_small2",
+                                props={"kind": "stats"})
+    assert spark.table("meta_small2").count() == 1
+    drop_table_and_location(spark, "meta_small")
+    drop_table_and_location(spark, "meta_small2")
