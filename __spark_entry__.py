@@ -5277,6 +5277,45 @@ FROM o GROUP BY doc_id
 """
 
 
+def q_substring_dedup_dfcut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup audit under the gram-skew guard
+    (duplicated_ngram_stats max_df): grams in more than 3 documents are
+    stop-gram mass carrying no dedup signal and are excluded from both
+    counts — the df rides the SAME gram-keyed window exchange, so the
+    guard is free.  At web scale this caps the posting list any single
+    window task buffers; at sf0.01 the cut excludes the few df>3 grams,
+    so this exercises a genuinely different result than substring_dedup."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        duplicated_ngram_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_ngram_stats(docs, n=SUBSTR_N, max_df=SUBSTR_MAX_DF)
+
+
+SUBSTR_MAX_DF = 3
+
+ORACLE_SUBSTRING_DEDUP_DFCUT = f"""
+WITH g AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES_N}) AS gram FROM documents
+  WHERE len({DUCK_TOKS}) >= {SUBSTR_N}
+),
+o AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY gram) AS owner,
+         COUNT(*) OVER (PARTITION BY gram) AS df_cnt
+  FROM g
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_grams,
+       CAST(SUM(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
+FROM o WHERE df_cnt <= {SUBSTR_MAX_DF} GROUP BY doc_id
+"""
+
+
 def q_bm25_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 against the PERSISTED inverted index (extensions/search.py:
     build_bm25_index / probe_bm25_index): the corpus tokenizes once into
@@ -5431,6 +5470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "mixture_sample": q_mixture_sample,
         "substring_dedup": q_substring_dedup,
+        "substring_dedup_dfcut": q_substring_dedup_dfcut,
         "semantic_dedup": q_semantic_dedup,
         "pagerank": q_pagerank,
         "bpe_train": q_bpe_train,
@@ -5561,6 +5601,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": ORACLE_BM25_SEARCH,
         "mixture_sample": ORACLE_MIXTURE_SAMPLE,
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
+        "substring_dedup_dfcut": ORACLE_SUBSTRING_DEDUP_DFCUT,
         "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
         "pagerank": ORACLE_PAGERANK,
         "bpe_train": ORACLE_BPE_TRAIN,

@@ -736,7 +736,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def duplicated_ngram_stats(df: DataFrame, n: int = 5,
                            text_col: str = "text",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           max_df: int | None = None) -> DataFrame:
     """Exact duplicated-substring audit (Lee et al., "Deduplicating
     Training Data Makes Language Models Better", ACL '22): for every
     document, how much of it is verbatim repetition of EARLIER corpus
@@ -756,8 +757,20 @@ def duplicated_ngram_stats(df: DataFrame, n: int = 5,
     (collision-checked), cutting exchange bytes ~10x — the string form
     here keeps the operator SQL-oracle-checkable.
 
+    ``max_df`` is the gram-skew guard: the gram-keyed window buffers each
+    gram's full posting list in one task, so stop-gram-grade n-grams (df
+    in the millions on a web corpus) concentrate linear-but-hot mass on
+    single keys.  Grams in more than ``max_df`` documents are excluded
+    from BOTH counts — consistent with the Lee et al. method, where a
+    gram shared by everything carries no dedup signal (it would mark all
+    late documents "duplicated" by ubiquitous phrases).  The df count
+    rides the SAME window exchange as the min-owner, so the guard costs
+    no extra shuffle; when no gram exceeds the cut the output is
+    IDENTICAL (pytest-asserted).
+
     Documents with fewer than ``n`` tokens have no n-grams and are
-    absent from the output.  Returns ``(id_col, n_grams, n_dup_grams,
+    absent from the output (as are documents whose every gram exceeds
+    ``max_df``).  Returns ``(id_col, n_grams, n_dup_grams,
     dup_fraction)``.
     """
     from pyspark.sql import Window
@@ -767,6 +780,10 @@ def duplicated_ngram_stats(df: DataFrame, n: int = 5,
     )
     w = Window.partitionBy("gram")
     owned = grams.withColumn("owner", F.min(id_col).over(w))
+    if max_df is not None:
+        owned = owned.withColumn(
+            "__df", F.count(F.lit(1)).over(w)
+        ).filter(F.col("__df") <= max_df).drop("__df")
     return owned.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.sum((F.col("owner") < F.col(id_col)).cast("long")).alias(

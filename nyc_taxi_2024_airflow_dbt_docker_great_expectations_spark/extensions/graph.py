@@ -184,7 +184,7 @@ def incremental_components(labels: DataFrame, new_edges: DataFrame,
                            src: str = "id_a", dst: str = "id_b",
                            max_iter: int = 20,
                            strict: bool = False,
-                           driver_max_edges: int = 1_000_000) -> DataFrame:
+                           driver_max_edges: int = 200_000) -> DataFrame:
     """Merge a batch of NEW edges into persisted component labels without
     re-discovering (or even reading) the corpus's own edge set — the
     incremental form of :func:`connected_components` a growing 100 TB
@@ -242,12 +242,20 @@ def incremental_components(labels: DataFrame, new_edges: DataFrame,
     # (same class as the prefix-sum's O(partitions) collect) instead of
     # paying ~10 Spark jobs of star-contraction fixed cost.  Above the
     # driver threshold, fall back to the distributed contraction.
+    # Driver memory stays bounded: rows stream in via toLocalIterator
+    # (never a monolithic collect of Row objects) and are held as bare
+    # 2-tuples; the iteration aborts the moment the threshold is crossed,
+    # so the fallback path materializes at most driver_max_edges+1 tuples
+    # — at the 200k default ~tens of MB, not hundreds.
     id_t = remapped.schema["ca"].dataType.simpleString()
-    edge_rows = None
+    edge_rows: list | None = None
     if driver_max_edges > 0:
-        head = remapped.limit(driver_max_edges + 1).collect()
-        if len(head) <= driver_max_edges:
-            edge_rows = head
+        edge_rows = []
+        for row in remapped.limit(driver_max_edges + 1).toLocalIterator():
+            edge_rows.append((row[0], row[1]))
+            if len(edge_rows) > driver_max_edges:
+                edge_rows = None
+                break
     if edge_rows is not None:
         parent: dict = {}
 
@@ -260,7 +268,7 @@ def incremental_components(labels: DataFrame, new_edges: DataFrame,
             return r
 
         for row in edge_rows:
-            ra, rb = find(row["ca"]), find(row["cb"])
+            ra, rb = find(row[0]), find(row[1])
             if ra != rb:
                 # union by MIN: roots stay the set minimum, so the final
                 # root IS the merged component's label

@@ -654,9 +654,9 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
 
     Entirely narrow (tokenize, integer arithmetic, explode, array slice —
     all JVM expressions): chunking 100 TB is a map-only job.  Chunk-count
-    ceil uses ``floor((a+b-1)/b)`` on PER-DOCUMENT magnitudes (exact below
-    2^53 — unlike packing's global offsets, a single document's token count
-    never approaches it), identical in the SQL oracle.  Documents with zero
+    ceil is TRUE 64-bit integer division (``div``, like packing.py's
+    global offsets) — ``1 + (n - chunk + step - 1) div step`` — exact at
+    any token count, never a double round-trip.  Documents with zero
     tokens yield no rows.
     """
     if not 0 <= overlap < chunk_tokens:
@@ -666,18 +666,15 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
     step = chunk_tokens - overlap
     toks = tokens(text_col)
     n = token_count(text_col).cast("long")
-    # integer ceil: 1 + floor((n - chunk + step - 1) / step).  The '/' is
-    # DOUBLE division under F.floor, so the result is exact only while the
-    # numerator stays below 2^53 — a per-DOCUMENT token count, which never
-    # gets near it (unlike packing.py's global offsets, which use true
-    # integer div for exactly this reason).
-    n_chunks = F.when(n <= chunk_tokens, F.lit(1).cast("long")).otherwise(
-        F.lit(1) + F.floor((n - chunk_tokens + step - 1) / F.lit(step))
-    )
     base = df.select(
         F.col(id_col), toks.alias("__toks"), n.alias("__n"),
-        n_chunks.alias("__nc"),
-    ).filter(F.col("__n") > 0)
+    ).filter(F.col("__n") > 0).withColumn(
+        "__nc",
+        F.when(F.col("__n") <= chunk_tokens, F.lit(1).cast("long")).otherwise(
+            F.lit(1)
+            + F.expr(f"(__n - {chunk_tokens} + {step} - 1) div {step}")
+        ),
+    )
     start = F.col("chunk_id") * step
     clen = F.least(F.lit(chunk_tokens).cast("long"), F.col("__n") - start)
     return base.select(

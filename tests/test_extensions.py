@@ -1522,3 +1522,25 @@ def test_index_probe_rejects_mismatched_hyperparams(spark, docs):
                   "ng_meta_test_prefix_postings", "ng_meta_test_shingle_df",
                   "ng_meta_test_doc_shingles"):
             drop_table_and_location(spark, t)
+
+
+def test_duplicated_ngram_stats_dfcut(spark, docs):
+    """When no gram exceeds the cut the guarded result is IDENTICAL; a
+    biting cut only removes stop-gram mass from both counts, never adds."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        duplicated_ngram_stats,
+    )
+
+    base = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+            for r in duplicated_ngram_stats(docs, n=3).collect()}
+    assert len(base) > 0
+    # every gram here appears in at most len(docs) documents
+    safe = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+            for r in duplicated_ngram_stats(docs, n=3,
+                                            max_df=10_000).collect()}
+    assert safe == base
+    cut = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+           for r in duplicated_ngram_stats(docs, n=3, max_df=1).collect()}
+    # df=1 keeps only singleton grams: nothing can be duplicated
+    assert all(nd == 0 for (_, nd) in cut.values())
+    assert all(cut[d][0] <= base[d][0] for d in cut)
