@@ -653,57 +653,114 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     )
 
 
+# per-query sink dirs from earlier invocations in THIS session, removed
+# when the same query runs again (and at interpreter exit) — repeated
+# bench runs accumulate neither tmpfs checkpoint state nor sink files
+_STREAM_RUN_DIRS: dict[str, str] = {}
+
+
+def _cleanup_stream_dirs() -> None:
+    import shutil
+
+    for d in _STREAM_RUN_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _STREAM_RUN_DIRS.clear()
+
+
+def _run_stream(spark: SparkSession, build, name: str,
+                shuffle_partitions: str = "8",
+                no_data_batches: bool = True) -> DataFrame:
+    """Run an availableNow streaming query to completion and return its
+    emitted rows as a batch DataFrame.
+
+    The sink is a PARQUET directory, not a memory table: a memory sink
+    pins the full result set in driver memory for the session's lifetime,
+    while the parquet scan returned here holds nothing on the driver.
+    The write-heavy checkpoint (RAM-backed tmpfs when available — fsync
+    traffic is the ephemeral query's main fixed cost; a durable
+    deployment would point it at real storage) is deleted as soon as the
+    query terminates: its durability job ends with the run.  The previous
+    invocation's sink dir for the same query name is removed on re-run,
+    and whatever remains is cleaned at interpreter exit.
+
+    ``build`` constructs the output stream AFTER the session confs are
+    pinned (UTC zone, nanosAsLong for the ns-physical testdata,
+    state-sized shuffle partitions — one state-store instance + Python
+    worker per shuffle partition, so toy state wants far fewer than the
+    batch default of 32)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    if not _STREAM_RUN_DIRS:
+        atexit.register(_cleanup_stream_dirs)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong",
+                                "false")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                   str(no_data_batches).lower())
+    ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    run_dir = tempfile.mkdtemp(prefix=f"{name}_", dir=ckpt_root)
+    ckpt = os.path.join(run_dir, "ckpt")
+    out = os.path.join(run_dir, "out")
+    try:
+        out_stream = build()
+        schema = out_stream.schema
+        q = (
+            out_stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+                       prev_nodata)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    prev_dir = _STREAM_RUN_DIRS.pop(name, None)
+    if prev_dir:
+        shutil.rmtree(prev_dir, ignore_errors=True)
+    _STREAM_RUN_DIRS[name] = run_dir
+    # explicit schema: an empty result leaves no parquet files to infer
+    # from, only the sink's _spark_metadata log
+    return spark.read.schema(schema).parquet(out)
+
+
 def q_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (``applyInPandasWithState``,
     streaming/stateful.py): runs the cross-batch sessionizer over the events
     table as an availableNow stream and returns every CLOSED session — the
     batch gaps-and-islands result minus each user's still-open final session.
     Unlike most streaming ops this one has an exact SQL oracle, because the
-    emitted set is fully determined by the data."""
-    import os
-    import tempfile
-    import uuid
+    emitted set is fully determined by the data.
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # one state-store instance (HDFS-backed dir + task + Python worker) is
-    # created PER shuffle partition, but the per-key fold also parallelizes
-    # across them: measured at sf0.1 warm best-of-3, 2 parts = 6.7s,
-    # 4 = 4.1s, 8 = 2.4s, 16 = 1.8s, 32 = 1.9s — 16 is the knee where
-    # store/worker fixed cost meets fold parallelism on local[32].  A real
-    # deployment sizes this to keys/executor.  The availableNow run also
-    # skips the trailing no-data micro-batch (pure commit overhead here:
-    # NoTimeout state never advances without data).
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_nodata = spark.conf.get(
-        "spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    # the checkpoint of this ephemeral query is write-heavy fsync traffic;
-    # RAM-backed tmpfs when available (a durable deployment would point this
-    # at real storage — durability is the checkpoint's entire job there)
-    ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    sink = "stateful_sessions_" + uuid.uuid4().hex[:8]
-    try:
-        stream = _events_stream(spark, sf_dir).select("ts", "user_id", "value")
-        q = (
-            sessionize_stateful(stream, 30.0)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .option("checkpointLocation",
-                    tempfile.mkdtemp(prefix="ss_ckpt_", dir=ckpt_root))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(600)
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
-        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
-                       prev_nodata)
-    return spark.table(sink)
+    Shuffle partitions = 16: one state-store instance (HDFS-backed dir +
+    task + Python worker) is created PER shuffle partition, but the
+    per-key fold also parallelizes across them; measured at sf0.1 warm
+    best-of-3, 2 parts = 6.7s, 4 = 4.1s, 8 = 2.4s, 16 = 1.8s, 32 = 1.9s —
+    16 is the knee on local[32].  A real deployment sizes this to
+    keys/executor.  The trailing no-data micro-batch is skipped (pure
+    commit overhead: NoTimeout state never advances without data)."""
+    return _run_stream(
+        spark,
+        lambda: sessionize_stateful(
+            _events_stream(spark, sf_dir).select("ts", "user_id", "value"),
+            30.0,
+        ),
+        "stateful_sessions",
+        shuffle_partitions="16",
+        no_data_batches=False,
+    )
 
 
 def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2844,8 +2901,11 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+    # path keyed by the Spark application id: two concurrent sessions at
+    # the same SF must not overwrite each other's output mid-read
     out = os.path.join(
-        tempfile.gettempdir(), f"jsonl_rt_{_sfx(sf_dir)}"
+        tempfile.gettempdir(),
+        f"jsonl_rt_{_sfx(sf_dir)}_{spark.sparkContext.applicationId}",
     )
     docs.write.mode("overwrite").json(out)
     back = spark.read.schema(
@@ -3351,22 +3411,11 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data (== the batch left join), hence an exact SQL oracle — this
     puts the streaming-join family under the driver's correctness gate,
     not just pytest."""
-    import os
-    import tempfile
-    import uuid
-
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.streaming.joins import (
         enrich_stream,
     )
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    sink = "stream_enrich_" + uuid.uuid4().hex[:8]
-    try:
+    def build():
         dim = (
             _t(spark, sf_dir, "events")
             .select("event_type").distinct()
@@ -3375,21 +3424,9 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = _events_stream(spark, sf_dir).select(
             "event_id", "user_id", "event_type"
         )
-        q = (
-            enrich_stream(stream, dim, "event_type")
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .option("checkpointLocation",
-                    tempfile.mkdtemp(prefix="se_ckpt_", dir=ckpt_root))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(600)
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
-    return spark.table(sink)
+        return enrich_stream(stream, dim, "event_type")
+
+    return _run_stream(spark, build, "stream_enrich")
 
 
 ORACLE_STREAM_ENRICH = """
@@ -3404,22 +3441,11 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     click — the attribution join.  Watermarks bound STATE, not output: for
     an inner join whose input terminates (availableNow), the emitted rows
     are exactly the batch interval join's, hence an exact SQL oracle."""
-    import os
-    import tempfile
-    import uuid
-
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.streaming.joins import (
         interval_join_streams,
     )
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    sink = "stream_ijoin_" + uuid.uuid4().hex[:8]
-    try:
+    def build():
         base = _events_stream(spark, sf_dir).select(
             "event_id", "user_id", "event_type", "ts"
         )
@@ -3429,24 +3455,11 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         buys = base.filter(F.col("event_type") == "purchase").select(
             "event_id", "user_id", "ts"
         )
-        q = (
-            interval_join_streams(clicks, buys, "user_id",
-                                  lower="0 seconds", upper="10 minutes")
-            .select("event_id", "user_id", "ts",
-                    "r_event_id", "r_ts")
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .option("checkpointLocation",
-                    tempfile.mkdtemp(prefix="sij_ckpt_", dir=ckpt_root))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(600)
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
-    return spark.table(sink)
+        return interval_join_streams(
+            clicks, buys, "user_id", lower="0 seconds", upper="10 minutes"
+        ).select("event_id", "user_id", "ts", "r_event_id", "r_ts")
+
+    return _run_stream(spark, build, "stream_ijoin")
 
 
 ORACLE_STREAM_INTERVAL_JOIN = """
@@ -3468,45 +3481,22 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE dedup makes the emitted rows a pure function of the data (==
     batch SELECT DISTINCT), independent of arrival order and micro-batch
     boundaries — hence an exact SQL oracle."""
-    import os
-    import tempfile
-    import uuid
-
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.streaming.dedup import (
         dedup_keys_stream,
     )
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    sink = "stream_dedup_" + uuid.uuid4().hex[:8]
-    try:
+    def build():
         stream = _events_stream(spark, sf_dir).select(
             "user_id",
             "event_type",
             F.date_trunc("minute", F.col("ts")).alias("ts_min"),
         )
-        q = (
-            dedup_keys_stream(
-                stream, ["user_id", "event_type", "ts_min"], ts_key="ts_min",
-                watermark="30 minutes",
-            )
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .option("checkpointLocation",
-                    tempfile.mkdtemp(prefix="sd_ckpt_", dir=ckpt_root))
-            .trigger(availableNow=True)
-            .start()
+        return dedup_keys_stream(
+            stream, ["user_id", "event_type", "ts_min"], ts_key="ts_min",
+            watermark="30 minutes",
         )
-        q.awaitTermination(600)
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
-    return spark.table(sink)
+
+    return _run_stream(spark, build, "stream_dedup")
 
 
 ORACLE_STREAM_DEDUP = """
