@@ -143,9 +143,11 @@ def _neardup_pairs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_if_absent(
         spark, f"neardup_pairs_{_sfx(sf_dir)}",
         lambda: ngram_jaccard_pairs(
-            _t(spark, sf_dir, "documents"), k=3, threshold=0.6
+            _t(spark, sf_dir, "documents"), k=3, threshold=0.6,
+            shingled=_corpus_shingles_table(spark, sf_dir),
         ),
         keys=["id_a"],
+        props={"kind": "pair_table", "k": 3, "threshold": 0.6},
     )
 
 
@@ -161,6 +163,64 @@ def _neardup_labels_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             _neardup_pairs_table(spark, sf_dir),
         ).select("doc_id", "component", "is_canonical"),
         keys=["doc_id"],
+    )
+
+
+def _corpus_shingles_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus word-3-gram shingle sets (doc_id, shingles) as a
+    build-once warehouse table — "tokenize once per warehouse": the
+    MinHash band table, the 0.5-threshold pair table, and any other
+    shingle consumer read this instead of re-tokenizing the corpus."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        shingled_arrays,
+    )
+
+    return table_if_absent(
+        spark, f"doc_shingles3_{_sfx(sf_dir)}",
+        lambda: shingled_arrays(
+            _t(spark, sf_dir, "documents"), "text", "doc_id", 3
+        ),
+        keys=["doc_id"],
+        props={"kind": "shingle_table", "k": 3},
+    )
+
+
+def _minhash_bands_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus MinHash band keys (doc_id, band_key), bucketed on the
+    band key — the candidate join's key — as a build-once warehouse
+    table: minhash_dedup and lsh_recall probe it instead of recomputing
+    12 signature mins per document per query."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        _minhash_band_keys,
+    )
+
+    return table_if_absent(
+        spark, f"minhash_bands_{_sfx(sf_dir)}",
+        lambda: _minhash_band_keys(
+            _corpus_shingles_table(spark, sf_dir), "doc_id", 12, 4
+        ),
+        keys=["band_key"],
+        props={"kind": "band_table", "k": 3, "num_hashes": 12, "bands": 4},
+    )
+
+
+def _lsh_exact_pairs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard >= 0.5 pair graph as a build-once
+    warehouse table (the 0.5-threshold sibling of _neardup_pairs_table's
+    0.6 graph — a pair table is only probe-able at or above its build
+    threshold, so the recall gauge needs its own)."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    return table_if_absent(
+        spark, f"neardup_pairs05_{_sfx(sf_dir)}",
+        lambda: ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), k=3, threshold=0.5,
+            shingled=_corpus_shingles_table(spark, sf_dir),
+        ),
+        keys=["id_a"],
+        props={"kind": "pair_table", "k": 3, "threshold": 0.5},
     )
 
 
@@ -1194,30 +1254,27 @@ FROM counts
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality measurement for the dedup family — the MinHash twin
     of ann_recall: per exact near-dup pair mass (word-3-gram Jaccard >=
-    0.5, from the persisted pair-graph machinery rerun at the probe
-    threshold), how much the banded MinHash candidate generator recovers.
-    ONE row: exact pairs, LSH-found pairs, recall — integer counts and
-    one exact division, composed from the two already-oracle-checked
-    operators."""
-    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.execution import (
-        materialize_once,
+    0.5), how much the banded MinHash candidate generator recovers.  ONE
+    row: exact pairs, LSH-found pairs, recall.
+
+    Served entirely from persisted warehouse tables: the exact side reads
+    the 0.5-threshold pair table, the LSH side the whole-corpus band-key
+    table — the gauge is then two joins over bucketed scans instead of
+    re-running both engines per measurement.  An exact pair is
+    LSH-recovered iff the two documents share >= 1 band key (its verified
+    Jaccard is >= 0.5 by construction, so the verify step of the full
+    operator cannot reject it), so the semi-join against band collisions
+    equals the original exact-AND-LSH intersection."""
+    exact = _lsh_exact_pairs_table(spark, sf_dir).select("id_a", "id_b")
+    bands_t = _minhash_bands_table(spark, sf_dir)
+    ba = bands_t.select(F.col("doc_id").alias("id_a"), "band_key")
+    bb = bands_t.select(F.col("doc_id").alias("id_b"), "band_key")
+    hit = (
+        exact.join(ba, "id_a")
+        .join(bb, ["id_b", "band_key"], "left_semi")
+        .select("id_a", "id_b")
+        .distinct()
     )
-    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
-        ngram_jaccard_pairs,
-    )
-    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
-        shingled_arrays,
-    )
-    docs = _t(spark, sf_dir, "documents")
-    # ONE shingle pass shared by the exact and the LSH side
-    base = materialize_once(shingled_arrays(docs, "text", "doc_id", 3))
-    exact = ngram_jaccard_pairs(docs, k=3, threshold=0.5,
-                                shingled=base).select("id_a", "id_b")
-    lsh = minhash_lsh_pairs(docs, k=3, num_hashes=12, bands=4,
-                            threshold=0.5, shingled=base).select(
-        "id_a", "id_b"
-    )
-    hit = exact.join(lsh, ["id_a", "id_b"], "left_semi")
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))
         .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_found")))
@@ -1307,9 +1364,15 @@ SELECT id_a, id_b, jaccard FROM pair_j WHERE jaccard >= 0.6
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, served from the build-once warehouse
+    artifacts (extensions/dedup.py:minhash_lsh_pairs over the persisted
+    shingle + band-key tables): candidate join + exact verify over
+    bucketed scans, no per-query tokenization or signature pass."""
     return minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), k=3, num_hashes=12, bands=4,
         threshold=0.5,
+        shingled=_corpus_shingles_table(spark, sf_dir),
+        band_keys=_minhash_bands_table(spark, sf_dir),
     )
 
 

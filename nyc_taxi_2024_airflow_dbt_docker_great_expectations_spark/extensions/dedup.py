@@ -570,7 +570,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       num_hashes: int = 12, bands: int = 4,
                       threshold: float = 0.5,
                       max_bucket: int | None = 500,
-                      shingled: DataFrame | None = None) -> DataFrame:
+                      shingled: DataFrame | None = None,
+                      band_keys: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs: LSH banding for candidates, exact Jaccard to verify.
 
     ``num_hashes / bands`` rows per band; two docs collide iff some band's
@@ -589,6 +590,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     band is hot, which at sane caps means near-duplicate boilerplate
     clusters a dedup pass wants collapsed by exact-dedup anyway.  Audit
     what a cap excluded with :func:`minhash_hot_bands`; ``None`` disables.
+
+    ``shingled`` / ``band_keys`` let callers substitute persisted
+    warehouse artifacts (a (id, shingles) table / a (id, band_key) table
+    from the same scheme) for the in-flight passes — the build-once path:
+    with both supplied the operator is candidate join + exact verify over
+    table scans, no tokenization at all.
     """
     from pyspark.sql import Window
 
@@ -598,7 +605,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # across several consumers
     base = (shingled if shingled is not None
             else materialize_once(shingled_arrays(df, text_col, id_col, k)))
-    band_keys = _minhash_band_keys(base, id_col, num_hashes, bands)
+    if band_keys is None:
+        band_keys = _minhash_band_keys(base, id_col, num_hashes, bands)
     if max_bucket is not None:
         # bucket sizes via a window on the SAME key the self-join shuffles
         # on: one exchange, reused by both join sides
