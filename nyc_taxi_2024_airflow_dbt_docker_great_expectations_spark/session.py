@@ -30,6 +30,27 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def default_driver_memory() -> str:
+    """Heap for the local-mode JVM: Spark's 1g default assumes a thin
+    cluster driver, but in local mode this one JVM hosts every task
+    thread's execution memory — 32 concurrent tasks in 1g is an OOM (the
+    10x scale smoke found exactly this: parquet writers scaled row groups
+    to fit, then the PPJoin window spilled the heap).  Budget a quarter
+    of system RAM, clamped to [4g, 32g]; SPARK_GRAFT_DRIVER_MEM
+    overrides.  On a real cluster spark-submit's --driver-memory /
+    --executor-memory take over and this never applies."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as f:
+            total_kb = int(f.readline().split()[1])
+        gb = max(4, min(32, total_kb // (4 * 1024 * 1024)))
+    except (OSError, ValueError, IndexError):
+        gb = 4
+    return f"{gb}g"
+
+
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
     master: str | None = None,
@@ -46,6 +67,10 @@ def get_spark(
     cores = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)
+        # no-op once a JVM exists (first builder wins); required before
+        # launch so local-mode task threads get a real execution-memory
+        # budget — see default_driver_memory
+        .config("spark.driver.memory", default_driver_memory())
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,142 @@
+"""Scale-factor sensitivity smoke: synthesize a 10x copy of the largest
+driver-provided SF and run the WHOLE query registry against it.
+
+The driver's correctness gate runs at sf0.01 and the bench at sf0.1; the
+100 TB design claims deserve at least one order-of-magnitude check that
+(a) every query still completes, (b) no plan flips to a nested loop or
+cartesian product under 10x cardinalities (AQE re-planning, broadcast
+threshold crossings, and derived ANN parameters — n_lists scales with
+sqrt(N) — all change with volume), and (c) per-query time scales roughly
+linearly, not quadratically.
+
+Data synthesis (Spark-side, written once, idempotent): each fact table is
+replicated ``FACTOR`` times with its surrogate/foreign keys remapped
+``key * FACTOR + replica`` so per-replica referential integrity holds and
+key spaces stay disjoint; the enumerated dims (region, nation) keep a
+single copy, exactly like a real 10x corpus growing under fixed reference
+data.  Text/embeddings are byte-identical across replicas — dedup
+operators therefore see 10x-deep exact-duplicate clusters, a deliberately
+adversarial (boilerplate-heavy) regime for the candidate generators.
+
+Plan-flip detection is self-calibrating: each query's physical plan is
+compiled at the BASE SF and at the scaled SF and the nested-loop /
+cartesian operator counts must not grow — no hand-maintained allowlist
+to rot.
+
+Usage: python tools/scale_smoke.py [--skip QUERY ...]
+Env: SPARK_GRAFT_SCALE_BASE (default /root/testdata/sf0.1),
+     SPARK_GRAFT_SCALE_DIR  (default /tmp/spark_graft_sf1),
+     SPARK_GRAFT_SCALE_FACTOR (default 10).
+Writes BENCH_sf1.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FACT_KEYS: dict[str, list[str]] = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIM_TABLES = ["region", "nation"]
+
+
+def synthesize(spark, base: str, out: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out, exist_ok=True)
+    for t in DIM_TABLES + list(FACT_KEYS):
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            continue
+        df = spark.read.parquet(os.path.join(base, f"{t}.parquet"))
+        if t in FACT_KEYS:
+            reps = spark.range(factor).withColumnRenamed("id", "__r")
+            df = df.crossJoin(F.broadcast(reps))
+            for k in FACT_KEYS[t]:
+                df = df.withColumn(k, F.col(k) * factor + F.col("__r"))
+            df = df.drop("__r")
+        df.write.mode("overwrite").parquet(dst)
+        print(f"synthesized {t}", flush=True)
+
+
+def _plan_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _loop_counts(plan: str) -> tuple[int, int]:
+    return (plan.count("BroadcastNestedLoopJoin"),
+            plan.count("CartesianProduct"))
+
+
+def main() -> None:
+    base = os.environ.get("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
+    out = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_sf1")
+    factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+    skip = set()
+    if "--skip" in sys.argv:
+        skip = set(sys.argv[sys.argv.index("--skip") + 1:])
+
+    import __spark_entry__ as entrymod
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.session import get_spark
+
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize(spark, base, out, factor)
+    spark.read.parquet(f"{out}/lineitem.parquet").count()  # warm footers
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    plan_flips: dict[str, dict] = {}
+    for name, fn in entrymod.queries().items():
+        if name in skip:
+            continue
+        try:
+            base_plan = _loop_counts(_plan_str(fn(spark, base)))
+            t0 = time.perf_counter()
+            df = fn(spark, out)
+            scaled_plan = _loop_counts(_plan_str(df))
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            if (scaled_plan[0] > base_plan[0]
+                    or scaled_plan[1] > base_plan[1]):
+                plan_flips[name] = {"base_bnlj_cartesian": base_plan,
+                                    "scaled_bnlj_cartesian": scaled_plan}
+            print(f"{name}: {timings[name]}s", flush=True)
+        except Exception as exc:  # record, keep smoking
+            failures[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"{name}: FAILED {failures[name]}", flush=True)
+
+    result = {
+        "metric": "total_headline_query_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": 1.0,
+        "factor_vs_base": factor,
+        "base": base,
+        "n_queries": len(timings),
+        "n_failures": len(failures),
+        "failures": failures,
+        "plan_flips": plan_flips,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_sf1.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps({k: result[k] for k in
+                      ("value", "n_queries", "n_failures", "plan_flips")}))
+
+
+if __name__ == "__main__":
+    main()
