@@ -5376,28 +5376,18 @@ FROM o WHERE df_cnt <= {SUBSTR_MAX_DF} GROUP BY doc_id
 """
 
 
-def q_bm25_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 against the PERSISTED inverted index (extensions/search.py:
-    build_bm25_index / probe_bm25_index): the corpus tokenizes once into
-    a term-bucketed postings table + 1-row stats; the probe touches only
-    the query terms' postings — no corpus scan, no re-tokenization.
-    Build-if-absent per (session, sf_dir); probe result is bit-identical
-    to bm25_search, so the oracle is shared (probe == direct is also
-    pytest-asserted)."""
-    import re
-
+def _bm25_index_if_absent(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once persisted BM25 inverted index for this sf_dir; returns
+    the table prefix.  Shared by bm25_vs_index and hybrid_rrf."""
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.search import (
         BM25_INDEX_TABLES,
         build_bm25_index,
-        probe_bm25_index,
     )
-
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.layout import (
         adopt_bucketed_table,
     )
 
-    prefix = "bm25_idx_" + re.sub(r"\W", "_",
-                                  sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    prefix = f"bm25_idx_{_sfx(sf_dir)}"
     # keys per table: postings bucket on term; stats is a 1-row table
     bm25_keys = {"postings": ["term"], "stats": None}
     bm25_props = {"kind": "bm25_index"}
@@ -5406,12 +5396,133 @@ def q_bm25_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        props=bm25_props)
                for t in BM25_INDEX_TABLES):
         build_bm25_index(_t(spark, sf_dir, "documents"), prefix)
+    return prefix
+
+
+def q_bm25_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 against the PERSISTED inverted index (extensions/search.py:
+    build_bm25_index / probe_bm25_index): the corpus tokenizes once into
+    a term-bucketed postings table + 1-row stats; the probe touches only
+    the query terms' postings — no corpus scan, no re-tokenization.
+    Build-if-absent per (session, sf_dir); probe result is bit-identical
+    to bm25_search, so the oracle is shared (probe == direct is also
+    pytest-asserted)."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.search import (
+        probe_bm25_index,
+    )
+
+    prefix = _bm25_index_if_absent(spark, sf_dir)
     return probe_bm25_index(spark, prefix, BM25_TERMS, k=BM25_K,
                             k1=BM25_K1, b=BM25_B)
 
 
 # the probe replays the direct form bit-for-bit — oracle shared
 ORACLE_BM25_VS_INDEX = ORACLE_BM25_SEARCH
+
+
+RRF_K = 60       # the standard reciprocal-rank-fusion damping constant
+RRF_DEPTH = 50   # per-list candidate depth
+RRF_TOPK = 20
+RRF_QUERY_VEC = 0  # dense query: the corpus embedding with vec_id 0
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.,
+    SIGIR'09): the lexical list (BM25 over the persisted inverted index)
+    and the dense list (exact cosine top-k over the embeddings table,
+    vec_id-aligned with doc_id) fuse as
+    ``score(d) = sum over lists of 1 / (RRF_K + rank_d)``, missing-list
+    contributions 0 — the standard way a retrieval stack combines
+    keyword and semantic signals without score calibration.
+
+    Scale shape: each list is top-``RRF_DEPTH`` (bounded by the
+    parameter, so the rank windows and the full-outer fusion join are
+    metadata-sized no matter the corpus); the expensive parts are the two
+    retrievals themselves, one served from the bucketed warehouse index.
+    Exactness: ranks are integers; the fused score is two IEEE divisions
+    and one addition in fixed (lexical + dense) order — bit-identical in
+    the SQL oracle."""
+    from pyspark.sql import Window
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.search import (
+        probe_bm25_index,
+    )
+
+    prefix = _bm25_index_if_absent(spark, sf_dir)
+    lex = probe_bm25_index(spark, prefix, BM25_TERMS, k=RRF_DEPTH,
+                           k1=BM25_K1, b=BM25_B)
+    # rank windows run over <= RRF_DEPTH rows — bounded by the parameter,
+    # the one place a single-partition window is legitimate
+    lex_r = lex.select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), "doc_id")
+        ).alias("lex_rank"),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense_r = cosine_topk(emb, q, k=RRF_DEPTH).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("dense_rank")
+    )
+    contrib = (
+        F.coalesce(F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("lex_rank")),
+                   F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("dense_rank")),
+                     F.lit(0.0))
+    )
+    fused = (
+        lex_r.join(dense_r, "doc_id", "full_outer")
+        .select("doc_id", "lex_rank", "dense_rank",
+                contrib.alias("rrf_score"))
+    )
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(RRF_TOPK)
+    )
+
+
+def _oracle_hybrid_rrf() -> str:
+    bm25 = ORACLE_BM25_SEARCH.strip().rstrip()
+    # reuse the whole BM25 oracle as the lexical candidate list at RRF
+    # depth (swap the LIMIT), then fuse with the dense cosine list
+    lex_list = bm25.replace(f"LIMIT {BM25_K}", f"LIMIT {RRF_DEPTH}")
+    assert lex_list != bm25
+    return f"""
+WITH lex_base AS ({lex_list}),
+lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+  FROM lex_base
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+  WHERE vec_id = {RRF_QUERY_VEC}
+),
+dense_base AS (
+  SELECT e.vec_id, {_DUCK_COS} AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.qid
+  ORDER BY cosine_sim DESC, vec_id
+  LIMIT {RRF_DEPTH}
+),
+dense AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, vec_id) AS dense_rank
+  FROM dense_base
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         l.lex_rank, d.dense_rank,
+         COALESCE(1.0 / ({RRF_K} + CAST(l.lex_rank AS DOUBLE)), 0.0)
+         + COALESCE(1.0 / ({RRF_K} + CAST(d.dense_rank AS DOUBLE)), 0.0)
+             AS rrf_score
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOPK}
+"""
 
 
 # The driver's correctness gate snapshots the FIRST 50 registry entries in
@@ -5579,6 +5690,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_join": q_overlap_join,
         "bloom_decontamination": q_bloom_decontamination,
         "bm25_vs_index": q_bm25_vs_index,
+        "hybrid_rrf": q_hybrid_rrf,
         "length_quartiles": q_length_quartiles,
     }
 
@@ -5710,5 +5822,6 @@ def oracle_sql() -> dict[str, str]:
         "overlap_join": ORACLE_OVERLAP_JOIN,
         "bloom_decontamination": ORACLE_BLOOM_DECONTAMINATION,
         "bm25_vs_index": ORACLE_BM25_VS_INDEX,
+        "hybrid_rrf": _oracle_hybrid_rrf(),
         "length_quartiles": ORACLE_LENGTH_QUARTILES,
     }
