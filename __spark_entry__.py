@@ -1487,8 +1487,29 @@ WHERE p.jaccard >= 0.5
 """
 
 
+def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus (doc_id, simhash) as a build-once warehouse table —
+    signatures are pure per-document functions, so the persisted table
+    composes exactly; the md5+vote aggregation is paid once per corpus."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        simhash_table,
+    )
+
+    return table_if_absent(
+        spark, f"simhash_{_sfx(sf_dir)}",
+        lambda: simhash_table(_t(spark, sf_dir, "documents")),
+        keys=["doc_id"],
+        props={"kind": "simhash_table", "bits": 32},
+    )
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    """SimHash near-dup pairs served from the persisted signature table
+    (extensions/dedup.py:simhash_pairs over _simhash_table): banded
+    candidates + bit_count verify over a bucketed scan, no per-query
+    token hashing."""
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3,
+                         sims=_simhash_table(spark, sf_dir))
 
 
 _DUCK_SIMBITS = ", ".join(

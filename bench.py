@@ -27,8 +27,12 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers once so timings measure query execution
+    # warm the JVM + parquet footers + Arrow/Python-worker pool once so
+    # timings measure query execution, not process spin-up (whichever
+    # query happens to run first would otherwise absorb ~2-4s of one-time
+    # session cost)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(1000).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

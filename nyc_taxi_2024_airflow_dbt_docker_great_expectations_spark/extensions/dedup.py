@@ -699,7 +699,8 @@ def simhash_table(df: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  sims: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs with simhash Hamming distance <= ``max_hamming``.
 
     Candidates via 8-bit band equality: distance <= 3 across 4 bands forces
@@ -707,11 +708,16 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     bands (256 values) keep bucket sizes ~n/256 — the candidate volume is
     sum-of-squares over bucket sizes, two orders of magnitude below the 4-bit
     banding alternative.  Verification is ``bit_count(xor)`` on two BIGINTs.
+
+    ``sims`` substitutes a persisted (id, simhash) warehouse table for the
+    in-flight md5+vote aggregation — the build-once path: signatures are
+    pure per-document functions, so a persisted table composes exactly.
     """
     # 4 band self-joins read this table 8 times; materialize the md5+vote
     # aggregation once instead of re-running it per consumer (the tiny
     # (id, simhash) rows are the cheapest possible thing to cache)
-    sims = materialize_once(simhash_table(df, text_col, id_col))
+    if sims is None:
+        sims = materialize_once(simhash_table(df, text_col, id_col))
     banded = sims.select(
         F.col(id_col),
         F.col("simhash"),
