@@ -1299,6 +1299,50 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_t(spark, sf_dir, "documents"), k=5)
 
 
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (extensions/text.py:
+    winnowing_fingerprints — the MOSS scheme, SIGMOD'03): per-window
+    minimum of positional k-gram hashes, rightmost ties, deduped.  Any
+    verbatim match of >= w+k-1 tokens across documents shares a
+    fingerprint while only ~2/(w+1) of gram hashes are stored."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        winnowing_fingerprints,
+    )
+
+    return winnowing_fingerprints(_t(spark, sf_dir, "documents"),
+                                  k=WINNOW_K, w=WINNOW_W)
+
+
+ORACLE_WINNOWING = f"""
+WITH t AS (
+  SELECT doc_id, {DUCK_TOKS} AS tk FROM documents
+  WHERE trim(text, {DUCK_WS}) <> ''
+    AND len({DUCK_TOKS}) >= {WINNOW_K + WINNOW_W - 1}
+),
+g AS (
+  SELECT doc_id, len(tk) - {WINNOW_K - 1} AS m, CAST(i - 1 AS BIGINT) AS pos,
+         md5(array_to_string(
+             tk[CAST(i AS INTEGER):CAST(i + {WINNOW_K - 1} AS INTEGER)],
+             ' ')) AS h
+  FROM t, unnest(range(1, len(tk) - {WINNOW_K - 2})) AS r(i)
+),
+sel AS (
+  SELECT doc_id, pos, m,
+         min(struct_pack(h := h, np := -pos))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+             AS pick
+  FROM g
+)
+SELECT DISTINCT doc_id, -pick.np AS fp_pos, pick.h AS fp_hash
+FROM sel WHERE pos <= m - {WINNOW_W}
+"""
+
+
 DUCK_SHINGLES_5 = (
     "list_distinct(list_transform(range(1, len(" + DUCK_TOKS + ") - 3), "
     "i -> array_to_string((" + DUCK_TOKS + ")[i:i+4], ' ')))"
@@ -5624,6 +5668,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confusion": q_langid_confusion,
         "lsh_recall": q_lsh_recall,
         "fingerprints": q_fingerprints,
+        "winnowing": q_winnowing,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "minhash_dedup": q_minhash_dedup,
@@ -5756,6 +5801,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion": ORACLE_LANGID_CONFUSION,
         "lsh_recall": ORACLE_LSH_RECALL,
         "fingerprints": ORACLE_FINGERPRINTS,
+        "winnowing": ORACLE_WINNOWING,
         "exact_dedup": ORACLE_EXACT_DEDUP,
         "ngram_jaccard_dedup": ORACLE_NGRAM_JACCARD,
         "minhash_dedup": ORACLE_MINHASH,

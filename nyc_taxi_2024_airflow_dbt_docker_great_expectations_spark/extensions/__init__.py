@@ -43,6 +43,7 @@ from .text import (  # noqa: F401
     quality_scores,
     text_stats,
     token_count,
+    winnowing_fingerprints,
     word_shingles,
 )
 from .analytics import cohort_retention, groupwise_ols  # noqa: F401

@@ -1544,3 +1544,37 @@ def test_duplicated_ngram_stats_dfcut(spark, docs):
     # df=1 keeps only singleton grams: nothing can be duplicated
     assert all(nd == 0 for (_, nd) in cut.values())
     assert all(cut[d][0] <= base[d][0] for d in cut)
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The SIGMOD'03 local guarantee: two documents sharing a verbatim run
+    of >= w+k-1 tokens share at least one selected fingerprint hash; and
+    winnowing stores far fewer than all gram hashes (~2/(w+1) density)."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        winnowing_fingerprints,
+    )
+
+    k, w = 3, 4
+    shared = " ".join(f"shared{i}" for i in range(k + w - 1))  # exactly w+k-1
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + shared + " delta epsilon zeta"),
+            (2, "one two three four " + shared + " five six"),
+            (3, "totally unrelated words with no overlap at all here"),
+            (4, "short doc"),  # < w+k-1 tokens -> no rows
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnowing_fingerprints(df, k=k, w=w).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by_doc.get(1) and by_doc.get(2) and by_doc.get(3)
+    assert 4 not in by_doc
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+
+    # density: selections are a strict subset of the gram hashes
+    n_tokens = len(df.collect()[0]["text"].split())
+    n_grams = n_tokens - k + 1
+    assert len({(r["fp_pos"]) for r in fp if r["doc_id"] == 1}) < n_grams
