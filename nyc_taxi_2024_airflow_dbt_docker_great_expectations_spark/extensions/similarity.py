@@ -817,6 +817,19 @@ def semantic_dedup_pairs(corpus: DataFrame, threshold: float,
     left-fold cosine), so the SQL oracle replays index + pair scan
     exactly.  Returns ``(id_a, id_b, cosine_sim)`` with ``id_a < id_b``;
     NULL vectors join no list, zero-norm vectors score NaN and drop.
+
+    **Multiplicity collapse**: a real corpus carries exact-duplicate
+    embeddings (verbatim document copies), and a cluster of c copies
+    inflates the half-matrix by c^2 while every one of those pairs has
+    the SAME similarity.  After list assignment (computed over the FULL
+    corpus, so the index is unchanged), each list's scoring input
+    collapses to its distinct vectors — the half-matrix is paid per
+    distinct pair of contents — and member expansion joins fan the rep
+    pairs (plus each duplicate group's self-similarity) back out to the
+    id-level output, which is byte-identical to the uncollapsed form
+    (the 10x scale smoke, whose replicas are exact copies, drops from
+    quadratic to linear in the copy depth; output expansion is
+    output-sized, irreducible).
     """
     if n_lists is None or sample_size is None:
         d_lists, _, d_sample = ivf_params(corpus.count())
@@ -827,33 +840,73 @@ def semantic_dedup_pairs(corpus: DataFrame, threshold: float,
         corpus, n_lists, refine_iters, sample_size, id_col, vec_col
     )
 
+    # distinct contents per list; rep id = min member id.  Spark group/join
+    # keys normalize NaN and -0.0, which only merges vectors whose cosine
+    # chains are value-identical anyway.
+    reps = assign.groupBy("__list", "__vec").agg(
+        F.min("__id").alias("__id"),
+        F.count(F.lit(1)).alias("__mult"),
+    )
+    memb = assign.join(
+        reps.select("__list", "__vec", F.col("__id").alias("__rep")),
+        ["__list", "__vec"],
+    ).select(F.col("__rep"), F.col("__id").alias("__member"))
+
     def pair_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": [], "id_b": [],
                               "cosine_sim": pd.array([], dtype="float64")})
-        if len(pdf) < 2:
+        if len(pdf) == 0:
             return empty
         pdf = pdf.sort_values("__id", kind="mergesort")
         ids = pdf["__id"].to_numpy()
+        mult = pdf["__mult"].to_numpy()
         ma = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
         sna = _fold_dot_norms(ma)
         frames = []
-        for i in range(len(ids) - 1):
+        for i in range(len(ids)):
             # row i vs the j > i tail: fold dot is dimension-ordered and
             # multiplication commutes, so sims[j] is bit-identical to the
             # oracle's cos(e_a, e_b) regardless of which side is "query"
-            sims = _fold_scores(ma, sna, ma[i])[i + 1:]
-            keep = sims >= threshold  # NaN (zero-norm) compares False
+            sims = _fold_scores(ma, sna, ma[i])
+            if mult[i] > 1:
+                # duplicate group: the (rep, rep) marker row carries the
+                # group's self-similarity (cos(v, v) — same formula, NOT
+                # assumed 1.0: sqrt(s)*sqrt(s) may round away from s) for
+                # expansion into its member pairs
+                self_sim = sims[i]
+                if self_sim >= threshold:
+                    frames.append(pd.DataFrame({
+                        "id_a": [ids[i]], "id_b": [ids[i]],
+                        "cosine_sim": [self_sim],
+                    }))
+            tail = sims[i + 1:]
+            keep = tail >= threshold  # NaN (zero-norm) compares False
             if keep.any():
                 frames.append(pd.DataFrame({
                     "id_a": np.full(int(keep.sum()), ids[i]),
                     "id_b": ids[i + 1:][keep],
-                    "cosine_sim": sims[keep],
+                    "cosine_sim": tail[keep],
                 }))
         return pd.concat(frames) if frames else empty
 
+    rep_pairs = reps.groupBy("__list").applyInPandas(
+        pair_fn, f"id_a {id_t}, id_b {id_t}, cosine_sim double"
+    )
+    ma_side = memb.withColumnRenamed("__rep", "id_a").withColumnRenamed(
+        "__member", "__ma")
+    mb_side = memb.withColumnRenamed("__rep", "id_b").withColumnRenamed(
+        "__member", "__mb")
     return (
-        assign.groupBy("__list")
-        .applyInPandas(pair_fn, f"id_a {id_t}, id_b {id_t}, cosine_sim double")
+        rep_pairs.join(ma_side, "id_a").join(mb_side, "id_b")
+        # self markers expand to each unordered member pair once; cross
+        # pairs expand to the full bipartite product (ids disjoint)
+        .filter((F.col("id_a") != F.col("id_b"))
+                | (F.col("__ma") < F.col("__mb")))
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            "cosine_sim",
+        )
     )
 
 

@@ -1578,3 +1578,32 @@ def test_winnowing_guarantee_and_density(spark):
     n_tokens = len(df.collect()[0]["text"].split())
     n_grams = n_tokens - k + 1
     assert len({(r["fp_pos"]) for r in fp if r["doc_id"] == 1}) < n_grams
+
+
+def test_semantic_dedup_duplicate_expansion(spark):
+    """Exact-duplicate embeddings collapse to one scored rep per list and
+    expand back: every member pair of a duplicate group appears with the
+    group's self-similarity, and cross pairs fan out the full bipartite
+    product — byte-identical to scoring the uncollapsed corpus."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    v1 = [1.0, 0.0, 0.2, 0.1]
+    v2 = [0.9, 0.1, 0.2, 0.1]   # close to v1
+    v3 = [0.0, 1.0, 0.0, 0.0]   # far from both
+    rows = [(1, v1), (2, v1), (3, v1), (4, v2), (5, v2), (6, v3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+           for r in semantic_dedup_pairs(df, threshold=0.9, n_lists=1,
+                                         sample_size=6).collect()}
+    dup_groups = [(1, 2), (1, 3), (2, 3), (4, 5)]
+    cross = [(1, 4), (1, 5), (2, 4), (2, 5), (3, 4), (3, 5)]
+    assert set(got) == set(dup_groups) | set(cross)
+    # every member pair of a duplicate group carries ONE self-similarity
+    assert len({got[p] for p in [(1, 2), (1, 3), (2, 3)]}) == 1
+    # every cross pair of the two groups carries ONE rep-pair similarity
+    assert len({got[p] for p in cross}) == 1
+    assert all(s >= 0.9 for s in got.values())
+    # v3 is far from everything: no pair involves id 6
+    assert not any(6 in p for p in got)
