@@ -117,12 +117,30 @@ def fuzzy_match_pairs(df: DataFrame, id_col: str, text_col: str,
     window over the variant-key shuffle the pair join needs anyway — no
     separate aggregate or join.  Returns (id_a, id_b, text_a, text_b,
     dist).
+
+    **Multiplicity collapse**: exact-duplicate strings (a group of c
+    verbatim copies) would inflate every posting list c-fold and the pair
+    mass c^2-fold while every such pair verifies to the same distance.
+    The variant/pair engine therefore runs over DISTINCT strings (rep id
+    = min member id, one shuffle on the string), each duplicate group
+    additionally emitting a dist-0 self marker (levenshtein(t, t) = 0 by
+    definition), and member-expansion joins fan the rep pairs back out to
+    id-level — byte-identical output, but the edit-distance work and the
+    candidate ``distinct()`` are paid per distinct STRING pair, and the
+    expansion is output-sized (irreducible).
     """
     from pyspark.sql import Window
 
-    keyed = df.select(
-        F.col(id_col).alias("__id"), F.col(text_col).alias("__txt"),
-        F.explode(deletion_variants(text_col, max_dist)).alias("__variant"),
+    # NULL strings match nothing (the old explode-of-NULL path dropped
+    # them; the expansion join's equality would too) — drop them up front
+    df = df.filter(F.col(text_col).isNotNull())
+    reps = df.groupBy(F.col(text_col).alias("__txt")).agg(
+        F.min(F.col(id_col)).alias("__id"),
+        F.count(F.lit(1)).alias("__mult"),
+    )
+    keyed = reps.select(
+        "__id", "__txt",
+        F.explode(deletion_variants("__txt", max_dist)).alias("__variant"),
     )
     # posting length via a whole-partition window: ONE exchange on the
     # variant key, not a separate aggregate + join back (which pushes the
@@ -161,7 +179,38 @@ def fuzzy_match_pairs(df: DataFrame, id_col: str, text_col: str,
         # diagonal orientations)
         .distinct()
     )
-    return (
+    rep_pairs = (
         cand.withColumn("dist", F.levenshtein("text_a", "text_b"))
         .filter(F.col("dist") <= max_dist)
+    )
+    # duplicate-group self markers: every unordered member pair of a group
+    # of identical strings matches at distance 0
+    self_pairs = reps.filter(F.col("__mult") > 1).select(
+        F.col("__id").alias("id_a"), F.col("__id").alias("id_b"),
+        F.col("__txt").alias("text_a"), F.col("__txt").alias("text_b"),
+        F.lit(0).alias("dist"),
+    )
+    memb = df.join(
+        reps.select("__txt", F.col("__id").alias("__rep")),
+        F.col(text_col) == F.col("__txt"),
+    ).select(F.col("__rep"), F.col(id_col).alias("__member"))
+    ma = memb.withColumnRenamed("__rep", "id_a").withColumnRenamed(
+        "__member", "__ma")
+    mb = memb.withColumnRenamed("__rep", "id_b").withColumnRenamed(
+        "__member", "__mb")
+    expanded = (
+        rep_pairs.unionByName(self_pairs)
+        .join(ma, "id_a").join(mb, "id_b")
+        # self markers expand to each unordered member pair once; cross
+        # pairs to the full bipartite product (member id sets disjoint)
+        .filter((F.col("id_a") != F.col("id_b"))
+                | (F.col("__ma") < F.col("__mb")))
+    )
+    flip = F.col("__ma") > F.col("__mb")
+    return expanded.select(
+        F.least("__ma", "__mb").alias("id_a"),
+        F.greatest("__ma", "__mb").alias("id_b"),
+        F.when(flip, F.col("text_b")).otherwise(F.col("text_a")).alias("text_a"),
+        F.when(flip, F.col("text_a")).otherwise(F.col("text_b")).alias("text_b"),
+        "dist",
     )

@@ -59,6 +59,24 @@ def test_fuzzy_match_reports_distance(spark):
     assert rows == {(1, 2): 1, (1, 3): 0, (2, 3): 1}
 
 
+def test_fuzzy_match_duplicate_expansion(spark):
+    """Exact-duplicate strings collapse to one rep before the variant/pair
+    engine and expand back: every member pair of a duplicate group appears
+    at dist 0, cross-group pairs fan out the full bipartite product, and
+    text_a always belongs to id_a after ordering."""
+    rows = [(1, "smith"), (2, "smith"), (3, "smith"),
+            (4, "smyth"), (5, "smyth"), (6, "xavier"), (7, None)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r["id_a"], r["id_b"]): (r["text_a"], r["text_b"], r["dist"])
+           for r in fuzzy_match_pairs(df, "id", "name", 1).collect()}
+    dup = {(1, 2), (1, 3), (2, 3)}
+    cross = {(1, 4), (1, 5), (2, 4), (2, 5), (3, 4), (3, 5)}
+    assert set(got) == dup | cross | {(4, 5)}
+    assert all(got[p] == ("smith", "smith", 0) for p in dup)
+    assert got[(4, 5)] == ("smyth", "smyth", 0)
+    assert all(got[p] == ("smith", "smyth", 1) for p in cross)
+
+
 def test_fuzzy_match_hot_key_grid_exact(spark):
     """A Zipf-hot variant key (many strings sharing one deletion variant)
     must flow through the grid split and still produce the exact brute
