@@ -126,8 +126,29 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # re-executes per branch (materialize_once(storage="disk") at 100 TB).
     # Callers running several shingle consumers over the same corpus (e.g.
     # lsh_recall) pass their own materialized base via ``shingled``.
-    base = (shingled if shingled is not None
-            else materialize_once(shingled_arrays(df, text_col, id_col, k)))
+    raw = (shingled if shingled is not None
+           else materialize_once(shingled_arrays(df, text_col, id_col, k)))
+    # **Multiplicity collapse**: verbatim document copies share one shingle
+    # array, inflate every posting list c-fold and the candidate/verify pair
+    # mass c^2-fold, yet every such pair has Jaccard exactly 1.  ONE window
+    # exchange on the array key tags each row with its group rep (min id)
+    # and multiplicity; the PPJoin engine then runs over distinct arrays
+    # only, duplicate groups emit a J=1 self marker, and member-expansion
+    # joins fan rep pairs back to id-level — byte-identical to the
+    # uncollapsed output (prefix completeness holds under ANY consistent
+    # global shingle order, and the verify phase is exact, so ranking df
+    # over distinct arrays changes candidates but never the result).
+    tagged = materialize_once(
+        raw.select(
+            F.col(id_col), F.col("shingles"),
+            F.min(id_col).over(Window.partitionBy("shingles")).alias("__rep"),
+            F.count(F.lit(1)).over(Window.partitionBy("shingles"))
+            .alias("__mult"),
+        )
+    )
+    base = tagged.filter(F.col(id_col) == F.col("__rep")).select(
+        id_col, "shingles", "__mult"
+    )
     posts = base.select(
         F.col(id_col), F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
@@ -177,12 +198,40 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     sh_b = base.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     n_union = F.size("sh_a") + F.size("sh_b") - n_inter
-    return (
+    rep_pairs = (
         candidates.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn("jaccard", n_inter.cast("double") / n_union.cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+    if threshold <= 1.0:
+        # duplicate-group self markers: identical non-empty shingle sets
+        # have Jaccard exactly 1 (n/n in IEEE); empty sets never paired in
+        # the uncollapsed engine (no postings) and must not here either
+        rep_pairs = rep_pairs.unionByName(
+            base.filter((F.col("__mult") > 1) & (F.size("shingles") > 0))
+            .select(
+                F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+    memb = tagged.select("__rep", F.col(id_col).alias("__member"))
+    ma = memb.withColumnRenamed("__rep", "id_a").withColumnRenamed(
+        "__member", "__ma")
+    mb = memb.withColumnRenamed("__rep", "id_b").withColumnRenamed(
+        "__member", "__mb")
+    return (
+        rep_pairs.join(ma, "id_a").join(mb, "id_b")
+        # self markers expand to each unordered member pair once; cross
+        # pairs to the full bipartite product (member id sets disjoint)
+        .filter((F.col("id_a") != F.col("id_b"))
+                | (F.col("__ma") < F.col("__mb")))
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            "jaccard",
+        )
     )
 
 
@@ -554,11 +603,19 @@ def minhash_hot_bands(df: DataFrame, text_col: str = "text",
     generation.  Empty means the cap changed nothing (the property the
     default relies on at current scale); non-empty is the visible record
     of what a web-scale run truncated — run it alongside any capped dedup
-    so truncation is never silent."""
+    so truncation is never silent.
+
+    Bucket sizes count distinct shingle arrays (group reps), matching what
+    :func:`minhash_lsh_pairs`'s cap bounds after multiplicity collapse."""
+    from pyspark.sql import Window
+
     base = (shingled if shingled is not None
             else materialize_once(shingled_arrays(df, text_col, id_col, k)))
+    reps = base.withColumn(
+        "__rep", F.min(id_col).over(Window.partitionBy("shingles"))
+    ).filter(F.col(id_col) == F.col("__rep")).select(id_col, "shingles")
     return (
-        _minhash_band_keys(base, id_col, num_hashes, bands)
+        _minhash_band_keys(reps, id_col, num_hashes, bands)
         .groupBy("band_key")
         .agg(F.count(F.lit(1)).alias("bucket_n"))
         .filter(F.col("bucket_n") > max_bucket)
@@ -596,6 +653,19 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     from the same scheme) for the in-flight passes — the build-once path:
     with both supplied the operator is candidate join + exact verify over
     table scans, no tokenization at all.
+
+    **Multiplicity collapse**: verbatim copies share every band key (the
+    signature is a pure function of the shingle set), so a duplicate group
+    of c docs inflates each of its band buckets c-fold and the candidate
+    mass c^2-fold while every such pair verifies to Jaccard exactly 1.
+    One window exchange on the shingle array tags group reps; banding,
+    the capped candidate join, and the verify run over distinct arrays
+    only, duplicate groups emit a J=1 self marker, and member joins
+    expand rep pairs back to id-level.  Output is identical to the
+    uncollapsed form wherever ``max_bucket`` does not bind; where it
+    does, the cap now counts distinct CONTENTS, not copies — strictly
+    better recall and the measure the cap was always meant to bound
+    (:func:`minhash_hot_bands` applies the same collapse).
     """
     from pyspark.sql import Window
 
@@ -603,10 +673,25 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # (exploding the stored arrays re-derives the distinct postings without
     # a second tokenize/window pass); ``shingled`` lets callers share it
     # across several consumers
-    base = (shingled if shingled is not None
-            else materialize_once(shingled_arrays(df, text_col, id_col, k)))
+    raw = (shingled if shingled is not None
+           else materialize_once(shingled_arrays(df, text_col, id_col, k)))
+    tagged = materialize_once(
+        raw.select(
+            F.col(id_col), F.col("shingles"),
+            F.min(id_col).over(Window.partitionBy("shingles")).alias("__rep"),
+            F.count(F.lit(1)).over(Window.partitionBy("shingles"))
+            .alias("__mult"),
+        )
+    )
+    base = tagged.filter(F.col(id_col) == F.col("__rep")).select(
+        id_col, "shingles", "__mult"
+    )
     if band_keys is None:
         band_keys = _minhash_band_keys(base, id_col, num_hashes, bands)
+    else:
+        # persisted band tables cover every copy; restrict to group reps
+        # (copies carry identical keys, so this drops nothing but volume)
+        band_keys = band_keys.join(base.select(id_col), id_col)
     if max_bucket is not None:
         # bucket sizes via a window on the SAME key the self-join shuffles
         # on: one exchange, reused by both join sides
@@ -632,7 +717,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     sh_b = base.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     n_union = F.size("sh_a") + F.size("sh_b") - n_inter
-    return (
+    rep_pairs = (
         candidates.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn(
@@ -640,6 +725,32 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+    if threshold <= 1.0:
+        # duplicate-group self markers: identical non-empty shingle sets
+        # collide in every band and verify to Jaccard exactly 1; empty
+        # sets have no band keys and never pair
+        rep_pairs = rep_pairs.unionByName(
+            base.filter((F.col("__mult") > 1) & (F.size("shingles") > 0))
+            .select(
+                F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+    memb = tagged.select("__rep", F.col(id_col).alias("__member"))
+    ma = memb.withColumnRenamed("__rep", "id_a").withColumnRenamed(
+        "__member", "__ma")
+    mb = memb.withColumnRenamed("__rep", "id_b").withColumnRenamed(
+        "__member", "__mb")
+    return (
+        rep_pairs.join(ma, "id_a").join(mb, "id_b")
+        .filter((F.col("id_a") != F.col("id_b"))
+                | (F.col("__ma") < F.col("__mb")))
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            "jaccard",
+        )
     )
 
 
