@@ -1499,8 +1499,10 @@ def q_minhash_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 10 == 0)
     prefix = f"minhash_idx_{_sfx(sf_dir)}"
-    mh_keys = {"bands": ["band_key"], "shingles": ["doc_id"]}
-    mh_props = {"kind": "minhash_index", "k": 3, "num_hashes": 12, "bands": 4}
+    mh_keys = {"bands": ["band_key"], "shingles": ["doc_id"],
+               "members": ["rep_id"]}
+    mh_props = {"kind": "minhash_index", "k": 3, "num_hashes": 12, "bands": 4,
+                "collapsed": True}
     if not all(spark.catalog.tableExists(f"{prefix}_{t}")
                or adopt_bucketed_table(spark, f"{prefix}_{t}", mh_keys[t],
                                        props=mh_props)
@@ -5172,9 +5174,9 @@ def _ngram_index_if_absent(spark: SparkSession, sf_dir: str) -> str:
 
     prefix = f"neardup_idx_{_sfx(sf_dir)}"
     idx_keys = {"prefix_postings": ["shingle"], "shingle_df": ["shingle"],
-                "doc_shingles": ["doc_id"]}
+                "doc_shingles": ["doc_id"], "doc_members": ["rep_id"]}
     idx_props = {"kind": "ngram_index", "k": 3, "threshold": 0.6,
-                 "max_df": None}
+                 "max_df": None, "collapsed": True}
     if not all(spark.catalog.tableExists(f"{prefix}_{t}")
                or adopt_bucketed_table(spark, f"{prefix}_{t}", idx_keys[t],
                                        props=idx_props)

@@ -251,25 +251,43 @@ def ngram_jaccard_pairs_vs(new: DataFrame, corpus: DataFrame,
     only cross-side pairs.  Exact: candidates verify with the full set
     intersection, so the result equals the brute-force cross join.  Returns
     (new_id, corpus_id, jaccard).
+
+    Multiplicity collapse is per (side, shingle array): verbatim copies
+    WITHIN a side collapse to one rep before the prefix/candidate/verify
+    machinery and member joins expand the rep pairs back out (a new doc
+    identical to a corpus doc stays a cross-side rep pair with J = 1 —
+    never merged).  Byte-identical output; the pair mass is paid per
+    distinct cross-side content pair.
     """
     from pyspark.sql import Window as W
 
-    tagged = new.select(
+    side_tagged = new.select(
         F.col(id_col), F.col(text_col), F.lit(0).alias("__side")
     ).unionByName(
         corpus.select(F.col(id_col), F.col(text_col), F.lit(1).alias("__side"))
     )
-    base = materialize_once(
-        shingled_arrays(
-            tagged.select(
-                # composite key keeps ids unique across sides even when the
-                # same document appears in both inputs
-                F.concat(F.col("__side").cast("string"), F.lit(":"),
-                         F.col(id_col).cast("string")).alias("__uid"),
-                text_col,
-            ),
-            text_col, "__uid", k,
+    shingled = shingled_arrays(
+        side_tagged.select(
+            # composite key keeps ids unique across sides even when the
+            # same document appears in both inputs
+            F.concat(F.col("__side").cast("string"), F.lit(":"),
+                     F.col(id_col).cast("string")).alias("__uid"),
+            text_col,
+        ),
+        text_col, "__uid", k,
+    )
+    # rep uid = min member uid within (side, array); the uid's "0:"/"1:"
+    # side prefix keeps the window key side-local for free
+    tagged = materialize_once(
+        shingled.select(
+            "__uid", "shingles",
+            F.min("__uid").over(
+                W.partitionBy(F.substring("__uid", 1, 2), "shingles")
+            ).alias("__rep"),
         )
+    )
+    base = tagged.filter(F.col("__uid") == F.col("__rep")).select(
+        "__uid", "shingles"
     )
     posts = base.select(
         "__uid", F.size("shingles").alias("n_sh"),
@@ -309,18 +327,29 @@ def ngram_jaccard_pairs_vs(new: DataFrame, corpus: DataFrame,
                        F.col("shingles").alias("sh_b"))
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     n_union = F.size("sh_a") + F.size("sh_b") - n_inter
-    # strip the fixed 2-char "0:"/"1:" side prefix positionally — NOT via
-    # substring_index(':'), which would truncate string ids that themselves
-    # contain a colon; each side casts back to its OWN id type
-    return (
+    rep_pairs = (
         candidates.join(sh_a, "__ua")
         .join(sh_b, "__ub")
         .withColumn("jaccard", n_inter.cast("double") / n_union.cast("double"))
         .filter(F.col("jaccard") >= threshold)
+        .select("__ua", "__ub", "jaccard")
+    )
+    # expand rep pairs to member level on both sides (cross-side output:
+    # every (new member, corpus member) combination), then strip the fixed
+    # 2-char "0:"/"1:" side prefix positionally — NOT via
+    # substring_index(':'), which would truncate string ids that themselves
+    # contain a colon; each side casts back to its OWN id type
+    memb = tagged.select("__rep", F.col("__uid").alias("__member"))
+    ma = memb.withColumnRenamed("__rep", "__ua").withColumnRenamed(
+        "__member", "__na")
+    mb = memb.withColumnRenamed("__rep", "__ub").withColumnRenamed(
+        "__member", "__nb")
+    return (
+        rep_pairs.join(ma, "__ua").join(mb, "__ub")
         .select(
-            F.expr("substring(__ua, 3)")
+            F.expr("substring(__na, 3)")
             .cast(new.schema[id_col].dataType).alias("new_id"),
-            F.expr("substring(__ub, 3)")
+            F.expr("substring(__nb, 3)")
             .cast(corpus.schema[id_col].dataType).alias("corpus_id"),
             "jaccard",
         )
@@ -344,7 +373,8 @@ def ngram_jaccard_pairs_vs(new: DataFrame, corpus: DataFrame,
 # the prefix join, and the exact verify keeps the RESULT identical to the
 # rebuild form (property-tested in tests/test_extensions.py).
 
-NGRAM_INDEX_TABLES = ("prefix_postings", "shingle_df", "doc_shingles")
+NGRAM_INDEX_TABLES = ("prefix_postings", "shingle_df", "doc_shingles",
+                      "doc_members")
 
 
 def _index_table_names(prefix: str) -> dict[str, str]:
@@ -368,7 +398,12 @@ def build_ngram_index(corpus: DataFrame, table_prefix: str,
     - **shingle_df** (shingle, df_cnt): full corpus document frequencies —
       the global prefix order probes must replay (their own shingles rank
       by corpus df, unseen ones at 0).
-    - **doc_shingles** (doc_id, n_sh, shingles): exact verify sets.
+    - **doc_shingles** (doc_id, n_sh, shingles): exact verify sets —
+      one row per DISTINCT shingle array (group rep = min member id).
+    - **doc_members** (rep_id, doc_id): the multiplicity-collapse
+      expansion map — verbatim copies collapse to their rep everywhere
+      else in the index (postings, df, verify sets), and probes fan
+      matched reps back out to member ids through this table.
 
     ``threshold`` is a floor baked into the index: probes at the same or
     HIGHER threshold are exact (a higher t needs a shorter prefix — a
@@ -385,10 +420,25 @@ def build_ngram_index(corpus: DataFrame, table_prefix: str,
     # the probe replays the build's tokenization and prefix theorem, so a
     # probe under different hyperparameters is silently wrong (mostly-empty
     # candidates, not an error): record them in the sidecar of every index
-    # table and have probe_ngram_index refuse a mismatch.
+    # table and have probe_ngram_index refuse a mismatch.  "collapsed"
+    # marks the rep-collapsed layout — pre-collapse dirs fail the props
+    # check at adoption time and rebuild cleanly.
     props = {"kind": "ngram_index", "k": k, "threshold": threshold,
-             "max_df": max_df}
-    base = materialize_once(shingled_arrays(corpus, text_col, id_col, k))
+             "max_df": max_df, "collapsed": True}
+    tagged = materialize_once(
+        shingled_arrays(corpus, text_col, id_col, k).select(
+            F.col(id_col), F.col("shingles"),
+            F.min(id_col).over(W.partitionBy("shingles")).alias("__rep"),
+        )
+    )
+    write_bucketed(
+        tagged.select(F.col("__rep").alias("rep_id"),
+                      F.col(id_col).alias("member_id")),
+        names["doc_members"], ["rep_id"], num_buckets, props=props,
+    )
+    base = tagged.filter(F.col(id_col) == F.col("__rep")).select(
+        id_col, "shingles"
+    )
     write_bucketed(
         base.select(id_col, F.size("shingles").alias("n_sh"), "shingles"),
         names["doc_shingles"], [id_col], num_buckets, props=props,
@@ -457,7 +507,8 @@ def probe_ngram_index(new: DataFrame, table_prefix: str,
     meta = read_table_meta(spark, names["prefix_postings"])
     if meta is not None and meta.get("props"):
         built = meta["props"]
-        for param, got in (("k", k), ("max_df", max_df)):
+        for param, got in (("k", k), ("max_df", max_df),
+                           ("collapsed", True)):
             if built.get(param) != got:
                 raise ValueError(
                     f"ngram index `{table_prefix}` was built with "
@@ -481,9 +532,21 @@ def probe_ngram_index(new: DataFrame, table_prefix: str,
     postings = spark.table(names["prefix_postings"])
     shingle_df = spark.table(names["shingle_df"])
     doc_shingles = spark.table(names["doc_shingles"])
+    members = spark.table(names["doc_members"])
     corpus_id_t = doc_shingles.schema[id_col].dataType
 
-    base = materialize_once(shingled_arrays(new, text_col, id_col, k))
+    # multiplicity collapse, both sides: the index stores corpus reps only
+    # (expansion map persisted as doc_members); the batch collapses here
+    # with one window exchange on its shingle arrays
+    ntagged = materialize_once(
+        shingled_arrays(new, text_col, id_col, k).select(
+            F.col(id_col), F.col("shingles"),
+            F.min(id_col).over(W.partitionBy("shingles")).alias("__rep"),
+        )
+    )
+    base = ntagged.filter(F.col(id_col) == F.col("__rep")).select(
+        id_col, "shingles"
+    )
     nposts = base.select(
         F.col(id_col).alias("new_id"), F.size("shingles").alias("n_a"),
         F.explode("shingles").alias("shingle"),
@@ -516,14 +579,24 @@ def probe_ngram_index(new: DataFrame, table_prefix: str,
                                F.col("shingles").alias("sh_b"))
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     n_union = F.size("sh_a") + F.size("sh_b") - n_inter
-    return (
+    rep_pairs = (
         candidates.join(sh_a, "new_id")
         .join(sh_b, "corpus_id")
         .withColumn("jaccard", n_inter.cast("double") / n_union.cast("double"))
         .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+    # expand rep pairs to member level on both sides (cross-side output:
+    # every (new member, corpus member) combination, no ordering filter)
+    nmemb = ntagged.select(F.col("__rep").alias("new_id"),
+                           F.col(id_col).alias("__na"))
+    cmemb = members.select(F.col("rep_id").alias("corpus_id"),
+                           F.col("member_id").alias("__nb"))
+    return (
+        rep_pairs.join(nmemb, "new_id").join(cmemb, "corpus_id")
         .select(
-            F.col("new_id").cast(new.schema[id_col].dataType),
-            F.col("corpus_id").cast(corpus_id_t),
+            F.col("__na").cast(new.schema[id_col].dataType).alias("new_id"),
+            F.col("__nb").cast(corpus_id_t).alias("corpus_id"),
             "jaccard",
         )
     )
@@ -923,7 +996,7 @@ def duplicated_ngram_stats(df: DataFrame, n: int = 5,
 
 # --- persisted MinHash index -----------------------------------------------
 
-MINHASH_INDEX_TABLES = ("bands", "shingles")
+MINHASH_INDEX_TABLES = ("bands", "shingles", "members")
 
 
 def _minhash_table_names(prefix: str) -> dict[str, str]:
@@ -942,7 +1015,15 @@ def build_minhash_index(corpus: DataFrame, table_prefix: str,
     statistics — each document's keys are a pure function of its own
     text — so probes of any batch compose with this index without
     replaying a global ordering.  Same build-once/probe-many shape as the
-    rest of the persisted-index family."""
+    rest of the persisted-index family.
+
+    Like :func:`build_ngram_index`, the index is multiplicity-collapsed:
+    bands and shingles hold one row-set per DISTINCT shingle array (rep =
+    min member id) and ``<prefix>_members`` (rep_id, member_id) is the
+    expansion map probes fan matched reps back out with — verbatim copies
+    cost one signature, one set of band rows, and one verify set."""
+    from pyspark.sql import Window as W
+
     from ..operators.layout import write_bucketed
 
     names = _minhash_table_names(table_prefix)
@@ -950,8 +1031,21 @@ def build_minhash_index(corpus: DataFrame, table_prefix: str,
     # a different scheme joins disjoint key spaces and silently finds
     # nothing — record the scheme so probe_minhash_index can refuse it
     props = {"kind": "minhash_index", "k": k, "num_hashes": num_hashes,
-             "bands": bands}
-    base = materialize_once(shingled_arrays(corpus, text_col, id_col, k))
+             "bands": bands, "collapsed": True}
+    tagged = materialize_once(
+        shingled_arrays(corpus, text_col, id_col, k).select(
+            F.col(id_col), F.col("shingles"),
+            F.min(id_col).over(W.partitionBy("shingles")).alias("__rep"),
+        )
+    )
+    write_bucketed(
+        tagged.select(F.col("__rep").alias("rep_id"),
+                      F.col(id_col).alias("member_id")),
+        names["members"], ["rep_id"], num_buckets, props=props,
+    )
+    base = tagged.filter(F.col(id_col) == F.col("__rep")).select(
+        id_col, "shingles"
+    )
     write_bucketed(
         _minhash_band_keys(base, id_col, num_hashes, bands),
         names["bands"], ["band_key"], num_buckets, props=props,
@@ -986,17 +1080,31 @@ def probe_minhash_index(new: DataFrame, table_prefix: str,
     if meta is not None and meta.get("props"):
         built = meta["props"]
         for param, got in (("k", k), ("num_hashes", num_hashes),
-                           ("bands", bands)):
+                           ("bands", bands), ("collapsed", True)):
             if built.get(param) != got:
                 raise ValueError(
                     f"minhash index `{table_prefix}` was built with "
                     f"{param}={built.get(param)!r}; probing with {got!r} "
                     "joins a disjoint band-key space — rebuild or match it"
                 )
+    from pyspark.sql import Window as W
+
     corpus_bands = spark.table(names["bands"])
     corpus_shingles = spark.table(names["shingles"])
+    members = spark.table(names["members"])
 
-    nbase = materialize_once(shingled_arrays(new, text_col, id_col, k))
+    # multiplicity collapse, both sides: the index stores corpus reps only
+    # (expansion map persisted as <prefix>_members); the batch collapses
+    # here with one window exchange on its shingle arrays
+    ntagged = materialize_once(
+        shingled_arrays(new, text_col, id_col, k).select(
+            F.col(id_col), F.col("shingles"),
+            F.min(id_col).over(W.partitionBy("shingles")).alias("__rep"),
+        )
+    )
+    nbase = ntagged.filter(F.col(id_col) == F.col("__rep")).select(
+        id_col, "shingles"
+    )
     nbands = _minhash_band_keys(nbase, id_col, num_hashes, bands)
     candidates = (
         nbands.select(F.col(id_col).alias("new_id"), "band_key")
@@ -1011,11 +1119,22 @@ def probe_minhash_index(new: DataFrame, table_prefix: str,
                                   F.col("shingles").alias("sh_b"))
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     n_union = F.size("sh_a") + F.size("sh_b") - n_inter
-    return (
+    rep_pairs = (
         candidates.join(sh_a, "new_id")
         .join(sh_b, "corpus_id")
         .withColumn("jaccard",
                     n_inter.cast("double") / n_union.cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", "jaccard")
+    )
+    nmemb = ntagged.select(F.col("__rep").alias("new_id"),
+                           F.col(id_col).alias("__na"))
+    cmemb = members.select(F.col("rep_id").alias("corpus_id"),
+                           F.col("member_id").alias("__nb"))
+    return (
+        rep_pairs.join(nmemb, "new_id").join(cmemb, "corpus_id")
+        .select(
+            F.col("__na").alias("new_id"), F.col("__nb").alias("corpus_id"),
+            "jaccard",
+        )
     )
