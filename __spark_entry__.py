@@ -5456,8 +5456,8 @@ def _bm25_index_if_absent(spark: SparkSession, sf_dir: str) -> str:
 
     prefix = f"bm25_idx_{_sfx(sf_dir)}"
     # keys per table: postings bucket on term; stats is a 1-row table
-    bm25_keys = {"postings": ["term"], "stats": None}
-    bm25_props = {"kind": "bm25_index"}
+    bm25_keys = {"postings": ["term"], "stats": None, "members": ["rep_id"]}
+    bm25_props = {"kind": "bm25_index", "collapsed": True}
     if not all(spark.catalog.tableExists(f"{prefix}_{t}")
                or adopt_bucketed_table(spark, f"{prefix}_{t}", bm25_keys[t],
                                        props=bm25_props)

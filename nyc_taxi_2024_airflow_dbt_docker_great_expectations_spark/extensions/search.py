@@ -108,7 +108,7 @@ def bm25_topk(df: DataFrame, terms: tuple[str, ...], k: int = 20,
     )
 
 
-BM25_INDEX_TABLES = ("postings", "stats")
+BM25_INDEX_TABLES = ("postings", "stats", "members")
 
 
 def _bm25_table_names(prefix: str) -> dict[str, str]:
@@ -127,29 +127,57 @@ def build_bm25_index(corpus: DataFrame, table_prefix: str,
     of :func:`bm25_topk`'s two-scan direct form — the same
     incremental-materialization pattern as the n-gram near-dup index
     (extensions/dedup.py:build_ngram_index).
+
+    **Multiplicity collapse**: tf and dl are pure functions of the text,
+    so verbatim copies share every posting.  The index tokenizes one rep
+    per distinct text and stores the copy count on the posting
+    (``mult``); corpus-level statistics stay copy-exact (``n_docs`` =
+    Σ mult, ``sum_dl`` = Σ dl·mult, per-term df = Σ mult over matching
+    reps — all integer-identical to counting copies), and
+    ``<prefix>_members`` (rep_id, member_id) lets the probe expand
+    matched reps back to doc ids before the top-k, so scores and
+    tie-breaks are bit-identical to the uncollapsed form.
     """
+    from pyspark.sql import Window as W
+
     from ..operators.layout import write_bucketed, write_unbucketed
 
     names = _bm25_table_names(table_prefix)
     # k1/b are PROBE-time score parameters (the index stores only tf/dl/df
-    # inputs), so no scheme needs recording beyond the kind — the sidecar
-    # still guards adoption against a mismatched bucket spec
-    props = {"kind": "bm25_index"}
-    toks = corpus.select(
-        F.col(id_col).alias("id"),
-        token_count(text_col).cast("long").alias("dl"),
-        F.explode_outer(F.transform(tokens(text_col),
+    # inputs), so beyond the kind only the collapsed layout needs
+    # recording — pre-collapse dirs refuse adoption and rebuild
+    props = {"kind": "bm25_index", "collapsed": True}
+    tagged = corpus.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__txt")
+    ).select(
+        "id", "__txt",
+        F.min("id").over(W.partitionBy("__txt")).alias("__rep"),
+        F.count(F.lit(1)).over(W.partitionBy("__txt")).alias("mult"),
+    )
+    write_bucketed(
+        tagged.select(F.col("__rep").alias("rep_id"),
+                      F.col("id").alias("member_id")),
+        names["members"], ["rep_id"], num_buckets, props=props,
+    )
+    base = tagged.filter(F.col("id") == F.col("__rep")).select(
+        "id", "__txt", "mult"
+    )
+    toks = base.select(
+        "id", "mult",
+        token_count("__txt").cast("long").alias("dl"),
+        F.explode_outer(F.transform(tokens("__txt"),
                                     lambda t: F.lower(t))).alias("term"),
     )
     write_bucketed(
         toks.filter(F.col("term").isNotNull())
-        .groupBy("term", "id", "dl")
+        .groupBy("term", "id", "dl", "mult")
         .agg(F.count(F.lit(1)).alias("tf")),
         names["postings"], ["term"], num_buckets, props=props,
     )
-    stats = corpus.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(token_count(text_col).cast("long")).alias("sum_dl"),
+    stats = base.agg(
+        F.sum("mult").cast("long").alias("n_docs"),
+        F.sum(token_count("__txt").cast("long") * F.col("mult"))
+        .cast("long").alias("sum_dl"),
     )
     # 1-row table: no bucketing, but the stale-location cleanup + meta
     # sidecar still apply (write_unbucketed handles both)
@@ -177,13 +205,25 @@ def probe_bm25_index(spark, table_prefix: str, terms: tuple[str, ...],
         raise ValueError("terms must be non-empty")
     if len(set(terms)) != len(terms):
         raise ValueError("terms must be distinct")
+    from ..operators.layout import read_table_meta
+
     names = _bm25_table_names(table_prefix)
+    meta = read_table_meta(spark, names["postings"])
+    if meta is not None and meta.get("props") and not meta["props"].get(
+            "collapsed"):
+        raise ValueError(
+            f"bm25 index `{table_prefix}` uses the pre-collapse layout "
+            "(no mult/members); rebuild it with build_bm25_index"
+        )
     posts = spark.table(names["postings"]).filter(
         F.col("term").isin(*terms)
     )
     stats = spark.table(names["stats"])
+    members = spark.table(names["members"])
+    # df counts DOCUMENTS: each rep posting stands for `mult` copies
     dfs = posts.groupBy("term").agg(
-        F.countDistinct("id").alias("df_cnt")
+        F.sum(F.when(F.col("tf") > 0, F.col("mult")))
+        .cast("long").alias("df_cnt")
     )
 
     cand = posts.groupBy("id", "dl").agg(*[
@@ -212,11 +252,21 @@ def probe_bm25_index(spark, table_prefix: str, terms: tuple[str, ...],
         contrib = idf * (tfi * F.lit(float(k1) + 1.0)) / (tfi + norm)
         score = contrib if score is None else score + contrib
 
+    # expand matched reps to member doc ids BEFORE the top-k: members of
+    # a duplicate group share the rep's score exactly, so the global
+    # (score desc, id) order — and hence the k cut — is bit-identical to
+    # scoring every copy directly
     return (
         scored.select(
-            F.col("id").alias(id_col),
+            F.col("id").alias("rep_id"),
             F.col("dl").alias("n_tokens"),
             score.alias("score"),
+        )
+        .join(members, "rep_id")
+        .select(
+            F.col("member_id").alias(id_col),
+            F.col("n_tokens"),
+            F.col("score"),
         )
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
