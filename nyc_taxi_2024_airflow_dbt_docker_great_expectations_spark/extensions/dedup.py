@@ -970,24 +970,55 @@ def duplicated_ngram_stats(df: DataFrame, n: int = 5,
     absent from the output (as are documents whose every gram exceeds
     ``max_df``).  Returns ``(id_col, n_grams, n_dup_grams,
     dup_fraction)``.
+
+    **Multiplicity collapse**: only group reps (min id per distinct
+    text) push gram mass through the window exchange.  This is exact,
+    not heuristic: (a) a gram's min owner over reps equals its min owner
+    over all copies (the rep IS each group's min id); (b) df counts
+    documents, preserved as Σ mult over the gram's reps; (c) a non-rep
+    copy m shares every gram with its rep r < m, so each of its
+    surviving grams has owner <= r < m — its row is exactly
+    ``(n_grams, n_grams, 1.0)``, the Lee et al. verdict on a verbatim
+    copy — emitted by expansion without touching its text.
     """
     from pyspark.sql import Window
 
-    grams = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("gram")
+    tagged = materialize_once(
+        df.select(F.col(id_col), F.col(text_col)).select(
+            F.col(id_col), F.col(text_col),
+            F.min(id_col).over(Window.partitionBy(text_col)).alias("__rep"),
+            F.count(F.lit(1)).over(Window.partitionBy(text_col))
+            .alias("__mult"),
+        )
+    )
+    reps = tagged.filter(F.col(id_col) == F.col("__rep"))
+    grams = reps.select(
+        F.col(id_col), F.col("__mult"),
+        F.explode(word_shingles(text_col, n)).alias("gram"),
     )
     w = Window.partitionBy("gram")
     owned = grams.withColumn("owner", F.min(id_col).over(w))
     if max_df is not None:
         owned = owned.withColumn(
-            "__df", F.count(F.lit(1)).over(w)
+            "__df", F.sum("__mult").over(w)
         ).filter(F.col("__df") <= max_df).drop("__df")
-    return owned.groupBy(id_col).agg(
+    rep_stats = owned.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.sum((F.col("owner") < F.col(id_col)).cast("long")).alias(
             "n_dup_grams"
         ),
-    ).select(
+    )
+    expanded = (
+        tagged.select(F.col("__rep"), F.col(id_col).alias("__member"))
+        .join(rep_stats.withColumnRenamed(id_col, "__rep"), "__rep")
+        .select(
+            F.col("__member").alias(id_col),
+            F.col("n_grams"),
+            F.when(F.col("__member") == F.col("__rep"), F.col("n_dup_grams"))
+            .otherwise(F.col("n_grams")).alias("n_dup_grams"),
+        )
+    )
+    return expanded.select(
         F.col(id_col), F.col("n_grams"), F.col("n_dup_grams"),
         (F.col("n_dup_grams").cast("double")
          / F.col("n_grams").cast("double")).alias("dup_fraction"),

@@ -1625,6 +1625,30 @@ def test_winnowing_guarantee_and_density(spark):
     assert len({(r["fp_pos"]) for r in fp if r["doc_id"] == 1}) < n_grams
 
 
+def test_duplicated_ngram_stats_copy_expansion(spark):
+    """Verbatim copies get exactly (n_grams, n_grams, 1.0) — every gram
+    of a copy is owned by its earlier rep — while the rep's own counts
+    come from the collapsed gram pass; df for max_df counts DOCUMENTS
+    (copies included) even though only reps shed gram mass."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        duplicated_ngram_stats,
+    )
+
+    ta = "a b c d e f"        # grams(5): "a b c d e", "b c d e f"
+    tb = "a b c d e x"        # gram "a b c d e" owned by doc 1
+    rows = [(1, ta), (2, ta), (3, ta), (4, tb)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_fraction"])
+           for r in duplicated_ngram_stats(df, n=5).collect()}
+    assert got == {1: (2, 0, 0.0), 2: (2, 2, 1.0), 3: (2, 2, 1.0),
+                   4: (2, 1, 0.5)}
+    # df of "a b c d e" is 4 DOCUMENTS (3 copies + doc 4): a cut at 3
+    # drops it everywhere; "b c d e f" (df 3) and "b c d e x" (df 1) stay
+    cut = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+           for r in duplicated_ngram_stats(df, n=5, max_df=3).collect()}
+    assert cut == {1: (1, 0), 2: (1, 1), 3: (1, 1), 4: (1, 0)}
+
+
 def test_semantic_dedup_duplicate_expansion(spark):
     """Exact-duplicate embeddings collapse to one scored rep per list and
     expand back: every member pair of a duplicate group appears with the
