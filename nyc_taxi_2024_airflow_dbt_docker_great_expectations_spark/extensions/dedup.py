@@ -896,13 +896,32 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ``sims`` substitutes a persisted (id, simhash) warehouse table for the
     in-flight md5+vote aggregation — the build-once path: signatures are
     pure per-document functions, so a persisted table composes exactly.
+
+    **Multiplicity collapse**: the banded self-joins run over DISTINCT
+    signature values (rep = min id per simhash — this merges verbatim
+    copies AND hash-colliding texts, both exactly Hamming 0 apart);
+    signature groups of two or more emit a Hamming-0 self marker and
+    member joins expand rep pairs back to id-level.  Byte-identical to
+    banding every copy, but a c-deep duplicate cluster costs one row in
+    the candidate join instead of c^2.
     """
+    from pyspark.sql import Window
+
     # 4 band self-joins read this table 8 times; materialize the md5+vote
     # aggregation once instead of re-running it per consumer (the tiny
     # (id, simhash) rows are the cheapest possible thing to cache)
     if sims is None:
         sims = materialize_once(simhash_table(df, text_col, id_col))
-    banded = sims.select(
+    tagged = materialize_once(
+        sims.select(
+            F.col(id_col), F.col("simhash"),
+            F.min(id_col).over(Window.partitionBy("simhash")).alias("__rep"),
+            F.count(F.lit(1)).over(Window.partitionBy("simhash"))
+            .alias("__mult"),
+        )
+    )
+    reps = tagged.filter(F.col(id_col) == F.col("__rep"))
+    banded = reps.select(
         F.col(id_col),
         F.col("simhash"),
         *[
@@ -922,13 +941,35 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         )
         cand = a.join(c, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
         pairs = cand if pairs is None else pairs.unionByName(cand)
-    return (
+    rep_pairs = (
         pairs.withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .distinct()
+        # signature groups: every member pair is exactly Hamming 0
+        .unionByName(
+            reps.filter(F.col("__mult") > 1).select(
+                F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b"),
+                F.lit(0).alias("hamming"),
+            )
+        )
+    )
+    memb = tagged.select("__rep", F.col(id_col).alias("__member"))
+    ma = memb.withColumnRenamed("__rep", "id_a").withColumnRenamed(
+        "__member", "__ma")
+    mb = memb.withColumnRenamed("__rep", "id_b").withColumnRenamed(
+        "__member", "__mb")
+    return (
+        rep_pairs.join(ma, "id_a").join(mb, "id_b")
+        .filter((F.col("id_a") != F.col("id_b"))
+                | (F.col("__ma") < F.col("__mb")))
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            "hamming",
+        )
     )
 
 

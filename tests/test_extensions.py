@@ -1518,6 +1518,17 @@ def test_neardup_duplicate_expansion(spark):
     assert n_cross in (0, len(cross))
     assert set(lsh) <= dup | cross
 
+    # SimHash: identical signatures (copies or collisions) expand to
+    # Hamming-0 member pairs; docs 7/8 ("so so") are copies too and DO
+    # pair here (token-level signatures need no k-token minimum)
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        simhash_pairs,
+    )
+    sh = {(r["id_a"], r["id_b"]): r["hamming"]
+          for r in simhash_pairs(df, max_hamming=3).collect()}
+    assert dup | {(7, 8)} <= set(sh)
+    assert all(sh[p] == 0 for p in dup) and sh[(7, 8)] == 0
+
 
 def test_index_probe_rejects_mismatched_hyperparams(spark, docs):
     """A probe under different hyperparameters than the build silently
