@@ -446,32 +446,50 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
     ~2/(w+1) of the gram hashes — (k, w) is the storage/recall dial for
     plagiarism/boilerplate detection at corpus scale.
 
-    Plan shape: positions explode narrowly (one row per gram), ONE
-    exchange keyed on the document id feeds both the sliding-window min
-    and the full-window filter; the rightmost-tie rule rides the SAME
-    window as the min via lexicographic struct order on (hash, -pos) —
-    no second pass, no self-join.  O(n_grams * w) comparisons per
-    document, map-heavy and shuffle-light.  Documents with fewer than
-    ``w + k - 1`` tokens have no full window and yield no rows (their
-    exact-dup key is :func:`fingerprints`' job).  Returns
+    Plan shape: tokens posexplode narrowly (one row per token) and the
+    gram hash assembles from LEAD windows — fully whole-stage-codegen'd,
+    like :func:`shingle_postings` (the ``transform``/``slice``
+    array-builder form is interpreted and measured ~5x slower) — then
+    ONE exchange keyed on the document id feeds the leads, the
+    sliding-window min, and the full-window filter; the rightmost-tie
+    rule rides the SAME window as the min via lexicographic struct order
+    on (hash, -pos) — no second pass, no self-join.  O(n_grams * w)
+    comparisons per document, map-heavy and shuffle-light.  Documents
+    with fewer than ``w + k - 1`` tokens have no full window and yield
+    no rows (their exact-dup key is :func:`fingerprints`' job).  Returns
     (id_col, fp_pos, fp_hash), fp_pos 0-based.
+
+    **Multiplicity collapse**: fingerprints are a pure function of the
+    text, so only one rep per distinct text (min member id) runs the
+    gram/window machinery; a member join fans the selections back out to
+    every copy — byte-identical output.
     """
     from pyspark.sql import Window
 
+    from ..execution import materialize_once
+
     if k < 1 or w < 1:
         raise ValueError(f"need k >= 1 and w >= 1, got k={k}, w={w}")
-    toks = tokens(text_col)
+    tagged = materialize_once(
+        df.select(F.col(id_col), F.col(text_col)).select(
+            F.col(id_col), F.col(text_col),
+            F.min(id_col).over(Window.partitionBy(text_col)).alias("__rep"),
+        )
+    )
+    reps = tagged.filter(F.col(id_col) == F.col("__rep"))
     n = token_count(text_col)
-    grams = df.filter(n >= k + w - 1).select(
+    exploded = reps.filter(n >= k + w - 1).select(
         F.col(id_col),
         (n - k + 1).cast("long").alias("__m"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), n - k + 1),
-                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
-            )
-        ).alias("pos", "h"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
     )
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(wd) for i in range(1, k)]
+    grams = exploded.select(
+        F.col(id_col), F.col("__m"), F.col("pos"),
+        F.md5(F.concat_ws(" ", *parts)).alias("h"),
+        parts[-1].isNotNull().alias("__full"),
+    ).filter(F.col("__full"))
     wspec = (
         Window.partitionBy(id_col).orderBy("pos")
         .rowsBetween(Window.currentRow, w - 1)
@@ -480,7 +498,7 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
         F.struct(F.col("h").alias("h"),
                  (-F.col("pos")).cast("long").alias("np"))
     ).over(wspec)
-    return (
+    rep_fps = (
         grams.withColumn("__pick", pick)
         # full windows only: the guarantee is defined over complete
         # w-windows, and partial tail windows would select duplicates
@@ -491,6 +509,11 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
             F.col("__pick.h").alias("fp_hash"),
         )
         .distinct()
+    )
+    return (
+        tagged.select(F.col("__rep"), F.col(id_col).alias("__member"))
+        .join(rep_fps.withColumnRenamed(id_col, "__rep"), "__rep")
+        .select(F.col("__member").alias(id_col), "fp_pos", "fp_hash")
     )
 
 
