@@ -175,13 +175,27 @@ def _corpus_shingles_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingled_arrays,
     )
 
+    from pyspark.sql import Window as W
+
+    def build():
+        base = shingled_arrays(
+            _t(spark, sf_dir, "documents"), "text", "doc_id", 3
+        )
+        # persist the multiplicity-collapse tagging (group rep = min id per
+        # distinct array + copy count) so every pair-engine consumer skips
+        # its per-query window over the shingle arrays
+        return base.select(
+            "doc_id", "shingles",
+            F.min("doc_id").over(W.partitionBy("shingles")).alias("__rep"),
+            F.count(F.lit(1)).over(W.partitionBy("shingles"))
+            .alias("__mult"),
+        )
+
     return table_if_absent(
         spark, f"doc_shingles3_{_sfx(sf_dir)}",
-        lambda: shingled_arrays(
-            _t(spark, sf_dir, "documents"), "text", "doc_id", 3
-        ),
+        build,
         keys=["doc_id"],
-        props={"kind": "shingle_table", "k": 3},
+        props={"kind": "shingle_table", "k": 3, "tagged": True},
     )
 
 
@@ -1952,7 +1966,30 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return semantic_dedup_pairs(emb, threshold=SEMANTIC_TAU, n_lists=4,
-                                refine_iters=2, sample_size=512)
+                                refine_iters=2, sample_size=512,
+                                dup_tags=_embedding_tags_table(spark, sf_dir))
+
+
+def _embedding_tags_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted duplicate-vector tags (vec_id, __rep, __mult — rep = min
+    id per identical embedding): the build-once half of semantic dedup's
+    multiplicity collapse, so the per-query plan never shuffles the
+    vector arrays for grouping — only id-keyed joins."""
+    from pyspark.sql import Window as W
+
+    def build():
+        emb = _t(spark, sf_dir, "embeddings")
+        return emb.select(
+            "vec_id",
+            F.min("vec_id").over(W.partitionBy("embedding")).alias("__rep"),
+            F.count(F.lit(1)).over(W.partitionBy("embedding"))
+            .alias("__mult"),
+        )
+
+    return table_if_absent(
+        spark, f"emb_dup_tags_{_sfx(sf_dir)}", build, keys=["vec_id"],
+        props={"kind": "dup_tags"},
+    )
 
 
 ORACLE_SEMANTIC_DEDUP = f"""

@@ -20,6 +20,15 @@ Four strategies, all shuffle-conscious and driver-collect-free:
 
 Every step is deterministic (md5-derived hashes, no RNG) so each operator is
 oracle-checkable in SQL.
+
+All pairwise engines and persisted indexes here are **multiplicity-
+collapsed**: verbatim copies (identical shingle array / signature) collapse
+to one rep before the quadratic candidate/verify stage and member joins
+expand rep pairs back to id-level afterwards — byte-identical output, but
+a c-deep duplicate cluster costs one row instead of c^2 through the join.
+On a boilerplate-heavy web corpus (30-50% exact-duplicate mass is typical)
+this is the difference between the LSH/PPJoin machinery scaling with
+distinct content and scaling with raw crawl volume squared.
 """
 
 from __future__ import annotations
@@ -138,7 +147,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # uncollapsed output (prefix completeness holds under ANY consistent
     # global shingle order, and the verify phase is exact, so ranking df
     # over distinct arrays changes candidates but never the result).
-    tagged = materialize_once(
+    # A ``shingled`` table that already carries __rep/__mult (a persisted
+    # pre-tagged corpus table) skips the window entirely.
+    tagged = raw if "__rep" in raw.columns else materialize_once(
         raw.select(
             F.col(id_col), F.col("shingles"),
             F.min(id_col).over(Window.partitionBy("shingles")).alias("__rep"),
@@ -748,7 +759,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # across several consumers
     raw = (shingled if shingled is not None
            else materialize_once(shingled_arrays(df, text_col, id_col, k)))
-    tagged = materialize_once(
+    # a pre-tagged persisted table (carrying __rep/__mult) skips the window
+    tagged = raw if "__rep" in raw.columns else materialize_once(
         raw.select(
             F.col(id_col), F.col("shingles"),
             F.min(id_col).over(Window.partitionBy("shingles")).alias("__rep"),

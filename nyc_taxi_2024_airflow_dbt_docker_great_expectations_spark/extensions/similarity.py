@@ -795,7 +795,8 @@ def semantic_dedup_pairs(corpus: DataFrame, threshold: float,
                          n_lists: int | None = None, refine_iters: int = 0,
                          sample_size: int | None = None,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         dup_tags: DataFrame | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding near-duplicate pairs found
     WITHIN k-means clusters only — the sub-quadratic scale path for
     semantic dedup, vs ``neardup_pairs``'s exact all-pairs block grid.
@@ -830,6 +831,12 @@ def semantic_dedup_pairs(corpus: DataFrame, threshold: float,
     (the 10x scale smoke, whose replicas are exact copies, drops from
     quadratic to linear in the copy depth; output expansion is
     output-sized, irreducible).
+
+    ``dup_tags`` — an optional persisted (id, __rep, __mult) table (rep =
+    min id per identical vector) — replaces the per-query array groupBy
+    with two cheap id-keyed joins: the build-once form of the collapse.
+    Identical vectors always share a list (assignment is a pure function
+    of the vector), so global tags and per-list grouping agree exactly.
     """
     if n_lists is None or sample_size is None:
         d_lists, _, d_sample = ivf_params(corpus.count())
@@ -840,17 +847,28 @@ def semantic_dedup_pairs(corpus: DataFrame, threshold: float,
         corpus, n_lists, refine_iters, sample_size, id_col, vec_col
     )
 
-    # distinct contents per list; rep id = min member id.  Spark group/join
-    # keys normalize NaN and -0.0, which only merges vectors whose cosine
-    # chains are value-identical anyway.
-    reps = assign.groupBy("__list", "__vec").agg(
-        F.min("__id").alias("__id"),
-        F.count(F.lit(1)).alias("__mult"),
-    )
-    memb = assign.join(
-        reps.select("__list", "__vec", F.col("__id").alias("__rep")),
-        ["__list", "__vec"],
-    ).select(F.col("__rep"), F.col("__id").alias("__member"))
+    if dup_tags is not None:
+        tags = dup_tags.select(
+            F.col(id_col).alias("__id"), F.col("__rep"), F.col("__mult")
+        )
+        reps = (
+            assign.join(tags, "__id")
+            .filter(F.col("__id") == F.col("__rep"))
+            .select("__list", "__vec", "__id", "__mult")
+        )
+        memb = tags.select(F.col("__rep"), F.col("__id").alias("__member"))
+    else:
+        # distinct contents per list; rep id = min member id.  Spark
+        # group/join keys normalize NaN and -0.0, which only merges
+        # vectors whose cosine chains are value-identical anyway.
+        reps = assign.groupBy("__list", "__vec").agg(
+            F.min("__id").alias("__id"),
+            F.count(F.lit(1)).alias("__mult"),
+        )
+        memb = assign.join(
+            reps.select("__list", "__vec", F.col("__id").alias("__rep")),
+            ["__list", "__vec"],
+        ).select(F.col("__rep"), F.col("__id").alias("__member"))
 
     def pair_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": [], "id_b": [],
