@@ -22,6 +22,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.session import get_spark
 
     spark = get_spark("bench")
@@ -30,9 +31,38 @@ def main() -> None:
     # warm the JVM + parquet footers + Arrow/Python-worker pool once so
     # timings measure query execution, not process spin-up (whichever
     # query happens to run first would otherwise absorb ~2-4s of one-time
-    # session cost)
+    # session cost): footers for every table the early queries scan, the
+    # scalar AND grouped Arrow paths (separate worker pools), and the
+    # streaming engine (state-store + checkpoint infra on first use)
+    for t in ("lineitem", "documents", "embeddings", "orders", "events"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").schema
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     spark.range(1000).mapInPandas(lambda it: it, "id long").count()
+    spark.range(1000).groupBy((F.col("id") % 8).alias("g")).applyInPandas(
+        lambda pdf: pdf.head(1), "id long"
+    ).count()
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        (spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+         .writeStream.format("noop").trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start().awaitTermination(30))
+
+    # compile-warm pass: run every query once at the smallest SF so each
+    # measured timing is steady-state query execution, not whole-stage
+    # codegen JIT / Arrow pipeline spin-up / broadcast infra first-use —
+    # those one-time costs otherwise land on whichever query happens to
+    # hit each code path first and read as phantom regressions when the
+    # registry order changes.  Disable with SPARK_GRAFT_BENCH_WARM=0.
+    warm_dir = os.environ.get("SPARK_GRAFT_BENCH_WARM",
+                              "/root/testdata/sf0.001")
+    if warm_dir not in ("0", "") and os.path.isdir(warm_dir):
+        for name, fn in entrymod.queries().items():
+            try:
+                fn(spark, warm_dir).write.mode("overwrite").format(
+                    "noop").save()
+            except Exception:
+                pass  # warm-up is best-effort; the timed run surfaces errors
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

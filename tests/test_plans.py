@@ -135,7 +135,10 @@ def test_round4_retrieval_and_mixture_plans(spark):
     sub = _plan(entry.queries()["substring_dedup"](spark, SF))
     assert "CartesianProduct" not in sub
     assert "BroadcastNestedLoopJoin" not in sub
-    assert "SortMergeJoin" not in sub and "BroadcastHashJoin" not in sub
+    # the only join is the multiplicity-collapse member expansion on the
+    # rep id — equi-join, broadcast-eligible (copies' rows are derived,
+    # never re-tokenized)
+    assert "hashpartitioning(gram" in sub
 
 
 def test_semantic_and_pagerank_plans(spark):
