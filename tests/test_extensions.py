@@ -1636,6 +1636,39 @@ def test_winnowing_guarantee_and_density(spark):
     assert len({(r["fp_pos"]) for r in fp if r["doc_id"] == 1}) < n_grams
 
 
+def test_pretagged_shingles_equal_untagged(spark):
+    """A shingled table carrying persisted __rep/__mult columns (the
+    build-once collapse tagging) must yield byte-identical pairs to the
+    engines deriving the tagging themselves."""
+    from pyspark.sql import Window, functions as F
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        shingled_arrays,
+    )
+
+    ta = "the quick brown fox jumps over the lazy dog again and again"
+    tb = "the quick brown fox jumps over the lazy dog again and once"
+    rows = [(1, ta), (2, ta), (3, tb), (4, "unrelated words entirely here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tagged = shingled_arrays(df, "text", "doc_id", 3).select(
+        "doc_id", "shingles",
+        F.min("doc_id").over(Window.partitionBy("shingles")).alias("__rep"),
+        F.count(F.lit(1)).over(Window.partitionBy("shingles"))
+        .alias("__mult"),
+    )
+    for engine in (ngram_jaccard_pairs, minhash_lsh_pairs):
+        plain = {(r["id_a"], r["id_b"], r["jaccard"])
+                 for r in engine(df, k=3, threshold=0.5).collect()}
+        fast = {(r["id_a"], r["id_b"], r["jaccard"])
+                for r in engine(df, k=3, threshold=0.5,
+                                shingled=tagged).collect()}
+        assert plain == fast and plain, engine.__name__
+
+
 def test_duplicated_ngram_stats_copy_expansion(spark):
     """Verbatim copies get exactly (n_grams, n_grams, 1.0) — every gram
     of a copy is owned by its earlier rep — while the rep's own counts
