@@ -5524,6 +5524,78 @@ def q_bm25_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_BM25_VS_INDEX = ORACLE_BM25_SEARCH
 
 
+def q_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine trained linear-probe classifier
+    (extensions/analytics.py:linear_probe): closed-form least-squares fit
+    of intercept + 3 integer text features (token count, trimmed char
+    count, distinct-token count) against the is-English label, then
+    map-side scoring of every document — the fasttext-style quality-
+    filter linear core as ONE aggregate + ONE broadcast projection.
+    Exactness device: the normal-equation sums are exact int64; the
+    Cramer solve is a fixed-order arithmetic STRING (analytics.det_expr)
+    evaluated verbatim by both engines, so weights and scores are
+    bit-identical to the SQL oracle."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        linear_probe,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        token_count,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return linear_probe(
+        docs, "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)),
+        [
+            token_count("text"),
+            F.length(F.trim(F.col("text"))),
+            F.size(F.array_distinct(tokens("text"))),
+        ],
+    )
+
+
+def _oracle_linear_probe() -> str:
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        probe_weight_exprs,
+    )
+
+    w0, w1, w2, w3 = probe_weight_exprs()
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS __y,
+         CAST(len({DUCK_TOKS}) AS BIGINT) AS __x1,
+         CAST(length(trim(text)) AS BIGINT) AS __x2,
+         CAST(len(list_distinct({DUCK_TOKS})) AS BIGINT) AS __x3
+  FROM documents
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS pn,
+         CAST(SUM(__x1) AS BIGINT) AS s1,
+         CAST(SUM(__x2) AS BIGINT) AS s2,
+         CAST(SUM(__x3) AS BIGINT) AS s3,
+         CAST(SUM(__x1 * __x1) AS BIGINT) AS s11,
+         CAST(SUM(__x1 * __x2) AS BIGINT) AS s12,
+         CAST(SUM(__x1 * __x3) AS BIGINT) AS s13,
+         CAST(SUM(__x2 * __x2) AS BIGINT) AS s22,
+         CAST(SUM(__x2 * __x3) AS BIGINT) AS s23,
+         CAST(SUM(__x3 * __x3) AS BIGINT) AS s33,
+         CAST(SUM(__y) AS BIGINT) AS sy,
+         CAST(SUM(__x1 * __y) AS BIGINT) AS s1y,
+         CAST(SUM(__x2 * __y) AS BIGINT) AS s2y,
+         CAST(SUM(__x3 * __y) AS BIGINT) AS s3y
+  FROM base
+)
+SELECT doc_id,
+       CAST(__y AS INTEGER) AS label,
+       {w0} + {w1} * CAST(__x1 AS DOUBLE)
+            + {w2} * CAST(__x2 AS DOUBLE)
+            + {w3} * CAST(__x3 AS DOUBLE) AS score
+FROM base CROSS JOIN sums
+"""
+
+
 RRF_K = 60       # the standard reciprocal-rank-fusion damping constant
 RRF_DEPTH = 50   # per-list candidate depth
 RRF_TOPK = 20
@@ -5801,6 +5873,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontamination": q_bloom_decontamination,
         "bm25_vs_index": q_bm25_vs_index,
         "hybrid_rrf": q_hybrid_rrf,
+        "linear_probe": q_linear_probe,
         "length_quartiles": q_length_quartiles,
     }
 
@@ -5934,5 +6007,6 @@ def oracle_sql() -> dict[str, str]:
         "bloom_decontamination": ORACLE_BLOOM_DECONTAMINATION,
         "bm25_vs_index": ORACLE_BM25_VS_INDEX,
         "hybrid_rrf": _oracle_hybrid_rrf(),
+        "linear_probe": _oracle_linear_probe(),
         "length_quartiles": ORACLE_LENGTH_QUARTILES,
     }

@@ -133,3 +133,110 @@ def groupwise_corr(df: DataFrame, group_cols: list[str], x_col: str,
         F.when((vx <= F.lit(0.0)) | (vy <= F.lit(0.0)),
                F.lit(None).cast("double")).otherwise(r).alias("corr"),
     )
+
+
+# --- linear probe (in-engine trained classifier) ---------------------------
+
+def det_expr(m: list[list[str]]) -> str:
+    """SQL expression string for the determinant of a matrix of SQL
+    sub-expressions, by cofactor expansion along the first row with a
+    FIXED term order and full parenthesization.  The same string runs
+    verbatim in Spark SQL and DuckDB, so every +,-,* executes in the
+    same IEEE order and the value is bit-identical across engines —
+    the device that makes a closed-form model fit oracle-checkable."""
+    if len(m) == 1:
+        return m[0][0]
+    terms = []
+    for j, lead in enumerate(m[0]):
+        minor = [[row[c] for c in range(len(m)) if c != j] for row in m[1:]]
+        term = f"({lead} * ({det_expr(minor)}))"
+        terms.append(term if j % 2 == 0 else f"(0.0 - {term})")
+    return " + ".join(terms)
+
+
+PROBE_SUM_COLS = ("pn", "s1", "s2", "s3", "s11", "s12", "s13",
+                  "s22", "s23", "s33", "sy", "s1y", "s2y", "s3y")
+
+
+def probe_weight_exprs() -> list[str]:
+    """SQL expression strings for the 4 least-squares weights of an
+    intercept + 3-feature linear probe, via Cramer's rule over the
+    normal-equation sums (column names ``PROBE_SUM_COLS``)."""
+    d = lambda c: f"CAST({c} AS DOUBLE)"
+    a = [
+        [d("pn"), d("s1"), d("s2"), d("s3")],
+        [d("s1"), d("s11"), d("s12"), d("s13")],
+        [d("s2"), d("s12"), d("s22"), d("s23")],
+        [d("s3"), d("s13"), d("s23"), d("s33")],
+    ]
+    b = [d("sy"), d("s1y"), d("s2y"), d("s3y")]
+    det = det_expr(a)
+    out = []
+    for i in range(4):
+        ai = [[b[r] if c == i else a[r][c] for c in range(4)]
+              for r in range(4)]
+        out.append(f"(({det_expr(ai)}) / ({det}))")
+    return out
+
+
+def linear_probe(df: DataFrame, id_col: str, label, feats: list) -> DataFrame:
+    """Train a least-squares **linear probe** classifier in-engine and
+    score every row: closed-form normal equations ``(X'X) w = X'y`` over
+    an intercept + exactly 3 INTEGER features, solved by Cramer's rule.
+
+    This is the classic cheap trainable quality filter for corpus
+    curation (a linear probe over engineered features — the fasttext-
+    style filter's linear core) expressed Spark-first:
+
+    - **Sufficient statistics**: one partial+final aggregate produces the
+      14 normal-equation sums.  Features and label are integers, so the
+      sums are EXACT int64 arithmetic (no float accumulation order to
+      drift) — magnitude budget: every sum(x_i * x_j) must stay below
+      2^53 so the double conversion is exact; at 100 TB scale the sums
+      outgrow that and the cast widens to decimal first.
+    - **Solve**: Cramer's rule as a FIXED-ORDER arithmetic string
+      (:func:`det_expr`) evaluated from the broadcast 1-row sums — the
+      whole "training step" is one crossJoin(broadcast) projection, and
+      the identical string runs in the SQL oracle, so the fitted weights
+      are bit-identical across engines.  A singular design matrix
+      (collinear features) makes det 0 and the weights NULL/Inf — the
+      caller picks non-degenerate features.
+    - **Inference**: ``score = w0 + w1 x1 + w2 x2 + w3 x3`` map-side, a
+      fixed left-associated IEEE chain.
+
+    Returns ``(id_col, label, score)`` for every input row.
+    """
+    if len(feats) != 3:
+        raise ValueError(f"linear_probe fits intercept + exactly 3 "
+                         f"features, got {len(feats)}")
+    base = df.select(
+        F.col(id_col),
+        label.cast("long").alias("__y"),
+        *[feats[i].cast("long").alias(f"__x{i + 1}") for i in range(3)],
+    )
+    x = [F.lit(1).cast("long")] + [F.col(f"__x{i + 1}") for i in range(3)]
+    sums = base.agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(x[1]).alias("s1"), F.sum(x[2]).alias("s2"),
+        F.sum(x[3]).alias("s3"),
+        F.sum(x[1] * x[1]).alias("s11"), F.sum(x[1] * x[2]).alias("s12"),
+        F.sum(x[1] * x[3]).alias("s13"),
+        F.sum(x[2] * x[2]).alias("s22"), F.sum(x[2] * x[3]).alias("s23"),
+        F.sum(x[3] * x[3]).alias("s33"),
+        F.sum(F.col("__y")).alias("sy"),
+        F.sum(x[1] * F.col("__y")).alias("s1y"),
+        F.sum(x[2] * F.col("__y")).alias("s2y"),
+        F.sum(x[3] * F.col("__y")).alias("s3y"),
+    )
+    w = [F.expr(e) for e in probe_weight_exprs()]
+    score = w[0]
+    for i in range(3):
+        score = score + w[i + 1] * F.col(f"__x{i + 1}").cast("double")
+    return (
+        base.crossJoin(F.broadcast(sums))
+        .select(
+            F.col(id_col),
+            F.col("__y").cast("integer").alias("label"),
+            score.alias("score"),
+        )
+    )

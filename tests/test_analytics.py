@@ -66,3 +66,33 @@ def test_groupwise_corr_known_values(spark):
     assert out["anti"]["corr"] == pytest.approx(-1.0)
     assert out["flat"]["corr"] is None  # zero variance -> NULL, not NaN
     assert out["lin"]["n"] == 5
+
+
+def test_linear_probe_matches_numpy_lstsq(spark):
+    """The Cramer-rule closed form must agree with numpy's least-squares
+    solve on a well-conditioned design, and scoring must separate the
+    classes it was fit on."""
+    import numpy as np
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        linear_probe,
+    )
+    from pyspark.sql import functions as F
+
+    rng = [(i, 1 if i % 3 == 0 else 0,
+            10 + (i * 7) % 13, 50 + (i * 5) % 31, 3 + (i * 11) % 7)
+           for i in range(60)]
+    df = spark.createDataFrame(
+        rng, "id long, y long, x1 long, x2 long, x3 long"
+    )
+    out = linear_probe(df, "id", F.col("y"),
+                       [F.col("x1"), F.col("x2"), F.col("x3")]).collect()
+    assert len(out) == 60 and all(r["label"] in (0, 1) for r in out)
+
+    x = np.array([[1.0, r[2], r[3], r[4]] for r in rng])
+    y = np.array([float(r[1]) for r in rng])
+    w, *_ = np.linalg.lstsq(x, y, rcond=None)
+    want = {r[0]: float(x[i] @ w) for i, r in enumerate(rng)}
+    got = {r["id"]: r["score"] for r in out}
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-8, (i, got[i], want[i])
