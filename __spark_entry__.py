@@ -5596,6 +5596,73 @@ FROM base CROSS JOIN sums
 """
 
 
+DRIFT_TOP_K = 20
+
+
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift audit
+    (extensions/analytics.py:token_drift_chisq): chi-square of each
+    source's observed counts over the corpus top-20 token vocabulary
+    against the corpus-share expectation — the feed-health / domain-
+    shift monitor for a multi-source corpus.  Integer counts, broadcast
+    vocabulary, fixed-order IEEE chain shared verbatim with the oracle."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        token_drift_chisq,
+    )
+
+    return token_drift_chisq(_t(spark, sf_dir, "documents"),
+                             source_col="source", top_k=DRIFT_TOP_K)
+
+
+def _oracle_token_drift() -> str:
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        chisq_chain,
+    )
+
+    k = DRIFT_TOP_K
+    o_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN __r = {i} THEN 1 ELSE 0 END) AS BIGINT) AS o_{i}"
+        for i in range(k)
+    )
+    g_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN __r = {i} THEN __c ELSE 0 END) AS BIGINT) AS g_{i}"
+        for i in range(k)
+    )
+    return f"""
+WITH toks AS (
+  SELECT source, unnest({DUCK_TOKS}) AS __tok FROM documents
+),
+gcnt AS (
+  SELECT __tok, CAST(COUNT(*) AS BIGINT) AS __c FROM toks GROUP BY 1
+),
+topk AS (
+  SELECT __tok, __c FROM gcnt ORDER BY __c DESC, __tok LIMIT {k}
+),
+ranked AS (
+  SELECT __tok, __c,
+         CAST(row_number() OVER (ORDER BY __c DESC, __tok) - 1 AS BIGINT)
+             AS __r
+  FROM topk
+),
+j AS (
+  SELECT t.source, k.__r FROM toks t JOIN ranked k USING (__tok)
+),
+o AS (
+  SELECT source,
+         {o_cols},
+         CAST(COUNT(*) AS BIGINT) AS sn
+  FROM j GROUP BY source
+),
+g AS (
+  SELECT {g_cols},
+         CAST(SUM(__c) AS BIGINT) AS gn
+  FROM ranked
+)
+SELECT source, sn, {chisq_chain(k)} AS chisq
+FROM o CROSS JOIN g
+"""
+
+
 RRF_K = 60       # the standard reciprocal-rank-fusion damping constant
 RRF_DEPTH = 50   # per-list candidate depth
 RRF_TOPK = 20
@@ -5874,6 +5941,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_vs_index": q_bm25_vs_index,
         "hybrid_rrf": q_hybrid_rrf,
         "linear_probe": q_linear_probe,
+        "token_drift": q_token_drift,
         "length_quartiles": q_length_quartiles,
     }
 
@@ -6008,5 +6076,6 @@ def oracle_sql() -> dict[str, str]:
         "bm25_vs_index": ORACLE_BM25_VS_INDEX,
         "hybrid_rrf": _oracle_hybrid_rrf(),
         "linear_probe": _oracle_linear_probe(),
+        "token_drift": _oracle_token_drift(),
         "length_quartiles": ORACLE_LENGTH_QUARTILES,
     }

@@ -240,3 +240,84 @@ def linear_probe(df: DataFrame, id_col: str, label, feats: list) -> DataFrame:
             score.alias("score"),
         )
     )
+
+
+def chisq_chain(k: int) -> str:
+    """Fixed-order SQL expression string for the chi-square statistic over
+    ``k`` pivoted term columns: per rank i, observed ``o_i`` (BIGINT),
+    corpus count ``g_i`` (BIGINT), corpus total ``gn`` and source total
+    ``sn`` — ``sum_i (o_i - e_i)^2 / e_i`` with ``e_i = g_i/gn * sn``,
+    summed left-to-right in rank order.  Ranks with ``g_i = 0`` cannot
+    occur (a top-k token has positive corpus count).  The identical
+    string runs in Spark SQL and DuckDB, so the double chain is
+    bit-identical across engines."""
+    terms = []
+    for i in range(k):
+        e = (f"((CAST(g_{i} AS DOUBLE) / CAST(gn AS DOUBLE)) "
+             f"* CAST(sn AS DOUBLE))")
+        o = f"CAST(o_{i} AS DOUBLE)"
+        terms.append(f"((({o} - {e}) * ({o} - {e})) / {e})")
+    return " + ".join(terms)
+
+
+def token_drift_chisq(df: DataFrame, source_col: str = "source",
+                      text_col: str = "text", top_k: int = 20) -> DataFrame:
+    """Per-source token-distribution drift: the chi-square statistic of
+    each source's observed counts over the corpus-wide top-``top_k``
+    token vocabulary against the corpus-share expectation — the standard
+    domain-shift / feed-health audit for a multi-source training corpus
+    (a drifting crawl feed shows up as a chi-square orders of magnitude
+    above its siblings; dof = top_k - 1 for a significance cut).
+
+    Spark-first shape: one tokenize+count aggregate for the global
+    vocabulary; top-k by (count desc, token) — deterministic total
+    order — then ranks assigned on the k-row result (metadata-sized
+    window) and BROADCAST into a second conditional-aggregate pass that
+    pivots each source's observed counts into fixed rank columns.  No
+    driver collect; two shuffles total (token counts, source pivot).
+
+    Exactness: counts are integers; expectations and the chi-square are
+    a fixed left-to-right IEEE chain (:func:`chisq_chain`) evaluated
+    verbatim by both engines.  Only top-k tokens enter (``sn`` is the
+    source's mass WITHIN the vocabulary), so sources sharing the corpus
+    distribution score near 0 regardless of size.  Returns
+    ``(source_col, sn, chisq)``.
+    """
+    from .text import tokens
+
+    toks = df.select(
+        F.col(source_col), F.explode(tokens(text_col)).alias("__tok")
+    )
+    glob = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    topk = glob.orderBy(F.col("__c").desc(), F.col("__tok")).limit(top_k)
+    from pyspark.sql import Window
+    ranked = topk.select(
+        "__tok", "__c",
+        (F.row_number().over(
+            Window.orderBy(F.col("__c").desc(), F.col("__tok"))
+        ) - 1).alias("__r"),
+    )
+    joined = toks.join(F.broadcast(ranked), "__tok")
+    obs = joined.groupBy(source_col).agg(
+        *[
+            F.sum(F.when(F.col("__r") == i, 1).otherwise(0))
+            .cast("long").alias(f"o_{i}")
+            for i in range(top_k)
+        ],
+        F.count(F.lit(1)).cast("long").alias("sn"),
+    )
+    gl = ranked.agg(
+        *[
+            F.sum(F.when(F.col("__r") == i, F.col("__c")).otherwise(0))
+            .cast("long").alias(f"g_{i}")
+            for i in range(top_k)
+        ],
+        F.sum("__c").cast("long").alias("gn"),
+    )
+    return (
+        obs.crossJoin(F.broadcast(gl))
+        .select(
+            F.col(source_col), F.col("sn"),
+            F.expr(chisq_chain(top_k)).alias("chisq"),
+        )
+    )

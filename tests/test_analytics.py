@@ -96,3 +96,31 @@ def test_linear_probe_matches_numpy_lstsq(spark):
     got = {r["id"]: r["score"] for r in out}
     for i in want:
         assert abs(got[i] - want[i]) < 1e-8, (i, got[i], want[i])
+
+
+def test_token_drift_chisq_zero_for_identical_distribution(spark):
+    """Two sources with identical token distributions score chi-square
+    exactly 0; a divergent source scores positive."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        token_drift_chisq,
+    )
+
+    same = "alpha beta gamma delta"
+    rows = ([(i, "a", same) for i in range(10)]
+            + [(100 + i, "b", same) for i in range(20)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: (r["sn"], r["chisq"])
+           for r in token_drift_chisq(df, top_k=4).collect()}
+    assert got["a"][0] == 40 and got["b"][0] == 80
+    assert got["a"][1] == 0.0 and got["b"][1] == 0.0
+
+    # a source diverging from the corpus mix scores far above conformers
+    rows2 = rows + [(200 + i, "c", "omega omega omega omega")
+                    for i in range(5)]
+    df2 = spark.createDataFrame(rows2,
+                                "doc_id long, source string, text string")
+    got2 = {r["source"]: r["chisq"]
+            for r in token_drift_chisq(df2, top_k=5).collect()}
+    # (conformers' chisq scales with their mass — b carries 2x a's
+    # tokens — but the divergent feed dominates both)
+    assert got2["c"] > 5 * max(got2["a"], got2["b"]) > 0.0
