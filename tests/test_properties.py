@@ -348,3 +348,46 @@ def test_chunk_documents_properties(spark, texts, chunk, overlap):
             covered |= set(range(r["start_tok"],
                                  r["start_tok"] + r["n_chunk_tokens"]))
         assert covered == set(range(n))
+
+
+# --- multiplicity-collapsed pair engines vs brute force ---------------------
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+_text = st.lists(_word, min_size=0, max_size=8).map(" ".join)
+_corpus = st.lists(_text, min_size=1, max_size=12)
+
+
+def _brute_jaccard_pairs(texts, k, t):
+    def sh(s):
+        toks = s.split() if s.strip() else []
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+    sets = {i: sh(s) for i, s in enumerate(texts)}
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                j = inter / (len(sets[a]) + len(sets[b]) - inter)
+                if j >= t:
+                    out[(a, b)] = j
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(texts=_corpus)
+def test_ngram_pairs_collapse_matches_bruteforce(spark, texts):
+    """The multiplicity-collapsed PPJoin engine equals the brute-force
+    all-pairs Jaccard on corpora drawn from a tiny vocabulary — a regime
+    dense in verbatim copies, shared prefixes, and shingle-less (short)
+    documents, the exact edge cases the collapse/expansion must survive."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(df, k=2, threshold=0.5).collect()}
+    want = _brute_jaccard_pairs(texts, 2, 0.5)
+    assert got == want
