@@ -175,20 +175,18 @@ def _corpus_shingles_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingled_arrays,
     )
 
-    from pyspark.sql import Window as W
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.execution import (
+        rep_tags,
+    )
 
     def build():
-        base = shingled_arrays(
-            _t(spark, sf_dir, "documents"), "text", "doc_id", 3
-        )
         # persist the multiplicity-collapse tagging (group rep = min id per
         # distinct array + copy count) so every pair-engine consumer skips
         # its per-query window over the shingle arrays
-        return base.select(
-            "doc_id", "shingles",
-            F.min("doc_id").over(W.partitionBy("shingles")).alias("__rep"),
-            F.count(F.lit(1)).over(W.partitionBy("shingles"))
-            .alias("__mult"),
+        return rep_tags(
+            shingled_arrays(_t(spark, sf_dir, "documents"),
+                            "text", "doc_id", 3),
+            "shingles", "doc_id",
         )
 
     return table_if_absent(
@@ -1975,16 +1973,15 @@ def _embedding_tags_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     id per identical embedding): the build-once half of semantic dedup's
     multiplicity collapse, so the per-query plan never shuffles the
     vector arrays for grouping — only id-keyed joins."""
-    from pyspark.sql import Window as W
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.execution import (
+        rep_tags,
+    )
 
     def build():
         emb = _t(spark, sf_dir, "embeddings")
-        return emb.select(
-            "vec_id",
-            F.min("vec_id").over(W.partitionBy("embedding")).alias("__rep"),
-            F.count(F.lit(1)).over(W.partitionBy("embedding"))
-            .alias("__mult"),
-        )
+        return rep_tags(
+            emb.select("vec_id", "embedding"), "embedding", "vec_id"
+        ).drop("embedding")
 
     return table_if_absent(
         spark, f"emb_dup_tags_{_sfx(sf_dir)}", build, keys=["vec_id"],

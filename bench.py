@@ -44,9 +44,14 @@ def main() -> None:
     import tempfile
 
     with tempfile.TemporaryDirectory() as ckpt:
-        (spark.readStream.format("rate").option("rowsPerSecond", 1).load()
-         .writeStream.format("noop").trigger(availableNow=True)
-         .option("checkpointLocation", ckpt).start().awaitTermination(30))
+        q = (spark.readStream.format("rate").option("rowsPerSecond", 1)
+             .load().writeStream.format("noop").trigger(availableNow=True)
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.awaitTermination(30)
+        finally:
+            q.stop()  # never leave the warm-up stream running into the
+            # timed pass (or its checkpoint dir deleted underneath it)
 
     # compile-warm pass: run every query once at the smallest SF so each
     # measured timing is steady-state query execution, not whole-stage

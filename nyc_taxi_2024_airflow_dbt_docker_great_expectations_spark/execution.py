@@ -39,3 +39,27 @@ def materialize_once(df: DataFrame, storage: str = "memory") -> DataFrame:
     if storage != "memory":
         raise ValueError(f"storage must be 'memory' or 'disk', got {storage!r}")
     return df.localCheckpoint(eager=True)
+
+
+def rep_tags(df, key_cols, id_col: str, with_mult: bool = True):
+    """Tag every row with its duplicate-group representative (min
+    ``id_col`` per identical ``key_cols`` value) and, optionally, the
+    group size — the shared first step of every multiplicity-collapsed
+    pair engine and persisted index in this repo: ONE window exchange on
+    the group key yields the rep filter (``id == __rep``), the member
+    expansion map (``__rep -> id``), and the copy count (``__mult``)
+    that keeps document-frequency semantics copy-exact.
+
+    ``key_cols`` is a column name, Column, or list of either (composite
+    keys, e.g. a side tag + the content key).  Spark window keys
+    normalize NaN and -0.0 like group keys do, which only merges values
+    that are semantically identical for every downstream consumer.
+    """
+    from pyspark.sql import Window, functions as F
+
+    keys = key_cols if isinstance(key_cols, (list, tuple)) else [key_cols]
+    w = Window.partitionBy(*keys)
+    cols = [F.min(id_col).over(w).alias("__rep")]
+    if with_mult:
+        cols.append(F.count(F.lit(1)).over(w).alias("__mult"))
+    return df.select("*", *cols)

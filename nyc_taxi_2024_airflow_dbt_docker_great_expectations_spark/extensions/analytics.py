@@ -247,16 +247,18 @@ def chisq_chain(k: int) -> str:
     ``k`` pivoted term columns: per rank i, observed ``o_i`` (BIGINT),
     corpus count ``g_i`` (BIGINT), corpus total ``gn`` and source total
     ``sn`` — ``sum_i (o_i - e_i)^2 / e_i`` with ``e_i = g_i/gn * sn``,
-    summed left-to-right in rank order.  Ranks with ``g_i = 0`` cannot
-    occur (a top-k token has positive corpus count).  The identical
-    string runs in Spark SQL and DuckDB, so the double chain is
-    bit-identical across engines."""
+    summed left-to-right in rank order.  A corpus with fewer than ``k``
+    distinct tokens leaves trailing ranks empty (``g_i = o_i = 0``);
+    those terms contribute exactly 0 instead of the 0/0 NaN that would
+    poison the whole sum.  The identical string runs in Spark SQL and
+    DuckDB, so the double chain is bit-identical across engines."""
     terms = []
     for i in range(k):
         e = (f"((CAST(g_{i} AS DOUBLE) / CAST(gn AS DOUBLE)) "
              f"* CAST(sn AS DOUBLE))")
         o = f"CAST(o_{i} AS DOUBLE)"
-        terms.append(f"((({o} - {e}) * ({o} - {e})) / {e})")
+        terms.append(f"(CASE WHEN g_{i} = 0 THEN 0.0 "
+                     f"ELSE ((({o} - {e}) * ({o} - {e})) / {e}) END)")
     return " + ".join(terms)
 
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..execution import materialize_once
+from ..execution import materialize_once, rep_tags
 from .text import shingle_postings, shingled_arrays, tokens, word_shingles
 
 
@@ -150,18 +150,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # A ``shingled`` table that already carries __rep/__mult (a persisted
     # pre-tagged corpus table) skips the window entirely.
     tagged = raw if "__rep" in raw.columns else materialize_once(
-        raw.select(
-            F.col(id_col), F.col("shingles"),
-            F.min(id_col).over(Window.partitionBy("shingles")).alias("__rep"),
-            F.count(F.lit(1)).over(Window.partitionBy("shingles"))
-            .alias("__mult"),
-        )
+        rep_tags(raw.select(F.col(id_col), F.col("shingles")),
+                 "shingles", id_col)
     )
     base = tagged.filter(F.col(id_col) == F.col("__rep")).select(
         id_col, "shingles", "__mult"
     )
     posts = base.select(
-        F.col(id_col), F.size("shingles").alias("n_sh"),
+        F.col(id_col), F.col("__mult"), F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
     )
     # document frequency via a whole-partition window — ONE exchange of the
@@ -169,8 +165,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # stop-word-grade shingle buffers its postings in one window task, but
     # that is O(df) rows, linear and spillable (and exactly what ``max_df``
     # caps); the quadratic candidate mass is bounded by the prefix filter.
+    # df counts DOCUMENTS — each rep posting weighs its copy count — so
+    # ``max_df`` keeps its documented meaning under the collapse.
     ranked = posts.withColumn(
-        "df_cnt", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        "df_cnt", F.sum("__mult").over(Window.partitionBy("shingle"))
     )
     if max_df is not None:
         # df-cut BEFORE ranking: frequent shingles never enter the index, so
@@ -220,9 +218,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         # duplicate-group self markers: identical non-empty shingle sets
         # have Jaccard exactly 1 (n/n in IEEE); empty sets never paired in
         # the uncollapsed engine (no postings) and must not here either
+        selfs = base.filter((F.col("__mult") > 1) & (F.size("shingles") > 0))
+        if max_df is not None:
+            # the uncollapsed engine finds a duplicate pair only if >= 1 of
+            # the group's shingles survives the df-cut into the index (the
+            # documented recall loss); gate the markers identically
+            selfs = selfs.join(
+                ranked.select(id_col).distinct(), id_col, "left_semi"
+            )
         rep_pairs = rep_pairs.unionByName(
-            base.filter((F.col("__mult") > 1) & (F.size("shingles") > 0))
-            .select(
+            selfs.select(
                 F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b"),
                 F.lit(1.0).alias("jaccard"),
             )
@@ -290,22 +295,20 @@ def ngram_jaccard_pairs_vs(new: DataFrame, corpus: DataFrame,
     # rep uid = min member uid within (side, array); the uid's "0:"/"1:"
     # side prefix keeps the window key side-local for free
     tagged = materialize_once(
-        shingled.select(
-            "__uid", "shingles",
-            F.min("__uid").over(
-                W.partitionBy(F.substring("__uid", 1, 2), "shingles")
-            ).alias("__rep"),
-        )
+        rep_tags(shingled.select("__uid", "shingles"),
+                 [F.substring("__uid", 1, 2), F.col("shingles")], "__uid")
     )
     base = tagged.filter(F.col("__uid") == F.col("__rep")).select(
-        "__uid", "shingles"
+        "__uid", "shingles", "__mult"
     )
     posts = base.select(
-        "__uid", F.size("shingles").alias("n_sh"),
+        "__uid", F.col("__mult"), F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
     )
+    # df counts DOCUMENTS across both sides (copies weigh their count),
+    # keeping max_df's documented meaning under the collapse
     ranked = posts.withColumn(
-        "df_cnt", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+        "df_cnt", F.sum("__mult").over(W.partitionBy("shingle"))
     )
     if max_df is not None:
         ranked = ranked.filter(F.col("df_cnt") <= max_df)
@@ -437,10 +440,8 @@ def build_ngram_index(corpus: DataFrame, table_prefix: str,
     props = {"kind": "ngram_index", "k": k, "threshold": threshold,
              "max_df": max_df, "collapsed": True}
     tagged = materialize_once(
-        shingled_arrays(corpus, text_col, id_col, k).select(
-            F.col(id_col), F.col("shingles"),
-            F.min(id_col).over(W.partitionBy("shingles")).alias("__rep"),
-        )
+        rep_tags(shingled_arrays(corpus, text_col, id_col, k),
+                 "shingles", id_col)
     )
     write_bucketed(
         tagged.select(F.col("__rep").alias("rep_id"),
@@ -448,21 +449,23 @@ def build_ngram_index(corpus: DataFrame, table_prefix: str,
         names["doc_members"], ["rep_id"], num_buckets, props=props,
     )
     base = tagged.filter(F.col(id_col) == F.col("__rep")).select(
-        id_col, "shingles"
+        id_col, "shingles", "__mult"
     )
     write_bucketed(
         base.select(id_col, F.size("shingles").alias("n_sh"), "shingles"),
         names["doc_shingles"], [id_col], num_buckets, props=props,
     )
     posts = base.select(
-        F.col(id_col), F.size("shingles").alias("n_sh"),
+        F.col(id_col), F.col("__mult"), F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
     )
     # the df window's shingle exchange feeds BOTH the shingle_df write and
     # the prefix ranking — materialize it once instead of re-shuffling the
-    # full posting list per consumer
+    # full posting list per consumer.  df counts DOCUMENTS (each rep
+    # posting weighs its copy count): the persisted table keeps its
+    # documented "full corpus document frequencies" meaning
     ranked = materialize_once(posts.withColumn(
-        "df_cnt", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+        "df_cnt", F.sum("__mult").over(W.partitionBy("shingle"))
     ))
     write_bucketed(
         ranked.groupBy("shingle").agg(F.first("df_cnt").alias("df_cnt")),
@@ -550,10 +553,8 @@ def probe_ngram_index(new: DataFrame, table_prefix: str,
     # (expansion map persisted as doc_members); the batch collapses here
     # with one window exchange on its shingle arrays
     ntagged = materialize_once(
-        shingled_arrays(new, text_col, id_col, k).select(
-            F.col(id_col), F.col("shingles"),
-            F.min(id_col).over(W.partitionBy("shingles")).alias("__rep"),
-        )
+        rep_tags(shingled_arrays(new, text_col, id_col, k),
+                 "shingles", id_col, with_mult=False)
     )
     base = ntagged.filter(F.col(id_col) == F.col("__rep")).select(
         id_col, "shingles"
@@ -695,9 +696,9 @@ def minhash_hot_bands(df: DataFrame, text_col: str = "text",
 
     base = (shingled if shingled is not None
             else materialize_once(shingled_arrays(df, text_col, id_col, k)))
-    reps = base.withColumn(
-        "__rep", F.min(id_col).over(Window.partitionBy("shingles"))
-    ).filter(F.col(id_col) == F.col("__rep")).select(id_col, "shingles")
+    reps = rep_tags(base.select(F.col(id_col), F.col("shingles")),
+                    "shingles", id_col, with_mult=False) \
+        .filter(F.col(id_col) == F.col("__rep")).select(id_col, "shingles")
     return (
         _minhash_band_keys(reps, id_col, num_hashes, bands)
         .groupBy("band_key")
@@ -761,12 +762,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
            else materialize_once(shingled_arrays(df, text_col, id_col, k)))
     # a pre-tagged persisted table (carrying __rep/__mult) skips the window
     tagged = raw if "__rep" in raw.columns else materialize_once(
-        raw.select(
-            F.col(id_col), F.col("shingles"),
-            F.min(id_col).over(Window.partitionBy("shingles")).alias("__rep"),
-            F.count(F.lit(1)).over(Window.partitionBy("shingles"))
-            .alias("__mult"),
-        )
+        rep_tags(raw.select(F.col(id_col), F.col("shingles")),
+                 "shingles", id_col)
     )
     base = tagged.filter(F.col(id_col) == F.col("__rep")).select(
         id_col, "shingles", "__mult"
@@ -925,12 +922,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     if sims is None:
         sims = materialize_once(simhash_table(df, text_col, id_col))
     tagged = materialize_once(
-        sims.select(
-            F.col(id_col), F.col("simhash"),
-            F.min(id_col).over(Window.partitionBy("simhash")).alias("__rep"),
-            F.count(F.lit(1)).over(Window.partitionBy("simhash"))
-            .alias("__mult"),
-        )
+        rep_tags(sims.select(F.col(id_col), F.col("simhash")),
+                 "simhash", id_col)
     )
     reps = tagged.filter(F.col(id_col) == F.col("__rep"))
     banded = reps.select(
@@ -1037,12 +1030,8 @@ def duplicated_ngram_stats(df: DataFrame, n: int = 5,
     from pyspark.sql import Window
 
     tagged = materialize_once(
-        df.select(F.col(id_col), F.col(text_col)).select(
-            F.col(id_col), F.col(text_col),
-            F.min(id_col).over(Window.partitionBy(text_col)).alias("__rep"),
-            F.count(F.lit(1)).over(Window.partitionBy(text_col))
-            .alias("__mult"),
-        )
+        rep_tags(df.select(F.col(id_col), F.col(text_col)),
+                 text_col, id_col)
     )
     reps = tagged.filter(F.col(id_col) == F.col("__rep"))
     grams = reps.select(
@@ -1117,10 +1106,8 @@ def build_minhash_index(corpus: DataFrame, table_prefix: str,
     props = {"kind": "minhash_index", "k": k, "num_hashes": num_hashes,
              "bands": bands, "collapsed": True}
     tagged = materialize_once(
-        shingled_arrays(corpus, text_col, id_col, k).select(
-            F.col(id_col), F.col("shingles"),
-            F.min(id_col).over(W.partitionBy("shingles")).alias("__rep"),
-        )
+        rep_tags(shingled_arrays(corpus, text_col, id_col, k),
+                 "shingles", id_col, with_mult=False)
     )
     write_bucketed(
         tagged.select(F.col("__rep").alias("rep_id"),
@@ -1181,10 +1168,8 @@ def probe_minhash_index(new: DataFrame, table_prefix: str,
     # (expansion map persisted as <prefix>_members); the batch collapses
     # here with one window exchange on its shingle arrays
     ntagged = materialize_once(
-        shingled_arrays(new, text_col, id_col, k).select(
-            F.col(id_col), F.col("shingles"),
-            F.min(id_col).over(W.partitionBy("shingles")).alias("__rep"),
-        )
+        rep_tags(shingled_arrays(new, text_col, id_col, k),
+                 "shingles", id_col, with_mult=False)
     )
     nbase = ntagged.filter(F.col(id_col) == F.col("__rep")).select(
         id_col, "shingles"

@@ -131,12 +131,23 @@ def fuzzy_match_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     from pyspark.sql import Window
 
+    from ..execution import materialize_once, rep_tags
+
     # NULL strings match nothing (the old explode-of-NULL path dropped
-    # them; the expansion join's equality would too) — drop them up front
-    df = df.filter(F.col(text_col).isNotNull())
-    reps = df.groupBy(F.col(text_col).alias("__txt")).agg(
-        F.min(F.col(id_col)).alias("__id"),
-        F.count(F.lit(1)).alias("__mult"),
+    # them; grouping NULLs would resurrect them as a bogus group) — drop
+    # them up front.  ONE window exchange on the string tags rep + count
+    # AND yields the member map — no second full-corpus join on the text
+    # key to rebuild it.
+    tagged = materialize_once(
+        rep_tags(
+            df.filter(F.col(text_col).isNotNull()).select(
+                F.col(id_col).alias("__mid"), F.col(text_col).alias("__txt"),
+            ),
+            "__txt", "__mid",
+        )
+    )
+    reps = tagged.filter(F.col("__mid") == F.col("__rep")).select(
+        F.col("__txt"), F.col("__mid").alias("__id"), "__mult"
     )
     keyed = reps.select(
         "__id", "__txt",
@@ -190,10 +201,7 @@ def fuzzy_match_pairs(df: DataFrame, id_col: str, text_col: str,
         F.col("__txt").alias("text_a"), F.col("__txt").alias("text_b"),
         F.lit(0).alias("dist"),
     )
-    memb = df.join(
-        reps.select("__txt", F.col("__id").alias("__rep")),
-        F.col(text_col) == F.col("__txt"),
-    ).select(F.col("__rep"), F.col(id_col).alias("__member"))
+    memb = tagged.select(F.col("__rep"), F.col("__mid").alias("__member"))
     ma = memb.withColumnRenamed("__rep", "id_a").withColumnRenamed(
         "__member", "__ma")
     mb = memb.withColumnRenamed("__rep", "id_b").withColumnRenamed(

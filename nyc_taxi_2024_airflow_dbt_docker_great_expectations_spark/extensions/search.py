@@ -138,8 +138,7 @@ def build_bm25_index(corpus: DataFrame, table_prefix: str,
     matched reps back to doc ids before the top-k, so scores and
     tie-breaks are bit-identical to the uncollapsed form.
     """
-    from pyspark.sql import Window as W
-
+    from ..execution import rep_tags
     from ..operators.layout import write_bucketed, write_unbucketed
 
     names = _bm25_table_names(table_prefix)
@@ -147,13 +146,11 @@ def build_bm25_index(corpus: DataFrame, table_prefix: str,
     # inputs), so beyond the kind only the collapsed layout needs
     # recording — pre-collapse dirs refuse adoption and rebuild
     props = {"kind": "bm25_index", "collapsed": True}
-    tagged = corpus.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("__txt")
-    ).select(
-        "id", "__txt",
-        F.min("id").over(W.partitionBy("__txt")).alias("__rep"),
-        F.count(F.lit(1)).over(W.partitionBy("__txt")).alias("mult"),
-    )
+    tagged = rep_tags(
+        corpus.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("__txt")),
+        "__txt", "id",
+    ).withColumnRenamed("__mult", "mult")
     write_bucketed(
         tagged.select(F.col("__rep").alias("rep_id"),
                       F.col("id").alias("member_id")),

@@ -851,6 +851,19 @@ def semantic_dedup_pairs(corpus: DataFrame, threshold: float,
         tags = dup_tags.select(
             F.col(id_col).alias("__id"), F.col("__rep"), F.col("__mult")
         )
+        # the inner joins below silently DROP any corpus vector missing
+        # from the tags table — a stale persisted table must fail loudly
+        # instead (same contract as the persisted-index probes)
+        missing = (
+            corpus.select(F.col(id_col).alias("__id"))
+            .join(tags.select("__id"), "__id", "left_anti")
+            .limit(1).count()
+        )
+        if missing:
+            raise ValueError(
+                "dup_tags does not cover the corpus (stale tags table?) — "
+                "rebuild it from the current embeddings"
+            )
         reps = (
             assign.join(tags, "__id")
             .filter(F.col("__id") == F.col("__rep"))

@@ -466,15 +466,13 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
     """
     from pyspark.sql import Window
 
-    from ..execution import materialize_once
+    from ..execution import materialize_once, rep_tags
 
     if k < 1 or w < 1:
         raise ValueError(f"need k >= 1 and w >= 1, got k={k}, w={w}")
     tagged = materialize_once(
-        df.select(F.col(id_col), F.col(text_col)).select(
-            F.col(id_col), F.col(text_col),
-            F.min(id_col).over(Window.partitionBy(text_col)).alias("__rep"),
-        )
+        rep_tags(df.select(F.col(id_col), F.col(text_col)),
+                 text_col, id_col, with_mult=False)
     )
     reps = tagged.filter(F.col(id_col) == F.col("__rep"))
     n = token_count(text_col)

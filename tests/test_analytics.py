@@ -109,8 +109,10 @@ def test_token_drift_chisq_zero_for_identical_distribution(spark):
     rows = ([(i, "a", same) for i in range(10)]
             + [(100 + i, "b", same) for i in range(20)])
     df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # top_k larger than the vocabulary: empty trailing ranks contribute
+    # exactly 0 (not a poisoning 0/0 NaN)
     got = {r["source"]: (r["sn"], r["chisq"])
-           for r in token_drift_chisq(df, top_k=4).collect()}
+           for r in token_drift_chisq(df, top_k=6).collect()}
     assert got["a"][0] == 40 and got["b"][0] == 80
     assert got["a"][1] == 0.0 and got["b"][1] == 0.0
 
