@@ -5406,18 +5406,47 @@ ORACLE_MIXTURE_SAMPLE = _oracle_mixture()
 SUBSTR_N = 4  # matches DECONTAM_N: the corpus's longest cross-doc runs
 
 
+def _gram_profile_if_absent(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once persisted substring-dedup gram profile over the corpus
+    (extensions/dedup.py: build_gram_profile); returns the table prefix.
+    Shared by substring_dedup and substring_dedup_dfcut — the gram-keyed
+    window exchange (the posting-volume shuffle) is paid once per
+    warehouse, every df-cut variant then aggregates the doc-bucketed
+    profile."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        GRAM_PROFILE_TABLES,
+        build_gram_profile,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.layout import (
+        adopt_bucketed_table,
+    )
+
+    prefix = f"substr_profile_{_sfx(sf_dir)}"
+    idx_keys = {"df_profile": ["doc_id"], "members": ["rep_id"]}
+    idx_props = {"kind": "gram_profile", "n": SUBSTR_N, "collapsed": True}
+    if not all(spark.catalog.tableExists(f"{prefix}_{t}")
+               or adopt_bucketed_table(spark, f"{prefix}_{t}", idx_keys[t],
+                                       props=idx_props)
+               for t in GRAM_PROFILE_TABLES):
+        build_gram_profile(_t(spark, sf_dir, "documents"), prefix,
+                           n=SUBSTR_N)
+    return prefix
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring audit (extensions/dedup.py:
     duplicated_ngram_stats): per document, the fraction of its distinct
     word 4-grams first seen in an earlier document — the Lee et al.
-    ACL'22 substring-level dedup signal (boilerplate/quotation share),
-    one gram-keyed exchange + one id-keyed aggregation."""
+    ACL'22 substring-level dedup signal (boilerplate/quotation share).
+    Served from the PERSISTED df-banded gram profile
+    (build_gram_profile), value-identical to the from-scratch engine
+    (pytest-asserted); the oracle recomputes from raw text."""
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
-        duplicated_ngram_stats,
+        stats_from_gram_profile,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    return duplicated_ngram_stats(docs, n=SUBSTR_N)
+    prefix = _gram_profile_if_absent(spark, sf_dir)
+    return stats_from_gram_profile(spark, prefix)
 
 
 ORACLE_SUBSTRING_DEDUP = f"""
@@ -5445,13 +5474,16 @@ def q_substring_dedup_dfcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts — the df rides the SAME gram-keyed window exchange, so the
     guard is free.  At web scale this caps the posting list any single
     window task buffers; at sf0.01 the cut excludes the few df>3 grams,
-    so this exercises a genuinely different result than substring_dedup."""
+    so this exercises a genuinely different result than substring_dedup.
+    Served from the SAME persisted gram profile as substring_dedup (the
+    df-banded aggregation commutes with the cut, so one build serves
+    every max_df)."""
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
-        duplicated_ngram_stats,
+        stats_from_gram_profile,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    return duplicated_ngram_stats(docs, n=SUBSTR_N, max_df=SUBSTR_MAX_DF)
+    prefix = _gram_profile_if_absent(spark, sf_dir)
+    return stats_from_gram_profile(spark, prefix, max_df=SUBSTR_MAX_DF)
 
 
 SUBSTR_MAX_DF = 3

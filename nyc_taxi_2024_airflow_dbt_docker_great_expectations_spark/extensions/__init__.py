@@ -13,6 +13,7 @@
 """
 
 from .dedup import (  # noqa: F401
+    build_gram_profile,
     duplicated_ngram_stats,
     exact_dedup_keys,
     minhash_hot_bands,
@@ -21,6 +22,7 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash_pairs,
     simhash_table,
+    stats_from_gram_profile,
 )
 from .similarity import (  # noqa: F401
     cosine_topk,

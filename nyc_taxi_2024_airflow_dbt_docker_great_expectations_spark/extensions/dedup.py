@@ -1067,6 +1067,109 @@ def duplicated_ngram_stats(df: DataFrame, n: int = 5,
     )
 
 
+# --- persisted substring-dedup gram profile --------------------------------
+
+GRAM_PROFILE_TABLES = ("df_profile", "members")
+
+
+def build_gram_profile(corpus: DataFrame, table_prefix: str, n: int = 5,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       num_buckets: int = 8) -> dict[str, str]:
+    """Persist the :func:`duplicated_ngram_stats` sufficient statistic as
+    warehouse tables, so the substring-dedup audit (and EVERY ``max_df``
+    variant of it) becomes a cheap doc-keyed aggregation instead of
+    re-exploding the corpus gram mass per query.
+
+    Each of a rep document's distinct ``n``-grams contributes to exactly
+    one ``(doc, df)`` cell, so aggregating per document-frequency level —
+    ``<prefix>_df_profile`` ``(id, df_cnt, n_grams, n_dup_grams)``,
+    bucketed on the doc id — commutes with any ``df <= C`` cut:
+    ``duplicated_ngram_stats(corpus, n, max_df=C)`` equals
+    :func:`stats_from_gram_profile` with the same ``C`` for every ``C``
+    including None (pytest-asserted).  Sums are integer-exact, so the
+    equality is bit-for-bit, not approximate.  ``<prefix>_members``
+    ``(rep_id, member_id)`` is the multiplicity-collapse expansion map
+    (rep = min id per identical text).
+
+    This is the same build-once/probe-often incremental-materialization
+    pattern as the near-dup and BM25 indexes (the reference's
+    dbt/nyc_taxi/models/bronze/bronze_yellow_tripdata.sql:1-5 incremental model, applied to
+    the Lee et al. substring signal): the gram-keyed window exchange —
+    the posting-list-volume shuffle that dominates the from-scratch
+    query — is paid once per corpus.
+    """
+    from pyspark.sql import Window
+
+    from ..execution import rep_tags
+    from ..operators.layout import write_bucketed
+
+    names = {t: f"{table_prefix}_{t}" for t in GRAM_PROFILE_TABLES}
+    props = {"kind": "gram_profile", "n": n, "collapsed": True}
+    tagged = materialize_once(
+        rep_tags(corpus.select(F.col(id_col), F.col(text_col)),
+                 text_col, id_col)
+    )
+    write_bucketed(
+        tagged.select(F.col("__rep").alias("rep_id"),
+                      F.col(id_col).alias("member_id")),
+        names["members"], ["rep_id"], num_buckets, props=props,
+    )
+    reps = tagged.filter(F.col(id_col) == F.col("__rep"))
+    grams = reps.select(
+        F.col(id_col), F.col("__mult"),
+        F.explode(word_shingles(text_col, n)).alias("gram"),
+    )
+    w = Window.partitionBy("gram")
+    owned = grams.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("owner"),
+        F.sum("__mult").over(w).alias("df_cnt"),
+    )
+    profile = owned.groupBy(id_col, "df_cnt").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum((F.col("owner") < F.col(id_col)).cast("long")).alias(
+            "n_dup_grams"
+        ),
+    )
+    write_bucketed(profile, names["df_profile"], [id_col], num_buckets,
+                   props=props)
+    return names
+
+
+def stats_from_gram_profile(spark, table_prefix: str,
+                            id_col: str = "doc_id",
+                            max_df: int | None = None) -> DataFrame:
+    """Serve :func:`duplicated_ngram_stats` from a persisted
+    :func:`build_gram_profile` — filter the df band, one doc-keyed sum
+    (bucket-local: the profile is bucketed on the id), expand reps to
+    members.  Output schema and values are identical to the from-scratch
+    engine at the same ``max_df``."""
+    names = {t: f"{table_prefix}_{t}" for t in GRAM_PROFILE_TABLES}
+    prof = spark.table(names["df_profile"])
+    if max_df is not None:
+        prof = prof.filter(F.col("df_cnt") <= max_df)
+    rep_stats = prof.groupBy(id_col).agg(
+        F.sum("n_grams").cast("long").alias("n_grams"),
+        F.sum("n_dup_grams").cast("long").alias("n_dup_grams"),
+    )
+    expanded = (
+        spark.table(names["members"])
+        .join(rep_stats.withColumnRenamed(id_col, "rep_id"), "rep_id")
+        .select(
+            F.col("member_id").alias(id_col),
+            F.col("n_grams"),
+            F.when(F.col("member_id") == F.col("rep_id"),
+                   F.col("n_dup_grams"))
+            .otherwise(F.col("n_grams")).alias("n_dup_grams"),
+        )
+    )
+    return expanded.select(
+        F.col(id_col), F.col("n_grams"), F.col("n_dup_grams"),
+        (F.col("n_dup_grams").cast("double")
+         / F.col("n_grams").cast("double")).alias("dup_fraction"),
+    )
+
+
 # --- persisted MinHash index -----------------------------------------------
 
 MINHASH_INDEX_TABLES = ("bands", "shingles", "members")

@@ -1720,3 +1720,34 @@ def test_semantic_dedup_duplicate_expansion(spark):
     assert all(s >= 0.9 for s in got.values())
     # v3 is far from everything: no pair involves id 6
     assert not any(6 in p for p in got)
+
+
+def test_gram_profile_serves_every_df_cut(spark, docs):
+    """The persisted df-banded gram profile is an exact sufficient
+    statistic for duplicated_ngram_stats at EVERY max_df (the per-(doc,
+    df) aggregation commutes with the cut): served output == from-scratch
+    engine, including the no-cut form, duplicate expansion (doc 4 is a
+    verbatim copy of doc 1), and absent-doc semantics."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        build_gram_profile,
+        duplicated_ngram_stats,
+        stats_from_gram_profile,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.layout import (
+        drop_table_and_location,
+    )
+
+    try:
+        build_gram_profile(docs, "gp_eq_test", n=3)
+        for cut in (None, 1, 2, 100):
+            direct = sorted(map(tuple, duplicated_ngram_stats(
+                docs, n=3, max_df=cut).collect()))
+            served = sorted(map(tuple, stats_from_gram_profile(
+                spark, "gp_eq_test", max_df=cut).collect()))
+            assert served == direct and len(direct) > 0
+        # the copy expands to the Lee et al. verbatim-copy verdict
+        full = {r[0]: r for r in direct}
+        assert full[4][3] == 1.0
+    finally:
+        for t in ("gp_eq_test_df_profile", "gp_eq_test_members"):
+            drop_table_and_location(spark, t)
