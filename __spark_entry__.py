@@ -4452,11 +4452,15 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_KMV_DISTINCT = f"""
-WITH hashed AS (
-  SELECT DISTINCT l_returnflag,
+WITH dv AS (
+  SELECT DISTINCT l_returnflag, l_partkey
+  FROM lineitem WHERE l_partkey IS NOT NULL
+),
+hashed AS (
+  SELECT l_returnflag,
          (CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
                AS BIGINT) + 1) / {POW60}.0 AS h
-  FROM lineitem WHERE l_partkey IS NOT NULL
+  FROM dv
 ),
 bk AS (
   SELECT l_returnflag, h,

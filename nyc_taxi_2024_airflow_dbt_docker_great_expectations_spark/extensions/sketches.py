@@ -32,17 +32,22 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str,
     """
     if k < 2:
         raise ValueError("k must be >= 2")
-    # 60-bit md5 prefix -> uniform (0, 1]; distinct BEFORE ranking so
-    # duplicate values collapse to one hash (cardinality, not frequency)
+    # 60-bit md5 prefix -> uniform (0, 1]; distinct on the RAW value
+    # BEFORE hashing: duplicate values must collapse to one hash anyway
+    # (cardinality, not frequency), and the hash is a pure function of the
+    # value, so hashing after the distinct is value-identical while paying
+    # md5+conv on |distinct| rows instead of |rows| — at 100 TB the
+    # difference between hashing the fact table and hashing its key space
     h = (
-        F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15),
+        F.conv(F.substring(F.md5(F.col("__v").cast("string")), 1, 15),
                16, 10).cast("long")
         + F.lit(1)
     ).cast("double") / F.lit(float(16 ** 15))
     hashed = (
         df.filter(F.col(value_col).isNotNull())
-        .select(*group_cols, h.alias("__h"))
+        .select(*group_cols, F.col(value_col).alias("__v"))
         .distinct()
+        .select(*group_cols, h.alias("__h"))
     )
     w = Window.partitionBy(*group_cols).orderBy("__h")
     bottom_k = (
