@@ -120,8 +120,10 @@ def test_round4_retrieval_and_mixture_plans(spark):
       never a global Sort+Limit;
     - mixture_sample: exactly one data exchange (the source-partitioned
       running-sum window), no global window;
-    - substring_dedup: two keyed exchanges (gram, then doc id), the gram
-      min via Window — the postings list is never joined against itself.
+    - substring_dedup: served from the persisted df-banded gram profile —
+      a BUCKETED scan (the doc-keyed aggregation is bucket-local, no gram
+      exchange in the per-query plan at all; the gram window was paid once
+      at build time), plus the member-expansion equi-join.
     """
     bm25 = _plan(entry.queries()["bm25_search"](spark, SF))
     assert "TakeOrderedAndProject" in bm25
@@ -135,10 +137,11 @@ def test_round4_retrieval_and_mixture_plans(spark):
     sub = _plan(entry.queries()["substring_dedup"](spark, SF))
     assert "CartesianProduct" not in sub
     assert "BroadcastNestedLoopJoin" not in sub
-    # the only join is the multiplicity-collapse member expansion on the
-    # rep id — equi-join, broadcast-eligible (copies' rows are derived,
-    # never re-tokenized)
-    assert "hashpartitioning(gram" in sub
+    # the gram-keyed exchange moved into the build-once profile: the
+    # per-query plan reads the doc-bucketed profile table (bucket pruning
+    # visible as SelectedBucketsCount) and never shuffles on the gram
+    assert "hashpartitioning(gram" not in sub
+    assert "SelectedBucketsCount" in sub
 
 
 def test_semantic_and_pagerank_plans(spark):
