@@ -5696,6 +5696,73 @@ FROM o CROSS JOIN g
 """
 
 
+SOURCE_CAP = 15  # per-source keep budget (sf0.01 has ~25 docs/source)
+
+
+def q_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-ranked document cap — the C4/RefinedWeb-style
+    curation step that stops any single feed/domain from dominating the
+    training mix: score every document with the shared quality chain
+    (extensions/text.py:quality_score_col — the SAME expression the
+    quality_scores audit and adaptive filter use, so the policies can
+    never drift apart), rank within source by (score desc, doc_id), and
+    keep the top ``SOURCE_CAP`` per source.
+
+    Scale shape: ONE exchange keyed on the source; the per-source sort
+    is the partition-local window TopK (Spark pushes the rank filter
+    into the window sort's per-partition heap at scale via
+    WindowGroupLimit), never a global sort.  The score is a fixed-order
+    IEEE chain evaluated identically by the oracle, and the doc-id
+    tiebreak makes the kept set deterministic on any engine."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        quality_score_col,
+    )
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", quality_score_col("text").alias("quality_score")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SOURCE_CAP)
+    )
+
+
+ORACLE_SOURCE_QUALITY_CAP = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(length(trim(text))
+              - length(regexp_replace(trim(text), '[^a-zA-Z0-9\\s]', '', 'g'))
+              AS DOUBLE) / CAST(length(trim(text)) AS DOUBLE) AS punct_ratio,
+         CAST(length(trim(text))
+              - length(regexp_replace(trim(text), '[0-9]', '', 'g'))
+              AS DOUBLE) / CAST(length(trim(text)) AS DOUBLE) AS digit_ratio,
+         CAST(len(list_filter({DUCK_TOKS}, t -> lower(t) IN {_QS_STOP}))
+              AS DOUBLE) / CAST(len({DUCK_TOKS}) AS DOUBLE) AS stopword_ratio
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         (1.0 - least(1.0, punct_ratio * 4.0) * 0.25
+              - least(1.0, digit_ratio * 4.0) * 0.25)
+         * (0.5 + least(0.5, stopword_ratio * 2.0)) AS quality_score
+  FROM base
+),
+r AS (
+  SELECT doc_id, source, quality_score,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY source ORDER BY quality_score DESC, doc_id
+         ) AS INTEGER) AS rk
+  FROM scored
+)
+SELECT doc_id, source, quality_score, rk FROM r WHERE rk <= {SOURCE_CAP}
+"""
+
+
 RRF_K = 60       # the standard reciprocal-rank-fusion damping constant
 RRF_DEPTH = 50   # per-list candidate depth
 RRF_TOPK = 20
@@ -5976,6 +6043,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_probe": q_linear_probe,
         "token_drift": q_token_drift,
         "length_quartiles": q_length_quartiles,
+        "source_quality_cap": q_source_quality_cap,
     }
 
 
@@ -6111,4 +6179,5 @@ def oracle_sql() -> dict[str, str]:
         "linear_probe": _oracle_linear_probe(),
         "token_drift": _oracle_token_drift(),
         "length_quartiles": ORACLE_LENGTH_QUARTILES,
+        "source_quality_cap": ORACLE_SOURCE_QUALITY_CAP,
     }
