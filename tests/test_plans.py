@@ -193,3 +193,15 @@ def test_session_round4_additions_plan_shapes(spark):
     # image_resize: Arrow mapInPandas end-to-end, no exchange
     p = _plan(qs["image_resize"](spark, SF))
     assert "MapInPandas" in p and "Exchange" not in p
+
+
+def test_source_quality_cap_plan_is_windowed_topk(spark):
+    """The per-source quality cap must run as partial+final
+    WindowGroupLimit (map-side top-N heaps before the one source-keyed
+    exchange) — never a global sort, never a second exchange for the
+    rank filter."""
+    plan = _plan(entry.queries()["source_quality_cap"](spark, SF))
+    assert plan.count("WindowGroupLimit") == 2  # Partial + Final
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
