@@ -2462,16 +2462,36 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 def q_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE(4) quartile assignment over a total order (price desc, key as
     tiebreak — required: duplicate prices would otherwise make the bucket
-    boundary engine-dependent), then a per-quartile summary.  The unpartitioned
-    window is a deliberate single-reducer sort at bench SF; at 100 TB the
-    equivalent is approx-quantile boundaries + a range join, which
-    profile_numeric already demonstrates."""
-    from pyspark.sql.window import Window
+    boundary engine-dependent), then a per-quartile summary.
 
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    No unpartitioned window: the global rank comes from the two-phase
+    distributed prefix sum (``extensions.packing.global_rank`` — ONE range
+    exchange, O(partitions) driver rows), and NTILE's bucket arithmetic is
+    applied to the rank as a closed-form integer expression: with
+    ``q, r = divmod(N, 4)`` the first ``r`` buckets hold ``q+1`` rows, so
+    ``ntile = (rank-1) div (q+1) + 1`` up to the ``r*(q+1)`` boundary and
+    ``r + (rank-1-boundary) div q + 1`` beyond it — exactly SQL NTILE."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import global_rank
+
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked, n = global_rank(
+        orders,
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        out_col="__rank",
+    )
+    q, r = divmod(n, 4)
+    if q == 0:  # fewer rows than buckets: NTILE assigns rank itself
+        quartile = F.col("__rank").cast("int")
+    else:
+        boundary = r * (q + 1)
+        quartile = F.when(
+            F.col("__rank") <= F.lit(boundary),
+            F.expr(f"cast((__rank - 1) div {q + 1} + 1 as int)"),
+        ).otherwise(
+            F.expr(f"cast({r} + (__rank - 1 - {boundary}) div {q} + 1 as int)")
+        )
     return (
-        orders.withColumn("quartile", F.ntile(4).over(w))
+        ranked.withColumn("quartile", quartile)
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

@@ -112,6 +112,66 @@ def _with_prefix_sum(df: DataFrame, order_col: str, val_col: str,
     return ranged.mapInPandas(add_offsets, out_schema)
 
 
+def global_rank(df: DataFrame, order, out_col: str = "rank"):
+    """Add ``out_col`` = 1-based GLOBAL rank of each row under ``order``
+    (a list of Column sort expressions, e.g. ``[F.col("p").desc(),
+    F.col("k")]``), plus return the total row count — without an
+    unpartitioned window.
+
+    ``order`` must be a strict total order (include a unique tiebreak
+    column): range partitioning splits equal keys arbitrarily across a
+    boundary, so ties would make border ranks nondeterministic.
+
+    Same two-phase plan as :func:`_with_prefix_sum` (rank is the exclusive
+    prefix sum of ones, plus one): ONE range exchange inside the
+    materialized phase-1 job, O(partitions) driver rows for the offsets,
+    then a narrow ``mapInPandas`` that adds ``offset + local position``.
+    No Window, no second exchange — this is the scale-safe replacement for
+    ``Window.orderBy(...)`` global NTILE/ROW_NUMBER on unbounded input.
+
+    Returns ``(ranked_df, n_total)``; the phase-1 materialization makes
+    the call eager.
+    """
+    order = list(order)
+    ranged = materialize_once(
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    counts = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    running, offsets = 0, {}
+    for pid in sorted(counts):
+        offsets[pid] = running
+        running += counts[pid]
+
+    out_schema = StructType(
+        ranged.drop("__pid").schema.fields
+        + [StructField(out_col, LongType(), False)]
+    )
+
+    def add_rank(iterator):
+        import numpy as np
+
+        base, local = None, 0
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            if base is None:  # one partition == one __pid by construction
+                base = offsets.get(int(pdf["__pid"].iloc[0]), 0)
+            out = pdf.drop(columns=["__pid"])
+            out[out_col] = base + local + np.arange(1, len(pdf) + 1,
+                                                    dtype="int64")
+            local += len(pdf)
+            yield out
+
+    return ranged.mapInPandas(add_rank, out_schema), running
+
+
 def pack_sequences(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", budget: int = 512) -> DataFrame:
     """Concat-and-split packing: documents laid end-to-end in ``id_col``

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import (
     _with_prefix_sum,
+    global_rank,
     global_shuffle,
     pack_sequences,
 )
@@ -25,6 +26,22 @@ def test_prefix_sum_matches_serial(spark):
     for i in range(100):
         assert out[i] == running
         running += (i * 7) % 5 + 1
+
+
+def test_global_rank_matches_window_row_number(spark):
+    # composite desc/asc order with duplicate values in the lead column:
+    # rank must equal the single-partition ROW_NUMBER reference exactly
+    df = spark.createDataFrame(
+        [(i, (i * 13) % 7) for i in range(200)], "k long, v long"
+    ).repartition(8)
+    ranked, n = global_rank(
+        df, [F.col("v").desc(), F.col("k")], out_col="r"
+    )
+    assert n == 200
+    got = {r["k"]: r["r"] for r in ranked.collect()}
+    expected = sorted(range(200), key=lambda i: (-((i * 13) % 7), i))
+    for pos, k in enumerate(expected, start=1):
+        assert got[k] == pos
 
 
 def test_pack_sequences_splits_and_tiles(spark):

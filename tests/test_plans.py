@@ -112,6 +112,21 @@ def test_prefix_sum_is_narrow_single_exchange(spark):
         assert "Exchange" not in plan, name  # data moved in phase 1 only
 
 
+def test_price_quartiles_has_no_global_window(spark):
+    """price_quartiles' NTILE(4) is computed from the two-phase distributed
+    prefix-sum rank (global_rank), not Window.orderBy with no partition key:
+    the post-phase-1 plan is scan -> MapInPandas -> closed-form bucket
+    arithmetic -> partial/final agg.  No Window operator, and the only
+    exchange is the 4-row aggregation shuffle — the data itself moved in
+    the materialized phase-1 range partitioning."""
+    plan = _plan(entry.queries()["price_quartiles"](spark, SF))
+    assert "MapInPandas" in plan
+    assert "Window" not in plan
+    # quartile rows only (the 4-group agg); never an Exchange SinglePartition
+    # over the full input
+    assert "Exchange SinglePartition" not in plan.split("TakeOrdered")[0]
+
+
 def test_round4_retrieval_and_mixture_plans(spark):
     """Round-4 query shapes hold their scale-critical plan properties:
 
