@@ -464,8 +464,6 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
     gram/window machinery; a member join fans the selections back out to
     every copy — byte-identical output.
     """
-    from pyspark.sql import Window
-
     from ..execution import materialize_once, rep_tags
 
     if k < 1 or w < 1:
@@ -475,6 +473,24 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
                  text_col, id_col, with_mult=False)
     )
     reps = tagged.filter(F.col(id_col) == F.col("__rep"))
+    rep_fps = _rep_winnow_fps(reps, text_col, id_col, k, w)
+    return (
+        tagged.select(F.col("__rep"), F.col(id_col).alias("__member"))
+        .join(rep_fps.withColumnRenamed(id_col, "__rep"), "__rep")
+        .select(F.col("__member").alias(id_col), "fp_pos", "fp_hash")
+    )
+
+
+def _rep_winnow_fps(reps: DataFrame, text_col: str, id_col: str,
+                    k: int, w: int) -> DataFrame:
+    """Winnowing fingerprint selection for a PRE-COLLAPSED corpus (one rep
+    row per distinct text) — the shared core of
+    :func:`winnowing_fingerprints` (inline expansion) and
+    :func:`build_winnowing_index` (persisted rep/member layout).  Returns
+    (id_col, fp_pos, fp_hash); plan shape as documented on the public
+    function."""
+    from pyspark.sql import Window
+
     n = token_count(text_col)
     exploded = reps.filter(n >= k + w - 1).select(
         F.col(id_col),
@@ -496,7 +512,7 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
         F.struct(F.col("h").alias("h"),
                  (-F.col("pos")).cast("long").alias("np"))
     ).over(wspec)
-    rep_fps = (
+    return (
         grams.withColumn("__pick", pick)
         # full windows only: the guarantee is defined over complete
         # w-windows, and partial tail windows would select duplicates
@@ -508,10 +524,64 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
         )
         .distinct()
     )
+
+
+WINNOW_INDEX_TABLES = ("fps", "members")
+
+
+def build_winnowing_index(corpus: DataFrame, table_prefix: str,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          k: int = 3, w: int = 4,
+                          num_buckets: int = 8) -> dict[str, str]:
+    """Persist :func:`winnowing_fingerprints` in the build-once rep/member
+    warehouse layout (mirrors ``dedup.build_gram_profile``): the gram
+    explode + sliding-window selection — all of the operator's cost, and
+    pure fixed cost per corpus — is paid once; every subsequent
+    fingerprint read is two bucketed scans and a member-expansion join.
+
+    Tables (``props`` sidecar carries (k, w) so stale or
+    differently-parameterized dirs refuse adoption — operators/layout.py):
+
+    - ``<prefix>_fps (id, fp_pos, fp_hash)`` — rep documents only,
+      bucketed on ``fp_hash``: cross-document fingerprint matching (the
+      MOSS use case) is then a bucket-local equi-join on the hash;
+    - ``<prefix>_members (rep_id, member_id)`` — the multiplicity-collapse
+      expansion map, bucketed on ``rep_id``.
+    """
+    from ..execution import materialize_once, rep_tags
+    from ..operators.layout import write_bucketed
+
+    names = {t: f"{table_prefix}_{t}" for t in WINNOW_INDEX_TABLES}
+    props = {"kind": "winnow_index", "k": k, "w": w, "collapsed": True}
+    tagged = materialize_once(
+        rep_tags(corpus.select(F.col(id_col), F.col(text_col)),
+                 text_col, id_col, with_mult=False)
+    )
+    write_bucketed(
+        tagged.select(F.col("__rep").alias("rep_id"),
+                      F.col(id_col).alias("member_id")),
+        names["members"], ["rep_id"], num_buckets, props=props,
+    )
+    reps = tagged.filter(F.col(id_col) == F.col("__rep"))
+    write_bucketed(
+        _rep_winnow_fps(reps, text_col, id_col, k, w),
+        names["fps"], ["fp_hash"], num_buckets, props=props,
+    )
+    return names
+
+
+def winnowing_from_index(spark, table_prefix: str,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Serve :func:`winnowing_fingerprints` from a persisted
+    :func:`build_winnowing_index` — member expansion over two bucketed
+    scans, byte-identical to the from-scratch operator at the same
+    (k, w) (pytest-asserted)."""
+    names = {t: f"{table_prefix}_{t}" for t in WINNOW_INDEX_TABLES}
+    fps = spark.table(names["fps"])
     return (
-        tagged.select(F.col("__rep"), F.col(id_col).alias("__member"))
-        .join(rep_fps.withColumnRenamed(id_col, "__rep"), "__rep")
-        .select(F.col("__member").alias(id_col), "fp_pos", "fp_hash")
+        spark.table(names["members"])
+        .join(fps.withColumnRenamed(id_col, "rep_id"), "rep_id")
+        .select(F.col("member_id").alias(id_col), "fp_pos", "fp_hash")
     )
 
 

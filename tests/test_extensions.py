@@ -1636,6 +1636,47 @@ def test_winnowing_guarantee_and_density(spark):
     assert len({(r["fp_pos"]) for r in fp if r["doc_id"] == 1}) < n_grams
 
 
+def test_winnowing_index_probe_equals_rebuild(spark):
+    """The persisted winnowing fingerprint index serves byte-identical
+    rows to the from-scratch operator at the same (k, w), including
+    multiplicity expansion (doc 5 is a verbatim copy of doc 1)."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        build_winnowing_index,
+        winnowing_fingerprints,
+        winnowing_from_index,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.layout import (
+        drop_table_and_location,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, base + " extra words beyond the shared run"),
+            (2, "one two three " + base),
+            (3, "totally unrelated words with no overlap at all here now"),
+            (5, base + " extra words beyond the shared run"),  # copy of 1
+        ],
+        "doc_id long, text string",
+    )
+    try:
+        build_winnowing_index(df, "wfp_eq_test", k=3, w=4)
+        direct = sorted(map(tuple,
+                            winnowing_fingerprints(df, k=3, w=4).collect()))
+        served = sorted(map(tuple,
+                            winnowing_from_index(spark,
+                                                 "wfp_eq_test").collect()))
+        assert served == direct and len(direct) > 0
+        # the verbatim copy expands to the same fingerprint set as its rep
+        by_doc = {}
+        for d, _, h in direct:
+            by_doc.setdefault(d, set()).add(h)
+        assert by_doc[5] == by_doc[1]
+    finally:
+        for t in ("wfp_eq_test_fps", "wfp_eq_test_members"):
+            drop_table_and_location(spark, t)
+
+
 def test_pretagged_shingles_equal_untagged(spark):
     """A shingled table carrying persisted __rep/__mult columns (the
     build-once collapse tagging) must yield byte-identical pairs to the
