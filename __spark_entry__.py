@@ -1993,18 +1993,38 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    tags, has_copies = _embedding_tags_table(spark, sf_dir, corpus=emb)
+    if has_copies:
+        return semantic_dedup_pairs(emb, threshold=SEMANTIC_TAU, n_lists=4,
+                                    refine_iters=2, sample_size=512,
+                                    dup_tags=tags, dup_tags_checked=True)
+    # no duplicate groups in the (validated) tags: the collapse machinery
+    # is an identity map — the engine takes its zero-overhead fast path
     return semantic_dedup_pairs(emb, threshold=SEMANTIC_TAU, n_lists=4,
                                 refine_iters=2, sample_size=512,
-                                dup_tags=_embedding_tags_table(spark, sf_dir))
+                                no_copies=True)
 
 
-def _embedding_tags_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+# per-session memo of (applicationId, table) -> whether the validated tags
+# table carries any duplicate group; tables are immutable once built, so
+# one validation + one __mult probe per session per table suffices
+_TAGS_STATE: dict[tuple[str, str], bool] = {}
+
+
+def _embedding_tags_table(spark: SparkSession, sf_dir: str,
+                          corpus: DataFrame):
     """Persisted duplicate-vector tags (vec_id, __rep, __mult — rep = min
     id per identical embedding): the build-once half of semantic dedup's
     multiplicity collapse, so the per-query plan never shuffles the
-    vector arrays for grouping — only id-keyed joins."""
+    vector arrays for grouping — only id-keyed joins.  Returns
+    ``(tags_df, has_copies)``: id coverage against ``corpus`` is checked
+    once per session per table (validate_tags_coverage), as is whether
+    any duplicate group exists at all — both memoized."""
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.execution import (
         rep_tags,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        validate_tags_coverage,
     )
 
     def build():
@@ -2013,10 +2033,17 @@ def _embedding_tags_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.select("vec_id", "embedding"), "embedding", "vec_id"
         ).drop("embedding")
 
-    return table_if_absent(
-        spark, f"emb_dup_tags_{_sfx(sf_dir)}", build, keys=["vec_id"],
-        props={"kind": "dup_tags"},
+    name = f"emb_dup_tags_{_sfx(sf_dir)}"
+    tags = table_if_absent(
+        spark, name, build, keys=["vec_id"], props={"kind": "dup_tags"},
     )
+    memo_key = (spark.sparkContext.applicationId, name)
+    if memo_key not in _TAGS_STATE:
+        validate_tags_coverage(corpus, tags, "vec_id")
+        _TAGS_STATE[memo_key] = bool(
+            tags.filter(F.col("__mult") > 1).limit(1).count()
+        )
+    return tags, _TAGS_STATE[memo_key]
 
 
 ORACLE_SEMANTIC_DEDUP = f"""
@@ -3792,9 +3819,21 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.entity import (
         fuzzy_match_pairs,
     )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.execution import (
+        has_verbatim_copies,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    # memoize the duplicate-name guard once per session per sf_dir (the
+    # parquet inputs are immutable), so repeat calls skip the guard job
+    memo_key = (spark.sparkContext.applicationId, f"cust_names_{sf_dir}")
+    if memo_key not in _TAGS_STATE:
+        _TAGS_STATE[memo_key] = has_verbatim_copies(
+            cust.select("c_name"), "c_name"
+        )
     return fuzzy_match_pairs(
-        _t(spark, sf_dir, "customer"), id_col="c_custkey",
-        text_col="c_name", max_dist=1,
+        cust, id_col="c_custkey", text_col="c_name", max_dist=1,
+        no_copies=not _TAGS_STATE[memo_key],
     )
 
 

@@ -63,3 +63,26 @@ def rep_tags(df, key_cols, id_col: str, with_mult: bool = True):
     if with_mult:
         cols.append(F.count(F.lit(1)).over(w).alias("__mult"))
     return df.select("*", *cols)
+
+
+def has_verbatim_copies(df, key_cols) -> bool:
+    """Cheap pre-collapse guard: does ANY duplicate group exist under
+    ``key_cols``?  On a corpus with no verbatim copies, :func:`rep_tags`'
+    window and the member-expansion joins are identity maps — pure
+    overhead (measured +17-44% on the pair engines) — so engines call
+    this first and skip the collapse machinery when it returns False.
+
+    ONE partially-aggregated pass comparing ``count`` to
+    ``count_distinct`` of a 64-bit key hash: the shuffle carries
+    map-side-deduped longs, far lighter than the window's full-row
+    exchange on the content key.  A hash collision can only under-count
+    distinct values — a false True that takes the (always-correct)
+    collapse path; never a false False.
+    """
+    from pyspark.sql import functions as F
+
+    keys = key_cols if isinstance(key_cols, (list, tuple)) else [key_cols]
+    n, nd = df.agg(
+        F.count(F.lit(1)), F.count_distinct(F.xxhash64(*keys))
+    ).first()
+    return n != nd

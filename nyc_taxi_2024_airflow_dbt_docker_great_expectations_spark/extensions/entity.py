@@ -106,7 +106,8 @@ def _grid_pair_rows(hot: DataFrame, grid: int) -> DataFrame:
 
 def fuzzy_match_pairs(df: DataFrame, id_col: str, text_col: str,
                       max_dist: int = 1, skew_threshold: int = 64,
-                      grid: int = 8) -> DataFrame:
+                      grid: int = 8,
+                      no_copies: bool | None = None) -> DataFrame:
     """All pairs (id_a < id_b) whose ``text_col`` values are within
     ``max_dist`` Levenshtein edits — exact result, sub-quadratic plan.
 
@@ -131,24 +132,32 @@ def fuzzy_match_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     from pyspark.sql import Window
 
-    from ..execution import materialize_once, rep_tags
+    from ..execution import has_verbatim_copies, materialize_once, rep_tags
 
     # NULL strings match nothing (the old explode-of-NULL path dropped
     # them; grouping NULLs would resurrect them as a bogus group) — drop
     # them up front.  ONE window exchange on the string tags rep + count
     # AND yields the member map — no second full-corpus join on the text
-    # key to rebuild it.
-    tagged = materialize_once(
-        rep_tags(
-            df.filter(F.col(text_col).isNotNull()).select(
-                F.col(id_col).alias("__mid"), F.col(text_col).alias("__txt"),
-            ),
-            "__txt", "__mid",
+    # key to rebuild it.  On a corpus with NO verbatim copies that window
+    # and the member expansion are identity maps, so a cheap hash-count
+    # guard skips the collapse machinery entirely.
+    # `no_copies` lets a caller who has already established (and memoized)
+    # the corpus's duplicate-free status skip the per-call guard job
+    src = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__mid"), F.col(text_col).alias("__txt"),
+    )
+    if (not no_copies if no_copies is not None
+            else has_verbatim_copies(src, "__txt")):
+        tagged = materialize_once(rep_tags(src, "__txt", "__mid"))
+        reps = tagged.filter(F.col("__mid") == F.col("__rep")).select(
+            F.col("__txt"), F.col("__mid").alias("__id"), "__mult"
         )
-    )
-    reps = tagged.filter(F.col("__mid") == F.col("__rep")).select(
-        F.col("__txt"), F.col("__mid").alias("__id"), "__mult"
-    )
+    else:
+        tagged = None
+        reps = src.select(
+            F.col("__txt"), F.col("__mid").alias("__id"),
+            F.lit(1).cast("long").alias("__mult"),
+        )
     keyed = reps.select(
         "__id", "__txt",
         F.explode(deletion_variants("__txt", max_dist)).alias("__variant"),
@@ -194,6 +203,8 @@ def fuzzy_match_pairs(df: DataFrame, id_col: str, text_col: str,
         cand.withColumn("dist", F.levenshtein("text_a", "text_b"))
         .filter(F.col("dist") <= max_dist)
     )
+    if tagged is None:  # no duplicate groups: rep pairs ARE the id pairs
+        return rep_pairs.select("id_a", "id_b", "text_a", "text_b", "dist")
     # duplicate-group self markers: every unordered member pair of a group
     # of identical strings matches at distance 0
     self_pairs = reps.filter(F.col("__mult") > 1).select(

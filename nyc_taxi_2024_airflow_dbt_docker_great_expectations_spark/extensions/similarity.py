@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..execution import materialize_once
+from ..execution import has_verbatim_copies, materialize_once
 
 
 
@@ -791,12 +791,41 @@ def _ivf_index(corpus: DataFrame, n_lists: int, refine_iters: int,
     return cent_local, assign
 
 
+def validate_tags_coverage(corpus: DataFrame, tags: DataFrame,
+                           id_col: str = "vec_id") -> None:
+    """Fail loudly if a persisted dup-tags table and the corpus disagree
+    on the id set, in EITHER direction: the engine's inner joins would
+    silently DROP corpus vectors missing from the tags, and EXTRA tag ids
+    would expand rep pairs to ids absent from the corpus (phantom rows).
+    ONE early-abort job (full-outer id join, ids only on the wire).
+
+    Id coverage cannot detect a changed VECTOR under an unchanged id —
+    content staleness is governed by the warehouse build discipline
+    (rebuilds route through drop_table_and_location)."""
+    bad = (
+        corpus.select(F.col(id_col).alias("__id"), F.lit(1).alias("__c"))
+        .join(
+            tags.select(F.col(id_col).alias("__id"), F.lit(1).alias("__t")),
+            "__id", "full_outer",
+        )
+        .filter(F.col("__c").isNull() | F.col("__t").isNull())
+        .limit(1).count()
+    )
+    if bad:
+        raise ValueError(
+            "dup_tags and corpus disagree on the id set (stale tags "
+            "table?) — rebuild it from the current embeddings"
+        )
+
+
 def semantic_dedup_pairs(corpus: DataFrame, threshold: float,
                          n_lists: int | None = None, refine_iters: int = 0,
                          sample_size: int | None = None,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         dup_tags: DataFrame | None = None) -> DataFrame:
+                         dup_tags: DataFrame | None = None,
+                         dup_tags_checked: bool = False,
+                         no_copies: bool | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding near-duplicate pairs found
     WITHIN k-means clusters only — the sub-quadratic scale path for
     semantic dedup, vs ``neardup_pairs``'s exact all-pairs block grid.
@@ -837,6 +866,12 @@ def semantic_dedup_pairs(corpus: DataFrame, threshold: float,
     with two cheap id-keyed joins: the build-once form of the collapse.
     Identical vectors always share a list (assignment is a pure function
     of the vector), so global tags and per-list grouping agree exactly.
+    Tags are id-coverage-validated against the corpus in both directions
+    (:func:`validate_tags_coverage`) unless ``dup_tags_checked`` asserts
+    the caller already ran that check this session (the tables are
+    immutable once built, so once per session suffices).  Without
+    ``dup_tags``, a cheap hash-count guard skips the collapse machinery
+    entirely when the corpus has no verbatim copies.
     """
     if n_lists is None or sample_size is None:
         d_lists, _, d_sample = ivf_params(corpus.count())
@@ -851,26 +886,22 @@ def semantic_dedup_pairs(corpus: DataFrame, threshold: float,
         tags = dup_tags.select(
             F.col(id_col).alias("__id"), F.col("__rep"), F.col("__mult")
         )
-        # the inner joins below silently DROP any corpus vector missing
-        # from the tags table — a stale persisted table must fail loudly
-        # instead (same contract as the persisted-index probes)
-        missing = (
-            corpus.select(F.col(id_col).alias("__id"))
-            .join(tags.select("__id"), "__id", "left_anti")
-            .limit(1).count()
-        )
-        if missing:
-            raise ValueError(
-                "dup_tags does not cover the corpus (stale tags table?) — "
-                "rebuild it from the current embeddings"
-            )
+        if not dup_tags_checked:
+            validate_tags_coverage(corpus, dup_tags, id_col)
         reps = (
             assign.join(tags, "__id")
             .filter(F.col("__id") == F.col("__rep"))
             .select("__list", "__vec", "__id", "__mult")
         )
         memb = tags.select(F.col("__rep"), F.col("__id").alias("__member"))
-    else:
+    # `no_copies` lets a caller who already knows (e.g. from a persisted
+    # tags table's __mult column, memoized per session) skip the guard
+    # job; the guard runs on the corpus, not `assign` — the lazy
+    # assignment would replay its Arrow pass, and dups in the corpus <=>
+    # dups in the assignment (list membership is a pure function of the
+    # vector)
+    elif (not no_copies if no_copies is not None
+          else has_verbatim_copies(corpus.select(F.col(vec_col)), vec_col)):
         # distinct contents per list; rep id = min member id.  Spark
         # group/join keys normalize NaN and -0.0, which only merges
         # vectors whose cosine chains are value-identical anyway.
@@ -882,6 +913,13 @@ def semantic_dedup_pairs(corpus: DataFrame, threshold: float,
             reps.select("__list", "__vec", F.col("__id").alias("__rep")),
             ["__list", "__vec"],
         ).select(F.col("__rep"), F.col("__id").alias("__member"))
+    else:
+        # no verbatim copies: rep-tagging and member expansion are
+        # identity maps — skip the array-keyed window AND the expansion
+        # joins (the "no-dup collapse tax")
+        reps = assign.select("__list", "__vec", "__id",
+                             F.lit(1).cast("long").alias("__mult"))
+        memb = None
 
     def pair_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": [], "id_b": [],
@@ -923,6 +961,8 @@ def semantic_dedup_pairs(corpus: DataFrame, threshold: float,
     rep_pairs = reps.groupBy("__list").applyInPandas(
         pair_fn, f"id_a {id_t}, id_b {id_t}, cosine_sim double"
     )
+    if memb is None:  # no duplicate groups: rep pairs ARE the id pairs
+        return rep_pairs
     ma_side = memb.withColumnRenamed("__rep", "id_a").withColumnRenamed(
         "__member", "__ma")
     mb_side = memb.withColumnRenamed("__rep", "id_b").withColumnRenamed(
