@@ -145,6 +145,7 @@ def _neardup_pairs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: ngram_jaccard_pairs(
             _t(spark, sf_dir, "documents"), k=3, threshold=0.6,
             shingled=_corpus_shingles_table(spark, sf_dir),
+            tables_checked=True,
         ),
         keys=["id_a"],
         props={"kind": "pair_table", "k": 3, "threshold": 0.6},
@@ -164,6 +165,24 @@ def _neardup_labels_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("doc_id", "component", "is_canonical"),
         keys=["doc_id"],
     )
+
+
+def _ghost_check_once(spark: SparkSession, table_name: str,
+                      corpus: DataFrame, table: DataFrame, id_col: str,
+                      what: str) -> None:
+    """Once-per-session staleness guard for a persisted corpus artifact:
+    refuse tables carrying ids absent from the corpus (dedup.py:
+    _check_no_ghost_ids), memoized per (applicationId, table) — the
+    tables are immutable once built, so repeat queries skip the job and
+    pass ``tables_checked=True`` to the engines."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        _check_no_ghost_ids,
+    )
+
+    memo_key = (spark.sparkContext.applicationId, table_name)
+    if memo_key not in _TAGS_STATE:
+        _check_no_ghost_ids(corpus, table, id_col, what)
+        _TAGS_STATE[memo_key] = True
 
 
 def _corpus_shingles_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,12 +208,16 @@ def _corpus_shingles_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shingles", "doc_id",
         )
 
-    return table_if_absent(
+    tbl = table_if_absent(
         spark, f"doc_shingles3_{_sfx(sf_dir)}",
         build,
         keys=["doc_id"],
         props={"kind": "shingle_table", "k": 3, "tagged": True},
     )
+    _ghost_check_once(spark, f"doc_shingles3_{_sfx(sf_dir)}",
+                      _t(spark, sf_dir, "documents"), tbl, "doc_id",
+                      "shingle")
+    return tbl
 
 
 def _minhash_bands_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,7 +229,7 @@ def _minhash_bands_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         _minhash_band_keys,
     )
 
-    return table_if_absent(
+    tbl = table_if_absent(
         spark, f"minhash_bands_{_sfx(sf_dir)}",
         lambda: _minhash_band_keys(
             _corpus_shingles_table(spark, sf_dir), "doc_id", 12, 4
@@ -214,6 +237,10 @@ def _minhash_bands_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["band_key"],
         props={"kind": "band_table", "k": 3, "num_hashes": 12, "bands": 4},
     )
+    _ghost_check_once(spark, f"minhash_bands_{_sfx(sf_dir)}",
+                      _t(spark, sf_dir, "documents"), tbl, "doc_id",
+                      "band-key")
+    return tbl
 
 
 def _lsh_exact_pairs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,6 +257,7 @@ def _lsh_exact_pairs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: ngram_jaccard_pairs(
             _t(spark, sf_dir, "documents"), k=3, threshold=0.5,
             shingled=_corpus_shingles_table(spark, sf_dir),
+            tables_checked=True,
         ),
         keys=["id_a"],
         props={"kind": "pair_table", "k": 3, "threshold": 0.5},
@@ -799,7 +827,14 @@ def _run_stream(spark: SparkSession, build, name: str,
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        # awaitTermination returns False on timeout with the query still
+        # running: stop it and raise rather than reading a partial sink
+        # (and ripping the live checkpoint out from under it below)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {name!r} did not finish within 600s"
+            )
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
@@ -1466,6 +1501,7 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         shingled=_corpus_shingles_table(spark, sf_dir),
         band_keys=_minhash_bands_table(spark, sf_dir),
+        tables_checked=True,
     )
 
 
@@ -1583,12 +1619,16 @@ def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_table,
     )
 
-    return table_if_absent(
+    tbl = table_if_absent(
         spark, f"simhash_{_sfx(sf_dir)}",
         lambda: simhash_table(_t(spark, sf_dir, "documents")),
         keys=["doc_id"],
         props={"kind": "simhash_table", "bits": 32},
     )
+    _ghost_check_once(spark, f"simhash_{_sfx(sf_dir)}",
+                      _t(spark, sf_dir, "documents"), tbl, "doc_id",
+                      "simhash")
+    return tbl
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1597,7 +1637,8 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates + bit_count verify over a bucketed scan, no per-query
     token hashing."""
     return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3,
-                         sims=_simhash_table(spark, sf_dir))
+                         sims=_simhash_table(spark, sf_dir),
+                         tables_checked=True)
 
 
 _DUCK_SIMBITS = ", ".join(

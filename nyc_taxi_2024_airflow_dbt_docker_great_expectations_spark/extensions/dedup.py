@@ -84,12 +84,51 @@ def _pair_jaccard(shingled: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _tagged_or_raise(raw: DataFrame, what: str) -> bool:
+    """Is ``raw`` a pre-tagged persisted table (carries the multiplicity-
+    collapse columns)?  ``__rep`` without ``__mult`` (e.g. a table built
+    with ``rep_tags(..., with_mult=False)``) would otherwise fail with an
+    AnalysisException deep in the plan — raise a clear contract error at
+    the boundary instead."""
+    has_rep, has_mult = "__rep" in raw.columns, "__mult" in raw.columns
+    if has_rep and not has_mult:
+        raise ValueError(
+            f"pre-tagged {what} table carries __rep but not __mult — the "
+            "pair engines need both (rebuild the table with rep_tags(..., "
+            "with_mult=True))"
+        )
+    return has_rep
+
+
+def _check_no_ghost_ids(corpus: DataFrame, table: DataFrame, id_col: str,
+                        what: str) -> None:
+    """A persisted warehouse artifact substituted for an in-flight pass
+    must not carry ids absent from the corpus — a stale table would emit
+    pairs for documents that no longer exist.  ONE early-abort anti-join,
+    ids only on the wire.  (The reverse direction — corpus ids missing
+    from the table — is not checkable here without replaying the
+    artifact's own filter semantics, e.g. empty-shingle drops;
+    hyperparameter drift is refused at adoption time by the
+    _table_meta.json sidecar, operators/layout.py.)"""
+    ghost = (
+        table.select(F.col(id_col))
+        .join(corpus.select(F.col(id_col)), id_col, "left_anti")
+        .limit(1).count()
+    )
+    if ghost:
+        raise ValueError(
+            f"persisted {what} table carries ids absent from the corpus "
+            "(stale table?) — rebuild it from the current documents"
+        )
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.6,
                         prefix_filter: bool = True,
                         max_df: int | None = None,
-                        shingled: DataFrame | None = None) -> DataFrame:
+                        shingled: DataFrame | None = None,
+                        tables_checked: bool = False) -> DataFrame:
     """Exact word-k-gram Jaccard near-dup pairs above ``threshold``.
 
     With ``prefix_filter`` (default), applies PPJoin-style **prefix
@@ -148,8 +187,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # global shingle order, and the verify phase is exact, so ranking df
     # over distinct arrays changes candidates but never the result).
     # A ``shingled`` table that already carries __rep/__mult (a persisted
-    # pre-tagged corpus table) skips the window entirely.
-    tagged = raw if "__rep" in raw.columns else materialize_once(
+    # pre-tagged corpus table) skips the window entirely; a stale table's
+    # ghost ids are refused up front unless the caller already validated
+    # this session (``tables_checked``).
+    if shingled is not None and not tables_checked:
+        _check_no_ghost_ids(df, raw, id_col, "shingle")
+    tagged = raw if _tagged_or_raise(raw, "shingle") else materialize_once(
         rep_tags(raw.select(F.col(id_col), F.col("shingles")),
                  "shingles", id_col)
     )
@@ -711,9 +754,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
                       num_hashes: int = 12, bands: int = 4,
                       threshold: float = 0.5,
-                      max_bucket: int | None = 500,
+                      max_bucket: int | None = None,
                       shingled: DataFrame | None = None,
-                      band_keys: DataFrame | None = None) -> DataFrame:
+                      band_keys: DataFrame | None = None,
+                      tables_checked: bool = False) -> DataFrame:
     """Near-dup pairs: LSH banding for candidates, exact Jaccard to verify.
 
     ``num_hashes / bands`` rows per band; two docs collide iff some band's
@@ -731,7 +775,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     ``max_df`` it can lose recall — ONLY for pairs whose every colliding
     band is hot, which at sane caps means near-duplicate boilerplate
     clusters a dedup pass wants collapsed by exact-dedup anyway.  Audit
-    what a cap excluded with :func:`minhash_hot_bands`; ``None`` disables.
+    what a cap excluded with :func:`minhash_hot_bands`.  The default is
+    ``None`` — uncapped, so the operator is EXACTLY its definition (and
+    its SQL oracle) out of the box; web-scale runs opt in (~500) after
+    sizing the cut with the audit.
 
     ``shingled`` / ``band_keys`` let callers substitute persisted
     warehouse artifacts (a (id, shingles) table / a (id, band_key) table
@@ -760,8 +807,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # across several consumers
     raw = (shingled if shingled is not None
            else materialize_once(shingled_arrays(df, text_col, id_col, k)))
+    # persisted substitutions: refuse stale tables' ghost ids up front
+    # unless the caller already validated this session (``tables_checked``)
+    if not tables_checked:
+        if shingled is not None:
+            _check_no_ghost_ids(df, raw, id_col, "shingle")
+        if band_keys is not None:
+            _check_no_ghost_ids(df, band_keys, id_col, "band-key")
     # a pre-tagged persisted table (carrying __rep/__mult) skips the window
-    tagged = raw if "__rep" in raw.columns else materialize_once(
+    tagged = raw if _tagged_or_raise(raw, "shingle") else materialize_once(
         rep_tags(raw.select(F.col(id_col), F.col("shingles")),
                  "shingles", id_col)
     )
@@ -893,7 +947,8 @@ def simhash_table(df: DataFrame, text_col: str = "text",
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3,
-                  sims: DataFrame | None = None) -> DataFrame:
+                  sims: DataFrame | None = None,
+                  tables_checked: bool = False) -> DataFrame:
     """Near-dup pairs with simhash Hamming distance <= ``max_hamming``.
 
     Candidates via 8-bit band equality: distance <= 3 across 4 bands forces
@@ -921,6 +976,10 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # (id, simhash) rows are the cheapest possible thing to cache)
     if sims is None:
         sims = materialize_once(simhash_table(df, text_col, id_col))
+    elif not tables_checked:
+        # a persisted signature table must not carry ids absent from the
+        # corpus (stale table -> phantom pairs)
+        _check_no_ghost_ids(df, sims, id_col, "simhash")
     tagged = materialize_once(
         rep_tags(sims.select(F.col(id_col), F.col("simhash")),
                  "simhash", id_col)

@@ -1636,6 +1636,55 @@ def test_winnowing_guarantee_and_density(spark):
     assert len({(r["fp_pos"]) for r in fp if r["doc_id"] == 1}) < n_grams
 
 
+def test_persisted_table_guards_raise(spark):
+    """Pair engines refuse (a) persisted tables carrying ids absent from
+    the corpus (stale table -> phantom pairs) and (b) pre-tagged tables
+    with __rep but no __mult (clear contract error, not a deep-plan
+    AnalysisException)."""
+    import pytest
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+        simhash_table,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        shingled_arrays,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.execution import (
+        rep_tags,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "an entirely different sentence with other words here")],
+        "doc_id long, text string",
+    )
+    ghost_docs = docs.unionByName(spark.createDataFrame(
+        [(99, "a ghost document that later vanished from the corpus")],
+        "doc_id long, text string",
+    ))
+    stale_sh = shingled_arrays(ghost_docs, "text", "doc_id", 3)
+    with pytest.raises(ValueError, match="ids absent"):
+        ngram_jaccard_pairs(docs, k=3, shingled=stale_sh).collect()
+    with pytest.raises(ValueError, match="ids absent"):
+        minhash_lsh_pairs(docs, k=3, shingled=stale_sh).collect()
+    with pytest.raises(ValueError, match="ids absent"):
+        simhash_pairs(docs, sims=simhash_table(ghost_docs)).collect()
+
+    half_tagged = rep_tags(
+        shingled_arrays(docs, "text", "doc_id", 3),
+        "shingles", "doc_id", with_mult=False,
+    )
+    with pytest.raises(ValueError, match="__mult"):
+        ngram_jaccard_pairs(docs, k=3, shingled=half_tagged,
+                            tables_checked=True).collect()
+    with pytest.raises(ValueError, match="__mult"):
+        minhash_lsh_pairs(docs, k=3, shingled=half_tagged,
+                          tables_checked=True).collect()
+
+
 def test_winnowing_index_probe_equals_rebuild(spark):
     """The persisted winnowing fingerprint index serves byte-identical
     rows to the from-scratch operator at the same (k, w), including
