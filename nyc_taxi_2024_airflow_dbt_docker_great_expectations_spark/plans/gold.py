@@ -30,7 +30,7 @@ def gold_daily_summary(silver: DataFrame, target: DataFrame | None = None) -> Da
     return df.groupBy(to_day("tpep_pickup_datetime").alias("trip_date")).agg(
         F.count("*").alias("total_trips"),
         F.sum("passenger_count").alias("total_passengers"),
-        F.sum("trip_distance").alias("total_distance"),
+        F.sum("trip_distance").alias("total_distance_miles"),
         F.sum("total_amount").alias("total_revenue"),
         F.sum("tip_amount").alias("total_tips"),
         F.avg("fare_amount").alias("avg_fare"),
@@ -61,8 +61,8 @@ def gold_zone_summary(silver: DataFrame, target: DataFrame | None = None) -> Dat
         month_start("tpep_pickup_datetime").alias("revenue_month"),
         F.col("pulocationid"),
     ).agg(
-        F.sum("total_amount").alias("zone_revenue"),
-        F.count("*").alias("zone_trips"),
+        F.sum("total_amount").alias("total_revenue"),
+        F.count("*").alias("total_trips"),
     )
 
 
@@ -85,7 +85,7 @@ def gold_payment_summary(silver: DataFrame) -> DataFrame:
             "payment_description"
         )
     ).agg(
-        F.count("*").alias("total_trips"),
+        F.count("*").alias("trip_count"),
         F.sum("total_amount").alias("total_revenue"),
         F.sum("tip_amount").alias("total_tips"),
     )
