@@ -80,6 +80,47 @@ def _loop_counts(plan: str) -> tuple[int, int]:
             plan.count("CartesianProduct"))
 
 
+def ratio_flags(base_times: dict[str, float], scaled_times: dict[str, float],
+                factor: int, tolerance: float = 1.5,
+                floor: float = 1.0) -> dict[str, dict]:
+    """Time-sensitivity gate: flag queries whose time grew super-linearly
+    with the data — scaled/base ratio above ``tolerance * factor`` (a
+    linear scan-bound query lands at <= factor; the historical worst
+    honest case, a full-scan agg at 12.7x under factor 10, passes the
+    default 15x bar; a quadratic operator lands near factor^2 = 100x and
+    fails loudly).  Queries whose scaled time is under ``floor`` seconds
+    are exempt — sub-second timings are dominated by per-job fixed cost
+    and would produce noise ratios, not scaling signal."""
+    flags = {}
+    for name, scaled in scaled_times.items():
+        base = base_times.get(name)
+        if not base or scaled < floor:
+            continue
+        ratio = scaled / base
+        if ratio > tolerance * factor:
+            flags[name] = {"base_s": round(base, 3),
+                           "scaled_s": round(scaled, 3),
+                           "ratio": round(ratio, 1),
+                           "bar": round(tolerance * factor, 1)}
+    return flags
+
+
+def _timed_noop(fn, spark, sf_dir: str, slow_bar: float = 3.0) -> float:
+    """Run a registry query against ``sf_dir`` with a noop sink and return
+    elapsed seconds; anything slower than ``slow_bar`` is re-measured once
+    and the min kept (a long single-session sweep accumulates driver state
+    — pinned checkpoint blocks, broadcasts — so a one-off GC pause reads
+    as a phantom regression on whichever query it lands on)."""
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    elapsed = time.perf_counter() - t0
+    if elapsed > slow_bar:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        elapsed = min(elapsed, time.perf_counter() - t0)
+    return round(elapsed, 3)
+
+
 def main() -> None:
     base = os.environ.get("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
     out = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_sf1")
@@ -97,6 +138,7 @@ def main() -> None:
     spark.read.parquet(f"{out}/lineitem.parquet").count()  # warm footers
 
     timings: dict[str, float] = {}
+    base_timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     plan_flips: dict[str, dict] = {}
     for name, fn in entrymod.queries().items():
@@ -104,32 +146,23 @@ def main() -> None:
             continue
         try:
             base_plan = _loop_counts(_plan_str(fn(spark, base)))
-            t0 = time.perf_counter()
-            df = fn(spark, out)
-            scaled_plan = _loop_counts(_plan_str(df))
-            df.write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-            if timings[name] > 3.0:
-                # a long single-session sweep accumulates driver state
-                # (pinned checkpoint blocks, broadcasts), so a one-off GC
-                # pause can read as a 10x phantom regression on whichever
-                # query it lands on — re-measure anything slow once and
-                # keep the min (steady-state cost, same plan)
-                t0 = time.perf_counter()
-                df2 = fn(spark, out)
-                df2.write.mode("overwrite").format("noop").save()
-                timings[name] = round(
-                    min(timings[name], time.perf_counter() - t0), 3
-                )
+            # base-SF timing feeds the super-linearity gate; measured in
+            # the same session/order as the scaled run so both sides see
+            # comparable warm state
+            base_timings[name] = _timed_noop(fn, spark, base)
+            scaled_plan = _loop_counts(_plan_str(fn(spark, out)))
+            timings[name] = _timed_noop(fn, spark, out)
             if (scaled_plan[0] > base_plan[0]
                     or scaled_plan[1] > base_plan[1]):
                 plan_flips[name] = {"base_bnlj_cartesian": base_plan,
                                     "scaled_bnlj_cartesian": scaled_plan}
-            print(f"{name}: {timings[name]}s", flush=True)
+            print(f"{name}: {base_timings[name]}s -> {timings[name]}s",
+                  flush=True)
         except Exception as exc:  # record, keep smoking
             failures[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"{name}: FAILED {failures[name]}", flush=True)
 
+    time_flags = ratio_flags(base_timings, timings, factor)
     result = {
         "metric": "total_headline_query_time",
         "value": round(sum(timings.values()), 3),
@@ -137,17 +170,25 @@ def main() -> None:
         "sf": 1.0,
         "factor_vs_base": factor,
         "base": base,
+        "base_total": round(sum(base_timings.values()), 3),
         "n_queries": len(timings),
         "n_failures": len(failures),
         "failures": failures,
         "plan_flips": plan_flips,
+        "time_ratio_flags": time_flags,
         "queries": {k: round(v, 2) for k, v in timings.items()},
+        "base_queries": {k: round(v, 2) for k, v in base_timings.items()},
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "BENCH_sf1.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps({k: result[k] for k in
-                      ("value", "n_queries", "n_failures", "plan_flips")}))
+                      ("value", "n_queries", "n_failures", "plan_flips",
+                       "time_ratio_flags")}))
+    # fail loudly: a failure, a nested-loop flip, or a super-linear time
+    # ratio is a regression the artifact must not hide
+    if failures or plan_flips or time_flags:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
