@@ -5862,8 +5862,10 @@ def q_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_SOURCE_QUALITY_CAP = f"""
-WITH base AS (
+# the shared quality-score CTE pair (base -> scored): every oracle that
+# consumes the quality chain embeds THIS text, mirroring how the Spark
+# queries share extensions/text.py:quality_score_col
+_DUCK_QUALITY_SCORED = f"""base AS (
   SELECT doc_id, source,
          CAST(length(trim(text))
               - length(regexp_replace(trim(text), '[^a-zA-Z0-9\\s]', '', 'g'))
@@ -5881,7 +5883,11 @@ scored AS (
               - least(1.0, digit_ratio * 4.0) * 0.25)
          * (0.5 + least(0.5, stopword_ratio * 2.0)) AS quality_score
   FROM base
-),
+)"""
+
+
+ORACLE_SOURCE_QUALITY_CAP = f"""
+WITH {_DUCK_QUALITY_SCORED},
 r AS (
   SELECT doc_id, source, quality_score,
          CAST(ROW_NUMBER() OVER (
@@ -5890,6 +5896,126 @@ r AS (
   FROM scored
 )
 SELECT doc_id, source, quality_score, rk FROM r WHERE rk <= {SOURCE_CAP}
+"""
+
+
+# exact global order statistics: (label, numerator, denominator) — targets
+# computed in INTEGER arithmetic ((num*N + den-1) div den) on both engines,
+# never ceil(q*N) on a float (double(0.9)*150000 rounds above 135000 and
+# ceils to 135001 on some engines)
+QUANTILE_POINTS = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global quantiles (quantile_disc semantics: the value at rank
+    ceil(q*N) of the (price, key) total order) without a global sort:
+    the two-phase distributed prefix-sum rank (extensions/packing.py:
+    global_rank — ONE range exchange, O(partitions) driver rows) ranks
+    every row, then the three target ranks are picked with a broadcast
+    point-lookup join.  This is the exact-at-scale path the approx
+    percentile sketch trades away; the exact median family
+    (q_median_price) covers the per-group interpolated form."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import (
+        global_rank,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked, n = global_rank(
+        orders, [F.col("o_totalprice"), F.col("o_orderkey")],
+        out_col="__rank",
+    )
+    pts = spark.createDataFrame(
+        [(name, (num * n + den - 1) // den)
+         for name, num, den in QUANTILE_POINTS],
+        "pct string, rank_n long",
+    )
+    return (
+        ranked.join(F.broadcast(pts), F.col("__rank") == F.col("rank_n"))
+        .select("pct", "rank_n", F.col("o_totalprice").alias("price"))
+        .orderBy("rank_n")
+    )
+
+
+ORACLE_EXACT_QUANTILES = f"""
+WITH r AS (
+  SELECT o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM orders
+),
+pts AS (
+  SELECT * FROM (VALUES {", ".join(f"('{name}', {num}, {den})"
+                                   for name, num, den in QUANTILE_POINTS)}
+  ) AS v(pct, num, den)
+)
+SELECT pct, CAST(rn AS BIGINT) AS rank_n, o_totalprice AS price
+FROM r JOIN pts ON rn = (num * n + den - 1) // den
+ORDER BY rank_n
+"""
+
+
+# curriculum bands: fixed quality-score thresholds (descending quality =
+# ascending band), shared with the oracle verbatim
+CURRICULUM_BANDS = (0.75, 0.5, 0.25)
+CURRICULUM_SALT = ":curriculum"
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: band every document by the
+    SHARED quality chain (extensions/text.py:quality_score_col — the same
+    expression the filter/audit/cap policies use), shuffle
+    deterministically WITHIN each band (md5 of the salted id), and assign
+    the GLOBAL training position — highest-quality band first, random
+    order inside a band, reproducible across runs and engines.
+
+    Scale shape: the position comes from the two-phase distributed
+    prefix-sum rank over (band, shuffle_key, doc_id) — ONE range
+    exchange, no global window (the naive ROW_NUMBER() OVER (ORDER BY
+    ...) serializes the corpus through one task)."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import (
+        global_rank,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        quality_score_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    score = quality_score_col("text")
+    band = (
+        F.when(score >= CURRICULUM_BANDS[0], F.lit(0))
+        .when(score >= CURRICULUM_BANDS[1], F.lit(1))
+        .when(score >= CURRICULUM_BANDS[2], F.lit(2))
+        .otherwise(F.lit(3))
+    ).cast("int")
+    keyed = docs.select(
+        "doc_id",
+        band.alias("band"),
+        F.md5(F.concat(F.col("doc_id").cast("string"),
+                       F.lit(CURRICULUM_SALT))).alias("shuffle_key"),
+    )
+    ranked, _ = global_rank(
+        keyed,
+        [F.col("band"), F.col("shuffle_key"), F.col("doc_id")],
+        out_col="global_pos",
+    )
+    return ranked.select("doc_id", "band", "global_pos")
+
+
+ORACLE_CURRICULUM_ORDER = f"""
+WITH {_DUCK_QUALITY_SCORED},
+b AS (
+  SELECT doc_id,
+         CAST(CASE WHEN quality_score >= {CURRICULUM_BANDS[0]} THEN 0
+                   WHEN quality_score >= {CURRICULUM_BANDS[1]} THEN 1
+                   WHEN quality_score >= {CURRICULUM_BANDS[2]} THEN 2
+                   ELSE 3 END AS INTEGER) AS band,
+         md5(CAST(doc_id AS VARCHAR) || '{CURRICULUM_SALT}') AS sk
+  FROM scored
+)
+SELECT doc_id, band,
+       CAST(ROW_NUMBER() OVER (ORDER BY band, sk, doc_id) AS BIGINT)
+           AS global_pos
+FROM b
 """
 
 
@@ -6018,6 +6144,8 @@ _GATE_NEVER_SIGNED = [
     "overlap_join", "pagerank", "price_qty_corr", "semantic_dedup",
     "source_quality_cap", "substring_dedup", "substring_dedup_dfcut",
     "token_drift", "winnowing",
+    # round-6 additions (never signed by construction)
+    "exact_quantiles", "curriculum_order",
 ]
 
 # Re-confirmation padding: oldest (r01-signed) keys fill the window's
@@ -6181,6 +6309,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_drift": q_token_drift,
         "length_quartiles": q_length_quartiles,
         "source_quality_cap": q_source_quality_cap,
+        "exact_quantiles": q_exact_quantiles,
+        "curriculum_order": q_curriculum_order,
     }
 
 
@@ -6317,4 +6447,6 @@ def oracle_sql() -> dict[str, str]:
         "token_drift": _oracle_token_drift(),
         "length_quartiles": ORACLE_LENGTH_QUARTILES,
         "source_quality_cap": ORACLE_SOURCE_QUALITY_CAP,
+        "exact_quantiles": ORACLE_EXACT_QUANTILES,
+        "curriculum_order": ORACLE_CURRICULUM_ORDER,
     }
