@@ -5899,6 +5899,74 @@ SELECT doc_id, source, quality_score, rk FROM r WHERE rk <= {SOURCE_CAP}
 """
 
 
+CONTAINMENT_TAU = 0.8
+
+
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs (extensions/dedup.py:
+    ngram_containment_pairs): |A∩B| / min(|A|,|B|) >= 0.8 over distinct
+    word-3-gram sets — catches quote/inclusion duplication (short doc
+    embedded in a long one) that Jaccard structurally under-scores.
+    Served from the SAME persisted pre-tagged shingle table as the
+    Jaccard/MinHash family ("tokenize once per warehouse")."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        ngram_containment_pairs,
+    )
+
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=CONTAINMENT_TAU,
+        shingled=_corpus_shingles_table(spark, sf_dir),
+        tables_checked=True,
+    )
+
+
+ORACLE_CONTAINMENT_DEDUP = f"""
+WITH {_DUCK_PAIR_JACCARD},
+pair_c AS (
+  SELECT id_a, id_b,
+         CAST(n_inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)
+             AS containment
+  FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+           COUNT(*) AS n_inter
+    FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+  )
+)
+SELECT id_a, id_b, containment FROM pair_c
+WHERE containment >= {CONTAINMENT_TAU}
+"""
+
+
+WINNOW_MIN_SHARED = 2
+
+
+def q_winnow_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style fingerprint matching (extensions/text.py:
+    winnow_match_from_index): document pairs sharing >= 2 distinct
+    winnowing fingerprints, served from the SAME persisted index as
+    q_winnowing — the build-once fingerprint table turns cross-document
+    plagiarism/boilerplate detection into a bucket-local hash self-join.
+    The oracle recomputes selection + match from raw text."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        winnow_match_from_index,
+    )
+
+    prefix = _winnow_index_if_absent(spark, sf_dir)
+    return winnow_match_from_index(spark, prefix,
+                                   min_shared=WINNOW_MIN_SHARED)
+
+
+ORACLE_WINNOW_MATCH = f"""
+WITH wfp AS ({ORACLE_WINNOWING}),
+d AS (SELECT DISTINCT doc_id, fp_hash FROM wfp)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM d a JOIN d b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
 # exact global order statistics: (label, numerator, denominator) — targets
 # computed in INTEGER arithmetic ((num*N + den-1) div den) on both engines,
 # never ceil(q*N) on a float (double(0.9)*150000 rounds above 135000 and
@@ -6145,7 +6213,8 @@ _GATE_NEVER_SIGNED = [
     "source_quality_cap", "substring_dedup", "substring_dedup_dfcut",
     "token_drift", "winnowing",
     # round-6 additions (never signed by construction)
-    "exact_quantiles", "curriculum_order",
+    "exact_quantiles", "curriculum_order", "winnow_match",
+    "containment_dedup",
 ]
 
 # Re-confirmation padding: oldest (r01-signed) keys fill the window's
@@ -6311,6 +6380,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_cap": q_source_quality_cap,
         "exact_quantiles": q_exact_quantiles,
         "curriculum_order": q_curriculum_order,
+        "winnow_match": q_winnow_match,
+        "containment_dedup": q_containment_dedup,
     }
 
 
@@ -6449,4 +6520,6 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_cap": ORACLE_SOURCE_QUALITY_CAP,
         "exact_quantiles": ORACLE_EXACT_QUANTILES,
         "curriculum_order": ORACLE_CURRICULUM_ORDER,
+        "winnow_match": ORACLE_WINNOW_MATCH,
+        "containment_dedup": ORACLE_CONTAINMENT_DEDUP,
     }

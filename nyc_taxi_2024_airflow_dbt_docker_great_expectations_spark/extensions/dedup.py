@@ -294,6 +294,87 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 3,
+                            threshold: float = 0.9,
+                            shingled: DataFrame | None = None,
+                            tables_checked: bool = False) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs: ``|A∩B| / min(|A|, |B|) >=
+    threshold`` over distinct word-``k``-gram sets — the inclusion/quote
+    detector Jaccard structurally misses (a short document fully embedded
+    in a long one has containment 1.0 but Jaccard ~ |A|/|B|).  Returns
+    ``(id_a, id_b, containment)``, ``id_a < id_b``.
+
+    Engine shape: the exact inverted-index baseline — posting self-join
+    on the shingle key (bucket-local when served from the persisted
+    shingle table), intersection counts from ONE partial/final aggregate,
+    a single double division against the threshold.  PPJoin prefix
+    filtering does NOT soundly apply to containment (the larger side's
+    required-overlap bound depends on the unknown smaller side's size),
+    so this is the correctness baseline; at web scale, generate
+    candidates with the MinHash bands and verify with this formula.
+
+    **Multiplicity collapse**: verbatim copies have containment exactly
+    1.0; reps carry the posting/verify work, dup groups emit a 1.0 self
+    marker, member joins expand — same contract as every pair engine
+    here (byte-identical to the uncollapsed form)."""
+    raw = (shingled if shingled is not None
+           else materialize_once(shingled_arrays(df, text_col, id_col, k)))
+    if shingled is not None and not tables_checked:
+        _check_no_ghost_ids(df, raw, id_col, "shingle")
+    tagged = raw if _tagged_or_raise(raw, "shingle") else materialize_once(
+        rep_tags(raw.select(F.col(id_col), F.col("shingles")),
+                 "shingles", id_col)
+    )
+    base = tagged.filter(F.col(id_col) == F.col("__rep")).select(
+        id_col, "shingles", "__mult"
+    )
+    posts = base.select(
+        F.col(id_col), F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    a = posts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"),
+                     "shingle")
+    b = posts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"),
+                     "shingle")
+    rep_pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .withColumn(
+            "containment",
+            F.col("n_inter").cast("double")
+            / F.least("n_a", "n_b").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+    # duplicate-group self markers: identical non-empty sets contain each
+    # other exactly (n/n in IEEE); empty sets never enter the posting join
+    rep_pairs = rep_pairs.unionByName(
+        base.filter((F.col("__mult") > 1) & (F.size("shingles") > 0)).select(
+            F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    memb = tagged.select("__rep", F.col(id_col).alias("__member"))
+    ma = memb.withColumnRenamed("__rep", "id_a").withColumnRenamed(
+        "__member", "__ma")
+    mb = memb.withColumnRenamed("__rep", "id_b").withColumnRenamed(
+        "__member", "__mb")
+    return (
+        rep_pairs.join(ma, "id_a").join(mb, "id_b")
+        .filter((F.col("id_a") != F.col("id_b"))
+                | (F.col("__ma") < F.col("__mb")))
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            "containment",
+        )
+    )
+
+
 def ngram_jaccard_pairs_vs(new: DataFrame, corpus: DataFrame,
                            text_col: str = "text", id_col: str = "doc_id",
                            k: int = 3, threshold: float = 0.6,

@@ -570,6 +570,80 @@ def build_winnowing_index(corpus: DataFrame, table_prefix: str,
     return names
 
 
+def winnow_match_from_index(spark, table_prefix: str,
+                            id_col: str = "doc_id", min_shared: int = 2,
+                            max_df: int | None = None) -> DataFrame:
+    """Document pairs sharing at least ``min_shared`` distinct winnowing
+    fingerprints — the MOSS match step (SIGMOD'03 §4) served entirely
+    from a persisted :func:`build_winnowing_index`: by the local
+    guarantee, any verbatim run of ``w + k - 1`` tokens yields a shared
+    selected fingerprint, so ``n_shared`` lower-bounds the number of
+    disjoint shared runs.  Returns ``(id_a, id_b, n_shared)``,
+    ``id_a < id_b``.
+
+    Scale shape: the ``fps`` table is bucketed on ``fp_hash`` — the
+    self-join key — so candidate generation is bucket-local; the pair
+    mass is bounded by fingerprint-bucket sizes (~2/(w+1) of gram mass),
+    and ``max_df`` drops boilerplate fingerprints appearing in more than
+    ``max_df`` documents before the join (the inverted-index df-cut,
+    same trade as ``ngram_jaccard_pairs(max_df=...)``).
+
+    **Multiplicity collapse**: the index stores rep documents only; a
+    duplicate group shares ALL of its rep's fingerprints, so groups of
+    two or more emit a self marker carrying the rep's fingerprint count
+    and member joins expand rep pairs back to id level — byte-identical
+    to matching every copy."""
+    from pyspark.sql import Window
+
+    names = {t: f"{table_prefix}_{t}" for t in WINNOW_INDEX_TABLES}
+    # distinct (doc, hash): the same fingerprint selected at several
+    # positions counts once toward the pair score
+    fps = spark.table(names["fps"]).select(F.col(id_col), "fp_hash").distinct()
+    if max_df is not None:
+        fps = fps.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("fp_hash"))
+        ).filter(F.col("__df") <= max_df).drop("__df")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp_hash")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp_hash")
+    rep_pairs = (
+        a.join(b, "fp_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    members = spark.table(names["members"])
+    # self markers: a dup group's members share every rep fingerprint
+    n_fps = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shared"))
+    multi = (
+        members.groupBy("rep_id").agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+    )
+    self_pairs = (
+        multi.join(n_fps.withColumnRenamed(id_col, "rep_id"), "rep_id")
+        .filter(F.col("n_shared") >= min_shared)
+        .select(F.col("rep_id").alias("id_a"),
+                F.col("rep_id").alias("id_b"), "n_shared")
+    )
+    ma = members.withColumnRenamed("rep_id", "id_a").withColumnRenamed(
+        "member_id", "__ma")
+    mb = members.withColumnRenamed("rep_id", "id_b").withColumnRenamed(
+        "member_id", "__mb")
+    return (
+        rep_pairs.unionByName(self_pairs)
+        .join(ma, "id_a").join(mb, "id_b")
+        # self markers expand to each unordered member pair once; cross
+        # pairs to the full bipartite product (member id sets disjoint)
+        .filter((F.col("id_a") != F.col("id_b"))
+                | (F.col("__ma") < F.col("__mb")))
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            "n_shared",
+        )
+    )
+
+
 def winnowing_from_index(spark, table_prefix: str,
                          id_col: str = "doc_id") -> DataFrame:
     """Serve :func:`winnowing_fingerprints` from a persisted
