@@ -5899,6 +5899,235 @@ SELECT doc_id, source, quality_score, rk FROM r WHERE rk <= {SOURCE_CAP}
 """
 
 
+KNN_K = 5
+KNN_QUERY_MOD = 20  # every 20th vector is a held-out query
+
+
+def q_knn_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction over the embedding space — the classical
+    eval completing the centroid (label_centroids) / linear-probe trio:
+    every ``KNN_QUERY_MOD``-th vector is held out as a query, its top-5
+    cosine neighbors among the REMAINING vectors (leave-queries-out, so
+    a vector never votes for itself) vote by majority, ties to the
+    smaller label.  Exactness: the neighbor lists are the deterministic
+    left-fold cosine top-k (similarity.py:cosine_topk); votes are
+    integer counts; the argmax rides one (negcount, label) struct-min
+    aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % KNN_QUERY_MOD != 0)
+    nn = cosine_topk(corpus, qs, k=KNN_K)
+    votes = (
+        nn.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    best = votes.groupBy("query_id").agg(
+        F.min(F.struct((-F.col("n")).alias("negv"),
+                       F.col("label").alias("lbl"))).alias("__b")
+    ).select(
+        F.col("query_id").alias("vec_id"),
+        F.col("__b.lbl").alias("pred_label"),
+        (-F.col("__b.negv")).cast("long").alias("n_votes"),
+    )
+    return (
+        best.join(
+            emb.select("vec_id", F.col("label").alias("true_label")),
+            "vec_id",
+        )
+        .select(
+            "vec_id", "true_label", "pred_label", "n_votes",
+            (F.col("pred_label") == F.col("true_label"))
+            .cast("int").alias("correct"),
+        )
+    )
+
+
+ORACLE_KNN_PREDICT = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe, label AS true_label
+  FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0
+),
+scored AS (
+  SELECT q.qid, q.true_label, e.vec_id, e.label, {_DUCK_COS} AS s
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id % {KNN_QUERY_MOD} <> 0
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY s DESC, vec_id) AS rk
+    FROM scored
+  ) WHERE rk <= {KNN_K}
+),
+votes AS (
+  SELECT qid, true_label, label, COUNT(*) AS n FROM topk GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT qid, true_label, label AS pred_label, n,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY n DESC, label) AS r
+  FROM votes
+)
+SELECT qid AS vec_id, true_label, pred_label, CAST(n AS BIGINT) AS n_votes,
+       CAST(pred_label = true_label AS INTEGER) AS correct
+FROM best WHERE r = 1
+"""
+
+
+DECAY_HALFLIFE_DAYS = 7  # engagement halves every week
+
+
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed engagement: each event
+    contributes ``value * 2^-(age_days div 7)`` relative to the stream's
+    newest timestamp — the recency-weighted activity score behind churn
+    models and freshness-weighted sampling.
+
+    Exactness across engines: the half-life divisor makes every weight a
+    DYADIC rational, so quantizing value to integer micro-units
+    (floor(x*1e6 + 0.5) — round-half-up on both engines) turns the decay
+    into a 64-bit right-shift and the per-user score into an INTEGER sum
+    — order-independent and bit-identical, with ONE final double
+    division for display.  Shift capped at 63 (Java shift amounts wrap
+    mod 64; a >= 63 shift of these magnitudes is 0 anyway)."""
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("__ref"))
+    weeks = F.least(
+        F.floor(F.datediff(F.col("__ref"), F.col("ts"))
+                / F.lit(DECAY_HALFLIFE_DAYS)).cast("int"),
+        F.lit(63),
+    )
+    micro = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .select("user_id", micro.alias("__micro"), weeks.alias("__weeks"))
+        # the Python shiftright() helper takes only literal shift counts;
+        # the SQL form accepts a column amount
+        .select("user_id", F.expr("shiftright(__micro, __weeks)").alias("__dec"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__dec").alias("decayed_micro"),
+        )
+        .select(
+            "user_id", "n_events", "decayed_micro",
+            (F.col("decayed_micro").cast("double") / F.lit(1e6))
+            .alias("decayed_value"),
+        )
+    )
+
+
+ORACLE_DECAYED_ENGAGEMENT = f"""
+WITH ref AS (SELECT max(ts) AS r FROM events),
+d AS (
+  SELECT user_id,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+             >> least(CAST(date_diff('day', CAST(ts AS DATE), CAST(r AS DATE))
+                           // {DECAY_HALFLIFE_DAYS} AS INTEGER), 63)
+             AS dec
+  FROM events CROSS JOIN ref
+)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(dec) AS BIGINT) AS decayed_micro,
+       CAST(SUM(dec) AS DOUBLE) / 1000000.0 AS decayed_value
+FROM d GROUP BY user_id
+"""
+
+
+def q_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based LM familiarity scoring — the exact-arithmetic stand-in
+    for perplexity filtering (CCNet-style): train a bigram count table on
+    the TRAIN side of the standard md5 split (same rule as
+    q_train_test_split, so the heldout docs are leakage-free), then score
+    EVERY document by the mean training-corpus frequency of its bigram
+    occurrences.  Low familiarity = out-of-distribution text (the
+    filter's signal); integer counts + ONE final double division keep it
+    bit-exact where log-space perplexity would drift in the last ulp
+    across engines.
+
+    Shape: one bigram-count aggregate over the train split (posexplode +
+    LEAD per doc — the codegen'd gram assembly, never an array-HOF over
+    tokens()), one bigram-keyed join of doc occurrences against the
+    counts, one doc-keyed sum."""
+    from pyspark.sql import Window as W
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+               16, 10).cast("int") % 100
+    )
+    tagged = docs.select(
+        "doc_id",
+        F.when(bucket < SPLIT_TEST_PCT, F.lit("test"))
+        .otherwise(F.lit("train")).alias("split"),
+        F.posexplode(tokens("text")).alias("pos", "tok"),
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    bi = tagged.select(
+        "doc_id", "split",
+        F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(wd))
+        .alias("bigram"),
+        F.lead("tok", 1).over(wd).isNotNull().alias("__full"),
+    ).filter(F.col("__full"))
+    train_counts = (
+        bi.filter(F.col("split") == "train")
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("train_n"))
+    )
+    joined = bi.join(train_counts, "bigram", "left")
+    return (
+        joined.groupBy("doc_id", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("train_n").isNotNull()).cast("long"))
+            .alias("matched_bigrams"),
+            F.sum(F.coalesce(F.col("train_n"), F.lit(0)))
+            .cast("long").alias("sum_train_n"),
+        )
+        .select(
+            "doc_id", "split", "n_bigrams", "matched_bigrams",
+            (F.col("sum_train_n").cast("double")
+             / F.col("n_bigrams").cast("double")).alias("familiarity"),
+        )
+    )
+
+
+ORACLE_LM_COVERAGE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                        AS INTEGER) % 100 < {SPLIT_TEST_PCT}
+              THEN 'test' ELSE 'train' END AS split,
+         {DUCK_TOKS} AS tk
+  FROM documents WHERE trim(text, {DUCK_WS}) <> ''
+),
+bi AS (
+  SELECT doc_id, split,
+         tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i + 1 AS INTEGER)]
+             AS bigram
+  FROM t, unnest(range(1, len(tk))) AS r(i)
+),
+tc AS (
+  SELECT bigram, COUNT(*) AS train_n FROM bi
+  WHERE split = 'train' GROUP BY 1
+)
+SELECT b.doc_id, b.split,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(CASE WHEN tc.train_n IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS matched_bigrams,
+       CAST(SUM(COALESCE(tc.train_n, 0)) AS DOUBLE) / COUNT(*)
+           AS familiarity
+FROM bi b LEFT JOIN tc ON b.bigram = tc.bigram
+GROUP BY 1, 2
+"""
+
+
 CONTAINMENT_TAU = 0.8
 
 
@@ -6214,7 +6443,7 @@ _GATE_NEVER_SIGNED = [
     "token_drift", "winnowing",
     # round-6 additions (never signed by construction)
     "exact_quantiles", "curriculum_order", "winnow_match",
-    "containment_dedup",
+    "containment_dedup", "knn_predict", "decayed_engagement", "lm_coverage",
 ]
 
 # Re-confirmation padding: oldest (r01-signed) keys fill the window's
@@ -6382,6 +6611,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": q_curriculum_order,
         "winnow_match": q_winnow_match,
         "containment_dedup": q_containment_dedup,
+        "knn_predict": q_knn_predict,
+        "decayed_engagement": q_decayed_engagement,
+        "lm_coverage": q_lm_coverage,
     }
 
 
@@ -6522,4 +6754,7 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_order": ORACLE_CURRICULUM_ORDER,
         "winnow_match": ORACLE_WINNOW_MATCH,
         "containment_dedup": ORACLE_CONTAINMENT_DEDUP,
+        "knn_predict": ORACLE_KNN_PREDICT,
+        "decayed_engagement": ORACLE_DECAYED_ENGAGEMENT,
+        "lm_coverage": ORACLE_LM_COVERAGE,
     }
