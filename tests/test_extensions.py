@@ -1636,6 +1636,66 @@ def test_winnowing_guarantee_and_density(spark):
     assert len({(r["fp_pos"]) for r in fp if r["doc_id"] == 1}) < n_grams
 
 
+def test_containment_catches_inclusion_jaccard_misses(spark):
+    """A short document fully embedded in a long one has containment 1.0
+    but low Jaccard — the asymmetric signal the operator exists for.
+    Verbatim copies expand through the collapse with containment 1.0."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    long_doc = ("completely different opening words here then " + quote
+                + " and a long unrelated tail keeps going on and on and on")
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "nothing in common with those"),
+         (4, quote)],  # verbatim copy of 1
+        "doc_id long, text string",
+    )
+    cont = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in ngram_containment_pairs(df, k=3,
+                                             threshold=0.9).collect()}
+    assert cont[(1, 2)] == 1.0       # quote fully contained
+    assert cont[(1, 4)] == 1.0       # copy self-marker expansion
+    assert cont[(2, 4)] == 1.0       # copy inherits the rep's pairs
+    assert not any(3 in p for p in cont)
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(df, k=3, threshold=0.9).collect()}
+    assert (1, 2) not in jac         # Jaccard under-scores the inclusion
+
+
+def test_winnow_match_finds_shared_run(spark, tmp_warehouse):
+    """Two documents sharing a verbatim run long enough for >= 2 window
+    selections match through the persisted fingerprint index; unrelated
+    documents do not."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        build_winnowing_index,
+        winnow_match_from_index,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.layout import (
+        drop_table_and_location,
+    )
+
+    shared = " ".join(f"shared{i}" for i in range(14))  # long verbatim run
+    df = spark.createDataFrame(
+        [(1, "alpha beta " + shared + " gamma delta"),
+         (2, "one two three " + shared + " four"),
+         (3, "totally unrelated words with no overlap at all whatsoever")],
+        "doc_id long, text string",
+    )
+    try:
+        build_winnowing_index(df, "wm_eq_test", k=3, w=4)
+        pairs = {(r["id_a"], r["id_b"]): r["n_shared"]
+                 for r in winnow_match_from_index(
+                     spark, "wm_eq_test", min_shared=2).collect()}
+        assert pairs.get((1, 2), 0) >= 2
+        assert not any(3 in p for p in pairs)
+    finally:
+        for t in ("wm_eq_test_fps", "wm_eq_test_members"):
+            drop_table_and_location(spark, t)
+
+
 def test_persisted_table_guards_raise(spark):
     """Pair engines refuse (a) persisted tables carrying ids absent from
     the corpus (stale table -> phantom pairs) and (b) pre-tagged tables

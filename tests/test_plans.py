@@ -127,6 +127,36 @@ def test_price_quartiles_has_no_global_window(spark):
     assert "Exchange SinglePartition" not in plan.split("TakeOrdered")[0]
 
 
+def test_round6_addition_plan_shapes(spark):
+    """Round-6 queries hold their scale-critical plan properties:
+
+    - exact_quantiles / curriculum_order: no Window (rank comes from the
+      materialized prefix-sum phase), and exact_quantiles' point lookup
+      is a broadcast join;
+    - knn_predict: no CartesianProduct (queries replicate to hash blocks
+      in-plan, scoring is cogrouped Arrow);
+    - lm_coverage: the bigram assembly is a doc-keyed window + one
+      bigram-keyed join — all hash joins, no nested loop;
+    - decayed_engagement: the scalar reference timestamp broadcasts (the
+      only BNLJ is that 1-row combine), and the decay shift stays in
+      codegen (no Python UDF).
+    """
+    qs = entry.queries()
+    eq = _plan(qs["exact_quantiles"](spark, SF))
+    assert "Window" not in eq and "BroadcastHashJoin" in eq
+    co = _plan(qs["curriculum_order"](spark, SF))
+    assert "Window" not in co and "MapInPandas" in co
+    knn = _plan(qs["knn_predict"](spark, SF))
+    assert "CartesianProduct" not in knn
+    assert "FlatMapCoGroupsInPandas" in knn or "FlatMapGroupsInPandas" in knn
+    lm = _plan(qs["lm_coverage"](spark, SF))
+    assert "CartesianProduct" not in lm
+    assert "BroadcastNestedLoopJoin" not in lm
+    de = _plan(qs["decayed_engagement"](spark, SF))
+    assert "BatchEvalPython" not in de and "ArrowEvalPython" not in de
+    assert de.count("BroadcastNestedLoopJoin") <= 1  # the 1-row ref combine
+
+
 def test_round4_retrieval_and_mixture_plans(spark):
     """Round-4 query shapes hold their scale-critical plan properties:
 
