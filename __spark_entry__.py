@@ -5899,6 +5899,121 @@ SELECT doc_id, source, quality_score, rk FROM r WHERE rk <= {SOURCE_CAP}
 """
 
 
+WINNOW_MIN_SHARED = 2
+
+
+MIXTURE_TARGET = 10_000  # sampling budget the weights allocate
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights (alpha = 0.5, the
+    sqrt-temperature every multi-source pretraining recipe uses to
+    up-weight small sources): per source, ``w = sqrt(n_docs)`` and the
+    document budget each source gets out of ``MIXTURE_TARGET``.
+
+    Exactness without a float reduction: sqrt is correctly-rounded IEEE
+    (identical on every engine), so quantizing the weight to integer
+    micro-units (floor(sqrt(n)*1e6 + 0.5)) makes the normalizing sum an
+    order-independent INTEGER aggregate; the share is ONE double
+    division and the budget allocation is pure integer arithmetic
+    ((target * w) div sum_w).  Scale shape: one partial/final count by
+    source, one 1-row broadcast combine — group count is the number of
+    sources, metadata-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = per_src.withColumn(
+        "weight_micro",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long"),
+    )
+    tot = w.agg(F.sum("weight_micro").alias("__tot"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "weight_micro",
+            (F.col("weight_micro").cast("double")
+             / F.col("__tot").cast("double")).alias("share"),
+            F.expr(f"({MIXTURE_TARGET}L * weight_micro) div __tot")
+            .alias("budget_docs"),
+        )
+    )
+
+
+ORACLE_MIXTURE_WEIGHTS = f"""
+WITH s AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000 + 0.5)
+              AS BIGINT) AS weight_micro
+  FROM documents GROUP BY 1
+),
+t AS (SELECT SUM(weight_micro) AS tot FROM s)
+SELECT source, n_docs, weight_micro,
+       CAST(weight_micro AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+       ({MIXTURE_TARGET} * weight_micro) // tot AS budget_docs
+FROM s CROSS JOIN t
+"""
+
+
+WINNOW_PROBE_MOD = 10  # doc_id % 10 == 7 plays the incoming batch
+
+
+def q_winnow_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fingerprint screening — "does this incoming batch
+    plagiarize the corpus?": the batch (a deterministic id slice)
+    fingerprints in-flight (it is batch-sized), probes the PERSISTED
+    winnowing index on the fingerprint hash — the key the index is
+    bucketed on — and reports (new_id, corpus_id, n_shared) pairs with
+    >= 2 shared distinct fingerprints.  Corpus side excludes the batch
+    ids (they are being screened, not matched against themselves); rep
+    hits expand to corpus members through the index's member table.
+    The per-batch cost is batch fingerprints + a bucket-local join —
+    the corpus gram mass is never re-read (same build-once contract as
+    neardup_vs_index / bm25_vs_index)."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        WINNOW_INDEX_TABLES,
+        winnowing_fingerprints,
+    )
+
+    prefix = _winnow_index_if_absent(spark, sf_dir)
+    names = {t: f"{prefix}_{t}" for t in WINNOW_INDEX_TABLES}
+    docs = _t(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % WINNOW_PROBE_MOD == 7
+    batch_fps = (
+        winnowing_fingerprints(docs.filter(is_batch),
+                               k=WINNOW_K, w=WINNOW_W)
+        .select(F.col("doc_id").alias("new_id"), "fp_hash").distinct()
+    )
+    rep_fps = (
+        spark.table(names["fps"])
+        .select(F.col("doc_id").alias("rep_id"), "fp_hash").distinct()
+    )
+    rep_hits = (
+        batch_fps.join(rep_fps, "fp_hash")
+        .groupBy("new_id", "rep_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    members = spark.table(names["members"]).filter(
+        ~(F.col("member_id") % WINNOW_PROBE_MOD == 7)
+    )
+    return (
+        rep_hits.join(members, "rep_id")
+        .select("new_id", F.col("member_id").alias("corpus_id"), "n_shared")
+    )
+
+
+ORACLE_WINNOW_PROBE = f"""
+WITH wfp AS ({ORACLE_WINNOWING}),
+d AS (SELECT DISTINCT doc_id, fp_hash FROM wfp)
+SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM d a JOIN d b ON a.fp_hash = b.fp_hash
+WHERE a.doc_id % {WINNOW_PROBE_MOD} = 7
+  AND b.doc_id % {WINNOW_PROBE_MOD} <> 7
+GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
 KNN_K = 5
 KNN_QUERY_MOD = 20  # every 20th vector is a held-out query
 
@@ -6165,9 +6280,6 @@ pair_c AS (
 SELECT id_a, id_b, containment FROM pair_c
 WHERE containment >= {CONTAINMENT_TAU}
 """
-
-
-WINNOW_MIN_SHARED = 2
 
 
 def q_winnow_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6444,6 +6556,7 @@ _GATE_NEVER_SIGNED = [
     # round-6 additions (never signed by construction)
     "exact_quantiles", "curriculum_order", "winnow_match",
     "containment_dedup", "knn_predict", "decayed_engagement", "lm_coverage",
+    "mixture_weights", "winnow_probe",
 ]
 
 # Re-confirmation padding: oldest (r01-signed) keys fill the window's
@@ -6614,6 +6727,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_predict": q_knn_predict,
         "decayed_engagement": q_decayed_engagement,
         "lm_coverage": q_lm_coverage,
+        "mixture_weights": q_mixture_weights,
+        "winnow_probe": q_winnow_probe,
     }
 
 
@@ -6757,4 +6872,6 @@ def oracle_sql() -> dict[str, str]:
         "knn_predict": ORACLE_KNN_PREDICT,
         "decayed_engagement": ORACLE_DECAYED_ENGAGEMENT,
         "lm_coverage": ORACLE_LM_COVERAGE,
+        "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
+        "winnow_probe": ORACLE_WINNOW_PROBE,
     }
