@@ -3667,6 +3667,62 @@ FROM seg
 """
 
 
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-manifest audit — the loader-side sanity report on
+    q_sequence_pack's output: sequence count, fully-filled count, total
+    token mass, overall fill rate, and how many documents were split
+    across a cut.  One pass over the packed manifest: a seq-keyed and a
+    doc-keyed aggregate, combined as two 1-row broadcasts.  Integer
+    sums; the fill rate is ONE double division."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import (
+        pack_sequences,
+    )
+
+    packed = pack_sequences(_t(spark, sf_dir, "documents"), budget=512)
+    per_seq = packed.groupBy("seq_id").agg(
+        F.sum("seg_tokens").alias("__fill")
+    )
+    s1 = per_seq.agg(
+        F.count(F.lit(1)).alias("n_sequences"),
+        F.sum((F.col("__fill") == 512).cast("long"))
+        .alias("full_sequences"),
+        F.sum("__fill").cast("long").alias("total_tokens"),
+    )
+    s2 = (
+        packed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__segs"))
+        .agg(F.sum((F.col("__segs") > 1).cast("long")).alias("split_docs"))
+    )
+    return s1.crossJoin(F.broadcast(s2)).select(
+        "n_sequences", "full_sequences", "total_tokens",
+        (F.col("total_tokens").cast("double")
+         / (F.col("n_sequences") * 512).cast("double")).alias("fill_rate"),
+        "split_docs",
+    )
+
+
+ORACLE_PACKING_EFFICIENCY = f"""
+WITH pack AS ({ORACLE_SEQUENCE_PACK}),
+per_seq AS (SELECT seq_id, SUM(seg_tokens) AS fill FROM pack GROUP BY 1),
+s1 AS (
+  SELECT COUNT(*) AS n_sequences,
+         CAST(SUM(CASE WHEN fill = 512 THEN 1 ELSE 0 END) AS BIGINT)
+             AS full_sequences,
+         CAST(SUM(fill) AS BIGINT) AS total_tokens
+  FROM per_seq
+),
+s2 AS (
+  SELECT CAST(SUM(CASE WHEN segs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS split_docs
+  FROM (SELECT doc_id, COUNT(*) AS segs FROM pack GROUP BY 1)
+)
+SELECT n_sequences, full_sequences, total_tokens,
+       CAST(total_tokens AS DOUBLE) / CAST(n_sequences * 512 AS DOUBLE)
+           AS fill_rate,
+       split_docs
+FROM s1 CROSS JOIN s2
+"""
+
+
 def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global corpus shuffle (extensions/packing.py:
     global_shuffle): each document's 0-based position in (md5(salt:id), id)
@@ -5902,6 +5958,159 @@ SELECT doc_id, source, quality_score, rk FROM r WHERE rk <= {SOURCE_CAP}
 WINNOW_MIN_SHARED = 2
 
 
+ATTRIB_LOOKBACK_US = 7 * 86_400 * 1_000_000  # 7-day click lookback
+
+
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent click within a 7-day lookback (else
+    'organic') — the classic event-stream join that is an AS-OF join,
+    not an inequality join: operators/temporal.py:asof_join runs it as
+    ONE user-keyed union+window pass (never a nested-loop time-range
+    join).  Clicks dedupe to max(event_id) per (user, ts) first — the
+    as-of contract requires a unique right side or the credited click is
+    engine-dependent."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.temporal import (
+        asof_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases, clicks, key="user_id", ts_col="ts",
+        right_cols=("click_id",), suffix="_click",
+        tolerance_us=ATTRIB_LOOKBACK_US,
+    )
+    return joined.select(
+        "purchase_id", "user_id", "value",
+        F.col("click_id_click").alias("click_id"),
+        F.when(F.col("click_id_click").isNull(), F.lit("organic"))
+        .otherwise(F.lit("click")).alias("attribution"),
+    )
+
+
+ORACLE_LAST_TOUCH_ATTRIBUTION = """
+WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_id FROM events
+  WHERE event_type = 'click' GROUP BY 1, 2
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT p.purchase_id, p.user_id, p.value, c.click_id,
+         ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.ts DESC) AS r
+  FROM p LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
+   AND c.ts >= p.ts - INTERVAL 7 DAY
+)
+SELECT purchase_id, user_id, value, click_id,
+       CASE WHEN click_id IS NULL THEN 'organic' ELSE 'click' END
+           AS attribution
+FROM j WHERE r = 1
+"""
+
+
+COOC_MIN_DF = 5      # vocabulary band: tokens in >= 5 docs ...
+COOC_MAX_DF_PCT = 90  # ... and <= 90% of docs (near-universal mass out)
+COOC_MIN_N = 5       # pair support floor
+COOC_TOPK = 20
+
+
+def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level token co-occurrence mining (non-adjacent — the
+    whole-document complement of the adjacent-bigram `collocations`):
+    unordered vocabulary-token pairs ranked by document-level lift
+    ``P(xy) / (P(x) P(y)) = (n_xy * D) / (df_x * df_y)``.
+
+    The df band [COOC_MIN_DF, 90% of docs] is the scale guard: the
+    per-document pair explosion is quadratic in the doc's DISTINCT
+    vocabulary tokens, so near-universal tokens (df above the band)
+    never enter — the same index-side cut as the PPJoin ``max_df``,
+    with a FRACTIONAL upper bound so the guard tracks corpus growth
+    (integer arithmetic: ``df * 100 <= pct * D``).
+    Exactness: all counts integer; the lift is one double division of
+    two int64-exact products; top-k via TakeOrdered with (lift desc,
+    token) tiebreaks."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d_total = docs.agg(F.count(F.lit(1)).alias("__d"))
+    doc_tok = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .distinct()
+    )
+    df_cnt = doc_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    vocab = (
+        df_cnt.crossJoin(F.broadcast(d_total))
+        .filter((F.col("df") >= COOC_MIN_DF)
+                & (F.col("df") * 100 <= F.lit(COOC_MAX_DF_PCT) * F.col("__d")))
+        .select("tok", "df")
+    )
+    v = doc_tok.join(F.broadcast(vocab), "tok")
+    a = v.select("doc_id", F.col("tok").alias("tok_a"),
+                 F.col("df").alias("df_a"))
+    b = v.select("doc_id", F.col("tok").alias("tok_b"),
+                 F.col("df").alias("df_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= COOC_MIN_N)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(d_total))
+        .select(
+            "tok_a", "tok_b", "n_xy", "df_a", "df_b",
+            ((F.col("n_xy") * F.col("__d")).cast("double")
+             / (F.col("df_a") * F.col("df_b")).cast("double")).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "tok_a", "tok_b")
+        .limit(COOC_TOPK)
+    )
+
+
+ORACLE_COOCCURRENCE_LIFT = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest({DUCK_TOKS}) AS tok FROM documents
+    WHERE trim(text, {DUCK_WS}) <> ''
+  )
+),
+dfc AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY 1),
+d AS (SELECT COUNT(*) AS n FROM documents),
+v AS (
+  SELECT dt.doc_id, dt.tok, dfc.df FROM dt JOIN dfc USING (tok), d
+  WHERE dfc.df >= {COOC_MIN_DF}
+    AND dfc.df * 100 <= {COOC_MAX_DF_PCT} * d.n
+),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, a.df AS df_a, b.df AS df_b,
+         COUNT(*) AS n_xy
+  FROM v a JOIN v b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2, 3, 4
+  HAVING COUNT(*) >= {COOC_MIN_N}
+)
+SELECT tok_a, tok_b, CAST(n_xy AS BIGINT) AS n_xy,
+       CAST(df_a AS BIGINT) AS df_a, CAST(df_b AS BIGINT) AS df_b,
+       CAST(n_xy * n AS DOUBLE) / CAST(df_a * df_b AS DOUBLE) AS lift
+FROM pairs CROSS JOIN d
+ORDER BY lift DESC, tok_a, tok_b LIMIT {COOC_TOPK}
+"""
+
+
 MIXTURE_TARGET = 10_000  # sampling budget the weights allocate
 
 
@@ -6556,7 +6765,8 @@ _GATE_NEVER_SIGNED = [
     # round-6 additions (never signed by construction)
     "exact_quantiles", "curriculum_order", "winnow_match",
     "containment_dedup", "knn_predict", "decayed_engagement", "lm_coverage",
-    "mixture_weights", "winnow_probe",
+    "mixture_weights", "winnow_probe", "last_touch_attribution",
+    "cooccurrence_lift", "packing_efficiency",
 ]
 
 # Re-confirmation padding: oldest (r01-signed) keys fill the window's
@@ -6751,6 +6961,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_coverage": q_lm_coverage,
         "mixture_weights": q_mixture_weights,
         "winnow_probe": q_winnow_probe,
+        "last_touch_attribution": q_last_touch_attribution,
+        "cooccurrence_lift": q_cooccurrence_lift,
+        "packing_efficiency": q_packing_efficiency,
     }
 
 
@@ -6896,4 +7109,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_coverage": ORACLE_LM_COVERAGE,
         "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
         "winnow_probe": ORACLE_WINNOW_PROBE,
+        "last_touch_attribution": ORACLE_LAST_TOUCH_ATTRIBUTION,
+        "cooccurrence_lift": ORACLE_COOCCURRENCE_LIFT,
+        "packing_efficiency": ORACLE_PACKING_EFFICIENCY,
     }
