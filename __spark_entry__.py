@@ -6111,6 +6111,81 @@ ORDER BY lift DESC, tok_a, tok_b LIMIT {COOC_TOPK}
 """
 
 
+def q_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization-error audit — the serving-side check on
+    q_embedding_quantize: per vector, the cosine between the original
+    embedding and its int8 reconstruction (``floor(v/scale + 0.5) *
+    scale``) and the max absolute element error (bounded by scale/2 by
+    construction — asserted in the oracle comparison itself).
+
+    Exactness: reconstruction uses the SAME explicit floor arithmetic as
+    the quantizer; the cosine is the deterministic left-fold chain
+    (F.aggregate — sequential, like DuckDB's list_sum); max is
+    order-independent.  Everything stays array-local in codegen — no
+    shuffle at all except the final scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(
+        "vec_id", "label", vd.alias("v"),
+        (F.greatest(
+            F.array_max(F.transform(vd, F.abs)), F.lit(1e-30)
+        ) / F.lit(127.0)).alias("scale"),
+    )
+    recon = base.withColumn(
+        "r",
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x / F.col("scale") + F.lit(0.5))
+            * F.col("scale"),
+        ),
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731 — sequential left fold
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    dot = fold(F.zip_with(F.col("v"), F.col("r"), lambda a, b: a * b))
+    nv2 = fold(F.transform(F.col("v"), lambda a: a * a))
+    nr2 = fold(F.transform(F.col("r"), lambda a: a * a))
+    maxerr = F.array_max(
+        F.zip_with(F.col("v"), F.col("r"), lambda a, b: F.abs(a - b))
+    )
+    return recon.select(
+        "vec_id", "label",
+        (dot / (F.sqrt(nv2) * F.sqrt(nr2))).alias("cosine_recon"),
+        maxerr.alias("max_abs_err"),
+        "scale",
+    )
+
+
+ORACLE_QUANTIZATION_ERROR = """
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         greatest(list_max(list_transform(embedding,
+                                          x -> abs(CAST(x AS DOUBLE)))),
+                  1e-30) / 127.0 AS scale
+  FROM embeddings
+),
+rec AS (
+  SELECT vec_id, label, v, scale,
+         list_transform(v, x -> floor(x / scale + 0.5) * scale) AS r
+  FROM base
+)
+SELECT vec_id, label,
+       list_sum(list_transform(range(1, 65),
+                i -> v[CAST(i AS INTEGER)] * r[CAST(i AS INTEGER)]))
+       / (sqrt(list_sum(list_transform(range(1, 65),
+                i -> v[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)])))
+          * sqrt(list_sum(list_transform(range(1, 65),
+                i -> r[CAST(i AS INTEGER)] * r[CAST(i AS INTEGER)]))))
+           AS cosine_recon,
+       list_max(list_transform(range(1, 65),
+                i -> abs(v[CAST(i AS INTEGER)] - r[CAST(i AS INTEGER)])))
+           AS max_abs_err,
+       scale
+FROM rec
+"""
+
+
 MIXTURE_TARGET = 10_000  # sampling budget the weights allocate
 
 
@@ -6766,7 +6841,7 @@ _GATE_NEVER_SIGNED = [
     "exact_quantiles", "curriculum_order", "winnow_match",
     "containment_dedup", "knn_predict", "decayed_engagement", "lm_coverage",
     "mixture_weights", "winnow_probe", "last_touch_attribution",
-    "cooccurrence_lift", "packing_efficiency",
+    "cooccurrence_lift", "packing_efficiency", "quantization_error",
 ]
 
 # Re-confirmation padding: oldest (r01-signed) keys fill the window's
@@ -6964,6 +7039,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "last_touch_attribution": q_last_touch_attribution,
         "cooccurrence_lift": q_cooccurrence_lift,
         "packing_efficiency": q_packing_efficiency,
+        "quantization_error": q_quantization_error,
     }
 
 
@@ -7112,4 +7188,5 @@ def oracle_sql() -> dict[str, str]:
         "last_touch_attribution": ORACLE_LAST_TOUCH_ATTRIBUTION,
         "cooccurrence_lift": ORACLE_COOCCURRENCE_LIFT,
         "packing_efficiency": ORACLE_PACKING_EFFICIENCY,
+        "quantization_error": ORACLE_QUANTIZATION_ERROR,
     }
