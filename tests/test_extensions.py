@@ -1636,6 +1636,20 @@ def test_winnowing_guarantee_and_density(spark):
     assert len({(r["fp_pos"]) for r in fp if r["doc_id"] == 1}) < n_grams
 
 
+def test_quantization_error_bounds(spark):
+    """Reconstruction error of the int8 quantizer is bounded by scale/2
+    per element (the floor(x+0.5) rounding guarantee) and the
+    reconstructed vectors stay near-parallel to the originals."""
+    import __spark_entry__ as entry
+
+    rows = entry.q_quantization_error(
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
+        assert r["cosine_recon"] > 0.999
+
+
 def test_containment_catches_inclusion_jaccard_misses(spark):
     """A short document fully embedded in a long one has containment 1.0
     but low Jaccard — the asymmetric signal the operator exists for.

@@ -155,6 +155,25 @@ def test_round6_addition_plan_shapes(spark):
     de = _plan(qs["decayed_engagement"](spark, SF))
     assert "BatchEvalPython" not in de and "ArrowEvalPython" not in de
     assert de.count("BroadcastNestedLoopJoin") <= 1  # the 1-row ref combine
+    # attribution: the as-of is ONE union+window pass, never an
+    # inequality nested-loop join
+    at = _plan(qs["last_touch_attribution"](spark, SF))
+    assert "CartesianProduct" not in at
+    assert "BroadcastNestedLoopJoin" not in at
+    assert at.count("Window") == 1
+    # co-occurrence: vocabulary joins broadcast (df table is tiny by the
+    # band construction); the top-k is a per-partition heap
+    cl = _plan(qs["cooccurrence_lift"](spark, SF))
+    assert "TakeOrderedAndProject" in cl
+    assert "CartesianProduct" not in cl
+    # winnowing match/probe: pure hash joins over the persisted index
+    for name in ("winnow_match", "winnow_probe"):
+        p = _plan(qs[name](spark, SF))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+    # quantization error: array-local codegen, no exchange at all
+    qe = _plan(qs["quantization_error"](spark, SF))
+    assert "Exchange" not in qe and "BatchEvalPython" not in qe
 
 
 def test_round4_retrieval_and_mixture_plans(spark):
