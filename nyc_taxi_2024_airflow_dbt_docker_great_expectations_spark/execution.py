@@ -65,6 +65,37 @@ def rep_tags(df, key_cols, id_col: str, with_mult: bool = True):
     return df.select("*", *cols)
 
 
+def expand_member_pairs(rep_pairs, members, value_cols,
+                        rep_col: str = "__rep",
+                        member_col: str = "__member"):
+    """The shared tail of every multiplicity-collapsed pair engine: fan
+    rep-level pair rows ``(id_a, id_b, *value_cols)`` back out to
+    id-level through the rep -> member map.  Self markers
+    (``id_a == id_b``) expand to each unordered member pair exactly
+    once; cross pairs to the full bipartite product (member id sets are
+    disjoint by construction).  Output is ``(id_a, id_b, *value_cols)``
+    with ``id_a < id_b`` — byte-identical to running the uncollapsed
+    engine.  Engines whose carried values depend on pair orientation
+    (e.g. fuzzy matching's text columns) keep their bespoke tails."""
+    from pyspark.sql import functions as F
+
+    value_cols = list(value_cols)
+    ma = members.select(F.col(rep_col).alias("id_a"),
+                        F.col(member_col).alias("__ma"))
+    mb = members.select(F.col(rep_col).alias("id_b"),
+                        F.col(member_col).alias("__mb"))
+    return (
+        rep_pairs.join(ma, "id_a").join(mb, "id_b")
+        .filter((F.col("id_a") != F.col("id_b"))
+                | (F.col("__ma") < F.col("__mb")))
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            *value_cols,
+        )
+    )
+
+
 def has_verbatim_copies(df, key_cols) -> bool:
     """Cheap pre-collapse guard: does ANY duplicate group exist under
     ``key_cols``?  On a corpus with no verbatim copies, :func:`rep_tags`'

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..execution import materialize_once, rep_tags
+from ..execution import expand_member_pairs, materialize_once, rep_tags
 from .text import shingle_postings, shingled_arrays, tokens, word_shingles
 
 
@@ -275,22 +275,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                 F.lit(1.0).alias("jaccard"),
             )
         )
-    memb = tagged.select("__rep", F.col(id_col).alias("__member"))
-    ma = memb.withColumnRenamed("__rep", "id_a").withColumnRenamed(
-        "__member", "__ma")
-    mb = memb.withColumnRenamed("__rep", "id_b").withColumnRenamed(
-        "__member", "__mb")
-    return (
-        rep_pairs.join(ma, "id_a").join(mb, "id_b")
-        # self markers expand to each unordered member pair once; cross
-        # pairs to the full bipartite product (member id sets disjoint)
-        .filter((F.col("id_a") != F.col("id_b"))
-                | (F.col("__ma") < F.col("__mb")))
-        .select(
-            F.least("__ma", "__mb").alias("id_a"),
-            F.greatest("__ma", "__mb").alias("id_b"),
-            "jaccard",
-        )
+    return expand_member_pairs(
+        rep_pairs, tagged.select("__rep", F.col(id_col).alias("__member")),
+        ["jaccard"],
     )
 
 
@@ -358,20 +345,9 @@ def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
             F.lit(1.0).alias("containment"),
         )
     )
-    memb = tagged.select("__rep", F.col(id_col).alias("__member"))
-    ma = memb.withColumnRenamed("__rep", "id_a").withColumnRenamed(
-        "__member", "__ma")
-    mb = memb.withColumnRenamed("__rep", "id_b").withColumnRenamed(
-        "__member", "__mb")
-    return (
-        rep_pairs.join(ma, "id_a").join(mb, "id_b")
-        .filter((F.col("id_a") != F.col("id_b"))
-                | (F.col("__ma") < F.col("__mb")))
-        .select(
-            F.least("__ma", "__mb").alias("id_a"),
-            F.greatest("__ma", "__mb").alias("id_b"),
-            "containment",
-        )
+    return expand_member_pairs(
+        rep_pairs, tagged.select("__rep", F.col(id_col).alias("__member")),
+        ["containment"],
     )
 
 
@@ -954,20 +930,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                 F.lit(1.0).alias("jaccard"),
             )
         )
-    memb = tagged.select("__rep", F.col(id_col).alias("__member"))
-    ma = memb.withColumnRenamed("__rep", "id_a").withColumnRenamed(
-        "__member", "__ma")
-    mb = memb.withColumnRenamed("__rep", "id_b").withColumnRenamed(
-        "__member", "__mb")
-    return (
-        rep_pairs.join(ma, "id_a").join(mb, "id_b")
-        .filter((F.col("id_a") != F.col("id_b"))
-                | (F.col("__ma") < F.col("__mb")))
-        .select(
-            F.least("__ma", "__mb").alias("id_a"),
-            F.greatest("__ma", "__mb").alias("id_b"),
-            "jaccard",
-        )
+    return expand_member_pairs(
+        rep_pairs, tagged.select("__rep", F.col(id_col).alias("__member")),
+        ["jaccard"],
     )
 
 
@@ -1101,20 +1066,9 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             )
         )
     )
-    memb = tagged.select("__rep", F.col(id_col).alias("__member"))
-    ma = memb.withColumnRenamed("__rep", "id_a").withColumnRenamed(
-        "__member", "__ma")
-    mb = memb.withColumnRenamed("__rep", "id_b").withColumnRenamed(
-        "__member", "__mb")
-    return (
-        rep_pairs.join(ma, "id_a").join(mb, "id_b")
-        .filter((F.col("id_a") != F.col("id_b"))
-                | (F.col("__ma") < F.col("__mb")))
-        .select(
-            F.least("__ma", "__mb").alias("id_a"),
-            F.greatest("__ma", "__mb").alias("id_b"),
-            "hamming",
-        )
+    return expand_member_pairs(
+        rep_pairs, tagged.select("__rep", F.col(id_col).alias("__member")),
+        ["hamming"],
     )
 
 

@@ -27,7 +27,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..execution import has_verbatim_copies, materialize_once
+from ..execution import (
+    expand_member_pairs,
+    has_verbatim_copies,
+    materialize_once,
+)
 
 
 
@@ -963,22 +967,7 @@ def semantic_dedup_pairs(corpus: DataFrame, threshold: float,
     )
     if memb is None:  # no duplicate groups: rep pairs ARE the id pairs
         return rep_pairs
-    ma_side = memb.withColumnRenamed("__rep", "id_a").withColumnRenamed(
-        "__member", "__ma")
-    mb_side = memb.withColumnRenamed("__rep", "id_b").withColumnRenamed(
-        "__member", "__mb")
-    return (
-        rep_pairs.join(ma_side, "id_a").join(mb_side, "id_b")
-        # self markers expand to each unordered member pair once; cross
-        # pairs expand to the full bipartite product (ids disjoint)
-        .filter((F.col("id_a") != F.col("id_b"))
-                | (F.col("__ma") < F.col("__mb")))
-        .select(
-            F.least("__ma", "__mb").alias("id_a"),
-            F.greatest("__ma", "__mb").alias("id_b"),
-            "cosine_sim",
-        )
-    )
+    return expand_member_pairs(rep_pairs, memb, ["cosine_sim"])
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,

@@ -625,22 +625,11 @@ def winnow_match_from_index(spark, table_prefix: str,
         .select(F.col("rep_id").alias("id_a"),
                 F.col("rep_id").alias("id_b"), "n_shared")
     )
-    ma = members.withColumnRenamed("rep_id", "id_a").withColumnRenamed(
-        "member_id", "__ma")
-    mb = members.withColumnRenamed("rep_id", "id_b").withColumnRenamed(
-        "member_id", "__mb")
-    return (
-        rep_pairs.unionByName(self_pairs)
-        .join(ma, "id_a").join(mb, "id_b")
-        # self markers expand to each unordered member pair once; cross
-        # pairs to the full bipartite product (member id sets disjoint)
-        .filter((F.col("id_a") != F.col("id_b"))
-                | (F.col("__ma") < F.col("__mb")))
-        .select(
-            F.least("__ma", "__mb").alias("id_a"),
-            F.greatest("__ma", "__mb").alias("id_b"),
-            "n_shared",
-        )
+    from ..execution import expand_member_pairs
+
+    return expand_member_pairs(
+        rep_pairs.unionByName(self_pairs), members, ["n_shared"],
+        rep_col="rep_id", member_col="member_id",
     )
 
 

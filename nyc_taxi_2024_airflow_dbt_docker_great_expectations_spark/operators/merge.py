@@ -36,7 +36,19 @@ def upsert_by_key(target: DataFrame, delta: DataFrame, keys: list[str]) -> DataF
     NULL-safe on the join keys (a NULL-keyed target row survives unless the
     delta also carries a NULL key), matching SQL ``DELETE WHERE key IN (...)``
     + insert semantics closely enough for the reference's non-null keys.
+
+    The target and delta schemas must agree on column NAMES: a target
+    written under an older model contract (e.g. the pre-round-6 gold
+    column names) fails here with an explicit message — full-rebuild the
+    mart — instead of an UNRESOLVED_COLUMN error deep in the plan.
     """
+    missing = set(target.columns) - set(delta.columns)
+    if missing:
+        raise ValueError(
+            f"upsert_by_key: delta lacks target columns {sorted(missing)} "
+            "— the target was written under an older model contract; "
+            "full-rebuild the mart (dbt --full-refresh semantics)"
+        )
     delta_keys = F.broadcast(delta.select(*keys).distinct())
     kept = target.join(delta_keys, on=keys, how="left_anti")
     return kept.unionByName(delta.select(*target.columns))
