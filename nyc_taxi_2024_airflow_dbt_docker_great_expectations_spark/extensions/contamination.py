@@ -63,10 +63,59 @@ def ngram_contamination(train: DataFrame, benchmark: DataFrame, n: int = 13,
     )
 
 
-def bloom_contamination(train: DataFrame, benchmark: DataFrame, n: int = 13,
+def _bloom_positions(col, m_bits: int, k_hashes: int):
+    """``k_hashes`` bit positions from ONE md5: disjoint 10-hex-char
+    (40-bit) slices of the digest, each mod ``m_bits``.  One hash per
+    shingle instead of k — the digest has 128 independent bits and each
+    position consumes 40, so the slices are as independent as k separate
+    salted hashes at a third of the hot-path hashing cost (the train
+    side evaluates this inside whole-stage codegen for every shingle).
+    The SQL oracle reproduces the same slices verbatim."""
+    if k_hashes * 10 > 32:
+        raise ValueError(f"k_hashes={k_hashes} needs {k_hashes * 10} hex "
+                         "chars; md5 provides 32")
+    h = F.md5(F.concat(F.lit("bf:"), col))
+    return [
+        F.pmod(
+            F.conv(F.substring(h, 1 + 10 * j, 10), 16, 10).cast("long"),
+            F.lit(m_bits),
+        ).cast("int")
+        for j in range(k_hashes)
+    ]
+
+
+def bloom_build_mask(benchmark: DataFrame, n: int = 13,
+                     m_bits: int = 1 << 16, k_hashes: int = 3,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> list[int]:
+    """Build the benchmark bitset as a Python list of 64-bit words —
+    bounded by ``m_bits`` BY CONSTRUCTION, so collecting it is driver
+    metadata at any benchmark size.  A pure function of the benchmark
+    split: callers serving repeated decontamination queries memoize it
+    per session (the build pays one shingle explode over the benchmark
+    that the apply path then never repeats)."""
+    from .text import shingle_postings
+
+    bench_pos = (
+        shingle_postings(benchmark, text_col, id_col, k=n)
+        .select(F.explode(F.array(
+            *_bloom_positions(F.col("shingle"), m_bits, k_hashes)
+        )).alias("pos"))
+        .distinct()
+    )
+    mask = [0] * ((m_bits + 63) // 64)
+    for r in bench_pos.collect():
+        p = r["pos"]
+        mask[p >> 6] |= 1 << (p & 63)
+    return mask
+
+
+def bloom_contamination(train: DataFrame, benchmark: DataFrame = None,
+                        n: int = 13,
                         m_bits: int = 1 << 16, k_hashes: int = 3,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        mask: list[int] | None = None) -> DataFrame:
     """Bloom-filter decontamination: the O(1)-memory form of
     :func:`ngram_contamination` for benchmark sets too large to broadcast
     as strings — a 10B-n-gram suite is ~1 TB of text but fits any
@@ -91,27 +140,12 @@ def bloom_contamination(train: DataFrame, benchmark: DataFrame, n: int = 13,
     from .text import shingle_postings
 
     def positions(col):
-        return [
-            F.pmod(
-                F.conv(F.substring(
-                    F.md5(F.concat(F.lit(f"bf{j}:"), col)), 1, 12
-                ), 16, 10).cast("long"),
-                F.lit(m_bits),
-            ).cast("int")
-            for j in range(k_hashes)
-        ]
+        return _bloom_positions(col, m_bits, k_hashes)
 
-    bench_pos = (
-        shingle_postings(benchmark, text_col, id_col, k=n)
-        .select(F.explode(F.array(*positions(F.col("shingle"))))
-                .alias("pos"))
-        .distinct()
-    )
-    # bounded by m_bits by construction — driver metadata at any scale
-    mask = [0] * ((m_bits + 63) // 64)
-    for r in bench_pos.collect():
-        p = r["pos"]
-        mask[p >> 6] |= 1 << (p & 63)
+    if mask is None:
+        mask = bloom_build_mask(benchmark, n=n, m_bits=m_bits,
+                                k_hashes=k_hashes, text_col=text_col,
+                                id_col=id_col)
     # two's-complement to fit Spark's signed long literals
     mask_lit = F.array(*[
         F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long")
