@@ -424,7 +424,9 @@ def pagerank_fixed(edges: DataFrame, iters: int = 3,
                    src: str = "src", dst: str = "dst",
                    damping_pct: int = 85,
                    scale: int = 1_000_000,
-                   broadcast_ranks: bool = False) -> DataFrame:
+                   broadcast_ranks: bool = False,
+                   nodes: DataFrame | None = None,
+                   annotated: DataFrame | None = None) -> DataFrame:
     """Deterministic fixed-point PageRank: ``iters`` synchronous power
     iterations with ALL arithmetic in integer rank units, so the result
     is a pure function of the graph — bit-identical across engines,
@@ -456,18 +458,25 @@ def pagerank_fixed(edges: DataFrame, iters: int = 3,
     # the node set and the degree-annotated edge list are re-read by every
     # iteration (and the node set by every teleport re-join) — materialize
     # both once; without the fence each of the `iters` left joins replays
-    # the full edge scan + distinct
-    nodes = materialize_once(
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
-    )
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__outdeg"))
-    ann = materialize_once(
-        edges.join(deg, src).select(
-            F.col(src).alias("__src"), F.col(dst).alias("__dst"), "__outdeg"
+    # the full edge scan + distinct.  ``nodes`` (node) / ``annotated``
+    # (__src, __dst, __outdeg) let callers substitute build-once persisted
+    # tables — both are pure functions of the edge list.
+    if nodes is None:
+        nodes = materialize_once(
+            edges.select(F.col(src).alias("node"))
+            .unionByName(edges.select(F.col(dst).alias("node")))
+            .distinct()
         )
-    )
+    if annotated is None:
+        deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__outdeg"))
+        ann = materialize_once(
+            edges.join(deg, src).select(
+                F.col(src).alias("__src"), F.col(dst).alias("__dst"),
+                "__outdeg"
+            )
+        )
+    else:
+        ann = annotated
     teleport = (100 - damping_pct) * scale // 100
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank_fp"))
     for _ in range(iters):
