@@ -4236,25 +4236,86 @@ WHERE rk = 1
 
 
 def q_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (median + p90) per return flag via the
-    sort-based exact ``percentile`` aggregate with linear interpolation —
-    identical arithmetic to ANSI ``percentile_cont``.  At 100 TB you'd
-    switch to ``approx_percentile`` (t-digest) and lose the oracle; the
-    exact form is the correctness baseline."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.5).alias("median_price"),
-        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
-        F.count(F.lit(1)).alias("n_items"),
+    """Exact per-group percentiles (median + p90), PERCENTILE_CONT
+    semantics, without the ``percentile`` aggregate: that aggregate
+    buffers every group's values in one task's memory — the per-group
+    twin of the global-sort hazard — while this form is a partitioned
+    window ROW_NUMBER (streaming sort, bounded memory at any group
+    size), a per-row rank filter keeping <= 4 rows per group, and the
+    ANSI interpolation ``v_lo + (v_hi - v_lo) * frac`` at
+    ``pos = q * (n - 1)`` spelled as the SAME fixed-order IEEE chain in
+    both engines (quantile_cont's internal interpolation is replaced by
+    the explicit formula on the oracle side too, so the equality is by
+    construction, not by engine coincidence)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag",
+                                              "l_extendedprice")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    counts = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items")
     )
+    ranked = (
+        li.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(counts), "l_returnflag")
+    )
+
+    def brackets(q: float):
+        pos = F.lit(q) * (F.col("n_items") - 1).cast("double")
+        lo = F.floor(pos).cast("long") + 1  # 1-based lower rank
+        return pos, lo
+
+    pos50, lo50 = brackets(0.5)
+    pos90, lo90 = brackets(0.9)
+    sel = ranked.filter(
+        (F.col("rn") == lo50) | (F.col("rn") == lo50 + 1)
+        | (F.col("rn") == lo90) | (F.col("rn") == lo90 + 1)
+    )
+
+    def interp(pos, lo, out):
+        vlo = F.max(F.when(F.col("rn") == lo, F.col("l_extendedprice")))
+        vhi = F.coalesce(
+            F.max(F.when(F.col("rn") == lo + 1, F.col("l_extendedprice"))),
+            vlo,
+        )
+        frac = pos - F.floor(pos)
+        return (vlo + (vhi - vlo) * frac).alias(out)
+
+    return sel.groupBy("l_returnflag", "n_items").agg(
+        interp(pos50, lo50, "median_price"),
+        interp(pos90, lo90, "p90_price"),
+    ).select("l_returnflag", "median_price", "p90_price", "n_items")
 
 
 ORACLE_MEDIAN_PRICE = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n_items
+  FROM lineitem
+),
+agg AS (
+  SELECT l_returnflag, n_items,
+         MAX(CASE WHEN rn = CAST(floor(0.5 * (n_items - 1)) AS BIGINT) + 1
+                  THEN l_extendedprice END) AS v50lo,
+         MAX(CASE WHEN rn = CAST(floor(0.5 * (n_items - 1)) AS BIGINT) + 2
+                  THEN l_extendedprice END) AS v50hi,
+         MAX(CASE WHEN rn = CAST(floor(0.9 * (n_items - 1)) AS BIGINT) + 1
+                  THEN l_extendedprice END) AS v90lo,
+         MAX(CASE WHEN rn = CAST(floor(0.9 * (n_items - 1)) AS BIGINT) + 2
+                  THEN l_extendedprice END) AS v90hi
+  FROM ranked GROUP BY 1, 2
+)
 SELECT l_returnflag,
-       quantile_cont(l_extendedprice, 0.5) AS median_price,
-       quantile_cont(l_extendedprice, 0.9) AS p90_price,
-       COUNT(*) AS n_items
-FROM lineitem GROUP BY 1
+       v50lo + (COALESCE(v50hi, v50lo) - v50lo)
+             * (0.5 * (n_items - 1) - floor(0.5 * (n_items - 1)))
+           AS median_price,
+       v90lo + (COALESCE(v90hi, v90lo) - v90lo)
+             * (0.9 * (n_items - 1) - floor(0.9 * (n_items - 1)))
+           AS p90_price,
+       n_items
+FROM agg
 """
 
 

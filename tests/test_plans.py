@@ -176,6 +176,16 @@ def test_round6_addition_plan_shapes(spark):
     assert "Exchange" not in qe and "BatchEvalPython" not in qe
 
 
+def test_median_price_streams_the_group_sort(spark):
+    """Exact per-group percentiles run as a PARTITIONED window row_number
+    (streaming sort, bounded memory at any group size) — never the
+    `percentile` aggregate, whose buffer holds a whole group's values in
+    one task."""
+    plan = _plan(entry.queries()["median_price"](spark, SF))
+    assert "percentile" not in plan.lower()
+    assert "Window" in plan
+
+
 def test_round4_retrieval_and_mixture_plans(spark):
     """Round-4 query shapes hold their scale-critical plan properties:
 
