@@ -1197,17 +1197,23 @@ def q_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive per-source quality filtering (the FineWeb-style step a
     fixed global threshold gets wrong — a cutoff tuned on web text
     guillotines code or legal feeds): each source keeps documents at or
-    above ITS OWN exact 25th-percentile quality score.  Thresholds are one
-    per-source percentile aggregate (source-count rows — broadcast), the
-    filter is a map-side broadcast join; the scoring itself is
+    above ITS OWN exact 25th-percentile quality score.  Thresholds come
+    from the streaming windowed percentile
+    (analytics.groupwise_percentile_cont — bounded memory at any source
+    size, explicit ANSI interpolation shared verbatim with the oracle);
+    the filter is a map-side broadcast join; the scoring itself is
     quality_scores' pure-codegen expression chain."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        groupwise_percentile_cont,
+    )
+
     docs = _t(spark, sf_dir, "documents")
     scored = docs.select("doc_id", "source").join(
         quality_scores(docs).select("doc_id", "quality_score"), "doc_id"
     )
-    thresholds = scored.groupBy("source").agg(
-        F.percentile("quality_score", 0.25).alias("src_p25")
-    )
+    thresholds = groupwise_percentile_cont(
+        scored, "source", "quality_score", {"src_p25": 0.25}
+    ).select("source", "src_p25")
     return (
         scored.join(F.broadcast(thresholds), "source")
         .filter(F.col("quality_score") >= F.col("src_p25"))
@@ -1220,9 +1226,25 @@ WITH scored AS (
   SELECT q.doc_id, d.source, q.quality_score
   FROM ({ORACLE_QUALITY_SCORES}) q JOIN documents d USING (doc_id)
 ),
+ranked AS (
+  SELECT source, quality_score,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality_score) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM scored
+),
 thr AS (
-  SELECT source, quantile_cont(quality_score, 0.25) AS src_p25
-  FROM scored GROUP BY 1
+  SELECT source,
+         vlo + (COALESCE(vhi, vlo) - vlo)
+             * (0.25 * (n - 1) - floor(0.25 * (n - 1))) AS src_p25
+  FROM (
+    SELECT source, n,
+           MAX(CASE WHEN rn = CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1
+                    THEN quality_score END) AS vlo,
+           MAX(CASE WHEN rn = CAST(floor(0.25 * (n - 1)) AS BIGINT) + 2
+                    THEN quality_score END) AS vhi
+    FROM ranked GROUP BY 1, 2
+  )
 )
 SELECT s.doc_id, s.source, s.quality_score, t.src_p25
 FROM scored s JOIN thr t USING (source)
@@ -4247,43 +4269,15 @@ def q_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (quantile_cont's internal interpolation is replaced by
     the explicit formula on the oracle side too, so the equality is by
     construction, not by engine coincidence)."""
-    from pyspark.sql import Window
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        groupwise_percentile_cont,
+    )
 
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag",
                                               "l_extendedprice")
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    counts = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_items")
-    )
-    ranked = (
-        li.withColumn("rn", F.row_number().over(w))
-        .join(F.broadcast(counts), "l_returnflag")
-    )
-
-    def brackets(q: float):
-        pos = F.lit(q) * (F.col("n_items") - 1).cast("double")
-        lo = F.floor(pos).cast("long") + 1  # 1-based lower rank
-        return pos, lo
-
-    pos50, lo50 = brackets(0.5)
-    pos90, lo90 = brackets(0.9)
-    sel = ranked.filter(
-        (F.col("rn") == lo50) | (F.col("rn") == lo50 + 1)
-        | (F.col("rn") == lo90) | (F.col("rn") == lo90 + 1)
-    )
-
-    def interp(pos, lo, out):
-        vlo = F.max(F.when(F.col("rn") == lo, F.col("l_extendedprice")))
-        vhi = F.coalesce(
-            F.max(F.when(F.col("rn") == lo + 1, F.col("l_extendedprice"))),
-            vlo,
-        )
-        frac = pos - F.floor(pos)
-        return (vlo + (vhi - vlo) * frac).alias(out)
-
-    return sel.groupBy("l_returnflag", "n_items").agg(
-        interp(pos50, lo50, "median_price"),
-        interp(pos90, lo90, "p90_price"),
+    return groupwise_percentile_cont(
+        li, "l_returnflag", "l_extendedprice",
+        {"median_price": 0.5, "p90_price": 0.9},
     ).select("l_returnflag", "median_price", "p90_price", "n_items")
 
 

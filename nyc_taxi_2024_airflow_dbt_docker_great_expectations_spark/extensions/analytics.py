@@ -46,6 +46,52 @@ def cohort_retention(df: DataFrame, user_col: str = "user_id",
     )
 
 
+def groupwise_percentile_cont(df: DataFrame, group_col: str, val_col: str,
+                              quantiles: dict[str, float]) -> DataFrame:
+    """Exact per-group PERCENTILE_CONT for every ``out_col -> q`` in
+    ``quantiles``, without the ``percentile`` aggregate: that aggregate
+    buffers a whole group's values in one task's memory (the per-group
+    twin of the global-sort hazard), while this form is a partitioned
+    window ROW_NUMBER — a STREAMING sort with bounded memory at any
+    group size — a per-row rank filter keeping <= 2 rows per quantile
+    per group, and the ANSI interpolation ``v_lo + (v_hi - v_lo) *
+    frac`` at ``pos = q * (n - 1)`` as an explicit fixed-order IEEE
+    chain (spell the SAME formula in the SQL oracle; never rely on an
+    engine's internal quantile_cont interpolation order).
+
+    Returns one row per group: ``(group_col, n_items, *quantiles)``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(val_col)
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_items"))
+    ranked = (
+        df.select(group_col, val_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(counts), group_col)
+    )
+    pos = {o: F.lit(q) * (F.col("n_items") - 1).cast("double")
+           for o, q in quantiles.items()}
+    lo = {o: F.floor(p).cast("long") + 1 for o, p in pos.items()}
+    keep = None
+    for o in quantiles:
+        cond = (F.col("__rn") == lo[o]) | (F.col("__rn") == lo[o] + 1)
+        keep = cond if keep is None else keep | cond
+    sel = ranked.filter(keep)
+
+    def interp(o):
+        vlo = F.max(F.when(F.col("__rn") == lo[o], F.col(val_col)))
+        vhi = F.coalesce(
+            F.max(F.when(F.col("__rn") == lo[o] + 1, F.col(val_col))), vlo
+        )
+        frac = pos[o] - F.floor(pos[o])
+        return (vlo + (vhi - vlo) * frac).alias(o)
+
+    return sel.groupBy(group_col, "n_items").agg(
+        *[interp(o) for o in quantiles]
+    )
+
+
 def groupwise_ols(df: DataFrame, group_cols: list[str], x_col: str,
                   y_col: str, scale: int = 4) -> DataFrame:
     """Per-group simple linear regression (OLS of y on x) via sufficient
