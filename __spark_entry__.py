@@ -6958,18 +6958,23 @@ _GATE_NEVER_SIGNED = [
     "cooccurrence_lift", "packing_efficiency", "quantization_error",
 ]
 
-# Re-confirmation padding: oldest (r01-signed) keys fill the window's
-# remainder.  Automatically displaced by new keys via the [:50] slice below —
-# never let _GATE_NEVER_SIGNED itself exceed 49.
+# Re-confirmation padding fills the window's remainder — ordered so keys
+# whose IMPLEMENTATION changed this round (streaming percentile rewrite,
+# prefix-sum NTILE, no-copies fast paths, guard plumbing) re-sign first,
+# then the oldest r01-signed keys.  Automatically displaced by new keys
+# via the [:50] slice below — never let _GATE_NEVER_SIGNED itself
+# exceed 49.
 _GATE_PAD = [
-    "silver_clean", "daily_summary", "monthly_summary", "zone_summary",
-    "vendor_summary", "payment_summary", "watermark_filter", "merge_upsert",
-    "append_if_absent", "referential_check", "unique_check",
-    "quality_metrics", "decode_join", "exact_dedup", "minhash_dedup",
-    "simhash_dedup", "ngram_jaccard_dedup", "embedding_topk",
-    "embedding_lsh_topk", "embedding_ivf_topk", "embedding_neardup",
-    "lang_id", "text_stats", "quality_scores", "stratified_sample",
-    "hash_sample", "sessionization", "tumbling_window", "stateful_sessions",
+    "median_price", "adaptive_quality_filter", "fuzzy_match",
+    "price_quartiles", "minhash_dedup", "simhash_dedup",
+    "ngram_jaccard_dedup", "silver_clean", "monthly_summary",
+    "merge_upsert", "referential_check", "quality_metrics",
+    "watermark_filter", "daily_summary", "zone_summary", "vendor_summary",
+    "payment_summary", "append_if_absent", "unique_check", "decode_join",
+    "exact_dedup", "embedding_topk", "embedding_lsh_topk",
+    "embedding_ivf_topk", "embedding_neardup", "lang_id", "text_stats",
+    "quality_scores", "stratified_sample", "hash_sample", "sessionization",
+    "tumbling_window", "stateful_sessions",
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost
