@@ -6072,6 +6072,148 @@ SELECT doc_id, source, quality_score, rk FROM r WHERE rk <= {SOURCE_CAP}
 WINNOW_MIN_SHARED = 2
 
 
+def q_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between two document scoring schemes
+    (quality score vs raw length) — the metric-agreement audit run
+    before swapping a ranking signal: ``rho = 1 - 6*sum(d^2) /
+    (n*(n^2-1))`` over ROW_NUMBER ranks with a doc_id tiebreak (total
+    order, so ranks — and rho — are engine-exact integers until the one
+    final double chain).
+
+    Both global ranks come from the distributed prefix sum
+    (extensions/packing.py:global_rank) — never an unpartitioned window;
+    the rank join is id-keyed; sum(d^2) is one integer aggregate.  The
+    denominator is evaluated in DOUBLES in a fixed order
+    (``n*(n*n-1.0)``): int64 would overflow at n > ~2M while the double
+    chain stays exact-per-IEEE and identical cross-engine."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import (
+        global_rank,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        quality_score_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", quality_score_col("text").alias("q"),
+                         "n_chars")
+    by_q, n = global_rank(
+        scored.select("doc_id", "q"),
+        [F.col("q").desc(), F.col("doc_id")], out_col="rank_q",
+    )
+    by_len, _ = global_rank(
+        scored.select("doc_id", "n_chars"),
+        [F.col("n_chars").desc(), F.col("doc_id")], out_col="rank_len",
+    )
+    d = F.col("rank_q") - F.col("rank_len")
+    agg = (
+        by_q.select("doc_id", "rank_q")
+        .join(by_len.select("doc_id", "rank_len"), "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(d * d).cast("long").alias("sum_d2"))
+    )
+    nd = F.col("n_docs").cast("double")
+    return agg.select(
+        "n_docs", "sum_d2",
+        (F.lit(1.0) - (F.lit(6.0) * F.col("sum_d2").cast("double"))
+         / (nd * (nd * nd - F.lit(1.0)))).alias("spearman_rho"),
+    )
+
+
+ORACLE_RANK_CORRELATION = f"""
+WITH {_DUCK_QUALITY_SCORED},
+rq AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id)
+             AS rank_q
+  FROM scored
+),
+rl AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+             AS rank_len
+  FROM documents
+),
+a AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM((rank_q - rank_len) * (rank_q - rank_len)) AS BIGINT)
+             AS sum_d2
+  FROM rq JOIN rl USING (doc_id)
+)
+SELECT n_docs, sum_d2,
+       1.0 - (6.0 * CAST(sum_d2 AS DOUBLE))
+           / (CAST(n_docs AS DOUBLE)
+              * (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) - 1.0))
+           AS spearman_rho
+FROM a
+"""
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on an A/B split of the event stream
+    (variant = user parity; conversion = user made >= 1 purchase) — the
+    experiment-readout primitive.  All counts integer; the pooled-rate z
+    statistic ``(p0 - p1) / sqrt(p*(1-p)*(1/n0 + 1/n1))`` is ONE
+    fixed-order IEEE chain (divisions + one correctly-rounded sqrt), so
+    the statistic is bit-identical in the SQL oracle — no tolerance.
+    One per-user aggregate + a 4-scalar combine."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int"))
+        .alias("converted")
+    )
+    sides = per_user.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("variant")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    a = sides.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n0"), F.col("n_converted").alias("c0"))
+    b = sides.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n1"), F.col("n_converted").alias("c1"))
+    j = a.crossJoin(b)  # two 1-row sides
+    p0 = F.col("c0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("c1").cast("double") / F.col("n1").cast("double")
+    p = (F.col("c0") + F.col("c1")).cast("double") \
+        / (F.col("n0") + F.col("n1")).cast("double")
+    z = (p0 - p1) / F.sqrt(
+        p * (F.lit(1.0) - p)
+        * (F.lit(1.0) / F.col("n0").cast("double")
+           + F.lit(1.0) / F.col("n1").cast("double"))
+    )
+    return j.select("n0", "c0", "n1", "c1", p0.alias("rate0"),
+                    p1.alias("rate1"), z.alias("z_score"))
+
+
+ORACLE_AB_TEST = """
+WITH pu AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS converted
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS variant, COUNT(*) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM pu GROUP BY 1
+),
+j AS (
+  SELECT a.n_users AS n0, a.n_converted AS c0,
+         b.n_users AS n1, b.n_converted AS c1
+  FROM (SELECT * FROM s WHERE variant = 0) a
+  CROSS JOIN (SELECT * FROM s WHERE variant = 1) b
+)
+SELECT n0, c0, n1, c1,
+       CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate0,
+       CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate1,
+       (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+       / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+              * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+              * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+           AS z_score
+FROM j
+"""
+
+
 ATTRIB_LOOKBACK_US = 7 * 86_400 * 1_000_000  # 7-day click lookback
 
 
@@ -7162,6 +7304,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence_lift": q_cooccurrence_lift,
         "packing_efficiency": q_packing_efficiency,
         "quantization_error": q_quantization_error,
+        "rank_correlation": q_rank_correlation,
+        "ab_test": q_ab_test,
     }
 
 
@@ -7311,4 +7455,6 @@ def oracle_sql() -> dict[str, str]:
         "cooccurrence_lift": ORACLE_COOCCURRENCE_LIFT,
         "packing_efficiency": ORACLE_PACKING_EFFICIENCY,
         "quantization_error": ORACLE_QUANTIZATION_ERROR,
+        "rank_correlation": ORACLE_RANK_CORRELATION,
+        "ab_test": ORACLE_AB_TEST,
     }
