@@ -140,6 +140,84 @@ def test_prefix_sum_property(spark, vals):
         acc += v
 
 
+@settings(**SETTINGS)
+@given(vals=st.lists(st.integers(min_value=-50, max_value=50),
+                     min_size=1, max_size=24))
+def test_global_rank_property(spark, vals):
+    """global_rank == serial ROW_NUMBER for any values (duplicates in the
+    lead sort column included — the unique second column makes the order
+    total) and any partitioning; n equals the row count."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import (
+        global_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, v long"
+    ).repartition(4)
+    ranked, n = global_rank(df, [F.col("v").desc(), F.col("k")],
+                            out_col="r")
+    assert n == len(vals)
+    got = {r["k"]: r["r"] for r in ranked.collect()}
+    expected = sorted(range(len(vals)), key=lambda i: (-vals[i], i))
+    for pos, k in enumerate(expected, start=1):
+        assert got[k] == pos
+
+
+@settings(**SETTINGS)
+@given(
+    groups=st.lists(  # member count per duplicate group
+        st.integers(min_value=1, max_value=4), min_size=1, max_size=5
+    ),
+    edges=st.lists(  # rep-level pair structure over group indices
+        st.tuples(st.integers(0, 4), st.integers(0, 4)),
+        max_size=6,
+    ),
+)
+def test_expand_member_pairs_matches_bruteforce(spark, groups, edges):
+    """expand_member_pairs == enumerating every id-level pair by hand:
+    self markers yield each unordered member pair once, cross pairs the
+    full bipartite product, always id_a < id_b."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.execution import (
+        expand_member_pairs,
+    )
+
+    # group g's members are ids [100*g, 100*g + size)
+    members = [(100 * g, 100 * g + j)
+               for g, size in enumerate(groups) for j in range(size)]
+    ng = len(groups)
+    rep_pairs = set()
+    for a, b in edges:
+        a, b = a % ng, b % ng
+        if a == b:
+            if groups[a] > 1:  # self marker only for real dup groups
+                rep_pairs.add((100 * a, 100 * a))
+        else:
+            lo, hi = min(a, b), max(a, b)
+            rep_pairs.add((100 * lo, 100 * hi))
+    if not rep_pairs:
+        return
+    rp = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in sorted(rep_pairs)],
+        "id_a long, id_b long, val double",
+    )
+    mdf = spark.createDataFrame(members, "__rep long, __member long")
+    got = {(r["id_a"], r["id_b"])
+           for r in expand_member_pairs(rp, mdf, ["val"]).collect()}
+    expected = set()
+    by_group = {}
+    for rep, m in members:
+        by_group.setdefault(rep, []).append(m)
+    for a, b in rep_pairs:
+        if a == b:
+            ms = by_group[a]
+            expected |= {(x, y) for i, x in enumerate(ms)
+                         for y in ms[i + 1:]}
+        else:
+            expected |= {(min(x, y), max(x, y))
+                         for x in by_group[a] for y in by_group[b]}
+    assert got == expected
+
+
 scd_log_strategy = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=3),     # key (collisions likely)
