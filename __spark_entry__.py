@@ -7098,6 +7098,7 @@ _GATE_NEVER_SIGNED = [
     "containment_dedup", "knn_predict", "decayed_engagement", "lm_coverage",
     "mixture_weights", "winnow_probe", "last_touch_attribution",
     "cooccurrence_lift", "packing_efficiency", "quantization_error",
+    "rank_correlation", "ab_test",
 ]
 
 # Re-confirmation padding fills the window's remainder — ordered so keys
