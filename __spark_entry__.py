@@ -169,7 +169,7 @@ def _neardup_labels_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ghost_check_once(spark: SparkSession, table_name: str,
                       corpus: DataFrame, table: DataFrame, id_col: str,
-                      what: str) -> None:
+                      what: str, legit_missing=None) -> None:
     """Once-per-session staleness guard for a persisted corpus artifact:
     refuse tables carrying ids absent from the corpus (dedup.py:
     _check_no_ghost_ids), memoized per (applicationId, table) — the
@@ -181,7 +181,8 @@ def _ghost_check_once(spark: SparkSession, table_name: str,
 
     memo_key = (spark.sparkContext.applicationId, table_name)
     if memo_key not in _TAGS_STATE:
-        _check_no_ghost_ids(corpus, table, id_col, what)
+        _check_no_ghost_ids(corpus, table, id_col, what,
+                            legit_missing=legit_missing)
         _TAGS_STATE[memo_key] = True
 
 
@@ -190,6 +191,9 @@ def _corpus_shingles_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     build-once warehouse table — "tokenize once per warehouse": the
     MinHash band table, the 0.5-threshold pair table, and any other
     shingle consumer read this instead of re-tokenizing the corpus."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        _dropped_by_shingling,
+    )
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
         shingled_arrays,
     )
@@ -216,7 +220,7 @@ def _corpus_shingles_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _ghost_check_once(spark, f"doc_shingles3_{_sfx(sf_dir)}",
                       _t(spark, sf_dir, "documents"), tbl, "doc_id",
-                      "shingle")
+                      "shingle", legit_missing=_dropped_by_shingling("text", 3))
     return tbl
 
 
@@ -226,6 +230,7 @@ def _minhash_bands_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     table: minhash_dedup and lsh_recall probe it instead of recomputing
     12 signature mins per document per query."""
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        _dropped_by_shingling,
         _minhash_band_keys,
     )
 
@@ -239,7 +244,8 @@ def _minhash_bands_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _ghost_check_once(spark, f"minhash_bands_{_sfx(sf_dir)}",
                       _t(spark, sf_dir, "documents"), tbl, "doc_id",
-                      "band-key")
+                      "band-key",
+                      legit_missing=_dropped_by_shingling("text", 3))
     return tbl
 
 
@@ -1232,6 +1238,7 @@ ranked AS (
                             ORDER BY quality_score) AS rn,
          COUNT(*) OVER (PARTITION BY source) AS n
   FROM scored
+  WHERE quality_score IS NOT NULL
 ),
 thr AS (
   SELECT source,
@@ -1658,7 +1665,7 @@ def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _ghost_check_once(spark, f"simhash_{_sfx(sf_dir)}",
                       _t(spark, sf_dir, "documents"), tbl, "doc_id",
-                      "simhash")
+                      "simhash", legit_missing=F.col("text").isNull())
     return tbl
 
 
@@ -4288,6 +4295,7 @@ WITH ranked AS (
                             ORDER BY l_extendedprice) AS rn,
          COUNT(*) OVER (PARTITION BY l_returnflag) AS n_items
   FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
 ),
 agg AS (
   SELECT l_returnflag, n_items,
@@ -6174,10 +6182,18 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1 = F.col("c1").cast("double") / F.col("n1").cast("double")
     p = (F.col("c0") + F.col("c1")).cast("double") \
         / (F.col("n0") + F.col("n1")).cast("double")
-    z = (p0 - p1) / F.sqrt(
-        p * (F.lit(1.0) - p)
-        * (F.lit(1.0) / F.col("n0").cast("double")
-           + F.lit(1.0) / F.col("n1").cast("double"))
+    # try_divide, not `/`: the pooled rate is exactly 0 or 1 whenever one
+    # side is unanimous (true at small SF), making the denominator 0.0 —
+    # plain division CRASHES under an ANSI-enabled session (the driver
+    # gate's vanilla Spark 4 default) while DuckDB yields NULL.  NULL on
+    # zero is the oracle's semantics, so try_divide is exact.
+    z = F.try_divide(
+        p0 - p1,
+        F.sqrt(
+            p * (F.lit(1.0) - p)
+            * (F.lit(1.0) / F.col("n0").cast("double")
+               + F.lit(1.0) / F.col("n1").cast("double"))
+        ),
     )
     return j.select("n0", "c0", "n1", "c1", p0.alias("rate0"),
                     p1.alias("rate1"), z.alias("z_score"))
@@ -6454,9 +6470,8 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness without a float reduction: sqrt is correctly-rounded IEEE
     (identical on every engine), so quantizing the weight to integer
     micro-units (floor(sqrt(n)*1e6 + 0.5)) makes the normalizing sum an
-    order-independent INTEGER aggregate; the share is ONE double
-    division and the budget allocation is pure integer arithmetic
-    ((target * w) div sum_w).  Scale shape: one partial/final count by
+    order-independent INTEGER aggregate; the share (ppm) and the budget
+    allocation are pure integer arithmetic ((scale * w) div sum_w).  Scale shape: one partial/final count by
     source, one 1-row broadcast combine — group count is the number of
     sources, metadata-sized."""
     docs = _t(spark, sf_dir, "documents")
@@ -6467,12 +6482,18 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long"),
     )
     tot = w.agg(F.sum("weight_micro").alias("__tot"))
+    # share is emitted as an INTEGER parts-per-million ratio, not a double:
+    # round 6's driver artifact hash-mismatched this key despite bit-exact
+    # Spark==DuckDB values under both sessions (VERDICT r6 #2), so no
+    # free-form double reaches the driver's canon hash — pure integer
+    # arithmetic end to end ((1e6 * w) div tot fits int64 up to n_docs
+    # ~ 8.5e13 per source, far past 100 TB row counts).
     return (
         w.crossJoin(F.broadcast(tot))
         .select(
             "source", "n_docs", "weight_micro",
-            (F.col("weight_micro").cast("double")
-             / F.col("__tot").cast("double")).alias("share"),
+            F.expr("(1000000L * weight_micro) div __tot")
+            .alias("share_ppm"),
             F.expr(f"({MIXTURE_TARGET}L * weight_micro) div __tot")
             .alias("budget_docs"),
         )
@@ -6488,7 +6509,7 @@ WITH s AS (
 ),
 t AS (SELECT SUM(weight_micro) AS tot FROM s)
 SELECT source, n_docs, weight_micro,
-       CAST(weight_micro AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+       (1000000 * weight_micro) // tot AS share_ppm,
        ({MIXTURE_TARGET} * weight_micro) // tot AS budget_docs
 FROM s CROSS JOIN t
 """
@@ -7081,43 +7102,39 @@ FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOPK}
 # CORRECTNESS artifact rotate to the front; with 68 unsigned keys, round 5
 # signs 50 of them and round 6 the rest.  ORACLE_KEYS.md carries the full
 # key -> (round introduced, signed-where) inventory.
-# Round-6 rotation: the 23 keys never signed by any CORRECTNESS_r0N artifact
-# (rounds 1-5 cumulatively signed 108 of 131 — see ORACLE_KEYS.md), plus any
-# queries newly added this round.  These MUST occupy the front of the
-# registry so the driver's 50-key window signs them.
+# Round-7 rotation.  After composing r01-r06 artifacts, every key is
+# driver-signed EXCEPT the two round-6 reds (VERDICT r6): ab_test (ANSI
+# DIVIDE_BY_ZERO, fixed with try_divide) and mixture_weights (driver-canon
+# hash mismatch, share re-emitted as integer ppm).  Both MUST re-enter the
+# window, plus any queries newly added this round.
 _GATE_NEVER_SIGNED = [
-    "length_quartiles", "bloom_decontamination", "bm25_search",
-    "bm25_vs_index", "bpe_train", "cms_topk", "event_transitions",
-    "hybrid_rrf", "incremental_clusters", "incremental_neardup",
-    "linear_probe", "mixture_sample", "neardup_vs_index", "ols_trend",
-    "overlap_join", "pagerank", "price_qty_corr", "semantic_dedup",
-    "source_quality_cap", "substring_dedup", "substring_dedup_dfcut",
-    "token_drift", "winnowing",
-    # round-6 additions (never signed by construction)
-    "exact_quantiles", "curriculum_order", "winnow_match",
-    "containment_dedup", "knn_predict", "decayed_engagement", "lm_coverage",
-    "mixture_weights", "winnow_probe", "last_touch_attribution",
-    "cooccurrence_lift", "packing_efficiency", "quantization_error",
-    "rank_correlation", "ab_test",
+    "ab_test", "mixture_weights",
 ]
 
-# Re-confirmation padding fills the window's remainder — ordered so keys
-# whose IMPLEMENTATION changed this round (streaming percentile rewrite,
-# prefix-sum NTILE, no-copies fast paths, guard plumbing) re-sign first,
-# then the oldest r01-signed keys.  Automatically displaced by new keys
-# via the [:50] slice below — never let _GATE_NEVER_SIGNED itself
-# exceed 49.
+# Re-confirmation padding fills the window's remainder — keys whose
+# IMPLEMENTATION changed this round first (groupwise_percentile_cont's
+# NULL-exclusion + mirrored oracle predicates), then the stalest keys
+# (last signed r03, then r04 — nothing has re-confirmed them since; see
+# ORACLE_KEYS.md).  Automatically displaced by new keys via the [:50]
+# slice below — never let _GATE_NEVER_SIGNED itself exceed 49.
 _GATE_PAD = [
-    "median_price", "adaptive_quality_filter", "fuzzy_match",
-    "price_quartiles", "minhash_dedup", "simhash_dedup",
-    "ngram_jaccard_dedup", "silver_clean", "monthly_summary",
-    "merge_upsert", "referential_check", "quality_metrics",
-    "watermark_filter", "daily_summary", "zone_summary", "vendor_summary",
-    "payment_summary", "append_if_absent", "unique_check", "decode_join",
-    "exact_dedup", "embedding_topk", "embedding_lsh_topk",
-    "embedding_ivf_topk", "embedding_neardup", "lang_id", "text_stats",
-    "quality_scores", "stratified_sample", "hash_sample", "sessionization",
-    "tumbling_window", "stateful_sessions",
+    "median_price", "adaptive_quality_filter",
+    # last signed r03
+    "bpe_token_count", "dedup_clusters", "funnel", "json_extract",
+    "moving_avg", "pivot_status_by_year", "repetition_scores",
+    "train_test_split",
+    # last signed r04
+    "ann_recall", "append_if_absent", "asof_last_error", "cube_summary",
+    "daily_summary", "decode_join", "embedding_ivf_topk",
+    "embedding_lsh_topk", "embedding_neardup", "embedding_topk",
+    "exact_dedup", "fingerprints", "hard_negatives", "hash_sample",
+    "inactive_customers", "label_centroids", "lang_id", "langid_confusion",
+    "lsh_recall", "minhash_vs_index", "payment_summary", "profile_orders",
+    "quality_metrics", "quality_scores", "range_join_incidents",
+    "rollup_summary", "sessionization", "set_ops", "skew_profile",
+    "stateful_sessions", "stratified_sample", "text_stats",
+    "top_revenue_orders", "topk_orders", "tumbling_window", "unique_check",
+    "urgent_customers", "vendor_summary", "watermark_filter", "zone_summary",
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost

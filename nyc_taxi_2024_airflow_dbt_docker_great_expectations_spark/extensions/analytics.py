@@ -60,9 +60,15 @@ def groupwise_percentile_cont(df: DataFrame, group_col: str, val_col: str,
     engine's internal quantile_cont interpolation order).
 
     Returns one row per group: ``(group_col, n_items, *quantiles)``.
+
+    NULL ``val_col`` rows are excluded up front — PERCENTILE_CONT (and
+    Spark's ``percentile``) ignore NULLs, and leaving them in would both
+    count them in ``n_items`` and rank them engine-dependently (Spark
+    windows sort NULLS FIRST ascending, DuckDB ROW_NUMBER NULLS LAST).
     """
     from pyspark.sql import Window
 
+    df = df.filter(F.col(val_col).isNotNull())
     w = Window.partitionBy(group_col).orderBy(val_col)
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_items"))
     ranked = (

@@ -33,10 +33,16 @@ distinct content and scaling with raw crawl volume squared.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..execution import expand_member_pairs, materialize_once, rep_tags
-from .text import shingle_postings, shingled_arrays, tokens, word_shingles
+from .text import (
+    shingle_postings,
+    shingled_arrays,
+    token_count,
+    tokens,
+    word_shingles,
+)
 
 
 def exact_dedup_keys(df: DataFrame, text_col: str = "text",
@@ -100,25 +106,50 @@ def _tagged_or_raise(raw: DataFrame, what: str) -> bool:
     return has_rep
 
 
+def _dropped_by_shingling(text_col: str, k: int) -> Column:
+    """Corpus rows a shingle-derived artifact legitimately lacks:
+    shingled_arrays drops <k-token docs (text.py docstring), and NULL
+    text never produces a token row at all."""
+    return F.col(text_col).isNull() | (token_count(F.col(text_col)) < k)
+
+
 def _check_no_ghost_ids(corpus: DataFrame, table: DataFrame, id_col: str,
-                        what: str) -> None:
+                        what: str, legit_missing: Column | None = None,
+                        ) -> None:
     """A persisted warehouse artifact substituted for an in-flight pass
-    must not carry ids absent from the corpus — a stale table would emit
-    pairs for documents that no longer exist.  ONE early-abort anti-join,
-    ids only on the wire.  (The reverse direction — corpus ids missing
-    from the table — is not checkable here without replaying the
-    artifact's own filter semantics, e.g. empty-shingle drops;
-    hyperparameter drift is refused at adoption time by the
-    _table_meta.json sidecar, operators/layout.py.)"""
-    ghost = (
-        table.select(F.col(id_col))
-        .join(corpus.select(F.col(id_col)), id_col, "left_anti")
-        .limit(1).count()
+    must agree with the corpus on the id set in BOTH directions: extra
+    table ids (corpus shrank / wrong table) would emit pairs for
+    documents that no longer exist, and missing corpus ids (corpus GREW
+    past the table) would silently emit NO pairs for the new documents —
+    the most common staleness case.  ONE early-abort job (full-outer id
+    join, ids + one boolean on the wire).
+
+    ``legit_missing`` excuses documented absences the artifact's own
+    build filter creates (e.g. shingle tables drop <k-token docs): a
+    corpus-row predicate; rows where it holds may be absent from the
+    table.  Hyperparameter drift is refused at adoption time by the
+    _table_meta.json sidecar (operators/layout.py)."""
+    skip = (F.coalesce(legit_missing, F.lit(False))
+            if legit_missing is not None else F.lit(False))
+    c = corpus.select(F.col(id_col).alias("__id"), skip.alias("__skip"),
+                      F.lit(1).alias("__c"))
+    t = (table.select(F.col(id_col).alias("__id")).distinct()
+         .withColumn("__t", F.lit(1)))
+    bad = (
+        c.join(t, "__id", "full_outer")
+        .filter(F.col("__c").isNull()
+                | (F.col("__t").isNull() & ~F.col("__skip")))
+        .select("__id", F.col("__c").isNull().alias("__ghost"))
+        .limit(1).collect()
     )
-    if ghost:
+    if bad:
+        direction = (
+            "carries ids absent from the corpus" if bad[0]["__ghost"]
+            else "is missing corpus ids (corpus grew past the table?)"
+        )
         raise ValueError(
-            f"persisted {what} table carries ids absent from the corpus "
-            "(stale table?) — rebuild it from the current documents"
+            f"persisted {what} table {direction} (stale table?) — "
+            "rebuild it from the current documents"
         )
 
 
@@ -191,7 +222,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # ghost ids are refused up front unless the caller already validated
     # this session (``tables_checked``).
     if shingled is not None and not tables_checked:
-        _check_no_ghost_ids(df, raw, id_col, "shingle")
+        _check_no_ghost_ids(df, raw, id_col, "shingle",
+                            legit_missing=_dropped_by_shingling(text_col, k))
     tagged = raw if _tagged_or_raise(raw, "shingle") else materialize_once(
         rep_tags(raw.select(F.col(id_col), F.col("shingles")),
                  "shingles", id_col)
@@ -308,7 +340,8 @@ def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
     raw = (shingled if shingled is not None
            else materialize_once(shingled_arrays(df, text_col, id_col, k)))
     if shingled is not None and not tables_checked:
-        _check_no_ghost_ids(df, raw, id_col, "shingle")
+        _check_no_ghost_ids(df, raw, id_col, "shingle",
+                            legit_missing=_dropped_by_shingling(text_col, k))
     tagged = raw if _tagged_or_raise(raw, "shingle") else materialize_once(
         rep_tags(raw.select(F.col(id_col), F.col("shingles")),
                  "shingles", id_col)
@@ -868,9 +901,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # unless the caller already validated this session (``tables_checked``)
     if not tables_checked:
         if shingled is not None:
-            _check_no_ghost_ids(df, raw, id_col, "shingle")
+            _check_no_ghost_ids(df, raw, id_col, "shingle",
+                            legit_missing=_dropped_by_shingling(text_col, k))
         if band_keys is not None:
-            _check_no_ghost_ids(df, band_keys, id_col, "band-key")
+            _check_no_ghost_ids(df, band_keys, id_col, "band-key",
+                                legit_missing=_dropped_by_shingling(text_col,
+                                                                    k))
     # a pre-tagged persisted table (carrying __rep/__mult) skips the window
     tagged = raw if _tagged_or_raise(raw, "shingle") else materialize_once(
         rep_tags(raw.select(F.col(id_col), F.col("shingles")),
@@ -1025,7 +1061,10 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     elif not tables_checked:
         # a persisted signature table must not carry ids absent from the
         # corpus (stale table -> phantom pairs)
-        _check_no_ghost_ids(df, sims, id_col, "simhash")
+        # simhash has one row per doc EXCEPT null-text docs (explode of a
+        # NULL token array drops the row) — that is the only excused absence
+        _check_no_ghost_ids(df, sims, id_col, "simhash",
+                            legit_missing=F.col(text_col).isNull())
     tagged = materialize_once(
         rep_tags(sims.select(F.col(id_col), F.col("simhash")),
                  "simhash", id_col)

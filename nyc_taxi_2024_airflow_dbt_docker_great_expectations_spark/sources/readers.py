@@ -23,12 +23,14 @@ def normalize_columns(df: DataFrame) -> DataFrame:
 def coerce_int_columns(df: DataFrame, columns=TRIP_INT_COLUMNS) -> DataFrame:
     """S3: lossy int coercion — bad values become NULL, matching
     ``pd.to_numeric(errors='coerce').astype('Int64')``
-    (reference dags/nyc_taxi_pipeline.py:148-150).  Requires ANSI off
-    (session.py) so failed casts yield NULL instead of raising."""
+    (reference dags/nyc_taxi_pipeline.py:148-150).  ``try_cast`` yields
+    NULL on failure in EVERY session mode — ANSI-neutral, so the operator
+    keeps coerce semantics even under a vanilla Spark 4 (ANSI-on) session
+    instead of relying on session.py's ansi=false."""
     out = df
     for c in columns:
         if c in out.columns:
-            out = out.withColumn(c, F.col(c).cast("int"))
+            out = out.withColumn(c, F.col(c).try_cast("int"))
     return out
 
 

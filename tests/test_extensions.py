@@ -1747,6 +1747,19 @@ def test_persisted_table_guards_raise(spark):
     with pytest.raises(ValueError, match="ids absent"):
         simhash_pairs(docs, sims=simhash_table(ghost_docs)).collect()
 
+    # the reverse direction (round-6 advice): the corpus GREW past the
+    # persisted table — the engines would silently emit no pairs for the
+    # new documents, so the guard must refuse that too
+    grown_docs = docs.unionByName(spark.createDataFrame(
+        [(7, "a brand new document added after the table was built")],
+        "doc_id long, text string",
+    ))
+    old_sh = shingled_arrays(docs, "text", "doc_id", 3)
+    with pytest.raises(ValueError, match="missing corpus ids"):
+        ngram_jaccard_pairs(grown_docs, k=3, shingled=old_sh).collect()
+    with pytest.raises(ValueError, match="missing corpus ids"):
+        simhash_pairs(grown_docs, sims=simhash_table(docs)).collect()
+
     half_tagged = rep_tags(
         shingled_arrays(docs, "text", "doc_id", 3),
         "shingles", "doc_id", with_mult=False,
@@ -1757,6 +1770,35 @@ def test_persisted_table_guards_raise(spark):
     with pytest.raises(ValueError, match="__mult"):
         minhash_lsh_pairs(docs, k=3, shingled=half_tagged,
                           tables_checked=True).collect()
+
+
+def test_ghost_guard_excuses_documented_drops(spark):
+    """Docs the artifact's own build filter drops (<k tokens for shingle
+    tables, NULL text for simhash) are NOT flagged as missing — the
+    bidirectional guard only fires on absences the build cannot explain."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        ngram_jaccard_pairs,
+        simhash_pairs,
+        simhash_table,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        shingled_arrays,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "an entirely different sentence with other words here"),
+         (3, "too short"),            # 2 tokens < k=3: no shingle row
+         (4, None)],                  # NULL text: no simhash row
+        "doc_id long, text string",
+    )
+    sh = shingled_arrays(docs, "text", "doc_id", 3)
+    assert sh.filter("doc_id in (3, 4)").count() == 0
+    # guard passes: absences are exactly the documented drops
+    ngram_jaccard_pairs(docs, k=3, shingled=sh).collect()
+    sims = simhash_table(docs)
+    assert sims.filter("doc_id = 4").count() == 0
+    simhash_pairs(docs, sims=sims).collect()
 
 
 def test_winnowing_index_probe_equals_rebuild(spark):

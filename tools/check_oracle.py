@@ -5,7 +5,13 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 column names, and order-insensitive values (exact on non-floats, tight
 tolerance + exactness report on floats).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--ansi] [sf_dir] [query ...]
+
+``--ansi`` runs the sweep with ``spark.sql.ansi.enabled=true`` — the
+DRIVER gate's session is a vanilla Spark 4 one (ANSI on by default), not
+the repo session's ansi=false, and round 6 proved the difference is live
+(ab_test DIVIDE_BY_ZERO crashed only under ANSI).  Every registry query
+must pass BOTH modes before it is signed.
 """
 
 from __future__ import annotations
@@ -103,13 +109,22 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    ansi = "--ansi" in argv
+    if ansi:
+        argv.remove("--ansi")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as e
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.session import get_spark
 
     spark = get_spark("oracle-check")
+    if ansi:
+        # simulate the driver gate's vanilla Spark 4 session (ANSI on);
+        # runtime conf, so the repo's S3 lossy-coercion reader (which owns
+        # its own ansi toggle) is unaffected
+        spark.conf.set("spark.sql.ansi.enabled", "true")
     con = duck_connection(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
 
