@@ -6507,10 +6507,15 @@ WITH s AS (
               AS BIGINT) AS weight_micro
   FROM documents GROUP BY 1
 ),
-t AS (SELECT SUM(weight_micro) AS tot FROM s)
+-- tot MUST collapse to BIGINT: DuckDB SUM(BIGINT) is HUGEINT, HUGEINT
+-- arithmetic propagates to the output columns, and pandas renders HUGEINT
+-- as float64 — equal VALUES vs Spark's int64 but a different canon-hash
+-- dtype (the actual root cause of the round-6 driver mismatch).
+t AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS tot FROM s)
 SELECT source, n_docs, weight_micro,
-       (1000000 * weight_micro) // tot AS share_ppm,
-       ({MIXTURE_TARGET} * weight_micro) // tot AS budget_docs
+       CAST((1000000 * weight_micro) // tot AS BIGINT) AS share_ppm,
+       CAST(({MIXTURE_TARGET} * weight_micro) // tot AS BIGINT)
+           AS budget_docs
 FROM s CROSS JOIN t
 """
 

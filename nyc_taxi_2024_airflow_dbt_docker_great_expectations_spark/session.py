@@ -2,10 +2,14 @@
 
 Parity notes (reference -> Spark):
 
-- ``spark.sql.ansi.enabled=false``: the reference's ingest coerces bad values
-  to NULL (``pd.to_numeric(errors='coerce')``,
-  reference ``dags/nyc_taxi_pipeline.py:148-150``).  Spark 4 defaults ANSI *on*
-  (failing casts raise); disabling it restores cast-to-NULL semantics.
+- ``spark.sql.ansi.enabled=true``: pinned to Spark 4's default so the repo
+  session matches any vanilla session byte-for-byte — every operator is
+  ANSI-neutral (guarded divisions use ``try_divide``, the reference's lossy
+  ingest coercion (``pd.to_numeric(errors='coerce')``,
+  reference ``dags/nyc_taxi_pipeline.py:148-150``) uses ``try_cast``, which
+  yields NULL-on-failure in every mode).  Earlier rounds pinned ANSI *off*
+  for the coercion path; that masked an ANSI-only DIVIDE_BY_ZERO crash under
+  the vanilla session, so the repo now runs the strict mode everywhere.
 - ``spark.sql.session.timeZone=UTC``: the reference's Postgres TIMESTAMP
   columns are tz-naive (``dags/nyc_taxi_pipeline.py:72-79``); pinning UTC makes
   epoch extraction and string rendering deterministic.
@@ -72,7 +76,7 @@ def get_spark(
         # budget — see default_driver_memory
         .config("spark.driver.memory", default_driver_memory())
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

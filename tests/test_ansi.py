@@ -1,11 +1,12 @@
 """ANSI-session hardening (round-6 verdict #1).
 
 The DRIVER's correctness gate runs a vanilla Spark 4 session — ANSI mode
-ON — while the repo session pins ansi=false (reference S3 coercion
-semantics).  Round 6 shipped a query (`ab_test`) that crashed with
-DIVIDE_BY_ZERO only under ANSI, so the registry's ANSI-sensitive queries
-run here end-to-end with the conf flipped on: any plain `/` over a
-possibly-zero denominator, strict cast, or array index regression
+ON.  Round 6 shipped a query (`ab_test`) that crashed with
+DIVIDE_BY_ZERO only under ANSI (the repo session then pinned ansi=false,
+masking it locally); since round 7 the repo session pins ANSI ON too,
+and this module force-asserts the conf so the known-sensitive queries
+run strict even if the session default ever drifts: any plain `/` over
+a possibly-zero denominator, strict cast, or array index regression
 surfaces as a pytest failure instead of a red driver artifact.
 
 The FULL-surface ANSI sweep is ``tools/check_oracle.py --ansi`` (146/146

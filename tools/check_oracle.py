@@ -7,11 +7,13 @@ tolerance + exactness report on floats).
 
 Usage: python tools/check_oracle.py [--ansi] [sf_dir] [query ...]
 
-``--ansi`` runs the sweep with ``spark.sql.ansi.enabled=true`` — the
-DRIVER gate's session is a vanilla Spark 4 one (ANSI on by default), not
-the repo session's ansi=false, and round 6 proved the difference is live
-(ab_test DIVIDE_BY_ZERO crashed only under ANSI).  Every registry query
-must pass BOTH modes before it is signed.
+``--ansi`` force-sets ``spark.sql.ansi.enabled=true`` at runtime.  Since
+round 7 the repo session already pins ANSI on (Spark 4's default — the
+driver gate runs a vanilla session, and round 6 proved the difference is
+live: ab_test's DIVIDE_BY_ZERO crashed only under ANSI), so the flag is a
+belt-and-suspenders override; ``--no-ansi`` sweeps the legacy mode to
+prove queries don't silently DEPEND on strict semantics either.  Every
+registry query must pass BOTH modes before it is signed.
 """
 
 from __future__ import annotations
@@ -78,6 +80,17 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return [f"columns {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"]
     a, b = canon(spark_pdf), canon(duck_pdf)
     for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if {ka, kb} == {"i", "f"} or {ka, kb} == {"u", "f"}:
+            # equal VALUES but integer-vs-float dtypes: a value compare
+            # passes while a toPandas-canon HASH (the driver's compare)
+            # can diverge on representation — the round-6
+            # mixture_weights lesson.  Flag it even though values match.
+            problems.append(
+                f"col {c}: numeric kind mismatch ({a[c].dtype} vs "
+                f"{b[c].dtype}) — driver canon-hash risk"
+            )
+            continue
         if a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
             av = a[c].astype(float).to_numpy()
             bv = b[c].astype(float).to_numpy()
@@ -111,8 +124,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 def main() -> int:
     argv = list(sys.argv[1:])
     ansi = "--ansi" in argv
+    no_ansi = "--no-ansi" in argv
     if ansi:
         argv.remove("--ansi")
+    if no_ansi:
+        argv.remove("--no-ansi")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -121,10 +137,10 @@ def main() -> int:
 
     spark = get_spark("oracle-check")
     if ansi:
-        # simulate the driver gate's vanilla Spark 4 session (ANSI on);
-        # runtime conf, so the repo's S3 lossy-coercion reader (which owns
-        # its own ansi toggle) is unaffected
         spark.conf.set("spark.sql.ansi.enabled", "true")
+    elif no_ansi:
+        # legacy-mode sweep: queries must not DEPEND on strict semantics
+        spark.conf.set("spark.sql.ansi.enabled", "false")
     con = duck_connection(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
 
