@@ -3194,6 +3194,66 @@ WHERE p.jaccard >= 0.6 AND sa.split <> sb.split
 """
 
 
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-PROOF train/test split — the constructive counterpart of
+    `split_leakage_audit`: hash the near-dup CLUSTER label, not the
+    document id, so every connected component of the Jaccard>=0.6 pair
+    graph lands on one side atomically and no near-duplicate of a test
+    document can ever appear in training (the eval-contamination failure
+    mode id-hash splits cannot prevent).
+
+    Composition of persisted artifacts: the component label per doc is a
+    bucketed-table read (_neardup_labels_table — the pair join + star
+    contraction were paid once at index build), and the side assignment
+    is one md5 expression over the label.  At 100 TB: one map-side
+    projection over the label table; deterministic on any engine.  Note
+    the test fraction is exact only in expectation over CLUSTERS —
+    cluster-atomic assignment necessarily trades per-doc balance for
+    leakage safety."""
+    labels = _neardup_labels_table(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("component").cast("string")), 1, 4),
+               16, 10).cast("int") % 100
+    )
+    return labels.select(
+        "doc_id",
+        "component",
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TEST_PCT, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+ORACLE_CLUSTER_SAFE_SPLIT = f"""
+WITH RECURSIVE {_DUCK_PAIR_JACCARD},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pair_j WHERE jaccard >= 0.6
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pair_j WHERE jaccard >= 0.6
+),
+reach(node, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.node
+),
+comp AS (
+  SELECT node, MIN(lab) AS component FROM reach GROUP BY node
+),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT doc_id, component,
+       CAST(CAST('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 4)
+                 AS INTEGER) % 100 AS INTEGER) AS bucket,
+       CASE WHEN CAST('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 4)
+                      AS INTEGER) % 100 < {SPLIT_TEST_PCT}
+            THEN 'test' ELSE 'train' END AS split
+FROM labeled
+"""
+
+
 def q_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten propagation (the compliance twin of the S8
     merge primitive): drop every event belonging to an erasure cohort and
@@ -7114,6 +7174,8 @@ FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOPK}
 # window, plus any queries newly added this round.
 _GATE_NEVER_SIGNED = [
     "ab_test", "mixture_weights",
+    # round-7 additions (never signed by construction)
+    "cluster_safe_split",
 ]
 
 # Re-confirmation padding fills the window's remainder — keys whose
@@ -7244,6 +7306,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "train_test_split": q_train_test_split,
         "split_leakage_audit": q_split_leakage_audit,
+        "cluster_safe_split": q_cluster_safe_split,
         "moving_avg": q_moving_avg,
         "pivot_status_by_year": q_pivot_status_by_year,
         "binary_meta": q_binary_meta,
@@ -7395,6 +7458,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "train_test_split": ORACLE_TRAIN_TEST_SPLIT,
         "split_leakage_audit": ORACLE_SPLIT_LEAKAGE,
+        "cluster_safe_split": ORACLE_CLUSTER_SAFE_SPLIT,
         "moving_avg": ORACLE_MOVING_AVG,
         "pivot_status_by_year": ORACLE_PIVOT_STATUS_BY_YEAR,
         "binary_meta": ORACLE_BINARY_META,
