@@ -1,13 +1,15 @@
 """ANSI-session hardening (round-6 verdict #1).
 
 The DRIVER's correctness gate runs a vanilla Spark 4 session — ANSI mode
-ON.  Round 6 shipped a query (`ab_test`) that crashed with
-DIVIDE_BY_ZERO only under ANSI (the repo session then pinned ansi=false,
-masking it locally); since round 7 the repo session pins ANSI ON too,
-and this module force-asserts the conf so the known-sensitive queries
-run strict even if the session default ever drifts: any plain `/` over
-a possibly-zero denominator, strict cast, or array index regression
-surfaces as a pytest failure instead of a red driver artifact.
+ON — while the repo session runs ANSI off as a pure PERFORMANCE choice
+(checked arithmetic costs 10-150% on hot loops; see session.py).  That
+split is only safe if every query is ANSI-NEUTRAL: round 6 shipped one
+(`ab_test`) that crashed with DIVIDE_BY_ZERO only under ANSI, so this
+module force-flips the conf and runs the known-sensitive queries strict
+end-to-end: any plain `/` over a possibly-zero denominator, strict cast,
+or array index regression surfaces as a pytest failure instead of a red
+driver artifact.  The full-surface strict sweep is
+``tools/check_oracle.py --ansi``.
 
 The FULL-surface ANSI sweep is ``tools/check_oracle.py --ansi`` (146/146
 green as of round 7); this test keeps the known-sensitive subset in the

@@ -269,6 +269,28 @@ def test_session_round4_additions_plan_shapes(spark):
     assert "MapInPandas" in p and "Exchange" not in p
 
 
+def test_cluster_safe_split_is_leakage_free(spark):
+    """The invariant the operator exists for: NO near-dup pair straddles
+    the split (cluster-atomic assignment), and every document gets
+    exactly one side.  The id-hash split this replaces fails exactly
+    this check whenever a cluster's members hash to different sides."""
+    qs = entry.queries()
+    split = qs["cluster_safe_split"](spark, SF)
+    sides = split.select("doc_id", "split")
+    pairs = qs["ngram_jaccard_dedup"](spark, SF)
+    leaks = (
+        pairs
+        .join(sides.selectExpr("doc_id as id_a", "split as split_a"), "id_a")
+        .join(sides.selectExpr("doc_id as id_b", "split as split_b"), "id_b")
+        .filter("split_a <> split_b")
+        .count()
+    )
+    assert leaks == 0
+    docs = split.count()
+    assert split.select("doc_id").distinct().count() == docs
+    assert split.filter("split not in ('train','test')").count() == 0
+
+
 def test_source_quality_cap_plan_is_windowed_topk(spark):
     """The per-source quality cap must run as partial+final
     WindowGroupLimit (map-side top-N heaps before the one source-keyed

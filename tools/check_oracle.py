@@ -7,13 +7,13 @@ tolerance + exactness report on floats).
 
 Usage: python tools/check_oracle.py [--ansi] [sf_dir] [query ...]
 
-``--ansi`` force-sets ``spark.sql.ansi.enabled=true`` at runtime.  Since
-round 7 the repo session already pins ANSI on (Spark 4's default — the
-driver gate runs a vanilla session, and round 6 proved the difference is
-live: ab_test's DIVIDE_BY_ZERO crashed only under ANSI), so the flag is a
-belt-and-suspenders override; ``--no-ansi`` sweeps the legacy mode to
-prove queries don't silently DEPEND on strict semantics either.  Every
-registry query must pass BOTH modes before it is signed.
+``--ansi`` force-sets ``spark.sql.ansi.enabled=true`` at runtime — the
+DRIVER gate runs a vanilla Spark 4 session (ANSI on), while the repo
+session runs unchecked mode for speed (session.py), and round 6 proved
+the difference is live: ab_test's DIVIDE_BY_ZERO crashed only under
+ANSI.  ``--no-ansi`` force-sets the unchecked mode.  Every registry
+query must pass BOTH modes before it is signed — results must be
+bit-identical across modes (ANSI-neutrality), only speed may differ.
 """
 
 from __future__ import annotations
