@@ -33,6 +33,7 @@ from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.functions.keys im
 )
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.functions.money import (
     exact_avg,
+    exact_product_sum,
     exact_sum,
     guarded_ratio,
 )
@@ -369,11 +370,11 @@ def q_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DAILY_SUMMARY = """
 SELECT CAST(l_shipdate AS DATE) AS ship_date,
        COUNT(*) AS total_items,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       (CAST(SUM(CAST(floor(l_quantity * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS total_qty,
+       (CAST(SUM(CAST(floor(l_extendedprice * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS total_revenue,
+       (CAST(SUM(CAST(floor(l_extendedprice * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE))
            / COUNT(l_extendedprice) AS avg_price,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+       (CAST(SUM(CAST(floor(l_quantity * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE))
            / COUNT(l_quantity) AS avg_qty
 FROM lineitem GROUP BY 1
 """
@@ -390,9 +391,9 @@ def q_monthly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MONTHLY_SUMMARY = """
 SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS revenue_month,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_monthly_revenue,
+       (CAST(SUM(CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS total_monthly_revenue,
        COUNT(*) AS total_monthly_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       (CAST(SUM(CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE))
            / COUNT(o_totalprice) AS avg_order_value
 FROM orders GROUP BY 1
 """
@@ -410,7 +411,7 @@ def q_zone_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ZONE_SUMMARY = """
 SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month, l_suppkey,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS supp_revenue,
+       (CAST(SUM(CAST(floor(l_extendedprice * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS supp_revenue,
        COUNT(*) AS supp_items
 FROM lineitem GROUP BY 1, 2
 """
@@ -433,11 +434,11 @@ ORACLE_VENDOR_SUMMARY = """
 SELECT CASE l_returnflag WHEN 'R' THEN 'Returned' WHEN 'A' THEN 'Accepted'
             WHEN 'N' THEN 'Not returned' ELSE 'Unknown' END AS returnflag_desc,
        COUNT(*) AS total_items,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+       (CAST(SUM(CAST(floor(l_extendedprice * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS total_revenue,
+       (CAST(SUM(CAST(floor(l_quantity * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS total_qty,
+       (CAST(SUM(CAST(floor(l_quantity * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE))
            / COUNT(l_quantity) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       (CAST(SUM(CAST(floor(l_extendedprice * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE))
            / COUNT(l_extendedprice) AS avg_price
 FROM lineitem GROUP BY 1
 """
@@ -447,7 +448,6 @@ def q_payment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: COALESCE'd decoded group key + guarded ratio-of-sums (discount%
     of revenue plays the reference's tip% of revenue)."""
     li = _t(spark, sf_dir, "lineitem")
-    dec2 = "decimal(18,2)"
     agg = li.groupBy(
         F.coalesce(
             decode_map("l_linestatus", LINESTATUS_MAP, default=None), F.lit("Unknown")
@@ -455,9 +455,8 @@ def q_payment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("total_items"),
         exact_sum("l_extendedprice").alias("total_revenue"),
-        F.sum(
-            F.col("l_extendedprice").cast(dec2) * F.col("l_discount").cast(dec2)
-        ).cast("double").alias("total_discount_amt"),
+        exact_product_sum("l_extendedprice", "l_discount")
+        .alias("total_discount_amt"),
     )
     return agg.withColumn(
         "discount_percent", guarded_ratio("total_discount_amt", "total_revenue")
@@ -469,9 +468,10 @@ WITH agg AS (
   SELECT COALESCE(CASE l_linestatus WHEN 'O' THEN 'Open'
                        WHEN 'F' THEN 'Finalized' END, 'Unknown') AS status_desc,
          COUNT(*) AS total_items,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_discount_amt
+         (CAST(SUM(CAST(floor(l_extendedprice * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS total_revenue,
+         (CAST(SUM(CAST(floor(l_extendedprice * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)
+                   * CAST(floor(l_discount * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE)
+          / CAST(10000 AS DOUBLE)) AS total_discount_amt
   FROM lineitem GROUP BY 1
 )
 SELECT *,
@@ -694,7 +694,7 @@ def q_decode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DECODE_JOIN = """
 SELECT r_name, COUNT(*) AS n_customers,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+       (CAST(SUM(CAST(floor(c_acctbal * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS total_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -717,7 +717,7 @@ SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)) AS TIMEST
            AS window_end,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+       (CAST(SUM(CAST(floor(value * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS total_value
 FROM events GROUP BY 1, 2, 3
 """
 
@@ -1109,7 +1109,7 @@ sessions AS (
 SELECT user_id,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+       (CAST(SUM(CAST(floor(value * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS session_value
 FROM sessions
 GROUP BY user_id, session_seq
 QUALIFY session_seq < MAX(session_seq) OVER (PARTITION BY user_id)
@@ -1134,7 +1134,7 @@ sessions AS (
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+       (CAST(SUM(CAST(floor(value * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS session_value
 FROM sessions GROUP BY 1, 2
 """
 
@@ -2159,10 +2159,16 @@ WITH j AS (
 ),
 a AS (
   SELECT p_brand, COUNT(*) AS n,
-         CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx
+         -- integer-unit sums mirror analytics._unit_sum exactly:
+         -- floor(v*1e4+0.5) per row, exact HUGEINT sum, ONE double cast
+         CAST(SUM(CAST(floor((x) * CAST(10000 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE)
+              / CAST(10000 AS DOUBLE) AS sx,
+         CAST(SUM(CAST(floor((y) * CAST(10000 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE)
+              / CAST(10000 AS DOUBLE) AS sy,
+         CAST(SUM(CAST(floor((x * y) * CAST(10000 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE)
+              / CAST(10000 AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(floor((x * x) * CAST(10000 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE)
+              / CAST(10000 AS DOUBLE) AS sxx
   FROM j GROUP BY 1
 )
 SELECT p_brand, n,
@@ -2194,14 +2200,18 @@ def q_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PRICE_QTY_CORR = """
 WITH a AS (
   SELECT l_returnflag, COUNT(*) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4)))
-              AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4)))
-              AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4)))
-              AS DOUBLE) AS syy
+         -- integer-unit sums mirror analytics._unit_sum exactly:
+         -- floor(v*1e4+0.5) per row, exact HUGEINT sum, ONE double cast
+         CAST(SUM(CAST(floor((l_quantity) * CAST(10000 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE)
+              / CAST(10000 AS DOUBLE) AS sx,
+         CAST(SUM(CAST(floor((l_extendedprice) * CAST(10000 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE)
+              / CAST(10000 AS DOUBLE) AS sy,
+         CAST(SUM(CAST(floor((l_quantity * l_extendedprice) * CAST(10000 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE)
+              / CAST(10000 AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(floor((l_quantity * l_quantity) * CAST(10000 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE)
+              / CAST(10000 AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(floor((l_extendedprice * l_extendedprice) * CAST(10000 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE)
+              / CAST(10000 AS DOUBLE) AS syy
   FROM lineitem GROUP BY 1
 )
 SELECT l_returnflag, n,
@@ -2572,7 +2582,7 @@ def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ROLLUP_SUMMARY = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+       (CAST(SUM(CAST(floor(l_extendedprice * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS total_revenue
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -2594,7 +2604,7 @@ ORACLE_CUBE_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
        COUNT(*) AS n_items,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+       (CAST(SUM(CAST(floor(l_extendedprice * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS total_revenue
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
@@ -2660,7 +2670,7 @@ def q_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PRICE_QUARTILES = """
 SELECT quartile, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       (CAST(SUM(CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS total_value,
        MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
 FROM (SELECT o_totalprice,
              CAST(NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS quartile
@@ -2673,9 +2683,10 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join with filters on every input, aggregate,
     top-10.  The customer side is tiny after the segment filter, so it is
     broadcast (no shuffle of orders for that join); lineitem joins orders on
-    the shuffle key both sides already need.  Revenue is an exact decimal
-    product-sum (the money columns are 2-decimal, so the casts are lossless
-    and the sum is order-independent).  Reference analog: the gold revenue
+    the shuffle key both sides already need.  Revenue is an exact
+    integer-unit product-sum (functions/money.py:exact_product_sum — the
+    money columns are 2-decimal, so the quantization is lossless and the
+    sum is order-independent).  Reference analog: the gold revenue
     marts (models/gold_*.sql) composed with dim filters."""
     cust = _t(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -2686,10 +2697,9 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
     )
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
-    revenue = F.sum(
-        dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
-    ).cast("double")
+    revenue = exact_product_sum(
+        F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount")
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -2702,8 +2712,9 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TOP_REVENUE_ORDERS = """
 SELECT o_orderkey, o_orderdate,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+       (CAST(SUM(CAST(floor(l_extendedprice * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)
+                 * CAST(floor((1 - l_discount) * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE)
+        / CAST(10000 AS DOUBLE)) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -2878,7 +2889,7 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MOVING_AVG = """
 WITH daily AS (
   SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_date,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS day_revenue
+         (CAST(SUM(CAST(floor(l_extendedprice * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS day_revenue
   FROM lineitem GROUP BY 1, 2
 )
 SELECT l_suppkey, ship_date, day_revenue,
@@ -3022,7 +3033,7 @@ WITH big AS (
 )
 SELECT n.n_name,
        COUNT(*) AS n_items,
-       CAST(SUM(CAST(b.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       (CAST(SUM(CAST(floor(b.l_extendedprice * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS revenue
 FROM big b JOIN nation n ON b.nkey = n.n_nationkey
 GROUP BY 1
 """
@@ -4238,9 +4249,9 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     year, where customer and supplier share a nation.  The dim chain
     (region -> nation -> supplier) folds into ONE broadcast build side, so
     the only shuffles are the lineitem/orders/customer key exchanges; the
-    o_orderdate range predicate pushes to the orders scan.  Exact decimal
-    product-sum (2-dec money columns -> lossless) keeps the revenue
-    bit-stable for the oracle."""
+    o_orderdate range predicate pushes to the orders scan.  Exact
+    integer-unit product-sum (2-dec money columns -> lossless) keeps the
+    revenue bit-stable for the oracle."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
@@ -4258,11 +4269,9 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nat_r), supp.s_nationkey == nat_r.n_nationkey
     ).select("s_suppkey", "s_nationkey", "n_name")
 
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
-    revenue = F.sum(
-        dec("l_extendedprice")
-        * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
-    ).cast("double")
+    revenue = exact_product_sum(
+        F.col("l_extendedprice"), F.lit(1.0) - F.col("l_discount")
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -4278,8 +4287,9 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_REGIONAL_REVENUE = """
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+       (CAST(SUM(CAST(floor(l_extendedprice * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)
+                 * CAST(floor((1 - l_discount) * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE)
+        / CAST(10000 AS DOUBLE)) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -4866,7 +4876,7 @@ def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_VALUE_ANOMALIES = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day,
-         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS d_val
+         (CAST(SUM(CAST(floor(value * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS d_val
   FROM events GROUP BY 1, 2
 ),
 mic AS (
@@ -4931,7 +4941,7 @@ ORACLE_DAILY_GAPFILL = f"""
 WITH agg AS (
   SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS order_day,
          COUNT(*) AS n_orders,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         (CAST(SUM(CAST(floor(o_totalprice * CAST(100 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE)) AS revenue
   FROM orders WHERE o_totalprice > {GAPFILL_MIN_PRICE}
   GROUP BY 1, 2
 ),
@@ -5169,7 +5179,7 @@ WITH expanded AS (
 SELECT CAST(to_timestamp(ws) AS TIMESTAMP) AS window_start,
        CAST(to_timestamp(ws + 600) AS TIMESTAMP) AS window_end,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+       (CAST(SUM(CAST(floor(value * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE) / CAST(1000000 AS DOUBLE)) AS total_value
 FROM expanded
 WHERE epoch(ts) >= ws AND epoch(ts) < ws + 600
 GROUP BY 1, 2
@@ -7180,28 +7190,34 @@ _GATE_NEVER_SIGNED = [
 
 # Re-confirmation padding fills the window's remainder — keys whose
 # IMPLEMENTATION changed this round first (groupwise_percentile_cont's
-# NULL-exclusion + mirrored oracle predicates), then the stalest keys
-# (last signed r03, then r04 — nothing has re-confirmed them since; see
-# ORACLE_KEYS.md).  Automatically displaced by new keys via the [:50]
-# slice below — never let _GATE_NEVER_SIGNED itself exceed 49.
+# NULL-exclusion + mirrored oracle predicates; the exact_sum /
+# exact_product_sum / groupwise_ols/corr integer-unit rewrite and every
+# oracle it mirrors), then the stalest keys (last signed r03, then r04 —
+# nothing has re-confirmed them since; see ORACLE_KEYS.md).  Automatically
+# displaced by new keys via the [:50] slice below — never let
+# _GATE_NEVER_SIGNED itself exceed 49.
 _GATE_PAD = [
+    # changed this round: percentile NULL semantics
     "median_price", "adaptive_quality_filter",
-    # last signed r03
+    # changed this round: integer-unit sufficient-statistic sums
+    "ols_trend", "price_qty_corr",
+    # changed this round: exact_sum / exact_avg / exact_product_sum
+    # consumers (Spark side + mirrored oracle formulas)
+    "daily_summary", "monthly_summary", "zone_summary", "vendor_summary",
+    "payment_summary", "rollup_summary", "cube_summary",
+    "top_revenue_orders", "regional_revenue", "decode_join",
+    "price_quartiles", "moving_avg", "salted_skew_join", "value_anomalies",
+    "daily_gapfill", "cohort_retention", "sliding_window",
+    "tumbling_window", "sessionization", "stateful_sessions",
+    # stalest: last signed r03
     "bpe_token_count", "dedup_clusters", "funnel", "json_extract",
-    "moving_avg", "pivot_status_by_year", "repetition_scores",
-    "train_test_split",
-    # last signed r04
-    "ann_recall", "append_if_absent", "asof_last_error", "cube_summary",
-    "daily_summary", "decode_join", "embedding_ivf_topk",
-    "embedding_lsh_topk", "embedding_neardup", "embedding_topk",
-    "exact_dedup", "fingerprints", "hard_negatives", "hash_sample",
-    "inactive_customers", "label_centroids", "lang_id", "langid_confusion",
-    "lsh_recall", "minhash_vs_index", "payment_summary", "profile_orders",
-    "quality_metrics", "quality_scores", "range_join_incidents",
-    "rollup_summary", "sessionization", "set_ops", "skew_profile",
-    "stateful_sessions", "stratified_sample", "text_stats",
-    "top_revenue_orders", "topk_orders", "tumbling_window", "unique_check",
-    "urgent_customers", "vendor_summary", "watermark_filter", "zone_summary",
+    "pivot_status_by_year", "repetition_scores", "train_test_split",
+    # stalest: last signed r04
+    "ann_recall", "append_if_absent", "asof_last_error",
+    "embedding_ivf_topk", "embedding_lsh_topk", "embedding_neardup",
+    "embedding_topk", "exact_dedup", "fingerprints", "hard_negatives",
+    "hash_sample", "inactive_customers", "label_centroids", "lang_id",
+    "langid_confusion", "lsh_recall", "minhash_vs_index",
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost

@@ -29,20 +29,53 @@ def exact_sum(col: Column | str, scale: int = 2) -> Column:
 
     Plain ``SUM(double)`` is non-deterministic across shuffle orders (fp
     addition is non-associative), which breaks value-hash comparison against
-    any oracle and makes reruns non-reproducible.  Casting to
-    ``DECIMAL(18,scale)`` first makes the sum exact (Spark's decimal
-    aggregation widens precision, no overflow for trillions of rows of
-    currency), then the single final cast to double is deterministic.
-    At 100 TB this costs a few % over double summation and buys bit-stable
-    results.
+    any oracle and makes reruns non-reproducible.  Each summand quantizes to
+    integer units with ``floor(v*10^s + 0.5)`` (one IEEE chain, identical on
+    every engine), the BIGINT units sum exactly (decimal(38,0) widening — no
+    overflow for trillions of rows of currency; the SQL oracle's HUGEINT sum
+    is the same exact integer), and ONE correctly-rounded double division by
+    ``10^s`` finishes.
+
+    This long-unit form replaced the original per-row
+    ``cast(decimal(18,s))`` sum: the values are identical on
+    s-decimal-representable inputs (integer N per row either way), but
+    Spark's double->decimal cast routes through
+    ``BigDecimal.valueOf(double)``'s string path and made hot aggregates
+    ~3x slower (measured 18.6s -> 6.9s for a 6-sum shape on 6M rows).
+    Domain: |v|*10^s must fit int64 (|v| < ~9e16 at s=2).
     """
-    return F.sum(_c(col).cast(f"decimal(18,{scale})")).cast("double")
+    return (
+        F.sum(F.floor(_c(col) * F.lit(float(10 ** scale)) + F.lit(0.5))
+              .cast("long").cast("decimal(38,0)"))
+        .cast("double") / F.lit(float(10 ** scale))
+    )
 
 
 def exact_avg(col: Column | str, scale: int = 2) -> Column:
-    """Deterministic AVG: exact decimal sum divided by the non-null count."""
+    """Deterministic AVG: the exact integer-unit sum divided by the
+    non-null count (same fixed IEEE order as the SQL oracle)."""
     c = _c(col)
-    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c)
+    return exact_sum(c, scale) / F.count(c)
+
+
+def exact_product_sum(a: Column | str, b: Column | str,
+                      scale: int = 2) -> Column:
+    """Order-independent deterministic ``SUM(a*b)`` for two money-like
+    double columns: both factors quantize to integer units
+    (``floor(v*10^s + 0.5)``), the exact LONG product sums in
+    decimal(38,0), and one double division by ``10^(2s)`` finishes —
+    the product-sum sibling of :func:`exact_sum`, mirroring byte-for-byte
+    into SQL.  Replaces ``SUM(cast(decimal) * cast(decimal))``, whose
+    two per-row double->decimal casts plus a decimal multiply dominated
+    the gold product aggregates.  Domain: |a*b|*10^(2s) per row must fit
+    int64 (|a*b| < ~9e14 at s=2)."""
+    ten = F.lit(float(10 ** scale))
+    ua = F.floor(_c(a) * ten + F.lit(0.5)).cast("long")
+    ub = F.floor(_c(b) * ten + F.lit(0.5)).cast("long")
+    return (
+        F.sum((ua * ub).cast("decimal(38,0)")).cast("double")
+        / F.lit(float(10 ** (2 * scale)))
+    )
 
 
 def guarded_ratio(num: Column | str, den: Column | str, pct: bool = True) -> Column:
