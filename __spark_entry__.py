@@ -3304,6 +3304,48 @@ GROUP BY event_type
 """
 
 
+K_ANON = 5  # minimum group size a released quasi-identifier combo needs
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of a would-be released event extract — the
+    privacy gate that runs before any events-with-attributes dataset
+    leaves the warehouse: group by the quasi-identifier combination
+    (event type, event date, coarse value bucket) and report every combo
+    whose group size is below ``K_ANON`` — the rows a releaser must
+    suppress or generalize because fewer than K people share that
+    fingerprint.  Complements `user_erasure` (deletion) with disclosure
+    control.
+
+    Scale shape: ONE partial/final hash aggregate keyed on the QI tuple
+    (map-side combine collapses the event mass before the exchange), a
+    post-agg HAVING; output is bounded by the number of RARE combos, not
+    the event volume.  All-integer output — engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    qi = ev.groupBy(
+        F.col("event_type"),
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") / F.lit(10.0)).cast("int")
+        .alias("value_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+    return qi.filter(F.col("n_rows") < K_ANON)
+
+
+ORACLE_K_ANONYMITY = f"""
+SELECT event_type,
+       CAST(ts AS DATE) AS day,
+       CAST(floor(value / 10.0) AS INTEGER) AS value_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2, 3
+HAVING COUNT(*) < {K_ANON}
+"""
+
+
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL corpus ingest (the de-facto training-data interchange format):
     documents serialize to line-delimited JSON and read back through
@@ -7185,7 +7227,7 @@ FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOPK}
 _GATE_NEVER_SIGNED = [
     "ab_test", "mixture_weights",
     # round-7 additions (never signed by construction)
-    "cluster_safe_split",
+    "cluster_safe_split", "k_anonymity_audit",
 ]
 
 # Re-confirmation padding fills the window's remainder — keys whose
@@ -7318,6 +7360,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "user_erasure": q_user_erasure,
+        "k_anonymity_audit": q_k_anonymity_audit,
         "funnel": q_funnel,
         "dedup_clusters": q_dedup_clusters,
         "train_test_split": q_train_test_split,
@@ -7470,6 +7513,7 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": ORACLE_JSON_EXTRACT,
         "jsonl_roundtrip": ORACLE_JSONL_ROUNDTRIP,
         "user_erasure": ORACLE_USER_ERASURE,
+        "k_anonymity_audit": ORACLE_K_ANONYMITY,
         "funnel": ORACLE_FUNNEL,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "train_test_split": ORACLE_TRAIN_TEST_SPLIT,
