@@ -3312,10 +3312,13 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     privacy gate that runs before any events-with-attributes dataset
     leaves the warehouse: group by the quasi-identifier combination
     (event type, event date, coarse value bucket) and report every combo
-    whose group size is below ``K_ANON`` — the rows a releaser must
-    suppress or generalize because fewer than K people share that
-    fingerprint.  Complements `user_erasure` (deletion) with disclosure
-    control.
+    with fewer than ``K_ANON`` distinct users — the rows a releaser must
+    suppress or generalize because fewer than K *people* share that
+    fingerprint.  k-anonymity is defined over individuals, not rows: a
+    combo carried by many rows from few users is still identifying, so
+    the gate is ``n_users < K`` (which subsumes ``n_rows < K`` since
+    ``n_users <= n_rows``).  Complements `user_erasure` (deletion) with
+    disclosure control.
 
     Scale shape: ONE partial/final hash aggregate keyed on the QI tuple
     (map-side combine collapses the event mass before the exchange), a
@@ -3331,7 +3334,7 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.count_distinct("user_id").cast("long").alias("n_users"),
     )
-    return qi.filter(F.col("n_rows") < K_ANON)
+    return qi.filter(F.col("n_users") < K_ANON)
 
 
 ORACLE_K_ANONYMITY = f"""
@@ -3342,7 +3345,7 @@ SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events
 GROUP BY 1, 2, 3
-HAVING COUNT(*) < {K_ANON}
+HAVING COUNT(DISTINCT user_id) < {K_ANON}
 """
 
 
@@ -7219,54 +7222,56 @@ FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOPK}
 # CORRECTNESS artifact rotate to the front; with 68 unsigned keys, round 5
 # signs 50 of them and round 6 the rest.  ORACLE_KEYS.md carries the full
 # key -> (round introduced, signed-where) inventory.
-# Round-7 rotation.  After composing r01-r06 artifacts, every key is
-# driver-signed EXCEPT the two round-6 reds (VERDICT r6): ab_test (ANSI
-# DIVIDE_BY_ZERO, fixed with try_divide) and mixture_weights (driver-canon
-# hash mismatch, share re-emitted as integer ppm).  Both MUST re-enter the
-# window, plus any queries newly added this round.
-_GATE_NEVER_SIGNED = [
-    "ab_test", "mixture_weights",
-    # round-7 additions (never signed by construction)
-    "cluster_safe_split", "k_anonymity_audit",
+# Round-8 rotation.  Composed r01-r07 artifacts sign all 148 keys — there
+# are no never-signed keys left.  The window now fronts (a) keys whose
+# IMPLEMENTATION changed this round, (b) the keys the r7 window's silent
+# [:50] overflow dropped (round-7 ADVICE: langid_confusion / lsh_recall /
+# minhash_vs_index never entered despite the pad comment promising them),
+# then (c) the stalest signatures: last signed r04, then r05 (see
+# ORACLE_KEYS.md).  r05-stale keys that don't fit this round's 50 carry to
+# round 9: sequence_pack, split_leakage_audit, sql_gold_priority,
+# top_customer_per_nation, triangle_count, user_erasure, value_outliers,
+# vocab_build, weighted_sample, zorder_key.
+_GATE_CHANGED = [
+    # k-anonymity gate now over DISTINCT USERS (n_users < K), not rows
+    "k_anonymity_audit",
+    # surrogate-key sentinel alignment round (functions/keys.py touched)
+    "silver_clean",
+    # streaming fixed-cost work this round (VERDICT r7 weak keys)
+    "stream_dedup", "stream_interval_join", "stateful_sessions",
+    "stream_enrich",
 ]
 
-# Re-confirmation padding fills the window's remainder — keys whose
-# IMPLEMENTATION changed this round first (groupwise_percentile_cont's
-# NULL-exclusion + mirrored oracle predicates; the exact_sum /
-# exact_product_sum / groupwise_ols/corr integer-unit rewrite and every
-# oracle it mirrors), then the stalest keys (last signed r03, then r04 —
-# nothing has re-confirmed them since; see ORACLE_KEYS.md).  Automatically
-# displaced by new keys via the [:50] slice below — never let
-# _GATE_NEVER_SIGNED itself exceed 49.
 _GATE_PAD = [
-    # changed this round: percentile NULL semantics
-    "median_price", "adaptive_quality_filter",
-    # changed this round: integer-unit sufficient-statistic sums
-    "ols_trend", "price_qty_corr",
-    # changed this round: exact_sum / exact_avg / exact_product_sum
-    # consumers (Spark side + mirrored oracle formulas)
-    "daily_summary", "monthly_summary", "zone_summary", "vendor_summary",
-    "payment_summary", "rollup_summary", "cube_summary",
-    "top_revenue_orders", "regional_revenue", "decode_join",
-    "price_quartiles", "moving_avg", "salted_skew_join", "value_anomalies",
-    "daily_gapfill", "cohort_retention", "sliding_window",
-    "tumbling_window", "sessionization", "stateful_sessions",
-    # stalest: last signed r03
-    "bpe_token_count", "dedup_clusters", "funnel", "json_extract",
-    "pivot_status_by_year", "repetition_scores", "train_test_split",
-    # stalest: last signed r04
-    "ann_recall", "append_if_absent", "asof_last_error",
-    "embedding_ivf_topk", "embedding_lsh_topk", "embedding_neardup",
-    "embedding_topk", "exact_dedup", "fingerprints", "hard_negatives",
-    "hash_sample", "inactive_customers", "label_centroids", "lang_id",
+    # dropped from the r7 window by the [:50] overflow — last signed r04
     "langid_confusion", "lsh_recall", "minhash_vs_index",
+    # stalest: last signed r04, never re-confirmed since
+    "skew_profile", "profile_orders", "quality_metrics", "quality_scores",
+    "range_join_incidents", "set_ops", "stratified_sample", "text_stats",
+    "topk_orders", "unique_check", "urgent_customers", "watermark_filter",
+    # stalest: last signed r05 — regressed-in-r7 keys first
+    "scd2_history", "tfidf_terms", "training_corpus",
+    "audio_meta", "bigram_novelty", "binary_meta", "bpe_encode",
+    "bpe_sequence_pack", "cdc_chunks", "cdc_dedup_stats",
+    "cluster_canonical_best", "collocations", "corpus_shuffle",
+    "cross_source_dupes", "decontamination", "dedup_rate_by_source",
+    "doc_chunks", "embedding_quantize", "frame_sample", "image_resize",
+    "jsonl_roundtrip", "kmv_distinct", "markup_strip", "next_token_model",
+    "oov_rate", "pii_redact", "price_histogram", "scd2_hard_delete",
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost
 # the bench warm-up misses lands on a sub-second filter, not on an
 # Arrow/streaming pipeline whose timing the judge compares round-over-round
 # (window MEMBERSHIP, not order, decides what the driver gate signs)
-_GATE_FRONT = (["month_filter"] + _GATE_NEVER_SIGNED + _GATE_PAD)[:50]
+_GATE_FRONT = ["month_filter"] + _GATE_CHANGED + _GATE_PAD
+# the r7 window silently dropped its last 3 pad keys via an unchecked
+# [:50] slice; fail LOUDLY instead so the list always documents exactly
+# what the driver gate will sign
+assert len(_GATE_FRONT) == 50, (
+    f"_GATE_FRONT must list exactly the 50-key driver window, got "
+    f"{len(_GATE_FRONT)} — trim/extend the pad explicitly"
+)
 
 
 def warm_persisted(spark: SparkSession, sf_dir: str) -> None:

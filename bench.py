@@ -17,9 +17,32 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _buffcache_gb() -> float | None:
+    """Page-cache size (GiB) from /proc/meminfo — the cold-vs-warm tell.
+
+    The sandbox drops the page cache between driver turns; a cold run
+    reads every parquet byte from disk and lands 20-60% slower on
+    scan-bound queries (round-7 VERDICT: a 182s cold artifact masqueraded
+    as a regression vs 155-166s warm locals).  Recording the cache state
+    in the artifact makes a cold number self-identifying."""
+    try:
+        kb = {}
+        with open("/proc/meminfo") as f:
+            for line in f:
+                parts = line.split()
+                kb[parts[0].rstrip(":")] = int(parts[1])
+        return round((kb.get("Buffers", 0) + kb.get("Cached", 0))
+                     / (1024 * 1024), 2)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # capture BEFORE the warm-up passes touch any file: the process-start
+    # page-cache size is the "was this box cold?" tell
+    buffcache_start = _buffcache_gb()
 
     import __spark_entry__ as entrymod
     from pyspark.sql import functions as F
@@ -78,12 +101,22 @@ def main() -> None:
     except Exception:
         pass  # best-effort; the timed run surfaces real errors
 
+    # best-of-N (SPARK_GRAFT_BENCH_REPEATS, default 1): repeat the whole
+    # registry pass and keep each query's fastest time — run-to-run noise
+    # at sf0.1 measured +-7% (PROGRESS r7), so a single pass cannot
+    # distinguish a 10% regression from jitter.  Whole-registry rounds
+    # (not per-query back-to-back repeats) so repeat k of query q never
+    # free-rides on the JVM/cache residue of repeat k-1 of the same query.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
     timings: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(repeats):
+        for name, fn in entrymod.queries().items():
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
     compact = {k: round(v, 2) for k, v in timings.items()}
@@ -93,6 +126,16 @@ def main() -> None:
         "unit": "sec",
         "queries": compact,
         "sf": float(sf),
+        # self-describing run conditions (round-7 VERDICT #3): a cold-cache
+        # artifact or single-shot run can no longer masquerade as a warm
+        # best-of-N regression baseline
+        "env": {
+            "buffcache_gb_start": buffcache_start,
+            "buffcache_gb_end": _buffcache_gb(),
+            "repeats_best_of": repeats,
+            "compile_warm": warm_dir not in ("0", ""),
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+        },
     }
     full_line = json.dumps(full, separators=(",", ":"))
 

@@ -1,8 +1,9 @@
 """Surrogate-key derivation (reference F8).
 
 The reference builds ``unique_trip_id`` as
-``md5(COALESCE(CAST(col AS VARCHAR), default) || '-' || ...)`` over 7 columns
-(``dbt/nyc_taxi/models/silver/silver_yellow_tripdata.sql:72-80``).
+``md5(COALESCE(CAST(col AS VARCHAR), default) || COALESCE(...) || ...)``
+— bare concatenation, sentinel defaults ``'-1'`` / ``'1900-01-01'`` / ``'0'``
+— over 7 columns (``dbt/nyc_taxi/models/silver/silver_yellow_tripdata.sql:72-80``).
 
 Cast-formatting parity (SURVEY section 7.4): Postgres and Spark agree on
 ``1.5 -> '1.5'`` but integer-valued doubles render ``'2'`` vs ``'2.0'``.  To
@@ -25,10 +26,11 @@ def surrogate_key(
     sep: str = "-",
     timestamp_cols: set[str] | None = None,
 ) -> Column:
-    """md5 over the '-'-joined normalized string renderings of ``cols``.
+    """md5 over the ``sep``-joined normalized string renderings of ``cols``.
 
     ``defaults`` supplies the per-column COALESCE fallback string (the
-    reference uses sentinels like ``'0'`` / ``'1970-01-01'``).
+    reference uses sentinels ``'-1'`` / ``'1900-01-01'`` / ``'0'`` and
+    joins with bare concatenation, i.e. ``sep=""``).
     """
     parts: list[Column] = []
     for i, col in enumerate(cols):

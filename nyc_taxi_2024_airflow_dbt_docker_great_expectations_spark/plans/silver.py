@@ -37,7 +37,10 @@ SURROGATE_COLS = [
     "passenger_count",
     "trip_distance",
 ]
-SURROGATE_DEFAULTS = ["0", "1970-01-01 00:00:00", "1970-01-01 00:00:00", "0", "0", "0", "0"]
+# NULL sentinels exactly as the reference writes them
+# (silver_yellow_tripdata.sql:73-79): '-1' for the id columns,
+# bare-date '1900-01-01' for the timestamps, '0' for the measures.
+SURROGATE_DEFAULTS = ["-1", "1900-01-01", "1900-01-01", "-1", "-1", "0", "0"]
 
 CLEANED_MONEY = [
     "fare_amount",
@@ -74,9 +77,12 @@ def silver_trips(bronze: DataFrame, target: DataFrame | None = None) -> DataFram
             "trip_duration_minutes"
         ),
         *[abs_coalesce_zero(c).alias(c) for c in CLEANED_MONEY],
+        # sep="" — the reference concatenates with bare `||`
+        # (silver_yellow_tripdata.sql:72-80), no separator between parts
         surrogate_key(
             SURROGATE_COLS,
             SURROGATE_DEFAULTS,
+            sep="",
             timestamp_cols={"tpep_pickup_datetime", "tpep_dropoff_datetime"},
         ).alias("unique_trip_id"),
     )

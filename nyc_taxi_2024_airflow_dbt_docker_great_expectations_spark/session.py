@@ -81,9 +81,13 @@ def get_spark(
         # budget — see default_driver_memory
         .config("spark.driver.memory", default_driver_memory())
         .config("spark.sql.session.timeZone", "UTC")
-        # perf-only: semantics are ANSI-neutral; see module docstring
-        .config("spark.sql.ansi.enabled",
-                os.environ.get("SPARK_GRAFT_ANSI", "false"))
+        # perf-only: semantics are ANSI-neutral; see module docstring.
+        # Normalize the env var to a strict 'true'/'false' — values like
+        # '1', 'TRUE ', or 'yes' would otherwise reach the conf verbatim
+        # and fail lazily at the first query instead of at session build.
+        .config("spark.sql.ansi.enabled", str(
+            os.environ.get("SPARK_GRAFT_ANSI", "false").strip().lower()
+            in ("true", "1", "yes", "on")).lower())
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -126,3 +126,60 @@ def test_token_drift_chisq_zero_for_identical_distribution(spark):
     # (conformers' chisq scales with their mass — b carries 2x a's
     # tokens — but the divergent feed dominates both)
     assert got2["c"] > 5 * max(got2["a"], got2["b"]) > 0.0
+
+
+def test_groupwise_percentile_cont_null_values(spark):
+    """Round-7 regression class, locked (VERDICT r7 nit 2): NULL val_col
+    rows must be excluded BEFORE ranking — counted in neither n_items nor
+    the row_number order (Spark windows sort NULLS FIRST, DuckDB ROW_NUMBER
+    NULLS LAST, so a NULL that survives to the window makes the quantile
+    engine-dependent).  Fixture plants NULLs mid-group plus one all-NULL
+    group; expectations are hand-computed ANSI PERCENTILE_CONT and
+    cross-checked against DuckDB on the same rows."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        groupwise_percentile_cont,
+    )
+
+    rows = [
+        ("a", 1.0), ("a", None), ("a", 2.0), ("a", 3.0), ("a", 10.0),
+        ("b", None), ("b", None), ("b", 5.0),   # single non-null value
+        ("c", None), ("c", None),               # all-NULL group: no output row
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    q = {"p25": 0.25, "median": 0.5, "p75": 0.75}
+    got = {r["g"]: r for r in
+           groupwise_percentile_cont(df, "g", "v", q).collect()}
+
+    # group a: non-null [1,2,3,10], n=4; pos = q*(n-1)
+    assert got["a"]["n_items"] == 4
+    assert got["a"]["p25"] == 1.75     # pos 0.75 -> 1 + (2-1)*0.75
+    assert got["a"]["median"] == 2.5   # pos 1.5  -> 2 + (3-2)*0.5
+    assert got["a"]["p75"] == 4.75     # pos 2.25 -> 3 + (10-3)*0.25
+    # group b: one non-null value — every quantile is that value
+    assert got["b"]["n_items"] == 1
+    assert (got["b"]["p25"], got["b"]["median"], got["b"]["p75"]) == (5.0, 5.0, 5.0)
+    # group c: nothing to rank -> no row (PERCENTILE_CONT over empty set)
+    assert "c" not in got
+
+    # engine == oracle on the identical rows (the driver-gate shape)
+    import duckdb
+    oracle = {
+        g: (n, p25, med, p75)
+        for g, n, p25, med, p75 in duckdb.sql(
+            """
+            SELECT g, COUNT(v) AS n_items,
+                   PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY v),
+                   PERCENTILE_CONT(0.5)  WITHIN GROUP (ORDER BY v),
+                   PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY v)
+            FROM (SELECT g, CAST(v AS DOUBLE) AS v  -- VALUES infers DECIMAL
+                  FROM (VALUES ('a',1.0),('a',NULL),('a',2.0),('a',3.0),
+                               ('a',10.0),('b',NULL),('b',NULL),('b',5.0),
+                               ('c',NULL),('c',NULL)) t(g, v)) t
+            GROUP BY g HAVING COUNT(v) > 0
+            """
+        ).fetchall()
+    }
+    assert set(oracle) == set(got)
+    for g, (n, p25, med, p75) in oracle.items():
+        assert got[g]["n_items"] == n
+        assert (got[g]["p25"], got[g]["median"], got[g]["p75"]) == (p25, med, p75)

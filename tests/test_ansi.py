@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -56,18 +57,39 @@ def test_query_runs_under_ansi(ansi_spark, key):
     df.collect()  # crash = regression; values are the oracle gate's job
 
 
-@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
-def test_ab_test_zero_denominator_yields_null(ansi_spark):
+def test_ab_test_zero_denominator_yields_null(ansi_spark, tmp_path):
     """The exact round-6 crash shape: every user on both sides converted
-    (pooled rate 1.0, z denominator exactly 0.0) must yield NULL, not
-    DIVIDE_BY_ZERO — matching the DuckDB oracle's division semantics."""
+    (pooled rate exactly 1.0, z denominator exactly 0.0) must yield NULL,
+    not DIVIDE_BY_ZERO — matching the DuckDB oracle's division semantics.
+
+    The fixture is SYNTHETIC so the assertion is unconditional: the old
+    form only asserted when the sf0.001 data happened to produce a
+    unanimous side, i.e. it could vacuously pass while the regression it
+    documents came back (round-7 ADVICE)."""
     import __spark_entry__ as entry
 
-    rows = entry.queries()["ab_test"](ansi_spark, SF_DIR).collect()
-    assert len(rows) == 1
-    r = rows[0]
-    if r["rate0"] == r["rate1"] and r["rate0"] in (0.0, 1.0):
-        assert r["z_score"] is None
+    # two users, one per variant (parity split), both convert
+    rows = [
+        (1, "2024-01-01 09:00:00", 10, "purchase", 1.0, "{}"),
+        (2, "2024-01-01 09:01:00", 11, "purchase", 2.0, "{}"),
+        (3, "2024-01-01 09:02:00", 10, "click", 0.0, "{}"),
+    ]
+    ev = ansi_spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    sf_dir = str(tmp_path)
+    ev.write.parquet(f"{sf_dir}/events.parquet")
+
+    out = entry.queries()["ab_test"](ansi_spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["rate0"], r["rate1"]) == (1.0, 1.0)
+    assert r["z_score"] is None  # try_divide on the 0.0 denominator
 
 
 def test_lossy_int_coercion_is_ansi_neutral(ansi_spark):
