@@ -3324,17 +3324,22 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combine collapses the event mass before the exchange), a
     post-agg HAVING; output is bounded by the number of RARE combos, not
     the event volume.  All-integer output — engine-exact."""
-    ev = _t(spark, sf_dir, "events")
-    qi = ev.groupBy(
-        F.col("event_type"),
-        F.to_date("ts").alias("day"),
-        F.floor(F.col("value") / F.lit(10.0)).cast("int")
-        .alias("value_bucket"),
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.count_distinct("user_id").cast("long").alias("n_users"),
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.privacy import (
+        k_anonymity_violations,
     )
-    return qi.filter(F.col("n_users") < K_ANON)
+
+    ev = _t(spark, sf_dir, "events")
+    return k_anonymity_violations(
+        ev,
+        [
+            F.col("event_type"),
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") / F.lit(10.0)).cast("int")
+            .alias("value_bucket"),
+        ],
+        user_col="user_id",
+        k=K_ANON,
+    )
 
 
 ORACLE_K_ANONYMITY = f"""
@@ -3346,6 +3351,130 @@ SELECT event_type,
 FROM events
 GROUP BY 1, 2, 3
 HAVING COUNT(DISTINCT user_id) < {K_ANON}
+"""
+
+
+L_DIVERSE = 3  # minimum distinct sensitive values per released QI combo
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (extensions/privacy.py:l_diversity_violations) —
+    the attribute-disclosure gate k-anonymity misses: a (day, value
+    bucket) combo can be shared by plenty of users who all performed the
+    SAME action, so knowing someone is in the group discloses their
+    event_type.  Flags combos with fewer than ``L_DIVERSE`` distinct
+    sensitive values.  Same single hash-aggregate scale shape as
+    `k_anonymity_audit`; all-integer output — engine-exact."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.privacy import (
+        l_diversity_violations,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return l_diversity_violations(
+        ev,
+        [
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") / F.lit(10.0)).cast("int")
+            .alias("value_bucket"),
+        ],
+        sensitive_col="event_type",
+        user_col="user_id",
+        l=L_DIVERSE,
+    )
+
+
+ORACLE_L_DIVERSITY = f"""
+SELECT CAST(ts AS DATE) AS day,
+       CAST(floor(value / 10.0) AS INTEGER) AS value_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_sensitive
+FROM events
+GROUP BY 1, 2
+HAVING COUNT(DISTINCT event_type) < {L_DIVERSE}
+"""
+
+
+GEN_WIDTHS = [10, 50, 100, 500, 1000]  # candidate value-bucket widths
+
+
+def q_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalize-until-anonymous (extensions/privacy.py:
+    generalization_ladder): for each candidate coarsening width of the
+    value quasi-identifier, is QI = (event_type, floor(value/width))
+    k-anonymous over distinct users?  The releaser picks the smallest
+    passing width — here the ladder flips to anonymous between width 100
+    and 500.  ONE job audits the whole ladder: the widths expand each
+    row 5-fold ahead of a single partial/final hash aggregate (map-side
+    combine collapses to group cardinality immediately), then a
+    |widths|-row reduce — never one scan per width."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.privacy import (
+        generalization_ladder,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return generalization_ladder(
+        ev, cat_col="event_type", value_col="value", user_col="user_id",
+        widths=GEN_WIDTHS, k=K_ANON,
+    )
+
+
+ORACLE_GENERALIZATION_LADDER = f"""
+WITH widths AS (
+  SELECT unnest(ARRAY{GEN_WIDTHS}) AS width
+),
+groups AS (
+  SELECT w.width, e.event_type,
+         CAST(floor(e.value / w.width) AS BIGINT) AS bucket,
+         COUNT(DISTINCT e.user_id) AS group_users
+  FROM events e CROSS JOIN widths w
+  GROUP BY 1, 2, 3
+)
+SELECT width,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(group_users) AS BIGINT) AS min_group_users,
+       MIN(group_users) >= {K_ANON} AS k_anonymous
+FROM groups
+GROUP BY width
+"""
+
+
+TRUNC_BUDGET = 48  # context-window token budget for the loss audit
+
+
+def q_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation accounting (extensions/text.py:
+    truncation_loss): per source, the tokens lost if every document is
+    clipped to ``TRUNC_BUDGET`` whitespace tokens — the number that
+    decides raise-the-window vs chunk vs drop-the-tail, computed before
+    paying for tokenize-and-truncate at corpus scale.  One hash
+    aggregate keyed on source; counts integer-exact, the loss ratio is
+    one double division of exact longs (try_divide: a source of empty
+    docs yields NULL, not an ANSI crash)."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        truncation_loss,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return truncation_loss(docs, budget=TRUNC_BUDGET, group_col="source")
+
+
+ORACLE_TRUNCATION_LOSS = f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len({DUCK_TOKS}) AS BIGINT) AS toks,
+         CAST(greatest(len({DUCK_TOKS}) - {TRUNC_BUDGET}, 0) AS BIGINT)
+             AS lost
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN lost > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+       CAST(SUM(toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(lost) AS BIGINT) AS lost_tokens,
+       CAST(SUM(lost) AS DOUBLE) / CAST(SUM(toks) AS DOUBLE) AS loss_ratio
+FROM per_doc
+GROUP BY source
 """
 
 
@@ -7249,6 +7378,8 @@ FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOPK}
 # top_customer_per_nation, triangle_count, user_erasure, value_outliers,
 # vocab_build, weighted_sample, zorder_key.
 _GATE_CHANGED = [
+    # round-8 additions (never signed by construction)
+    "l_diversity_audit", "generalization_ladder", "truncation_loss",
     # k-anonymity gate now over DISTINCT USERS (n_users < K), not rows
     "k_anonymity_audit",
     # surrogate-key sentinel alignment round (functions/keys.py touched)
@@ -7273,7 +7404,10 @@ _GATE_PAD = [
     "cross_source_dupes", "decontamination", "dedup_rate_by_source",
     "doc_chunks", "embedding_quantize", "frame_sample", "image_resize",
     "jsonl_roundtrip", "kmv_distinct", "markup_strip", "next_token_model",
-    "oov_rate", "pii_redact", "price_histogram", "scd2_hard_delete",
+    "oov_rate",
+    # (pii_redact, price_histogram, scd2_hard_delete displaced by the three
+    # round-8 additions — carried to the round-9 pad with the other
+    # r05-stale leftovers)
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost
@@ -7382,6 +7516,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "user_erasure": q_user_erasure,
         "k_anonymity_audit": q_k_anonymity_audit,
+        "l_diversity_audit": q_l_diversity_audit,
+        "generalization_ladder": q_generalization_ladder,
+        "truncation_loss": q_truncation_loss,
         "funnel": q_funnel,
         "dedup_clusters": q_dedup_clusters,
         "train_test_split": q_train_test_split,
@@ -7535,6 +7672,9 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": ORACLE_JSONL_ROUNDTRIP,
         "user_erasure": ORACLE_USER_ERASURE,
         "k_anonymity_audit": ORACLE_K_ANONYMITY,
+        "l_diversity_audit": ORACLE_L_DIVERSITY,
+        "generalization_ladder": ORACLE_GENERALIZATION_LADDER,
+        "truncation_loss": ORACLE_TRUNCATION_LOSS,
         "funnel": ORACLE_FUNNEL,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "train_test_split": ORACLE_TRAIN_TEST_SPLIT,

@@ -1085,3 +1085,44 @@ def cdc_chunks(df: DataFrame, text_col: str = "text",
         F.md5("chunk_text").alias("chunk_md5"),
         "chunk_text",
     )
+
+
+def truncation_loss(df: DataFrame, budget: int, group_col: str = "source",
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-group context-window truncation accounting: if every document
+    is clipped to ``budget`` tokens, how many tokens does each source
+    lose?  The number that decides whether to raise the window, chunk
+    long docs (:func:`chunk_documents`), or drop the tail — computed in
+    the engine BEFORE paying for tokenization-and-truncation at scale.
+
+    Output per group: ``n_docs``, ``n_over`` (docs over budget),
+    ``total_tokens``, ``lost_tokens`` (sum of each doc's excess), and
+    ``loss_ratio`` = lost/total (NULL on an empty group's 0/0 rather
+    than a crash under ANSI).  All counts integer-exact; the ratio is
+    ONE double division of two exact longs — bit-identical on any
+    engine.
+
+    Scale shape: one partial/final hash aggregate keyed on the group —
+    the per-doc token count and excess fold map-side, so the exchange
+    carries |groups| rows.
+    """
+    n = token_count(text_col)
+    excess = F.greatest(n - F.lit(int(budget)), F.lit(0))
+    per_doc = df.select(
+        F.col(group_col),
+        n.cast("long").alias("__toks"),
+        excess.cast("long").alias("__lost"),
+    )
+    agg = per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("__lost") > 0).cast("long")).cast("long")
+        .alias("n_over"),
+        F.sum("__toks").cast("long").alias("total_tokens"),
+        F.sum("__lost").cast("long").alias("lost_tokens"),
+    )
+    return agg.withColumn(
+        "loss_ratio",
+        F.try_divide(F.col("lost_tokens").cast("double"),
+                     F.col("total_tokens").cast("double")),
+    )

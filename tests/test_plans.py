@@ -301,3 +301,29 @@ def test_source_quality_cap_plan_is_windowed_topk(spark):
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_privacy_ladder_is_single_pass_no_join(spark):
+    """generalization_ladder audits every width in ONE aggregate pass over
+    the widths-expansion (Generate/explode), never per-width scans or a
+    widths CROSS JOIN: no join operator of any kind in the plan, exactly
+    one parquet scan, and a partial/final HashAggregate pair so the
+    exchange carries group cardinality, not |rows| x |widths|."""
+    plan = _plan(entry.queries()["generalization_ladder"](spark, SF))
+    assert "Generate explode" in plan
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                "SortMergeJoin", "BroadcastHashJoin"):
+        assert bad not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "partial_count(distinct" in plan or "HashAggregate" in plan
+
+
+def test_privacy_audits_aggregate_before_filter(spark):
+    """k-anonymity / l-diversity gates are post-aggregation HAVINGs over
+    ONE hash aggregate keyed on the QI tuple — a single scan each, no
+    joins, no window (the output is bounded by rare-combo count, so any
+    join/window here would be a scale smell)."""
+    for key in ("k_anonymity_audit", "l_diversity_audit"):
+        plan = _plan(entry.queries()[key](spark, SF))
+        assert plan.count("Scan parquet") == 1
+        assert "Join" not in plan and "Window" not in plan
