@@ -800,7 +800,16 @@ def _run_stream(spark: SparkSession, build, name: str,
     pinned (UTC zone, nanosAsLong for the ns-physical testdata,
     state-sized shuffle partitions — one state-store instance + Python
     worker per shuffle partition, so toy state wants far fewer than the
-    batch default of 32)."""
+    batch default of 32).
+
+    State-store backend: ``SPARK_GRAFT_STATE_STORE=rocksdb`` switches the
+    run to Spark's RocksDB provider — the production choice once state
+    outgrows executor heap (the default HDFS-backed provider keeps every
+    partition's state map IN MEMORY; at 100 TB-scale streaming state
+    that is the first thing to fall over).  Results are provider-
+    independent (pytest-asserted parity); the default stays HDFS-backed
+    locally because RocksDB's JNI/compaction overhead only pays for
+    itself beyond toy state sizes."""
     import atexit
     import os
     import shutil
@@ -809,6 +818,16 @@ def _run_stream(spark: SparkSession, build, name: str,
     if not _STREAM_RUN_DIRS:
         atexit.register(_cleanup_stream_dirs)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider")
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").strip().lower() \
+            == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
     prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong",
                                 "false")
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
@@ -846,6 +865,8 @@ def _run_stream(spark: SparkSession, build, name: str,
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
                        prev_nodata)
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                       prev_provider)
         shutil.rmtree(ckpt, ignore_errors=True)
     prev_dir = _STREAM_RUN_DIRS.pop(name, None)
     if prev_dir:

@@ -98,3 +98,51 @@ def test_dedup_stream_first_arrival_across_batches(spark, tmp_warehouse):
         (1, "click"), (2, "view")
     }
     assert len(out) == 2  # the batch-2 duplicate was dropped by state
+
+
+def test_rocksdb_state_store_provider_parity(spark, tmp_warehouse):
+    """The RocksDB state-store provider (the production backend once
+    streaming state outgrows executor heap — the default HDFS-backed
+    provider holds each partition's whole state map in memory) must emit
+    exactly the default provider's rows.  Runs the same two-batch
+    first-arrival dedup under both providers and compares the full
+    output sets."""
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = ("org.apache.spark.sql.execution.streaming.state."
+               "RocksDBStateStoreProvider")
+    rows1 = [(1, "2024-01-01 08:00:00", "click", 1.0)]
+    rows2 = [
+        (1, "2024-01-01 08:02:00", "click", 9.0),   # dup within horizon
+        (2, "2024-01-01 08:02:30", "view", 5.0),
+    ]
+
+    def run(tag, provider):
+        src = os.path.join(tmp_warehouse, f"ev_{tag}")
+        sink = os.path.join(tmp_warehouse, f"out_{tag}")
+        ck = os.path.join(tmp_warehouse, f"ck_{tag}")
+        prev = spark.conf.get(provider_conf,
+                              "org.apache.spark.sql.execution.streaming."
+                              "state.HDFSBackedStateStoreProvider")
+        if provider:
+            spark.conf.set(provider_conf, provider)
+        try:
+            for i, rows in enumerate((rows1, rows2)):
+                _write(spark, src, rows,
+                       mode="overwrite" if i == 0 else "append")
+                q = (dedup_stream(
+                        spark.readStream.schema(SCHEMA).parquet(src),
+                        keys=["user_id", "event_type"], ts_col="ts",
+                        watermark="10 minutes")
+                     .writeStream.format("parquet").option("path", sink)
+                     .option("checkpointLocation", ck)
+                     .trigger(availableNow=True).start())
+                q.awaitTermination(120)
+        finally:
+            spark.conf.set(provider_conf, prev)
+        return {(r["user_id"], r["event_type"], str(r["ts"]), r["value"])
+                for r in spark.read.parquet(sink).collect()}
+
+    default_out = run("hdfs", None)
+    rocksdb_out = run("rocks", rocksdb)
+    assert rocksdb_out == default_out
+    assert {(u, e) for u, e, *_ in default_out} == {(1, "click"), (2, "view")}
