@@ -469,3 +469,54 @@ def test_ngram_pairs_collapse_matches_bruteforce(spark, texts):
            for r in ngram_jaccard_pairs(df, k=2, threshold=0.5).collect()}
     want = _brute_jaccard_pairs(texts, 2, 0.5)
     assert got == want
+
+
+privacy_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),     # user_id (collisions)
+        st.sampled_from(["a", "b", "c"]),          # sensitive action
+        st.integers(min_value=0, max_value=59),    # value
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=privacy_rows)
+def test_privacy_gates_match_bruteforce(spark, rows):
+    """k-anonymity and l-diversity violations equal a brute-force python
+    recompute on arbitrary small inputs: the flagged QI set is exactly
+    {bucket : |users| < K} / {bucket : |sensitive values| < L}, and the
+    per-group counts are exact."""
+    from collections import defaultdict
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.privacy import (
+        k_anonymity_violations,
+        l_diversity_violations,
+    )
+
+    K, L = 3, 2
+    df = spark.createDataFrame(
+        rows, "user_id long, action string, value long")
+    qi = [(F.col("value") / 10).cast("int").alias("bucket")]
+
+    users, actions, nrows = (defaultdict(set), defaultdict(set),
+                             defaultdict(int))
+    for u, a, v in rows:
+        b = v // 10
+        users[b].add(u); actions[b].add(a); nrows[b] += 1
+
+    got_k = {r["bucket"]: (r["n_rows"], r["n_users"])
+             for r in k_anonymity_violations(df, qi, "user_id", k=K).collect()}
+    want_k = {b: (nrows[b], len(users[b]))
+              for b in users if len(users[b]) < K}
+    assert got_k == want_k
+
+    got_l = {r["bucket"]: (r["n_rows"], r["n_users"], r["n_sensitive"])
+             for r in l_diversity_violations(
+                 df, qi, sensitive_col="action", user_col="user_id",
+                 l=L).collect()}
+    want_l = {b: (nrows[b], len(users[b]), len(actions[b]))
+              for b in actions if len(actions[b]) < L}
+    assert got_l == want_l
