@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def _qi(df: DataFrame, qi_cols: list[Column | str]) -> list[Column]:
+def _qi(qi_cols: list[Column | str]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in qi_cols]
 
 
@@ -45,7 +45,7 @@ def k_anonymity_violations(df: DataFrame, qi_cols: list[Column | str],
     since n_users <= n_rows).  Output: the QI columns plus ``n_rows``
     and ``n_users``."""
     return (
-        df.groupBy(*_qi(df, qi_cols))
+        df.groupBy(*_qi(qi_cols))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.count_distinct(F.col(user_col)).cast("long").alias("n_users"),
@@ -66,7 +66,7 @@ def l_diversity_violations(df: DataFrame, qi_cols: list[Column | str],
     one aggregate (Spark plans multi-distinct via expand, still one
     shuffle keyed on the QI tuple)."""
     return (
-        df.groupBy(*_qi(df, qi_cols))
+        df.groupBy(*_qi(qi_cols))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.count_distinct(F.col(user_col)).cast("long").alias("n_users"),
