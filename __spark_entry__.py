@@ -3499,6 +3499,48 @@ GROUP BY source
 """
 
 
+MANIFEST_SHARDS = 16  # shard count for the release-manifest audit
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release manifest (extensions/packing.py:shard_manifest):
+    per hash-assigned shard, counts plus an order-independent BIT_XOR
+    content signature over (id, md5(text)) — the artifact a consumer
+    recomputes to verify their copy of a training-data drop byte-for-
+    byte, without ordering assumptions.  ONE partial/final hash
+    aggregate keyed on shard_id: XOR folds map-side with O(1) state, so
+    the exchange carries |shards| rows at any corpus size.  The md5/XOR
+    hash family is engine-portable, hence the exact SQL oracle."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import (
+        shard_manifest,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_manifest(docs, n_shards=MANIFEST_SHARDS)
+
+
+ORACLE_SHARD_MANIFEST = f"""
+WITH per_doc AS (
+  SELECT CAST(CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+                    1, 8)) AS BIGINT) % {MANIFEST_SHARDS} AS INTEGER)
+             AS shard_id,
+         doc_id,
+         CAST(len({DUCK_TOKS}) AS BIGINT) AS toks,
+         CAST(('0x' || substr(md5('sig:' || CAST(doc_id AS VARCHAR) || ':'
+                              || md5(text)), 1, 15)) AS BIGINT) AS sig
+  FROM documents
+)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS total_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+       CAST(bit_xor(sig) AS BIGINT) AS content_sig
+FROM per_doc
+GROUP BY shard_id
+"""
+
+
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL corpus ingest (the de-facto training-data interchange format):
     documents serialize to line-delimited JSON and read back through
@@ -7401,6 +7443,7 @@ FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOPK}
 _GATE_CHANGED = [
     # round-8 additions (never signed by construction)
     "l_diversity_audit", "generalization_ladder", "truncation_loss",
+    "shard_manifest",
     # k-anonymity gate now over DISTINCT USERS (n_users < K), not rows
     "k_anonymity_audit",
     # surrogate-key sentinel alignment round (functions/keys.py touched)
@@ -7425,10 +7468,9 @@ _GATE_PAD = [
     "cross_source_dupes", "decontamination", "dedup_rate_by_source",
     "doc_chunks", "embedding_quantize", "frame_sample", "image_resize",
     "jsonl_roundtrip", "kmv_distinct", "markup_strip", "next_token_model",
-    "oov_rate",
-    # (pii_redact, price_histogram, scd2_hard_delete displaced by the three
-    # round-8 additions — carried to the round-9 pad with the other
-    # r05-stale leftovers)
+    # (oov_rate, pii_redact, price_histogram, scd2_hard_delete displaced by
+    # the four round-8 additions — carried to the round-9 pad with the
+    # other r05-stale leftovers)
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost
@@ -7540,6 +7582,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity_audit": q_l_diversity_audit,
         "generalization_ladder": q_generalization_ladder,
         "truncation_loss": q_truncation_loss,
+        "shard_manifest": q_shard_manifest,
         "funnel": q_funnel,
         "dedup_clusters": q_dedup_clusters,
         "train_test_split": q_train_test_split,
@@ -7696,6 +7739,7 @@ def oracle_sql() -> dict[str, str]:
         "l_diversity_audit": ORACLE_L_DIVERSITY,
         "generalization_ladder": ORACLE_GENERALIZATION_LADDER,
         "truncation_loss": ORACLE_TRUNCATION_LOSS,
+        "shard_manifest": ORACLE_SHARD_MANIFEST,
         "funnel": ORACLE_FUNNEL,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "train_test_split": ORACLE_TRAIN_TEST_SPLIT,

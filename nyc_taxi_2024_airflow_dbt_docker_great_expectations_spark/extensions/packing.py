@@ -279,3 +279,56 @@ def write_training_shards(df: DataFrame, path: str,
     # re-listing and re-scanning everything just written
     top = out.agg(F.max("pos").alias("m")).first()["m"]
     return 0 if top is None else int(top) // int(rows_per_shard) + 1
+
+
+def shard_manifest(df: DataFrame, n_shards: int, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Release manifest for a hash-sharded corpus drop: per shard, the
+    counts and an ORDER-INDEPENDENT content signature a consumer can
+    recompute to verify their copy — the reproducibility primitive
+    behind "did we both load the same data?" for multi-site training.
+
+    - ``shard_id`` = md5-derived hash of the id mod ``n_shards``
+      (content-independent routing: a doc's shard never changes when
+      text is cleaned, so manifests across pipeline versions align).
+    - ``content_sig`` = BIT_XOR over a per-row 60-bit signature of
+      (id, md5(text)).  XOR is commutative/associative with O(1)
+      aggregation state, so the signature is independent of row order,
+      partitioning, and engine — and any single flipped/missing/extra
+      row changes it.  (A sum would need overflow handling; a sorted
+      concat would need per-group materialization.  XOR needs neither.)
+    - token totals are integer-exact.
+
+    Scale shape: ONE partial/final hash aggregate keyed on shard_id —
+    map-side combine folds every per-row signature/count immediately, so
+    the exchange carries ``n_shards`` rows regardless of corpus size.
+    """
+    from .text import token_count
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    sid = F.col(id_col).cast("string")
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("shard:"), sid)), 1, 8),
+               16, 10).cast("long") % F.lit(int(n_shards))
+    ).cast("int")
+    sig = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("sig:"), sid, F.lit(":"),
+                           F.md5(F.col(text_col)))),
+            1, 15),
+        16, 10,
+    ).cast("long")
+    per_doc = df.select(
+        shard.alias("shard_id"),
+        F.col(id_col).alias("__id"),
+        token_count(text_col).cast("long").alias("__toks"),
+        sig.alias("__sig"),
+    )
+    return per_doc.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__toks").cast("long").alias("total_tokens"),
+        F.min("__id").cast("long").alias("min_doc_id"),
+        F.max("__id").cast("long").alias("max_doc_id"),
+        F.expr("bit_xor(__sig)").cast("long").alias("content_sig"),
+    )

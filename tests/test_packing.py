@@ -143,3 +143,38 @@ def test_write_training_shards_deterministic(spark, tmp_warehouse):
     a = sorted(map(tuple, spark.read.parquet(p1).collect()))
     b = sorted(map(tuple, spark.read.parquet(p2).collect()))
     assert a == b
+
+
+def test_shard_manifest_detects_single_row_tamper(spark):
+    """The XOR content signature is order-independent but any one changed
+    row flips exactly its shard's signature: recompute after editing one
+    doc's text and after shuffling row order; the shuffled manifest is
+    identical, the tampered one differs ONLY in the tampered doc's
+    shard."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import (
+        shard_manifest,
+    )
+
+    rows = [(i, f"doc text number {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {r["shard_id"]: r for r in shard_manifest(df, 4).collect()}
+
+    # row order / partitioning must not matter
+    shuffled = df.orderBy(F.rand(7)).repartition(7)
+    again = {r["shard_id"]: r for r in shard_manifest(shuffled, 4).collect()}
+    assert {k: tuple(v) for k, v in base.items()} == {
+        k: tuple(v) for k, v in again.items()}
+
+    # tamper with one doc's text -> only its shard's signature changes
+    tampered_rows = [(i, t if i != 17 else t + " TAMPERED")
+                     for i, t in rows]
+    tam = {r["shard_id"]: r for r in shard_manifest(
+        spark.createDataFrame(tampered_rows, "doc_id long, text string"),
+        4).collect()}
+    changed = [s for s in base
+               if base[s]["content_sig"] != tam[s]["content_sig"]]
+    assert len(changed) == 1
+    # counts are text-independent; the tampered shard's doc count holds
+    s = changed[0]
+    assert tam[s]["n_docs"] == base[s]["n_docs"]
+    assert tam[s]["total_tokens"] == base[s]["total_tokens"] + 1
