@@ -3493,7 +3493,8 @@ SELECT source,
        CAST(SUM(CASE WHEN lost > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
        CAST(SUM(toks) AS BIGINT) AS total_tokens,
        CAST(SUM(lost) AS BIGINT) AS lost_tokens,
-       CAST(SUM(lost) AS DOUBLE) / CAST(SUM(toks) AS DOUBLE) AS loss_ratio
+       CAST(SUM(lost) AS DOUBLE)
+           / nullif(CAST(SUM(toks) AS DOUBLE), 0) AS loss_ratio
 FROM per_doc
 GROUP BY source
 """
@@ -7430,47 +7431,46 @@ FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOPK}
 # CORRECTNESS artifact rotate to the front; with 68 unsigned keys, round 5
 # signs 50 of them and round 6 the rest.  ORACLE_KEYS.md carries the full
 # key -> (round introduced, signed-where) inventory.
-# Round-8 rotation.  Composed r01-r07 artifacts sign all 148 keys — there
-# are no never-signed keys left.  The window now fronts (a) keys whose
-# IMPLEMENTATION changed this round, (b) the keys the r7 window's silent
-# [:50] overflow dropped (round-7 ADVICE: langid_confusion / lsh_recall /
-# minhash_vs_index never entered despite the pad comment promising them),
-# then (c) the stalest signatures: last signed r04, then r05 (see
-# ORACLE_KEYS.md).  r05-stale keys that don't fit this round's 50 carry to
-# round 9: sequence_pack, split_leakage_audit, sql_gold_priority,
-# top_customer_per_nation, triangle_count, user_erasure, value_outliers,
-# vocab_build, weighted_sample, zorder_key.
+# Round-9 rotation (freshness maintenance — `tools/audit_scorecard.py`
+# prints the latest-green-signature distribution these lists are built
+# from; a pytest asserts the composed scorecard stays consistent).  The
+# window fronts (a) the two keys whose implementation/oracle changed this
+# round (truncation_loss oracle now mirrors try_divide NULL-on-zero via
+# nullif; shard_manifest keeps the natural id type for min/max — both
+# round-9 ADVICE items), (b) every r05-stale signature: the 14 keys the
+# round-8 verdict queued PLUS filter_funnel (also r05, missed by the
+# verdict's list — the audit tool caught it), (c) the alphabetically
+# first 32 of the 40 r06-stale keys.  The remaining 8 r06 keys carry to
+# round 10: simhash_dedup, source_quality_cap, substring_dedup,
+# substring_dedup_dfcut, token_drift, winnow_match, winnow_probe,
+# winnowing.  A green CORRECTNESS_r09 leaves no signature older than 3
+# rounds.
 _GATE_CHANGED = [
-    # round-8 additions (never signed by construction)
-    "l_diversity_audit", "generalization_ladder", "truncation_loss",
+    # oracle changed r9: loss_ratio divisor wrapped in nullif to mirror
+    # Spark try_divide when a group's total_tokens is 0
+    "truncation_loss",
+    # impl changed r9: min_doc_id/max_doc_id no longer cast to long
     "shard_manifest",
-    # k-anonymity gate now over DISTINCT USERS (n_users < K), not rows
-    "k_anonymity_audit",
-    # surrogate-key sentinel alignment round (functions/keys.py touched)
-    "silver_clean",
-    # streaming fixed-cost work this round (VERDICT r7 weak keys)
-    "stream_dedup", "stream_interval_join", "stateful_sessions",
-    "stream_enrich",
 ]
 
 _GATE_PAD = [
-    # dropped from the r7 window by the [:50] overflow — last signed r04
-    "langid_confusion", "lsh_recall", "minhash_vs_index",
-    # stalest: last signed r04, never re-confirmed since
-    "skew_profile", "profile_orders", "quality_metrics", "quality_scores",
-    "range_join_incidents", "set_ops", "stratified_sample", "text_stats",
-    "topk_orders", "unique_check", "urgent_customers", "watermark_filter",
-    # stalest: last signed r05 — regressed-in-r7 keys first
-    "scd2_history", "tfidf_terms", "training_corpus",
-    "audio_meta", "bigram_novelty", "binary_meta", "bpe_encode",
-    "bpe_sequence_pack", "cdc_chunks", "cdc_dedup_stats",
-    "cluster_canonical_best", "collocations", "corpus_shuffle",
-    "cross_source_dupes", "decontamination", "dedup_rate_by_source",
-    "doc_chunks", "embedding_quantize", "frame_sample", "image_resize",
-    "jsonl_roundtrip", "kmv_distinct", "markup_strip", "next_token_model",
-    # (oov_rate, pii_redact, price_histogram, scd2_hard_delete displaced by
-    # the four round-8 additions — carried to the round-9 pad with the
-    # other r05-stale leftovers)
+    # stalest: last signed r05 (all 15 — completes the r8 verdict promise)
+    "filter_funnel", "oov_rate", "pii_redact", "price_histogram",
+    "scd2_hard_delete", "sequence_pack", "split_leakage_audit",
+    "sql_gold_priority", "top_customer_per_nation", "triangle_count",
+    "user_erasure", "value_outliers", "vocab_build", "weighted_sample",
+    "zorder_key",
+    # next-stalest: last signed r06 (first 32 of 40 alphabetically)
+    "bloom_decontamination", "bm25_search", "bm25_vs_index", "bpe_train",
+    "cms_topk", "containment_dedup", "cooccurrence_lift",
+    "curriculum_order", "decayed_engagement", "event_transitions",
+    "exact_quantiles", "fuzzy_match", "hybrid_rrf", "incremental_clusters",
+    "incremental_neardup", "knn_predict", "last_touch_attribution",
+    "length_quartiles", "linear_probe", "lm_coverage", "merge_upsert",
+    "minhash_dedup", "mixture_sample", "neardup_vs_index",
+    "ngram_jaccard_dedup", "overlap_join", "packing_efficiency",
+    "pagerank", "quantization_error", "rank_correlation",
+    "referential_check", "semantic_dedup",
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost

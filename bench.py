@@ -84,7 +84,11 @@ def main() -> None:
     # registry order changes.  Disable with SPARK_GRAFT_BENCH_WARM=0.
     warm_dir = os.environ.get("SPARK_GRAFT_BENCH_WARM",
                               "/root/testdata/sf0.001")
-    if warm_dir not in ("0", "") and os.path.isdir(warm_dir):
+    # single boolean reused for both the pass gate and the artifact so
+    # env.compile_warm can never claim a pass that was silently skipped
+    # (e.g. the warm directory doesn't exist on this box)
+    compile_warm = warm_dir not in ("0", "") and os.path.isdir(warm_dir)
+    if compile_warm:
         for name, fn in entrymod.queries().items():
             try:
                 fn(spark, warm_dir).write.mode("overwrite").format(
@@ -137,7 +141,7 @@ def main() -> None:
             "buffcache_gb_start": buffcache_start,
             "buffcache_gb_end": _buffcache_gb(),
             "repeats_best_of": repeats,
-            "compile_warm": warm_dir not in ("0", ""),
+            "compile_warm": compile_warm,
             "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
         },
     }

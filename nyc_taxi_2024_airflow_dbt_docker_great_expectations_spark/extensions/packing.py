@@ -328,7 +328,9 @@ def shard_manifest(df: DataFrame, n_shards: int, id_col: str = "doc_id",
     return per_doc.groupBy("shard_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("__toks").cast("long").alias("total_tokens"),
-        F.min("__id").cast("long").alias("min_doc_id"),
-        F.max("__id").cast("long").alias("max_doc_id"),
+        # natural id type preserved: a string id yields lexicographic
+        # min/max rather than silently NULLing through a long cast
+        F.min("__id").alias("min_doc_id"),
+        F.max("__id").alias("max_doc_id"),
         F.expr("bit_xor(__sig)").cast("long").alias("content_sig"),
     )

