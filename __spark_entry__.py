@@ -104,7 +104,6 @@ from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.multim
 )
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions import (
     cosine_topk,
-    ivf_topk,
     lsh_topk,
     exact_dedup_keys,
     fingerprints,
@@ -1839,8 +1838,16 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk(emb, qs, k=10).select(
         "query_id", F.col("vec_id").alias("exact_id")
     )
-    approx = ivf_topk(emb, qs, k=10, n_lists=16, n_probe=4, refine_iters=2,
-                      sample_size=512).select(
+    # probe the persisted IVF index (same params; probe==direct is
+    # pytest-asserted) instead of rebuilding the quantizer per call —
+    # the round-8 verdict's ann_recall slowdown was exactly this
+    # per-call Lloyd+assignment cost
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        ivf_topk_from_index,
+    )
+
+    prefix = _ivf_index_if_absent(spark, sf_dir, emb)
+    approx = ivf_topk_from_index(spark, prefix, qs, k=10, n_probe=4).select(
         "query_id", F.col("vec_id").alias("approx_id")
     )
     hit = F.sum(
@@ -1930,16 +1937,26 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (16, 4, 512) == ivf_params(500): the scaling-law defaults
     # (n_lists = pow2 floor of sqrt N, n_probe = n_lists/4, sample =
     # 32*n_lists) instantiated at the sf0.01 corpus, passed explicitly so
-    # the SQL oracle stays a static string.  The index persists as
-    # warehouse tables (FAISS-on-disk layout: centroids + list-bucketed
-    # corpus) — the Lloyd rounds and the assignment pass are paid once
-    # per warehouse; every later call is probe-only, identical results
-    # (the index is a pure function of the corpus, probe==direct is
-    # pytest-asserted).
+    # the SQL oracle stays a static string.
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        ivf_topk_from_index,
+    )
+
+    prefix = _ivf_index_if_absent(spark, sf_dir, emb)
+    return ivf_topk_from_index(spark, prefix, qs, k=10, n_probe=4)
+
+
+def _ivf_index_if_absent(spark: SparkSession, sf_dir: str, emb: DataFrame) -> str:
+    """Ensure the persisted IVF index tables for ``sf_dir`` exist
+    (FAISS-on-disk layout: centroids + list-bucketed corpus) and return
+    their table prefix.  The Lloyd rounds and the assignment pass are
+    paid once per warehouse; every later call is probe-only with
+    identical results (the index is a pure function of the corpus,
+    probe==direct is pytest-asserted).  Shared by q_embedding_ivf_topk
+    and q_ann_recall, and warmed by warm_persisted."""
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
         IVF_INDEX_TABLES,
         build_ivf_index_tables,
-        ivf_topk_from_index,
     )
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.layout import (
         adopt_bucketed_table,
@@ -1955,7 +1972,7 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                for t in IVF_INDEX_TABLES):
         build_ivf_index_tables(emb, prefix, n_lists=16, refine_iters=2,
                                sample_size=512)
-    return ivf_topk_from_index(spark, prefix, qs, k=10, n_probe=4)
+    return prefix
 
 
 def _duck_lloyd_iter(x: int) -> str:
@@ -7440,17 +7457,21 @@ FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOPK}
 # round-9 ADVICE items), (b) every r05-stale signature: the 14 keys the
 # round-8 verdict queued PLUS filter_funnel (also r05, missed by the
 # verdict's list — the audit tool caught it), (c) the alphabetically
-# first 32 of the 40 r06-stale keys.  The remaining 8 r06 keys carry to
-# round 10: simhash_dedup, source_quality_cap, substring_dedup,
-# substring_dedup_dfcut, token_drift, winnow_match, winnow_probe,
-# winnowing.  A green CORRECTNESS_r09 leaves no signature older than 3
-# rounds.
+# first 31 of the 40 r06-stale keys.  The remaining 9 r06 keys carry to
+# round 10: semantic_dedup, simhash_dedup, source_quality_cap,
+# substring_dedup, substring_dedup_dfcut, token_drift, winnow_match,
+# winnow_probe, winnowing.  A green CORRECTNESS_r09 leaves no signature
+# older than 3 rounds.
 _GATE_CHANGED = [
     # oracle changed r9: loss_ratio divisor wrapped in nullif to mirror
     # Spark try_divide when a group's total_tokens is 0
     "truncation_loss",
     # impl changed r9: min_doc_id/max_doc_id no longer cast to long
     "shard_manifest",
+    # impl changed r9: approx side probes the persisted IVF index
+    # instead of rebuilding the quantizer per call (round-8 verdict's
+    # only >=1.4x perf mover; results identical, probe==direct asserted)
+    "ann_recall",
 ]
 
 _GATE_PAD = [
@@ -7470,7 +7491,7 @@ _GATE_PAD = [
     "minhash_dedup", "mixture_sample", "neardup_vs_index",
     "ngram_jaccard_dedup", "overlap_join", "packing_efficiency",
     "pagerank", "quantization_error", "rank_correlation",
-    "referential_check", "semantic_dedup",
+    "referential_check",
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost
@@ -7509,6 +7530,7 @@ def warm_persisted(spark: SparkSession, sf_dir: str) -> None:
     _bm25_index_if_absent(spark, sf_dir)
     _cust_name_copies(spark, sf_dir)
     _bloom_mask(spark, sf_dir)
+    _ivf_index_if_absent(spark, sf_dir, _t(spark, sf_dir, "embeddings"))
     q_pagerank(spark, sf_dir)  # builds the edges/nodes/degree tables
 
 

@@ -105,20 +105,10 @@ def ratio_flags(base_times: dict[str, float], scaled_times: dict[str, float],
     return flags
 
 
-def _timed_noop(fn, spark, sf_dir: str, slow_bar: float = 3.0) -> float:
-    """Run a registry query against ``sf_dir`` with a noop sink and return
-    elapsed seconds; anything slower than ``slow_bar`` is re-measured once
-    and the min kept (a long single-session sweep accumulates driver state
-    — pinned checkpoint blocks, broadcasts — so a one-off GC pause reads
-    as a phantom regression on whichever query it lands on)."""
+def _timed_noop(fn, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-    elapsed = time.perf_counter() - t0
-    if elapsed > slow_bar:
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        elapsed = min(elapsed, time.perf_counter() - t0)
-    return round(elapsed, 3)
+    return round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
@@ -130,44 +120,84 @@ def main() -> None:
         skip = set(sys.argv[sys.argv.index("--skip") + 1:])
 
     import __spark_entry__ as entrymod
+    from bench import _buffcache_gb
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.session import get_spark
 
     spark = get_spark("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
+    buffcache_start = _buffcache_gb()
     synthesize(spark, base, out, factor)
-    spark.read.parquet(f"{out}/lineitem.parquet").count()  # warm footers
+
+    # SAME measurement protocol as bench.py (round-8 VERDICT #3: the old
+    # artifact divided a warm scaled run by a colder single-shot base, so
+    # factor_vs_base wasn't trustworthy to its third digit): compile-warm
+    # the registry at the smallest SF, build/adopt persisted artifacts for
+    # BOTH dirs outside the timed region, then whole-registry best-of-N
+    # rounds per side — per-query best across rounds, second round always
+    # cache-warm.
+    warm_dir = os.environ.get("SPARK_GRAFT_BENCH_WARM",
+                              "/root/testdata/sf0.001")
+    compile_warm = warm_dir not in ("0", "") and os.path.isdir(warm_dir)
+    if compile_warm:
+        for name, fn in entrymod.queries().items():
+            if name in skip:
+                continue
+            try:
+                fn(spark, warm_dir).write.mode("overwrite").format(
+                    "noop").save()
+            except Exception:
+                pass  # best-effort; the timed run surfaces errors
+    for d in (base, out):
+        try:
+            entrymod.warm_persisted(spark, d)
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     base_timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     plan_flips: dict[str, dict] = {}
+    # plan-flip pass: compile both sides once (cheap, no execution)
     for name, fn in entrymod.queries().items():
         if name in skip:
             continue
         try:
             base_plan = _loop_counts(_plan_str(fn(spark, base)))
-            # base-SF timing feeds the super-linearity gate; measured in
-            # the same session/order as the scaled run so both sides see
-            # comparable warm state
-            base_timings[name] = _timed_noop(fn, spark, base)
             scaled_plan = _loop_counts(_plan_str(fn(spark, out)))
-            timings[name] = _timed_noop(fn, spark, out)
             if (scaled_plan[0] > base_plan[0]
                     or scaled_plan[1] > base_plan[1]):
                 plan_flips[name] = {"base_bnlj_cartesian": base_plan,
                                     "scaled_bnlj_cartesian": scaled_plan}
-            print(f"{name}: {base_timings[name]}s -> {timings[name]}s",
-                  flush=True)
-        except Exception as exc:  # record, keep smoking
+        except Exception as exc:
             failures[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"{name}: FAILED {failures[name]}", flush=True)
+            print(f"{name}: FAILED (plan) {failures[name]}", flush=True)
+
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+    for rnd in range(repeats):
+        for sf_dir, acc in ((base, base_timings), (out, timings)):
+            for name, fn in entrymod.queries().items():
+                if name in skip or name in failures:
+                    continue
+                try:
+                    elapsed = _timed_noop(fn, spark, sf_dir)
+                except Exception as exc:
+                    failures[name] = f"{type(exc).__name__}: {exc}"[:300]
+                    print(f"{name}: FAILED {failures[name]}", flush=True)
+                    continue
+                if name not in acc or elapsed < acc[name]:
+                    acc[name] = elapsed
+        done = {k: f"{base_timings.get(k)}s -> {timings.get(k)}s"
+                for k in list(timings)[:3]}
+        print(f"round {rnd + 1}/{repeats} done; sample {done}", flush=True)
+    for name in failures:  # a late failure leaves one-sided timings
+        base_timings.pop(name, None)
+        timings.pop(name, None)
 
     time_flags = ratio_flags(base_timings, timings, factor)
-    # verify before failing: re-measure flagged queries once after the
-    # sweep and keep the min — a GC pause or page-cache eviction landing
-    # on one query mid-sweep otherwise reads as a super-linear regression
-    # (observed: markup_strip 7.3s in-sweep vs 2.1s re-measured, a plain
-    # 3x scan scaler)
+    # verify before failing: re-measure flagged queries once more and keep
+    # the min — a GC pause or page-cache eviction landing on one query
+    # mid-round otherwise reads as a super-linear regression (observed:
+    # markup_strip 7.3s in-sweep vs 2.1s re-measured, a plain 3x scaler)
     qs = entrymod.queries()
     for name in list(time_flags):
         base_timings[name] = min(base_timings[name],
@@ -191,6 +221,16 @@ def main() -> None:
         "time_ratio_flags": time_flags,
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "base_queries": {k: round(v, 2) for k, v in base_timings.items()},
+        # self-describing run conditions, same block bench.py writes
+        # (round-8 VERDICT: BENCH_sf1 lacked it, so a cold base couldn't
+        # be told apart from a warm one)
+        "env": {
+            "buffcache_gb_start": buffcache_start,
+            "buffcache_gb_end": _buffcache_gb(),
+            "repeats_best_of": repeats,
+            "compile_warm": compile_warm,
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+        },
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "BENCH_sf1.json"), "w") as f:
