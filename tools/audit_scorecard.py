@@ -125,6 +125,24 @@ def audit(repo: str) -> tuple[list[str], dict[str, int]]:
                 f"registry-only={sorted(window - doc_window)}")
 
     latest = {k: rounds[-1] for k, rounds in signed.items() if k in kset}
+
+    # staleness bound: with a 50-key window over a ~152-key registry the
+    # rotation cycles every signature in ~3 rounds, so the gap between
+    # the NEWEST artifact and the OLDEST latest-signature should never
+    # exceed 4 (3 in steady state, +1 of slack for a round whose window
+    # is dominated by changed keys or a red).  A larger gap means the
+    # rotation protocol was dropped — exactly the drift this tool exists
+    # to catch.
+    if latest and arts:
+        newest = max(arts)
+        oldest = min(latest.values())
+        if newest - oldest > 4:
+            stale = sorted(k for k, r in latest.items() if r == oldest)
+            violations.append(
+                f"staleness bound exceeded: newest artifact r{newest:02d} "
+                f"but {len(stale)} keys last signed r{oldest:02d} "
+                f"({', '.join(stale[:10])}{'...' if len(stale) > 10 else ''})"
+                " — front them in _GATE_FRONT")
     return violations, latest
 
 
