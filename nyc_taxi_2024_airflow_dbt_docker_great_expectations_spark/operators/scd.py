@@ -169,24 +169,31 @@ def scd2_close_absent(dim: DataFrame, snapshot_keys: DataFrame,
     ``ts_col_value`` is the snapshot's effective-time Column/literal.
     ``snapshot_keys`` is the full current key set (small relative to the
     dim's history — broadcast by default; pass ``broadcast_keys=False``
-    when the key set itself is huge and a shuffled left-anti join is the
+    when the key set itself is huge and a shuffled left join is the
     right shape).  Closed history passes through untouched, so applying
     the same snapshot twice is a no-op (idempotent).  Pairs with
     ``scd2_apply``: apply the update batch first, then close the deletes
     from the same snapshot.
+
+    Implementation: ONE left join against the distinct key set with a
+    presence marker, not a semi/anti split — the split form references
+    the dim subtree twice, and when the dim is itself a derived plan
+    (the usual case: a freshly built SCD2 window stack) Spark executes
+    that subtree twice.  The left join against distinct keys cannot
+    duplicate rows, so the single pass is row-identical.
     """
     from pyspark.sql import functions as F2
 
-    keys = snapshot_keys.select(*key_cols).distinct()
+    marker = "__scd2_present"
+    keys = snapshot_keys.select(*key_cols).distinct().withColumn(
+        marker, F2.lit(1))
     if broadcast_keys:
         keys = F2.broadcast(keys)
-    present = dim.join(keys, key_cols, "left_semi")
-    absent = dim.join(keys, key_cols, "left_anti")
-    is_open = F2.col("valid_to").isNull()
-    closed_absent = absent.withColumn(
+    joined = dim.join(keys, key_cols, "left")
+    close_now = F2.col(marker).isNull() & F2.col("valid_to").isNull()
+    return joined.withColumn(
         "valid_to",
-        F2.when(is_open, F2.lit(ts_col_value).cast(
+        F2.when(close_now, F2.lit(ts_col_value).cast(
             dim.schema["valid_to"].dataType
         )).otherwise(F2.col("valid_to")),
-    )
-    return present.unionByName(closed_absent)
+    ).drop(marker)
