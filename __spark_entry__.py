@@ -4447,6 +4447,68 @@ JOIN s USING (vec_id),
 """
 
 
+KCENTER_K = 8  # selection budget; bounded driver rounds by construction
+
+
+def q_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity coreset selection (similarity.py:kcenter_select): greedy
+    k-center / farthest-point traversal over the embedding corpus — the
+    data-selection pass that picks a maximally-spread exemplar subset
+    (2-approx of the optimal k-center cover; the standard active-learning
+    / coreset seeding step before expensive labeling or training).  Seed
+    = min vec_id, each of the K rounds is one distributed top-1
+    (TakeOrderedAndProject), ties by min id — fully deterministic, no
+    RNG.  min_dist_sq is the coverage-radius sequence (NULL for the
+    seed).  The oracle replays the identical trajectory as an unrolled
+    CTE chain (same left-fold distance, same (dist DESC, id ASC) argmax);
+    no reference analog — LLM-pipeline brief surface."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        kcenter_select,
+    )
+    return kcenter_select(_t(spark, sf_dir, "embeddings"), k=KCENTER_K)
+
+
+def _kcenter_oracle_sql(k: int) -> str:
+    """Unrolled greedy k-center as a DuckDB CTE chain: c{t} picks round
+    t's center from the surviving min-dist table m{t-1}; m{t} shrinks it
+    by the pick and folds the new center into the running least().  The
+    distance is list_sum over list_zip — DuckDB's sequential left fold,
+    bit-identical to the Spark side's F.aggregate chain."""
+    dist = ("list_sum(list_transform(list_zip({a}, {b}), "
+            "z -> (z[1]-z[2])*(z[1]-z[2])))")
+    ctes = [
+        "pts AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings WHERE embedding IS NOT NULL)",
+        "c1 AS (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT 1)",
+        ("m1 AS (SELECT p.vec_id, p.v, " + dist.format(a="p.v", b="c.v")
+         + " AS dmin FROM pts p CROSS JOIN c1 c "
+           "WHERE p.vec_id <> c.vec_id)"),
+    ]
+    for t in range(2, k + 1):
+        ctes.append(
+            f"c{t} AS (SELECT vec_id, v, dmin FROM m{t - 1} "
+            "ORDER BY dmin DESC, vec_id ASC LIMIT 1)")
+        if t < k:
+            ctes.append(
+                f"m{t} AS (SELECT m.vec_id, m.v, least(m.dmin, "
+                + dist.format(a="m.v", b="c.v")
+                + f") AS dmin FROM m{t - 1} m CROSS JOIN c{t} c "
+                  "WHERE m.vec_id <> c.vec_id)")
+    selects = ["SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, "
+               "CAST(NULL AS DOUBLE) AS min_dist_sq FROM c1"]
+    selects += [
+        f"SELECT CAST({t} AS BIGINT) AS sel_rank, vec_id, "
+        f"dmin AS min_dist_sq FROM c{t}"
+        for t in range(2, k + 1)
+    ]
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL ".join(selects))
+
+
+ORACLE_CORESET_SELECT = _kcenter_oracle_sql(KCENTER_K)
+
+
 def q_cluster_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup canonicalization: within each near-dup cluster
     (n-gram-Jaccard pairs -> connected components) keep the HIGHEST-quality
@@ -7456,12 +7518,13 @@ FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOPK}
 # nullif; shard_manifest keeps the natural id type for min/max — both
 # round-9 ADVICE items), (b) every r05-stale signature: the 14 keys the
 # round-8 verdict queued PLUS filter_funnel (also r05, missed by the
-# verdict's list — the audit tool caught it), (c) the alphabetically
-# first 31 of the 40 r06-stale keys.  The remaining 9 r06 keys carry to
-# round 10: semantic_dedup, simhash_dedup, source_quality_cap,
-# substring_dedup, substring_dedup_dfcut, token_drift, winnow_match,
-# winnow_probe, winnowing.  A green CORRECTNESS_r09 leaves no signature
-# older than 3 rounds.
+# verdict's list — the audit tool caught it), (c) the new coreset_select key
+# (first signature), (d) the alphabetically first 30 of the 40 r06-stale
+# keys.  The remaining 10 r06 keys carry to round 10: referential_check
+# (displaced by coreset_select), semantic_dedup, simhash_dedup,
+# source_quality_cap, substring_dedup, substring_dedup_dfcut,
+# token_drift, winnow_match, winnow_probe, winnowing.  A green
+# CORRECTNESS_r09 leaves no signature older than 3 rounds.
 _GATE_CHANGED = [
     # oracle changed r9: loss_ratio divisor wrapped in nullif to mirror
     # Spark try_divide when a group's total_tokens is 0
@@ -7472,6 +7535,10 @@ _GATE_CHANGED = [
     # instead of rebuilding the quantizer per call (round-8 verdict's
     # only >=1.4x perf mover; results identical, probe==direct asserted)
     "ann_recall",
+    # NEW key r9 (greedy k-center coreset selection) — needs its first
+    # driver signature; displaces referential_check (r06-stale) to the
+    # round-10 pad
+    "coreset_select",
 ]
 
 _GATE_PAD = [
@@ -7491,7 +7558,6 @@ _GATE_PAD = [
     "minhash_dedup", "mixture_sample", "neardup_vs_index",
     "ngram_jaccard_dedup", "overlap_join", "packing_efficiency",
     "pagerank", "quantization_error", "rank_correlation",
-    "referential_check",
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost
@@ -7636,6 +7702,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "price_histogram": q_price_histogram,
         "embedding_quantize": q_embedding_quantize,
+        "coreset_select": q_coreset_select,
         "cluster_canonical_best": q_cluster_canonical_best,
         "regional_revenue": q_regional_revenue,
         "top_customer_per_nation": q_top_customer_per_nation,
@@ -7793,6 +7860,7 @@ def oracle_sql() -> dict[str, str]:
         "image_resize": ORACLE_IMAGE_RESIZE,
         "price_histogram": ORACLE_PRICE_HISTOGRAM,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
+        "coreset_select": ORACLE_CORESET_SELECT,
         "cluster_canonical_best": ORACLE_CLUSTER_CANONICAL_BEST,
         "regional_revenue": ORACLE_REGIONAL_REVENUE,
         "top_customer_per_nation": ORACLE_TOP_CUSTOMER_PER_NATION,

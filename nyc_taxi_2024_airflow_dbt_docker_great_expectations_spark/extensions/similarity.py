@@ -1132,6 +1132,91 @@ def quantize_int8(corpus: DataFrame, id_col: str = "vec_id",
     )
 
 
+def _sq_dist_to(vec: Column, center: list[float]) -> Column:
+    """Squared L2 distance from ``vec`` (array<double>) to a literal
+    center: the sequential left-fold sum of per-dimension squared
+    differences — the same chain DuckDB's ``list_sum(list_transform(
+    list_zip(v, c), ...))`` evaluates, so the double is bit-identical
+    across engines (the property every argmax below depends on)."""
+    lit = F.array(*[F.lit(float(x)) for x in center])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+def kcenter_select(corpus: DataFrame, k: int = 8,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Greedy k-center / farthest-point traversal (Gonzalez 1985) — the
+    diversity-based coreset selection a training-data pipeline runs to
+    pick a maximally-spread exemplar set (data-selection / active-
+    learning seeding; 2-approximation of the optimal k-center cover).
+
+    Deterministic: the seed is the MIN id (no RNG); each round picks the
+    point maximizing its squared-L2 distance to the nearest already-
+    chosen center, ties broken by min id.  ``min_dist_sq`` is the
+    coverage radius sequence (NULL for the seed): after round t every
+    point lies within ``sqrt(min_dist_sq[t])`` of some center.
+
+    Execution shape at 100 TB: the corpus is persisted once, then each of
+    the k rounds is ONE distributed TakeOrderedAndProject (per-partition
+    top-1, O(partitions) driver merge — no full sort, no collect of the
+    corpus); driver state is the O(k x dim) chosen-center list, and the
+    k-row result is metadata-sized.  Round t evaluates min-over-t
+    distances map-side in codegen; total work O(k^2 * dim) per row-scan
+    unit, k bounded small by construction.
+
+    Exactness: float->double widening is value-exact, the distance fold
+    is the sequential left fold (matches DuckDB ``list_sum``), min/least
+    over doubles is order-independent (no NaN can arise from finite
+    squares), and the (dist DESC, id ASC) total order makes every round's
+    argmax — hence the whole trajectory — engine-portable bit-for-bit.
+    NULL vectors match nothing and are dropped up front; already-chosen
+    ids are excluded so duplicate vectors (distance 0 everywhere) can
+    never re-select a center.
+    """
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    pts = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), _to_double(F.col(vec_col)).alias("__v")
+    )
+    pts = pts.persist()
+    try:
+        seed = pts.orderBy(F.asc("__id")).limit(1).collect()
+        picked: list[tuple] = []
+        chosen: list[tuple] = []
+        if seed:
+            chosen.append((seed[0]["__id"],
+                           [float(x) for x in seed[0]["__v"]]))
+            picked.append((1, seed[0]["__id"], None))
+        while chosen and len(picked) < k:
+            dmin = None
+            for _cid, cvec in chosen:
+                d = _sq_dist_to(F.col("__v"), cvec)
+                dmin = d if dmin is None else F.least(dmin, d)
+            cand = (
+                pts.filter(~F.col("__id").isin([cid for cid, _ in chosen]))
+                .select("__id", "__v", dmin.alias("__d"))
+                .orderBy(F.desc("__d"), F.asc("__id"))
+                .limit(1)
+                .collect()
+            )
+            if not cand:
+                break
+            row = cand[0]
+            chosen.append((row["__id"], [float(x) for x in row["__v"]]))
+            picked.append((len(picked) + 1, row["__id"], float(row["__d"])))
+    finally:
+        pts.unpersist()
+    schema = StructType([
+        StructField("sel_rank", LongType(), False),
+        StructField(id_col, corpus.schema[id_col].dataType, True),
+        StructField("min_dist_sq", DoubleType(), True),
+    ])
+    return corpus.sparkSession.createDataFrame(picked, schema)
+
+
 # --- persisted IVF index ---------------------------------------------------
 
 IVF_INDEX_TABLES = ("centroids", "lists")

@@ -1957,3 +1957,84 @@ def test_gram_profile_serves_every_df_cut(spark, docs):
     finally:
         for t in ("gp_eq_test_df_profile", "gp_eq_test_members"):
             drop_table_and_location(spark, t)
+
+
+# --- greedy k-center coreset selection --------------------------------------
+
+
+def _kcenter_reference(vecs: dict, k: int):
+    """Driver-side greedy k-center with the EXACT arithmetic the engine
+    uses: float->double widening, sequential left-fold squared-L2,
+    (dist DESC, id ASC) argmax, chosen ids excluded."""
+    def sqdist(a, b):
+        d = 0.0
+        for x, y in zip(a, b):
+            d += (x - y) * (x - y)
+        return d
+
+    ids = sorted(vecs)
+    out = [(1, ids[0], None)]
+    chosen = [ids[0]]
+    while len(out) < k and len(chosen) < len(ids):
+        best = None
+        for i in ids:
+            if i in chosen:
+                continue
+            dmin = min(sqdist(vecs[i], vecs[c]) for c in chosen)
+            cand = (-dmin, i)
+            if best is None or cand < best:
+                best = cand
+        out.append((len(out) + 1, best[1], -best[0]))
+        chosen.append(best[1])
+    return out
+
+
+def test_kcenter_select_matches_bruteforce(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        kcenter_select,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    raw = rng.normal(size=(40, 6)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in raw[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [(r["sel_rank"], r["vec_id"], r["min_dist_sq"])
+           for r in kcenter_select(df, k=6).orderBy("sel_rank").collect()]
+    # reference replays the float32 -> float64 widening the engine does
+    vecs = {int(i): [float(np.float64(x)) for x in raw[i]] for i in range(40)}
+    want = _kcenter_reference(vecs, 6)
+    assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+    assert got[0][2] is None
+    for g, w in zip(got[1:], want[1:]):
+        assert g[2] == w[2]  # bit-equal double trajectory
+    # coverage radius is non-increasing (farthest-point property)
+    radii = [g[2] for g in got[1:]]
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_kcenter_select_duplicates_and_small_n(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        kcenter_select,
+    )
+
+    rows = [
+        (10, [1.0, 0.0]),
+        (11, [1.0, 0.0]),   # exact duplicate of 10
+        (12, [0.0, 1.0]),
+        (13, None),         # NULL vector: dropped, never selected
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = kcenter_select(df, k=10).orderBy("sel_rank").collect()
+    # k > n: returns every non-null point exactly once, ranks contiguous
+    assert [r["sel_rank"] for r in got] == [1, 2, 3]
+    assert [r["vec_id"] for r in got] == [10, 12, 11]  # dup picked LAST
+    assert got[0]["min_dist_sq"] is None
+    assert got[1]["min_dist_sq"] == 2.0
+    assert got[2]["min_dist_sq"] == 0.0  # duplicate: zero radius, not re-10
+    # empty corpus: empty result, correct schema
+    empty = kcenter_select(df.filter("vec_id < 0"), k=3)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "sel_rank", "vec_id", "min_dist_sq"]

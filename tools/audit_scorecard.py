@@ -11,7 +11,10 @@ mechanically:
      the live registry (keys are never renamed or removed, so a phantom
      means a rename broke scorecard composition);
   2. no never-signed keys: every registry key is green (rows+schema+hash
-     match, no err) in at least one artifact;
+     match, no err) in at least one artifact — EXCEPT a key added this
+     round, which is unsigned by construction until the next artifact
+     lands; the grace applies only while it sits inside the gate window
+     AND no artifact has ever contained it (reported as "pending");
   3. window-flag consistency: ORACLE_KEYS.md's gate-window column agrees
      with the actual window the driver will snapshot (the first 50
      registry keys, i.e. `_GATE_FRONT`);
@@ -104,9 +107,21 @@ def audit(repo: str) -> tuple[list[str], dict[str, int]]:
             violations.append(
                 f"phantom keys in CORRECTNESS_r{rnd:02d}: {sorted(phantom)}")
 
+    # a key added mid-round is legitimately unsigned until the NEXT driver
+    # artifact lands — but only while it (a) sits inside the gate window
+    # (queued for imminent signature) and (b) has never appeared in any
+    # artifact (a key an artifact saw but didn't sign was RED, not new;
+    # parking it in the window forever must not silence that)
+    seen_in_artifacts = set().union(*arts.values()) if arts else set()
+    window_now = set(keys[:GATE_WINDOW])
     never = kset - set(signed)
-    if never:
-        violations.append(f"never-signed keys: {sorted(never)}")
+    pending = sorted((never & window_now) - seen_in_artifacts)
+    hard_never = sorted(never - set(pending))
+    if hard_never:
+        violations.append(f"never-signed keys: {hard_never}")
+    if pending:
+        print(f"pending first signature (new, in-window): "
+              f"{', '.join(pending)}")
 
     doc = doc_inventory(repo)
     if set(doc) != kset:
