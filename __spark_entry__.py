@@ -4447,6 +4447,50 @@ JOIN s USING (vec_id),
 """
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact covariance matrix of the embedding corpus
+    (similarity.py:embedding_covariance) — whitening / PCA prep and the
+    feature-drift statistic.  Upper-triangle (dim_i, dim_j) rows with
+    integer-unit exact sufficient statistics (micro-unit quantization,
+    long products, decimal/HUGEINT sums) and the population covariance
+    as ONE identical double chain on both engines.  Plan: two chained
+    generators (never a self-join; raw vectors are never shuffled) into
+    one partial+final aggregate over d^2/2 groups.  No reference analog
+    — LLM-pipeline brief surface."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        embedding_covariance,
+    )
+    return embedding_covariance(_t(spark, sf_dir, "embeddings"))
+
+
+ORACLE_EMBEDDING_COVARIANCE = """
+WITH u AS (
+  SELECT list_transform(
+           embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         ) AS uu
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+agg AS (
+  SELECT CAST(i - 1 AS INTEGER) AS dim_i, CAST(j - 1 AS INTEGER) AS dim_j,
+         COUNT(*) AS n_vecs,
+         CAST(SUM(uu[CAST(i AS INTEGER)]) AS BIGINT) AS s_i,
+         CAST(SUM(uu[CAST(j AS INTEGER)]) AS BIGINT) AS s_j,
+         CAST(SUM(uu[CAST(i AS INTEGER)] * uu[CAST(j AS INTEGER)])
+              AS BIGINT) AS s_ij
+  FROM u, range(1, 65) ti(i), range(1, 65) tj(j)
+  WHERE j >= i
+  GROUP BY 1, 2
+)
+SELECT dim_i, dim_j, n_vecs, s_i, s_j, s_ij,
+       (CAST(s_ij AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+        - (CAST(s_i AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+          * (CAST(s_j AS DOUBLE) / CAST(n_vecs AS DOUBLE)))
+       / 1000000000000.0 AS cov
+FROM agg
+"""
+
+
 KCENTER_K = 8  # selection budget; bounded driver rounds by construction
 
 
@@ -7518,13 +7562,14 @@ FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOPK}
 # nullif; shard_manifest keeps the natural id type for min/max — both
 # round-9 ADVICE items), (b) every r05-stale signature: the 14 keys the
 # round-8 verdict queued PLUS filter_funnel (also r05, missed by the
-# verdict's list — the audit tool caught it), (c) the new coreset_select key
-# (first signature), (d) the alphabetically first 30 of the 40 r06-stale
-# keys.  The remaining 10 r06 keys carry to round 10: referential_check
-# (displaced by coreset_select), semantic_dedup, simhash_dedup,
-# source_quality_cap, substring_dedup, substring_dedup_dfcut,
-# token_drift, winnow_match, winnow_probe, winnowing.  A green
-# CORRECTNESS_r09 leaves no signature older than 3 rounds.
+# verdict's list — the audit tool caught it), (c) the new coreset_select and
+# embedding_covariance keys (first signatures), (d) the alphabetically
+# first 29 of the 40 r06-stale keys.  The remaining 11 r06 keys carry to
+# round 10: referential_check and rank_correlation (displaced by the two
+# new keys), semantic_dedup, simhash_dedup, source_quality_cap,
+# substring_dedup, substring_dedup_dfcut, token_drift, winnow_match,
+# winnow_probe, winnowing.  A green CORRECTNESS_r09 leaves no signature
+# older than 3 rounds.
 _GATE_CHANGED = [
     # oracle changed r9: loss_ratio divisor wrapped in nullif to mirror
     # Spark try_divide when a group's total_tokens is 0
@@ -7535,10 +7580,12 @@ _GATE_CHANGED = [
     # instead of rebuilding the quantizer per call (round-8 verdict's
     # only >=1.4x perf mover; results identical, probe==direct asserted)
     "ann_recall",
-    # NEW key r9 (greedy k-center coreset selection) — needs its first
-    # driver signature; displaces referential_check (r06-stale) to the
+    # NEW keys r9 (greedy k-center coreset selection; exact embedding
+    # covariance matrix) — need their first driver signatures; displace
+    # referential_check and rank_correlation (both r06-stale) to the
     # round-10 pad
     "coreset_select",
+    "embedding_covariance",
 ]
 
 _GATE_PAD = [
@@ -7557,7 +7604,7 @@ _GATE_PAD = [
     "length_quartiles", "linear_probe", "lm_coverage", "merge_upsert",
     "minhash_dedup", "mixture_sample", "neardup_vs_index",
     "ngram_jaccard_dedup", "overlap_join", "packing_efficiency",
-    "pagerank", "quantization_error", "rank_correlation",
+    "pagerank", "quantization_error",
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost
@@ -7703,6 +7750,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_histogram": q_price_histogram,
         "embedding_quantize": q_embedding_quantize,
         "coreset_select": q_coreset_select,
+        "embedding_covariance": q_embedding_covariance,
         "cluster_canonical_best": q_cluster_canonical_best,
         "regional_revenue": q_regional_revenue,
         "top_customer_per_nation": q_top_customer_per_nation,
@@ -7861,6 +7909,7 @@ def oracle_sql() -> dict[str, str]:
         "price_histogram": ORACLE_PRICE_HISTOGRAM,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
         "coreset_select": ORACLE_CORESET_SELECT,
+        "embedding_covariance": ORACLE_EMBEDDING_COVARIANCE,
         "cluster_canonical_best": ORACLE_CLUSTER_CANONICAL_BEST,
         "regional_revenue": ORACLE_REGIONAL_REVENUE,
         "top_customer_per_nation": ORACLE_TOP_CUSTOMER_PER_NATION,

@@ -1132,6 +1132,67 @@ def quantize_int8(corpus: DataFrame, id_col: str = "vec_id",
     )
 
 
+COV_SCALE = 1_000_000  # micro-units per quantized embedding coordinate
+
+
+def embedding_covariance(corpus: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Exact second-moment / covariance matrix of the embedding corpus —
+    the whitening / PCA-prep / feature-drift statistic: one row per
+    dimension pair (upper triangle, ``dim_j >= dim_i``) with the exact
+    integer-unit sufficient statistics and the population covariance.
+
+    Exactness: each coordinate quantizes to integer micro-units
+    (``floor(x * 1e6 + 0.5)`` — the repo's portable rounding), the
+    per-pair products are exact ``long * long`` (|u| ~ 1e7 -> products
+    ~ 1e14, far inside int64), and the sums are exact decimal(38,0) /
+    HUGEINT.  ``cov`` is then ONE fixed chain of double ops on identical
+    integers — ``(s_ij/n - (s_i/n)*(s_j/n)) / 1e12`` — bit-equal on any
+    engine while the int->double casts stay below 2^53 (n * 1e14 <<
+    2^53 * 1e12; document-scale corpora are fine, planet-scale callers
+    lower COV_SCALE).
+
+    Execution shape: the d x (d+1)/2 pair expansion is two chained
+    generators from the SAME row — never a self-join, so raw vectors are
+    never shuffled; the aggregate is partial+final over d^2/2 groups
+    (~2k for d=64), i.e. ONE exchange whose width is group count, not
+    corpus size.  Linear scan, map-side combine — the canonical
+    X^T X shape at 100 TB.
+    """
+    u = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(COV_SCALE))
+                          + F.lit(0.5)).cast("long"),
+    )
+    base = corpus.filter(F.col(vec_col).isNotNull()).select(u.alias("__u"))
+    ei = base.select("__u", F.posexplode("__u").alias("dim_i", "__ui"))
+    eij = (
+        ei.select("dim_i", "__ui",
+                  F.posexplode("__u").alias("dim_j", "__uj"))
+        .filter(F.col("dim_j") >= F.col("dim_i"))
+    )
+    dec = "decimal(38,0)"
+    agg = eij.groupBy("dim_i", "dim_j").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("__ui").cast(dec)).alias("__si"),
+        F.sum(F.col("__uj").cast(dec)).alias("__sj"),
+        F.sum((F.col("__ui") * F.col("__uj")).cast(dec)).alias("__sij"),
+    )
+    n_d = F.col("n_vecs").cast("double")
+    cov = (
+        (F.col("__sij").cast("double") / n_d)
+        - (F.col("__si").cast("double") / n_d)
+        * (F.col("__sj").cast("double") / n_d)
+    ) / F.lit(float(COV_SCALE) * float(COV_SCALE))
+    return agg.select(
+        "dim_i", "dim_j", "n_vecs",
+        F.col("__si").cast("long").alias("s_i"),
+        F.col("__sj").cast("long").alias("s_j"),
+        F.col("__sij").cast("long").alias("s_ij"),
+        cov.alias("cov"),
+    )
+
+
 def _sq_dist_to(vec: Column, center: list[float]) -> Column:
     """Squared L2 distance from ``vec`` (array<double>) to a literal
     center: the sequential left-fold sum of per-dimension squared

@@ -2038,3 +2038,33 @@ def test_kcenter_select_duplicates_and_small_n(spark):
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == [
         "sel_rank", "vec_id", "min_dist_sq"]
+
+
+def test_embedding_covariance_exact(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        embedding_covariance,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    raw = rng.normal(size=(25, 5)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in raw[i]]) for i in range(25)]
+    rows.append((99, None))  # NULL vector: dropped
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["dim_i"], r["dim_j"]): r
+           for r in embedding_covariance(df).collect()}
+    assert len(got) == 15  # upper triangle of 5x5
+    # exact integer reference: same micro-unit floor quantization
+    u = np.floor(raw.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    for i in range(5):
+        for j in range(i, 5):
+            r = got[(i, j)]
+            si, sj = int(u[:, i].sum()), int(u[:, j].sum())
+            sij = int((u[:, i] * u[:, j]).sum())
+            assert (r["n_vecs"], r["s_i"], r["s_j"], r["s_ij"]) == (
+                25, si, sj, sij)
+            want_cov = (sij / 25.0 - (si / 25.0) * (sj / 25.0)) / 1e12
+            assert r["cov"] == want_cov  # bit-equal double chain
+    # diagonal variance is non-negative
+    assert all(got[(i, i)]["cov"] >= 0.0 for i in range(5))
