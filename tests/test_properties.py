@@ -520,3 +520,92 @@ def test_privacy_gates_match_bruteforce(spark, rows):
     want_l = {b: (nrows[b], len(users[b]), len(actions[b]))
               for b in actions if len(actions[b]) < L}
     assert got_l == want_l
+
+
+vec_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),            # id (dups pruned)
+        st.lists(st.integers(min_value=-3, max_value=3),   # small ints ->
+                 min_size=3, max_size=3),                  # exact floats,
+    ),                                                     # many dist ties
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=vec_rows_strategy, k=st.integers(min_value=1, max_value=4))
+def test_kcenter_select_matches_reference(spark, rows, k):
+    """Greedy k-center must replay the driver-side reference exactly:
+    same trajectory (min-id seed, farthest-point argmax, min-id ties),
+    same bit-exact radii, every id picked at most once even when many
+    vectors are verbatim duplicates (distance-0 ties everywhere)."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        kcenter_select,
+    )
+
+    uniq = {i: [float(x) for x in v] for i, v in rows}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in uniq.items()],
+        "vec_id long, embedding array<float>")
+    got = [(r["sel_rank"], r["vec_id"], r["min_dist_sq"])
+           for r in kcenter_select(df, k=k).orderBy("sel_rank").collect()]
+
+    def sqdist(a, b):
+        d = 0.0
+        for x, y in zip(a, b):
+            d += (x - y) * (x - y)
+        return d
+
+    ids = sorted(uniq)
+    want = [(1, ids[0], None)]
+    chosen = [ids[0]]
+    while len(want) < k and len(chosen) < len(ids):
+        best = None
+        for i in ids:
+            if i in chosen:
+                continue
+            dmin = min(sqdist(uniq[i], uniq[c]) for c in chosen)
+            if best is None or (-dmin, i) < best:
+                best = (-dmin, i)
+        want.append((len(want) + 1, best[1], -best[0]))
+        chosen.append(best[1])
+    assert got == want
+    assert len({g[1] for g in got}) == len(got)  # no id re-selected
+
+
+@settings(**SETTINGS)
+@given(rows=vec_rows_strategy)
+def test_embedding_covariance_matches_bruteforce(spark, rows):
+    """Covariance sufficient statistics are exact integers and the cov
+    double replays the reference chain bit-for-bit — including n=1
+    groups (cov exactly 0.0) and all-negative coordinates."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        embedding_covariance,
+    )
+
+    uniq = {i: [float(x) for x in v] for i, v in rows}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in uniq.items()],
+        "vec_id long, embedding array<float>")
+    got = {(r["dim_i"], r["dim_j"]): r
+           for r in embedding_covariance(df).collect()}
+    n = len(uniq)
+    assert len(got) == 6  # upper triangle of 3x3
+    vs = list(uniq.values())
+    import math
+
+    for i in range(3):
+        for j in range(i, 3):
+            u_i = [math.floor(v[i] * 1e6 + 0.5) for v in vs]
+            u_j = [math.floor(v[j] * 1e6 + 0.5) for v in vs]
+            si, sj = sum(u_i), sum(u_j)
+            sij = sum(a * b for a, b in zip(u_i, u_j))
+            r = got[(i, j)]
+            assert (r["n_vecs"], r["s_i"], r["s_j"], r["s_ij"]) == (
+                n, si, sj, sij)
+            want = (sij / float(n)
+                    - (si / float(n)) * (sj / float(n))) / 1e12
+            assert r["cov"] == want
+            if n == 1:
+                assert r["cov"] == 0.0
