@@ -4453,9 +4453,10 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature-drift statistic.  Upper-triangle (dim_i, dim_j) rows with
     integer-unit exact sufficient statistics (micro-unit quantization,
     long products, decimal/HUGEINT sums) and the population covariance
-    as ONE identical double chain on both engines.  Plan: two chained
-    generators (never a self-join; raw vectors are never shuffled) into
-    one partial+final aggregate over d^2/2 groups.  No reference analog
+    as ONE identical double chain on both engines.  Plan: Arrow GEMM
+    stage (mapInPandas exact int64 X^T X partials; never a self-join,
+    raw vectors are never shuffled, no per-row d^2 expansion) into one
+    partial+final aggregate over d^2/2 groups.  No reference analog
     — LLM-pipeline brief surface."""
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
         embedding_covariance,

@@ -358,13 +358,15 @@ def test_kcenter_round_plan_is_take_ordered_no_shuffle(spark):
 
 
 def test_embedding_covariance_plan_single_exchange_no_join(spark):
-    """The covariance matrix must come from chained generators over ONE
-    parquet scan into a partial+final aggregate — no self-join (which
-    would shuffle raw vectors) and exactly one exchange, whose width is
-    the d^2/2 group count, not corpus size."""
+    """The covariance matrix must come from the Arrow GEMM stage
+    (MapInPandas int64 X^T X partials) over ONE parquet scan into a
+    partial+final aggregate — no self-join and no per-row d^2 generator
+    expansion (measured ~8x slower at 10x volume), and exactly one
+    exchange, whose width is the d^2/2 group count, not corpus size."""
     plan = _plan(entry.queries()["embedding_covariance"](spark, SF))
     assert plan.count("Scan parquet") == 1
-    assert plan.count("Generate") == 2
+    assert "MapInPandas" in plan
+    assert "Generate" not in plan
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange") == 1
     assert plan.count("HashAggregate") == 2  # partial + final
