@@ -1254,7 +1254,12 @@ def kcenter_select(corpus: DataFrame, k: int = 8,
     corpus); driver state is the O(k x dim) chosen-center list, and the
     k-row result is metadata-sized.  Round t evaluates min-over-t
     distances map-side in codegen; total work O(k^2 * dim) per row-scan
-    unit, k bounded small by construction.
+    unit, k bounded small by construction.  (The stateless re-derive
+    beats materializing a running min-dist column at bounded k — the
+    extra folds are cheaper than writing+reading an n-row intermediate
+    k times, and every round stays a pure function of (corpus, chosen);
+    a caller with k in the hundreds should flip to the materialized
+    variant.)
 
     Exactness: float->double widening is value-exact, the distance fold
     is the sequential left fold (matches DuckDB ``list_sum``), min/least
