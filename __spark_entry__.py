@@ -4471,6 +4471,7 @@ WITH u AS (
            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
          ) AS uu
   FROM embeddings WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 agg AS (
   SELECT CAST(i - 1 AS INTEGER) AS dim_i, CAST(j - 1 AS INTEGER) AS dim_j,
@@ -4524,7 +4525,8 @@ def _kcenter_oracle_sql(k: int) -> str:
     ctes = [
         "pts AS (SELECT vec_id, list_transform(embedding, "
         "x -> CAST(x AS DOUBLE)) AS v "
-        "FROM embeddings WHERE embedding IS NOT NULL)",
+        "FROM embeddings WHERE embedding IS NOT NULL "
+        "AND len(list_filter(embedding, x -> x IS NULL)) = 0)",
         "c1 AS (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT 1)",
         ("m1 AS (SELECT p.vec_id, p.v, " + dist.format(a="p.v", b="c.v")
          + " AS dmin FROM pts p CROSS JOIN c1 c "

@@ -1163,8 +1163,18 @@ def embedding_covariance(corpus: DataFrame, id_col: str = "vec_id",
     expansion ever exists (a generator/explode form measured ~8x slower
     at 10x volume).  Integer sums are associative, so the result is
     independent of partitioning and chunking.
+
+    Domain contract, enforced loudly: vectors containing a NULL element
+    are dropped up front (mirrored in the SQL oracle — same as the
+    whole-NULL rule); a non-finite element or a coordinate with
+    |u| >= 2^31 (|x| >= ~2147, where even a single product could exceed
+    int64) raises instead of wrapping; and the final decimal->long casts
+    are overflow-guarded so a planet-scale sum raises on both engines
+    (DuckDB's HUGEINT->BIGINT cast hard-errors on its own) instead of
+    silently NULLing under non-ANSI Spark.
     """
-    src = corpus.filter(F.col(vec_col).isNotNull()).select(
+    no_null_elem = ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    src = corpus.filter(F.col(vec_col).isNotNull() & no_null_elem).select(
         F.col(vec_col).alias("__v"))
 
     def _partials(batches):
@@ -1176,10 +1186,19 @@ def embedding_covariance(corpus: DataFrame, id_col: str = "vec_id",
                 continue
             m = np.stack([np.asarray(v, dtype=np.float64)
                           for v in pdf["__v"]])
+            if not np.isfinite(m).all():
+                raise ValueError(
+                    "embedding_covariance: non-finite embedding element "
+                    "(NaN/Inf would floor to undefined int64)")
             u = np.floor(m * float(COV_SCALE) + 0.5).astype(np.int64)
             n, d = u.shape
             iu, ju = np.triu_indices(d)
             maxu = int(np.abs(u).max()) or 1
+            if maxu >= 2 ** 31:
+                raise ValueError(
+                    f"embedding_covariance: |u| = {maxu} >= 2^31 — a "
+                    "single int64 product could overflow; lower COV_SCALE "
+                    "or rescale the embeddings")
             # per-chunk product sums stay under 2^62: chunk * maxu^2 bound
             chunk = max(1, (2 ** 62) // (maxu * maxu))
             for s in range(0, n, chunk):
@@ -1212,11 +1231,25 @@ def embedding_covariance(corpus: DataFrame, id_col: str = "vec_id",
         - (F.col("__si").cast("double") / n_d)
         * (F.col("__sj").cast("double") / n_d)
     ) / F.lit(float(COV_SCALE) * float(COV_SCALE))
+
+    lmax = F.lit("9223372036854775807").cast("decimal(38,0)")
+
+    def _long_guard(c: Column, name: str) -> Column:
+        # decimal -> long silently NULLs on overflow under non-ANSI
+        # Spark while DuckDB's HUGEINT -> BIGINT cast hard-errors; make
+        # both engines fail LOUDLY and identically
+        return F.when(
+            F.abs(c) > lmax,
+            F.raise_error(F.lit(
+                f"embedding_covariance: {name} exceeds int64 — lower "
+                "COV_SCALE for this corpus scale")),
+        ).otherwise(c.cast("long")).alias(name)
+
     return agg.select(
         "dim_i", "dim_j", "n_vecs",
-        F.col("__si").cast("long").alias("s_i"),
-        F.col("__sj").cast("long").alias("s_j"),
-        F.col("__sij").cast("long").alias("s_ij"),
+        _long_guard(F.col("__si"), "s_i"),
+        _long_guard(F.col("__sj"), "s_j"),
+        _long_guard(F.col("__sij"), "s_ij"),
         cov.alias("cov"),
     )
 
@@ -1266,18 +1299,22 @@ def kcenter_select(corpus: DataFrame, k: int = 8,
     over doubles is order-independent (no NaN can arise from finite
     squares), and the (dist DESC, id ASC) total order makes every round's
     argmax — hence the whole trajectory — engine-portable bit-for-bit.
-    NULL vectors match nothing and are dropped up front; already-chosen
-    ids are excluded so duplicate vectors (distance 0 everywhere) can
-    never re-select a center.
+    NULL vectors AND vectors containing a NULL element match nothing and
+    are dropped up front (the fold would NULL-poison their distances);
+    already-chosen ids are excluded so duplicate vectors (distance 0
+    everywhere) can never re-select a center.  ``k < 1`` selects
+    nothing.
     """
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    pts = corpus.filter(F.col(vec_col).isNotNull()).select(
+    no_null_elem = ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    pts = corpus.filter(F.col(vec_col).isNotNull() & no_null_elem).select(
         F.col(id_col).alias("__id"), _to_double(F.col(vec_col)).alias("__v")
     )
     pts = pts.persist()
     try:
-        seed = pts.orderBy(F.asc("__id")).limit(1).collect()
+        seed = (pts.orderBy(F.asc("__id")).limit(1).collect()
+                if k >= 1 else [])
         picked: list[tuple] = []
         chosen: list[tuple] = []
         if seed:

@@ -18,8 +18,8 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 from audit_scorecard import (  # noqa: E402
     GATE_WINDOW,
-    artifact_keys,
     audit,
+    pending_keys,
     registry_keys,
 )
 
@@ -30,12 +30,9 @@ def test_scorecard_consistent():
     keys = registry_keys(REPO)
     # every registry key carries at least one green driver signature —
     # except a key added THIS round, which is unsigned until the next
-    # artifact lands; the grace mirrors the tool's: in the gate window
-    # AND absent from every artifact so far
-    arts = artifact_keys(REPO)
-    seen = set().union(*arts.values()) if arts else set()
-    pending = (set(keys[:GATE_WINDOW]) - seen) - set(latest)
-    assert set(latest) | pending == set(keys)
+    # artifact lands; pending_keys is the tool's OWN grace definition,
+    # so the two can never drift
+    assert set(latest) | pending_keys(REPO) == set(keys)
     # the driver snapshots the first GATE_WINDOW registry entries; the
     # explicit front list must fill the window exactly (the r7 silent
     # [:50] overflow is the failure mode this pins)

@@ -2068,3 +2068,40 @@ def test_embedding_covariance_exact(spark):
             assert r["cov"] == want_cov  # bit-equal double chain
     # diagonal variance is non-negative
     assert all(got[(i, i)]["cov"] >= 0.0 for i in range(5))
+
+
+def test_kcenter_and_covariance_domain_guards(spark):
+    import pytest as _pytest
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        embedding_covariance,
+        kcenter_select,
+    )
+
+    rows = [
+        (1, [1.0, 2.0]),
+        (2, [1.0, None]),   # NULL element: dropped by BOTH ops
+        (3, [4.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # k < 1 selects nothing; NULL-element vector never selected
+    assert kcenter_select(df, k=0).count() == 0
+    picked = [r["vec_id"]
+              for r in kcenter_select(df, k=5).orderBy("sel_rank").collect()]
+    assert picked == [1, 3]
+    # covariance: the NULL-element vector is excluded from n and sums
+    cov = {(r["dim_i"], r["dim_j"]): r
+           for r in embedding_covariance(df).collect()}
+    assert cov[(0, 0)]["n_vecs"] == 2
+    assert cov[(0, 0)]["s_i"] == 5_000_000  # 1e6 + 4e6
+    # a coordinate where even one product could overflow int64 raises
+    big = spark.createDataFrame(
+        [(1, [3000.0, 0.0]), (2, [2.0 ** 32, 0.0])],
+        "vec_id long, embedding array<float>")
+    with _pytest.raises(Exception, match="2\\^31|overflow"):
+        embedding_covariance(big).collect()
+    # non-finite elements raise instead of flooring to undefined int64
+    naninf = spark.createDataFrame(
+        [(1, [float("nan"), 1.0])], "vec_id long, embedding array<float>")
+    with _pytest.raises(Exception, match="non-finite"):
+        embedding_covariance(naninf).collect()

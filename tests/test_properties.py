@@ -544,32 +544,15 @@ def test_kcenter_select_matches_reference(spark, rows, k):
         kcenter_select,
     )
 
+    from test_extensions import _kcenter_reference
+
     uniq = {i: [float(x) for x in v] for i, v in rows}
     df = spark.createDataFrame(
         [(i, v) for i, v in uniq.items()],
         "vec_id long, embedding array<float>")
     got = [(r["sel_rank"], r["vec_id"], r["min_dist_sq"])
            for r in kcenter_select(df, k=k).orderBy("sel_rank").collect()]
-
-    def sqdist(a, b):
-        d = 0.0
-        for x, y in zip(a, b):
-            d += (x - y) * (x - y)
-        return d
-
-    ids = sorted(uniq)
-    want = [(1, ids[0], None)]
-    chosen = [ids[0]]
-    while len(want) < k and len(chosen) < len(ids):
-        best = None
-        for i in ids:
-            if i in chosen:
-                continue
-            dmin = min(sqdist(uniq[i], uniq[c]) for c in chosen)
-            if best is None or (-dmin, i) < best:
-                best = (-dmin, i)
-        want.append((len(want) + 1, best[1], -best[0]))
-        chosen.append(best[1])
+    want = _kcenter_reference(uniq, k)
     assert got == want
     assert len({g[1] for g in got}) == len(got)  # no id re-selected
 

@@ -93,6 +93,20 @@ def doc_inventory(repo: str) -> dict[str, bool]:
     return out
 
 
+def _pending(keys: list[str], signed: dict, arts: dict) -> set[str]:
+    """Keys legitimately unsigned: inside the current gate window AND
+    never present in ANY artifact (added this round, awaiting their
+    first signature).  Single definition shared by audit() and the
+    pytest so the grace can never drift between the two."""
+    seen = set().union(*arts.values()) if arts else set()
+    return (set(keys[:GATE_WINDOW]) - seen) - set(signed)
+
+
+def pending_keys(repo: str) -> set[str]:
+    return _pending(registry_keys(repo), signed_rounds(repo),
+                    artifact_keys(repo))
+
+
 def audit(repo: str) -> tuple[list[str], dict[str, int]]:
     """Return (violations, latest_green_round per key)."""
     violations: list[str] = []
@@ -112,10 +126,8 @@ def audit(repo: str) -> tuple[list[str], dict[str, int]]:
     # (queued for imminent signature) and (b) has never appeared in any
     # artifact (a key an artifact saw but didn't sign was RED, not new;
     # parking it in the window forever must not silence that)
-    seen_in_artifacts = set().union(*arts.values()) if arts else set()
-    window_now = set(keys[:GATE_WINDOW])
+    pending = sorted(_pending(keys, signed, arts))
     never = kset - set(signed)
-    pending = sorted((never & window_now) - seen_in_artifacts)
     hard_never = sorted(never - set(pending))
     if hard_never:
         violations.append(f"never-signed keys: {hard_never}")
