@@ -4505,9 +4505,14 @@ def q_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     = min vec_id, each of the K rounds is one distributed top-1
     (TakeOrderedAndProject), ties by min id — fully deterministic, no
     RNG.  min_dist_sq is the coverage-radius sequence (NULL for the
-    seed).  The oracle replays the identical trajectory as an unrolled
-    CTE chain (same left-fold distance, same (dist DESC, id ASC) argmax);
-    no reference analog — LLM-pipeline brief surface."""
+    seed).  At k=8 the materialize=None default picks the running-min
+    variant (carried __dmin updated against only the newest center,
+    localCheckpoint-truncated — measured 2.22 s vs 3.98 s stateless at
+    sf0.1, tools/kcenter_crossover.py); trajectory is bit-identical to
+    the stateless form (property-tested).  The oracle replays the same
+    trajectory as an unrolled CTE chain (same left-fold distance, same
+    (dist DESC, id ASC) argmax); no reference analog — LLM-pipeline
+    brief surface."""
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
         kcenter_select,
     )
@@ -4525,7 +4530,8 @@ def _kcenter_oracle_sql(k: int) -> str:
     ctes = [
         "pts AS (SELECT vec_id, list_transform(embedding, "
         "x -> CAST(x AS DOUBLE)) AS v "
-        "FROM embeddings WHERE embedding IS NOT NULL "
+        "FROM embeddings WHERE vec_id IS NOT NULL "
+        "AND embedding IS NOT NULL "
         "AND len(list_filter(embedding, x -> x IS NULL)) = 0)",
         "c1 AS (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT 1)",
         ("m1 AS (SELECT p.vec_id, p.v, " + dist.format(a="p.v", b="c.v")
@@ -5722,8 +5728,10 @@ def q_scd2_hard_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dbt invalidate_hard_deletes (operators/scd.py:scd2_close_absent):
     rebuild the lineitem SCD2 dimension, then close the open version of
     every order key absent from the current source key set (open orders,
-    o_orderstatus = 'O') at a fixed snapshot time.  Semi/anti split against
-    a broadcast key set; closed history passes through untouched."""
+    o_orderstatus = 'O') at a fixed snapshot time.  ONE left join against
+    the broadcast distinct key set with a presence marker (the semi/anti
+    split form executed the derived-dim window stack twice); closed
+    history passes through untouched."""
     import datetime as _dt
 
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.scd import (
@@ -7557,57 +7565,54 @@ FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOPK}
 # CORRECTNESS artifact rotate to the front; with 68 unsigned keys, round 5
 # signs 50 of them and round 6 the rest.  ORACLE_KEYS.md carries the full
 # key -> (round introduced, signed-where) inventory.
-# Round-9 rotation (freshness maintenance — `tools/audit_scorecard.py`
+# Round-10 rotation (freshness maintenance — `tools/audit_scorecard.py`
 # prints the latest-green-signature distribution these lists are built
 # from; a pytest asserts the composed scorecard stays consistent).  The
-# window fronts (a) the two keys whose implementation/oracle changed this
-# round (truncation_loss oracle now mirrors try_divide NULL-on-zero via
-# nullif; shard_manifest keeps the natural id type for min/max — both
-# round-9 ADVICE items), (b) every r05-stale signature: the 14 keys the
-# round-8 verdict queued PLUS filter_funnel (also r05, missed by the
-# verdict's list — the audit tool caught it), (c) the new coreset_select and
-# embedding_covariance keys (first signatures), (d) the alphabetically
-# first 29 of the 40 r06-stale keys.  The remaining 11 r06 keys carry to
-# round 10: referential_check and rank_correlation (displaced by the two
-# new keys), semantic_dedup, simhash_dedup, source_quality_cap,
-# substring_dedup, substring_dedup_dfcut, token_drift, winnow_match,
-# winnow_probe, winnowing.  A green CORRECTNESS_r09 leaves no signature
-# older than 3 rounds.
+# window fronts (a) the three keys whose implementation changed this
+# round (all round-9 ADVICE items — see _GATE_CHANGED comments), (b) the
+# 11 r06-stale keys the round-9 verdict queued (they hit the audit
+# tool's <=4-round staleness bound at r10), (c) the alphabetically first
+# 35 of the 46 r07-stale keys.  The remaining 11 r07 keys carry to round
+# 11, still inside the bound.  A green CORRECTNESS_r10 leaves no
+# signature older than 3 rounds.
 _GATE_CHANGED = [
-    # oracle changed r9: loss_ratio divisor wrapped in nullif to mirror
-    # Spark try_divide when a group's total_tokens is 0
-    "truncation_loss",
-    # impl changed r9: min_doc_id/max_doc_id no longer cast to long
-    "shard_manifest",
-    # impl changed r9: approx side probes the persisted IVF index
-    # instead of rebuilding the quantizer per call (round-8 verdict's
-    # only >=1.4x perf mover; results identical, probe==direct asserted)
-    "ann_recall",
-    # NEW keys r9 (greedy k-center coreset selection; exact embedding
-    # covariance matrix) — need their first driver signatures; displace
-    # referential_check and rank_correlation (both r06-stale) to the
-    # round-10 pad
+    # impl changed r10: kcenter_select drops NULL ids up front (oracle
+    # mirrors; ADVICE) and the materialize=None default flips to the
+    # running-min variant at k>4 (measured 2.22 s vs 3.98 s stateless at
+    # sf0.1, k=8; trajectory bit-identical, property-tested)
     "coreset_select",
+    # impl changed r10: the |u| overflow guard validates on the FLOAT
+    # side before the int64 cast (a huge coordinate previously wrapped
+    # to INT64_MIN and could slip past the post-cast check; ADVICE)
     "embedding_covariance",
+    # impl changed r10: scd2_close_absent restores the dim's column
+    # order after the USING join and derives a collision-free presence
+    # marker (ADVICE)
+    "scd2_hard_delete",
 ]
 
 _GATE_PAD = [
-    # stalest: last signed r05 (all 15 — completes the r8 verdict promise)
-    "filter_funnel", "oov_rate", "pii_redact", "price_histogram",
-    "scd2_hard_delete", "sequence_pack", "split_leakage_audit",
-    "sql_gold_priority", "top_customer_per_nation", "triangle_count",
-    "user_erasure", "value_outliers", "vocab_build", "weighted_sample",
-    "zorder_key",
-    # next-stalest: last signed r06 (first 32 of 40 alphabetically)
-    "bloom_decontamination", "bm25_search", "bm25_vs_index", "bpe_train",
-    "cms_topk", "containment_dedup", "cooccurrence_lift",
-    "curriculum_order", "decayed_engagement", "event_transitions",
-    "exact_quantiles", "fuzzy_match", "hybrid_rrf", "incremental_clusters",
-    "incremental_neardup", "knn_predict", "last_touch_attribution",
-    "length_quartiles", "linear_probe", "lm_coverage", "merge_upsert",
-    "minhash_dedup", "mixture_sample", "neardup_vs_index",
-    "ngram_jaccard_dedup", "overlap_join", "packing_efficiency",
-    "pagerank", "quantization_error",
+    # stalest: last signed r06 (the 11 keys the r9 window could not fit —
+    # they hit the audit tool's <=4-round staleness bound at r10)
+    "rank_correlation", "referential_check", "semantic_dedup",
+    "simhash_dedup", "source_quality_cap", "substring_dedup",
+    "substring_dedup_dfcut", "token_drift", "winnow_match",
+    "winnow_probe", "winnowing",
+    # next-stalest: last signed r07 (first 35 of 46 alphabetically; the
+    # remaining 11 — repetition_scores, rollup_summary, salted_skew_join,
+    # sessionization, sliding_window, top_revenue_orders, train_test_split,
+    # tumbling_window, value_anomalies, vendor_summary, zone_summary —
+    # carry to the r11 pad, within the staleness bound)
+    "ab_test", "adaptive_quality_filter", "append_if_absent",
+    "asof_last_error", "bpe_token_count", "cluster_safe_split",
+    "cohort_retention", "cube_summary", "daily_gapfill", "daily_summary",
+    "decode_join", "dedup_clusters", "embedding_ivf_topk",
+    "embedding_lsh_topk", "embedding_neardup", "embedding_topk",
+    "exact_dedup", "fingerprints", "funnel", "hard_negatives",
+    "hash_sample", "inactive_customers", "json_extract", "label_centroids",
+    "lang_id", "median_price", "mixture_weights", "monthly_summary",
+    "moving_avg", "ols_trend", "payment_summary", "pivot_status_by_year",
+    "price_qty_corr", "price_quartiles", "regional_revenue",
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost

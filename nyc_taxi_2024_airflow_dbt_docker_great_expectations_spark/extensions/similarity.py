@@ -1190,15 +1190,21 @@ def embedding_covariance(corpus: DataFrame, id_col: str = "vec_id",
                 raise ValueError(
                     "embedding_covariance: non-finite embedding element "
                     "(NaN/Inf would floor to undefined int64)")
-            u = np.floor(m * float(COV_SCALE) + 0.5).astype(np.int64)
+            q = np.floor(m * float(COV_SCALE) + 0.5)
+            # guard on the FLOAT side: a huge coordinate (|x| >~ 9.2e12)
+            # would wrap during the float->int64 cast (typically to
+            # INT64_MIN, whose np.abs stays negative), letting a
+            # post-cast check pass while the sums go silently wrong
+            fmax = float(np.abs(q).max())
+            if fmax >= 2 ** 31:
+                raise ValueError(
+                    f"embedding_covariance: |u| = {fmax:.0f} >= 2^31 — a "
+                    "single int64 product could overflow; lower COV_SCALE "
+                    "or rescale the embeddings")
+            u = q.astype(np.int64)
             n, d = u.shape
             iu, ju = np.triu_indices(d)
             maxu = int(np.abs(u).max()) or 1
-            if maxu >= 2 ** 31:
-                raise ValueError(
-                    f"embedding_covariance: |u| = {maxu} >= 2^31 — a "
-                    "single int64 product could overflow; lower COV_SCALE "
-                    "or rescale the embeddings")
             # per-chunk product sums stay under 2^62: chunk * maxu^2 bound
             chunk = max(1, (2 ** 62) // (maxu * maxu))
             for s in range(0, n, chunk):
@@ -1269,7 +1275,8 @@ def _sq_dist_to(vec: Column, center: list[float]) -> Column:
 
 def kcenter_select(corpus: DataFrame, k: int = 8,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   materialize: bool | None = None) -> DataFrame:
     """Greedy k-center / farthest-point traversal (Gonzalez 1985) — the
     diversity-based coreset selection a training-data pipeline runs to
     pick a maximally-spread exemplar set (data-selection / active-
@@ -1285,30 +1292,56 @@ def kcenter_select(corpus: DataFrame, k: int = 8,
     the k rounds is ONE distributed TakeOrderedAndProject (per-partition
     top-1, O(partitions) driver merge — no full sort, no collect of the
     corpus); driver state is the O(k x dim) chosen-center list, and the
-    k-row result is metadata-sized.  Round t evaluates min-over-t
-    distances map-side in codegen; total work O(k^2 * dim) per row-scan
-    unit, k bounded small by construction.  (The stateless re-derive
-    beats materializing a running min-dist column at bounded k — the
-    extra folds are cheaper than writing+reading an n-row intermediate
-    k times, and every round stays a pure function of (corpus, chosen);
-    a caller with k in the hundreds should flip to the materialized
-    variant.)
+    k-row result is metadata-sized.
+
+    Two round strategies, identical trajectories (min over doubles with
+    no NaN is associative, so a running least equals the full fold;
+    property-tested):
+
+    - ``materialize=False`` (default for k <= 4): round t re-derives
+      min-over-t distances map-side in codegen — total work
+      O(k^2 * dim) per row-scan unit, but every round is a pure
+      function of (corpus, chosen) with no intermediate state to
+      write, read, or recover (an executor loss just recomputes).
+    - ``materialize=True`` (default for k > 4): carries a running
+      ``__dmin`` column, updated each round against only the NEWEST
+      center and truncated via an eager ``localCheckpoint`` — total
+      work O(k * dim) per row-scan unit plus k n-row materializations.
+      The checkpoint blocks live in executor storage until the context
+      cleaner GCs the dropped references; a lost executor requires
+      restarting the traversal (the trade for the k-fold fold saving).
+
+    ``materialize=None`` picks by the measured crossover
+    (tools/kcenter_crossover.py; sf0.1 = 60k x 64-dim, warm best-of-3,
+    stateless vs materialized): k=2 0.70/0.68 s, k=4 1.11/1.04 s,
+    k=6 1.77/1.29 s, k=8 3.98/2.22 s, k=16 12.2/4.67 s,
+    k=32 39.1/5.78 s, k=64 142.5/10.5 s — the O(k^2) fold cost
+    dominates from k~6 up and the two forms are measurement noise
+    apart below that, where the stateless form's operational purity
+    wins the tie.
 
     Exactness: float->double widening is value-exact, the distance fold
     is the sequential left fold (matches DuckDB ``list_sum``), min/least
     over doubles is order-independent (no NaN can arise from finite
     squares), and the (dist DESC, id ASC) total order makes every round's
     argmax — hence the whole trajectory — engine-portable bit-for-bit.
-    NULL vectors AND vectors containing a NULL element match nothing and
-    are dropped up front (the fold would NULL-poison their distances);
-    already-chosen ids are excluded so duplicate vectors (distance 0
-    everywhere) can never re-select a center.  ``k < 1`` selects
-    nothing.
+    NULL ids and NULL vectors AND vectors containing a NULL element are
+    dropped up front (a NULL id would NULL-poison the
+    ``~isin(chosen)`` exclusion — and seed first under Spark's
+    NULLS-FIRST asc while an ANSI oracle seeds it last; a NULL element
+    would NULL-poison the distance fold); already-chosen ids are
+    excluded so duplicate vectors (distance 0 everywhere) can never
+    re-select a center.  ``k < 1`` selects nothing.
     """
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
+    if materialize is None:
+        materialize = k > 4
     no_null_elem = ~F.exists(F.col(vec_col), lambda x: x.isNull())
-    pts = corpus.filter(F.col(vec_col).isNotNull() & no_null_elem).select(
+    pts = corpus.filter(
+        F.col(id_col).isNotNull()
+        & F.col(vec_col).isNotNull() & no_null_elem
+    ).select(
         F.col(id_col).alias("__id"), _to_double(F.col(vec_col)).alias("__v")
     )
     pts = pts.persist()
@@ -1321,23 +1354,28 @@ def kcenter_select(corpus: DataFrame, k: int = 8,
             chosen.append((seed[0]["__id"],
                            [float(x) for x in seed[0]["__v"]]))
             picked.append((1, seed[0]["__id"], None))
-        while chosen and len(picked) < k:
-            dmin = None
-            for _cid, cvec in chosen:
-                d = _sq_dist_to(F.col("__v"), cvec)
-                dmin = d if dmin is None else F.least(dmin, d)
-            cand = (
-                pts.filter(~F.col("__id").isin([cid for cid, _ in chosen]))
-                .select("__id", "__v", dmin.alias("__d"))
-                .orderBy(F.desc("__d"), F.asc("__id"))
-                .limit(1)
-                .collect()
-            )
-            if not cand:
-                break
-            row = cand[0]
-            chosen.append((row["__id"], [float(x) for x in row["__v"]]))
-            picked.append((len(picked) + 1, row["__id"], float(row["__d"])))
+        if materialize and chosen and len(picked) < k:
+            picked = _kcenter_rounds_materialized(pts, k, picked, chosen)
+        else:
+            while chosen and len(picked) < k:
+                dmin = None
+                for _cid, cvec in chosen:
+                    d = _sq_dist_to(F.col("__v"), cvec)
+                    dmin = d if dmin is None else F.least(dmin, d)
+                cand = (
+                    pts.filter(
+                        ~F.col("__id").isin([cid for cid, _ in chosen]))
+                    .select("__id", "__v", dmin.alias("__d"))
+                    .orderBy(F.desc("__d"), F.asc("__id"))
+                    .limit(1)
+                    .collect()
+                )
+                if not cand:
+                    break
+                row = cand[0]
+                chosen.append((row["__id"], [float(x) for x in row["__v"]]))
+                picked.append(
+                    (len(picked) + 1, row["__id"], float(row["__d"])))
     finally:
         pts.unpersist()
     schema = StructType([
@@ -1346,6 +1384,46 @@ def kcenter_select(corpus: DataFrame, k: int = 8,
         StructField("min_dist_sq", DoubleType(), True),
     ])
     return corpus.sparkSession.createDataFrame(picked, schema)
+
+
+def _kcenter_rounds_materialized(pts: DataFrame, k: int,
+                                 picked: list, chosen: list) -> list:
+    """The ``materialize=True`` round loop of :func:`kcenter_select`:
+    carry a running ``__dmin`` (distance to the nearest chosen center)
+    and update it each round against only the NEWEST center —
+    O(k * dim) fold work per row-scan unit instead of the stateless
+    form's O(k^2 * dim).  Each round's frame is truncated with an eager
+    ``localCheckpoint`` so Catalyst never re-analyzes a k-deep lineage
+    (analysis alone would go O(k^2)); the trajectory is bit-identical to
+    the stateless form because min over finite doubles is associative
+    (``least(least(d1,d2),d3) == least(d1,least(d2,d3))``) and both
+    forms apply the same per-center distance fold.  Mutates and returns
+    ``picked``; extends ``chosen`` alongside."""
+    cur = (
+        pts.filter(F.col("__id") != F.lit(chosen[0][0]))
+        .select("__id", "__v",
+                _sq_dist_to(F.col("__v"), chosen[0][1]).alias("__dmin"))
+        .localCheckpoint(eager=True)
+    )
+    while len(picked) < k:
+        cand = (cur.orderBy(F.desc("__dmin"), F.asc("__id"))
+                .limit(1).collect())
+        if not cand:
+            break
+        row = cand[0]
+        cvec = [float(x) for x in row["__v"]]
+        chosen.append((row["__id"], cvec))
+        picked.append((len(picked) + 1, row["__id"], float(row["__dmin"])))
+        if len(picked) >= k:
+            break
+        cur = (
+            cur.filter(F.col("__id") != F.lit(row["__id"]))
+            .select("__id", "__v",
+                    F.least(F.col("__dmin"),
+                            _sq_dist_to(F.col("__v"), cvec)).alias("__dmin"))
+            .localCheckpoint(eager=True)
+        )
+    return picked
 
 
 # --- persisted IVF index ---------------------------------------------------

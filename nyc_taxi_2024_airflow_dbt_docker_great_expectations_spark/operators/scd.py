@@ -184,7 +184,11 @@ def scd2_close_absent(dim: DataFrame, snapshot_keys: DataFrame,
     """
     from pyspark.sql import functions as F2
 
+    # marker name must not collide with any dim column (a caller's dim
+    # could legitimately carry "__scd2_present")
     marker = "__scd2_present"
+    while marker in dim.columns:
+        marker += "_"
     keys = snapshot_keys.select(*key_cols).distinct().withColumn(
         marker, F2.lit(1))
     if broadcast_keys:
@@ -196,4 +200,4 @@ def scd2_close_absent(dim: DataFrame, snapshot_keys: DataFrame,
         F2.when(close_now, F2.lit(ts_col_value).cast(
             dim.schema["valid_to"].dataType
         )).otherwise(F2.col("valid_to")),
-    ).drop(marker)
+    ).select(*dim.columns)  # USING join moves key cols first; restore dim order

@@ -18,9 +18,11 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 from audit_scorecard import (  # noqa: E402
     GATE_WINDOW,
+    TABLE_MARKER,
     audit,
     pending_keys,
     registry_keys,
+    render_keys_table,
 )
 
 
@@ -37,3 +39,16 @@ def test_scorecard_consistent():
     # explicit front list must fill the window exactly (the r7 silent
     # [:50] overflow is the failure mode this pins)
     assert len(keys) >= GATE_WINDOW
+
+
+def test_oracle_keys_table_is_regenerated_not_hand_edited():
+    """The ORACLE_KEYS.md inventory table is GENERATED
+    (`--write-keys`, round-9 VERDICT ask): the committed table must
+    match a fresh regeneration byte-for-byte, so hand edits (the old
+    212-line-diff-per-round maintenance mode) can never drift from the
+    artifacts again."""
+    with open(os.path.join(REPO, "ORACLE_KEYS.md")) as f:
+        text = f.read()
+    assert TABLE_MARKER in text, "generation marker missing"
+    committed = text.split(TABLE_MARKER, 1)[1].lstrip("\n")
+    assert committed == render_keys_table(REPO)

@@ -2040,6 +2040,58 @@ def test_kcenter_select_duplicates_and_small_n(spark):
         "sel_rank", "vec_id", "min_dist_sq"]
 
 
+def test_kcenter_select_null_id_dropped(spark):
+    # a NULL id would NULL-poison ~isin(chosen) and seed NULLS-FIRST under
+    # Spark asc while an ANSI oracle seeds it last — dropped up front
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        kcenter_select,
+    )
+
+    rows = [
+        (None, [9.0, 9.0]),  # NULL id: dropped, never seeds or selects
+        (5, [1.0, 0.0]),
+        (6, [0.0, 1.0]),
+        (7, [4.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for mat in (False, True):
+        got = (kcenter_select(df, k=4, materialize=mat)
+               .orderBy("sel_rank").collect())
+        assert [r["vec_id"] for r in got] == [5, 7, 6]
+        assert got[0]["min_dist_sq"] is None
+
+
+def test_kcenter_select_materialized_identical_trajectory(spark):
+    # the running-__dmin variant must replay the stateless trajectory
+    # bit-for-bit: min over finite doubles is associative, both forms
+    # apply the same per-center distance fold
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        kcenter_select,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    raw = rng.normal(size=(60, 8)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in raw[i]]) for i in range(60)]
+    # duplicates + a NULL vector exercise the zero-radius / drop paths
+    rows += [(100, [float(x) for x in raw[0]]), (101, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for k in (1, 2, 9):
+        stateless = [(r["sel_rank"], r["vec_id"], r["min_dist_sq"])
+                     for r in kcenter_select(df, k=k, materialize=False)
+                     .orderBy("sel_rank").collect()]
+        materialized = [(r["sel_rank"], r["vec_id"], r["min_dist_sq"])
+                        for r in kcenter_select(df, k=k, materialize=True)
+                        .orderBy("sel_rank").collect()]
+        assert stateless == materialized  # ids AND bit-equal radii
+    # k > n drains the corpus identically too
+    a = kcenter_select(df, k=100, materialize=False).collect()
+    b = kcenter_select(df, k=100, materialize=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 61  # every non-null point exactly once
+
+
 def test_embedding_covariance_exact(spark):
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
         embedding_covariance,

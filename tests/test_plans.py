@@ -357,6 +357,43 @@ def test_kcenter_round_plan_is_take_ordered_no_shuffle(spark):
     assert plan.count("Scan parquet") == 1
 
 
+def test_kcenter_materialized_round_plan_no_shuffle(spark):
+    """The materialize=True round (the k>4 default) must stay
+    shuffle-free too: the argmax is ONE TakeOrderedAndProject over the
+    checkpointed running-min frame, and the __dmin update is a map-side
+    filter+project over that same scan — no Exchange, no Join, no
+    re-derivation of earlier centers (exactly one distance fold against
+    the newest center)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        _sq_dist_to,
+        _to_double,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cur = (emb.filter(F.col("embedding").isNotNull())
+           .select("vec_id", _to_double(F.col("embedding")).alias("__v"),
+                   _sq_dist_to(_to_double(F.col("embedding")),
+                               [0.0] * 64).alias("__dmin"))
+           .localCheckpoint(eager=True))
+    cand = cur.orderBy(F.desc("__dmin"), F.asc("vec_id")).limit(1)
+    plan = _plan(cand)
+    assert "TakeOrderedAndProject" in plan
+    for bad in ("Exchange", "CartesianProduct", "Join", "Window"):
+        assert bad not in plan
+    upd = (cur.filter(F.col("vec_id") != F.lit(0))
+           .select("vec_id", "__v",
+                   F.least(F.col("__dmin"),
+                           _sq_dist_to(F.col("__v"),
+                                       [1.0] * 64)).alias("__dmin")))
+    plan = _plan(upd)
+    for bad in ("Exchange", "CartesianProduct", "Join", "Window",
+                "TakeOrderedAndProject", "Sort"):
+        assert bad not in plan
+    cur.unpersist()
+
+
 def test_embedding_covariance_plan_single_exchange_no_join(spark):
     """The covariance matrix must come from the Arrow GEMM stage
     (MapInPandas int64 X^T X partials) over ONE parquet scan into a

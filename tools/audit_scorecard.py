@@ -25,7 +25,14 @@ next) so each round's `_GATE_FRONT` pad can be chosen from data instead
 of memory.  Exit 1 on any violation; `tests/test_audit_scorecard.py`
 runs it in the suite.
 
-Usage: python tools/audit_scorecard.py [--repo DIR]
+`--write-keys` regenerates the ORACLE_KEYS.md inventory table (key ->
+first-present round, signed-in rounds, in-current-window flag) from the
+artifacts + live registry — the table was hand-edited through round 9
+(a 212-line diff per round); now the tool that already parses every
+input emits it, and a pytest asserts the committed table matches the
+regeneration byte-for-byte so hand edits can't drift.
+
+Usage: python tools/audit_scorecard.py [--repo DIR] [--write-keys]
 """
 
 from __future__ import annotations
@@ -173,10 +180,60 @@ def audit(repo: str) -> tuple[list[str], dict[str, int]]:
     return violations, latest
 
 
+TABLE_MARKER = ("<!-- table below GENERATED by "
+                "`python tools/audit_scorecard.py --write-keys` — "
+                "do not hand-edit (pytest-enforced) -->")
+
+
+def render_keys_table(repo: str) -> str:
+    """The ORACLE_KEYS.md inventory table, derived entirely from the
+    CORRECTNESS artifacts + the live registry (same inputs audit()
+    already parses).  Pending keys (added this round, no artifact yet)
+    show first-present as the upcoming round."""
+    keys = registry_keys(repo)
+    signed = signed_rounds(repo)
+    arts = artifact_keys(repo)
+    first: dict[str, int] = {}
+    for rnd in sorted(arts):
+        for k in arts[rnd]:
+            first.setdefault(k, rnd)
+    upcoming = (max(arts) + 1) if arts else 1
+    window = set(keys[:GATE_WINDOW])
+    lines = [
+        "| key | first in a driver artifact | driver-signed in "
+        "| in current gate window |",
+        "|---|---|---|---|",
+    ]
+    for k in sorted(keys):
+        rounds = ", ".join(f"r{r:02d}" for r in signed.get(k, []))
+        lines.append(
+            f"| `{k}` | {first.get(k, upcoming)} "
+            f"| {rounds or 'pending'} | {'yes' if k in window else 'no'} |")
+    return "\n".join(lines) + "\n"
+
+
+def write_keys_doc(repo: str) -> None:
+    """Replace everything after TABLE_MARKER in ORACLE_KEYS.md with the
+    regenerated table (prose header above the marker is kept)."""
+    path = os.path.join(repo, "ORACLE_KEYS.md")
+    with open(path) as f:
+        text = f.read()
+    if TABLE_MARKER not in text:
+        raise AssertionError(
+            "ORACLE_KEYS.md has no generation marker — add TABLE_MARKER "
+            "above the inventory table once, then --write-keys maintains it")
+    head = text.split(TABLE_MARKER)[0]
+    with open(path, "w") as f:
+        f.write(head + TABLE_MARKER + "\n\n" + render_keys_table(repo))
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if "--repo" in sys.argv:
         repo = sys.argv[sys.argv.index("--repo") + 1]
+    if "--write-keys" in sys.argv:
+        write_keys_doc(repo)
+        print("ORACLE_KEYS.md table regenerated")
     violations, latest = audit(repo)
 
     by_round: dict[int, list[str]] = {}

@@ -23,7 +23,23 @@ compiled at the BASE SF and at the scaled SF and the nested-loop /
 cartesian operator counts must not grow — no hand-maintained allowlist
 to rot.
 
-Usage: python tools/scale_smoke.py [--skip QUERY ...]
+Two measurement modes (the plan-flip pass is whole-registry in BOTH —
+compiling a plan is cheap; only the timed execution is scoped):
+
+- default (``--changed-plus-headline``): times the round's changed keys
+  (`_GATE_CHANGED` in `__spark_entry__.py`, plus any names given after
+  the flag) and the top-20 slowest queries from the previous FULL
+  artifact, at full best-of-N; every other query's timings are carried
+  from that artifact and disclosed (`env.mode`, `env.measured_n`,
+  `env.carried_n`, `carried_queries`).  The top-20 cover ~35% of total
+  scaled wall time, and the sub-second tail is exempt from the ratio
+  gate anyway (``floor=1.0``), so the gate's signal comes from exactly
+  the queries this mode re-measures.  Needs a prior full BENCH_sf1.json.
+- ``--full``: whole-registry timed run (the round-9 behavior; run at
+  least once per round-cycle so carried values never go stale).
+
+Usage: python tools/scale_smoke.py [--full] [--skip QUERY ...]
+       python tools/scale_smoke.py --changed-plus-headline [extra ...]
 Env: SPARK_GRAFT_SCALE_BASE (default /root/testdata/sf0.1),
      SPARK_GRAFT_SCALE_DIR  (default /tmp/spark_graft_sf1),
      SPARK_GRAFT_SCALE_FACTOR (default 10).
@@ -120,6 +136,31 @@ def main() -> None:
         skip = set(sys.argv[sys.argv.index("--skip") + 1:])
 
     import __spark_entry__ as entrymod
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prior_path = os.path.join(repo, "BENCH_sf1.json")
+    measure: set[str] | None = None  # None = full registry
+    prior: dict = {}
+    if "--full" not in sys.argv:
+        extra = []
+        if "--changed-plus-headline" in sys.argv:
+            idx = sys.argv.index("--changed-plus-headline")
+            extra = [a for a in sys.argv[idx + 1:] if not a.startswith("-")]
+        if os.path.exists(prior_path):
+            with open(prior_path) as f:
+                prior = json.load(f)
+        prior_q = prior.get("queries", {})
+        if prior.get("env", {}).get("mode") == "changed_plus_headline":
+            # never chain fast runs off a fast artifact: carried values
+            # would compound staleness invisibly
+            print("prior artifact is itself a fast run — falling back to "
+                  "--full", flush=True)
+        elif prior_q:
+            top20 = sorted(prior_q, key=prior_q.get, reverse=True)[:20]
+            measure = (set(top20) | set(extra)
+                       | set(getattr(entrymod, "_GATE_CHANGED", [])))
+        else:
+            print("no prior full BENCH_sf1.json — running --full", flush=True)
     from bench import _buffcache_gb
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.session import get_spark
 
@@ -140,7 +181,7 @@ def main() -> None:
     compile_warm = warm_dir not in ("0", "") and os.path.isdir(warm_dir)
     if compile_warm:
         for name, fn in entrymod.queries().items():
-            if name in skip:
+            if name in skip or (measure is not None and name not in measure):
                 continue
             try:
                 fn(spark, warm_dir).write.mode("overwrite").format(
@@ -176,7 +217,8 @@ def main() -> None:
     for rnd in range(repeats):
         for sf_dir, acc in ((base, base_timings), (out, timings)):
             for name, fn in entrymod.queries().items():
-                if name in skip or name in failures:
+                if (name in skip or name in failures
+                        or (measure is not None and name not in measure)):
                     continue
                 try:
                     elapsed = _timed_noop(fn, spark, sf_dir)
@@ -206,6 +248,17 @@ def main() -> None:
         print(f"re-measured {name}: {base_timings[name]}s -> "
               f"{timings[name]}s", flush=True)
     time_flags = ratio_flags(base_timings, timings, factor)
+    carried: list[str] = []
+    if measure is not None:
+        # carry every unmeasured query's timings from the prior FULL
+        # artifact (same protocol, disclosed) so totals stay registry-wide
+        for name, t in prior.get("queries", {}).items():
+            if name in timings or name in skip or name in failures:
+                continue
+            if name in prior.get("base_queries", {}):
+                timings[name] = t
+                base_timings[name] = prior["base_queries"][name]
+                carried.append(name)
     result = {
         "metric": "total_headline_query_time",
         "value": round(sum(timings.values()), 3),
@@ -224,16 +277,20 @@ def main() -> None:
         # self-describing run conditions, same block bench.py writes
         # (round-8 VERDICT: BENCH_sf1 lacked it, so a cold base couldn't
         # be told apart from a warm one)
+        "carried_queries": sorted(carried),
         "env": {
             "buffcache_gb_start": buffcache_start,
             "buffcache_gb_end": _buffcache_gb(),
             "repeats_best_of": repeats,
             "compile_warm": compile_warm,
             "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+            "mode": ("changed_plus_headline" if measure is not None
+                     else "full"),
+            "measured_n": len(timings) - len(carried),
+            "carried_n": len(carried),
         },
     }
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH_sf1.json"), "w") as f:
+    with open(prior_path, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps({k: result[k] for k in
                       ("value", "n_queries", "n_failures", "plan_flips",
