@@ -87,6 +87,7 @@ from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.contam
     ngram_contamination,
 )
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.sketches import (
+    hll_distinct,
     kmv_distinct,
 )
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
@@ -5238,6 +5239,57 @@ SELECT l_returnflag,
 FROM bk WHERE rk <= 256 GROUP BY 1
 """
 
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog (extensions/sketches.py:hll_distinct):
+    distinct l_partkey per return flag through 256 md5-indexed registers
+    — the fixed-size mergeable counterpart to kmv_distinct (same
+    grouping, so the two sketches cross-check each other).  The
+    harmonic sum is exact integer units (scale 2^53), the estimate one
+    literal/double division — engine-portable bit-for-bit, no float
+    summation, no ln (corrections left to the caller via
+    zero_registers/harmonic_units).  No reference analog —
+    LLM-pipeline brief surface (web-scale distinct counting)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return hll_distinct(li, ["l_returnflag"], "l_partkey", b=8)
+
+
+_HLL_NUMER = 0.7213 / (1.0 + 1.079 / 256) * 256.0 * 256.0 * float(1 << 53)
+ORACLE_HLL_DISTINCT = f"""
+WITH dv AS (
+  SELECT DISTINCT l_returnflag, l_partkey
+  FROM lineitem WHERE l_partkey IS NOT NULL
+),
+reg AS (
+  SELECT l_returnflag,
+         CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+              AS BIGINT) % 256 AS j,
+         CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+              AS BIGINT) // 256 AS w
+  FROM dv
+),
+rk AS (
+  SELECT l_returnflag, j,
+         MAX(CASE WHEN w = 0 THEN 53
+             ELSE 53 - length(bin(w)) END) AS mreg
+  FROM reg GROUP BY 1, 2
+),
+agg AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS nreg,
+         CAST(SUM(1::BIGINT << (53 - mreg)) AS BIGINT) AS units_hit
+  FROM rk GROUP BY 1
+)
+SELECT l_returnflag,
+       CAST(256 - nreg AS INTEGER) AS zero_registers,
+       CAST(units_hit + (256 - nreg) * (1::BIGINT << 53) AS BIGINT)
+           AS harmonic_units,
+       {_HLL_NUMER!r}
+           / CAST(units_hit + (256 - nreg) * (1::BIGINT << 53) AS DOUBLE)
+           AS est_hll
+FROM agg
+"""
+
 GAPFILL_MIN_PRICE = 400000  # rare high-value orders -> guaranteed day gaps
 
 
@@ -7589,6 +7641,10 @@ _GATE_CHANGED = [
     # order after the USING join and derives a collision-free presence
     # marker (ADVICE)
     "scd2_hard_delete",
+    # NEW key r10 (deterministic HyperLogLog, completes the sketch trio
+    # KMV/CMS/HLL) — needs its first driver signature; displaces
+    # regional_revenue (r07-stale) to the round-11 pad
+    "hll_distinct",
 ]
 
 _GATE_PAD = [
@@ -7598,11 +7654,11 @@ _GATE_PAD = [
     "simhash_dedup", "source_quality_cap", "substring_dedup",
     "substring_dedup_dfcut", "token_drift", "winnow_match",
     "winnow_probe", "winnowing",
-    # next-stalest: last signed r07 (first 35 of 46 alphabetically; the
-    # remaining 11 — repetition_scores, rollup_summary, salted_skew_join,
-    # sessionization, sliding_window, top_revenue_orders, train_test_split,
-    # tumbling_window, value_anomalies, vendor_summary, zone_summary —
-    # carry to the r11 pad, within the staleness bound)
+    # next-stalest: last signed r07 (first 34 of 46 alphabetically; the
+    # remaining 12 — regional_revenue, repetition_scores, rollup_summary,
+    # salted_skew_join, sessionization, sliding_window, top_revenue_orders,
+    # train_test_split, tumbling_window, value_anomalies, vendor_summary,
+    # zone_summary — carry to the r11 pad, within the staleness bound)
     "ab_test", "adaptive_quality_filter", "append_if_absent",
     "asof_last_error", "bpe_token_count", "cluster_safe_split",
     "cohort_retention", "cube_summary", "daily_gapfill", "daily_summary",
@@ -7612,7 +7668,7 @@ _GATE_PAD = [
     "hash_sample", "inactive_customers", "json_extract", "label_centroids",
     "lang_id", "median_price", "mixture_weights", "monthly_summary",
     "moving_avg", "ols_trend", "payment_summary", "pivot_status_by_year",
-    "price_qty_corr", "price_quartiles", "regional_revenue",
+    "price_qty_corr", "price_quartiles",
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost
@@ -7766,6 +7822,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "weighted_sample": q_weighted_sample,
         "kmv_distinct": q_kmv_distinct,
+        "hll_distinct": q_hll_distinct,
         "daily_gapfill": q_daily_gapfill,
         "value_anomalies": q_value_anomalies,
         "pii_redact": q_pii_redact,
@@ -7925,6 +7982,7 @@ def oracle_sql() -> dict[str, str]:
         "decontamination": ORACLE_DECONTAMINATION,
         "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
         "kmv_distinct": ORACLE_KMV_DISTINCT,
+        "hll_distinct": ORACLE_HLL_DISTINCT,
         "daily_gapfill": ORACLE_DAILY_GAPFILL,
         "value_anomalies": ORACLE_VALUE_ANOMALIES,
         "pii_redact": ORACLE_PII_REDACT,

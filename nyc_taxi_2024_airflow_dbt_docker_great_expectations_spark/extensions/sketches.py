@@ -124,3 +124,96 @@ def cms_heavy_hitters(items: DataFrame, value_col: str,
         .orderBy(F.col("cms_count").desc(), value_col)
         .limit(k)
     )
+
+
+def hll_distinct(df: DataFrame, group_cols: list[str], value_col: str,
+                 b: int = 8) -> DataFrame:
+    """Deterministic HyperLogLog (Flajolet et al. 2007): per group, the
+    raw HLL cardinality estimate from ``m = 2^b`` registers — the
+    fixed-size counterpart to :func:`kmv_distinct` (whose sketch degrades
+    to the full hash set below k).  An HLL sketch is O(m) forever,
+    merges by per-register MAX (the property that makes it the standard
+    distributed/streaming distinct counter), and — unlike Spark's
+    ``approx_count_distinct``, whose HLL++ register layout is
+    engine-private — this one is a pure function of the data through
+    md5, so any engine reproduces it bit-for-bit and the whole sketch is
+    SQL-oracle-checkable.
+
+    Determinism of the float path: each register holds rank
+    ``M[j] in [1, 61-b]`` (the md5 prefix gives 60 hash bits, b index
+    the register, the remaining ``width = 60-b`` feed the rank); the
+    harmonic sum is computed EXACTLY as integer units at scale
+    ``2^maxr`` where ``maxr = width+1``:
+    ``sum(1 << (maxr - M[j])) + V * (1 << maxr)`` (<= 2^61, fits
+    int64 — V is the count of never-hit registers, rank 0), and the
+    estimate is ONE int64->double cast and ONE division of the
+    precomputed ``alpha_m * m^2 * 2^maxr`` literal — both IEEE-exact
+    operations, so the estimate is engine-portable without ever
+    summing floats.  The small-range (linear counting) and large-range
+    corrections need ``ln``, which is NOT correctly-rounded across
+    engines — they are deliberately left to the caller, who gets
+    ``zero_registers`` (V) and ``harmonic_units`` to apply either
+    correction with the ln of their choice.
+
+    Plan shape: distinct on (group, value) -> md5 once per distinct
+    value -> partial/final MAX agg over (group, register) -> final agg
+    over group.  The shuffle carries at most m rows per group; the
+    distinct is the same value-space collapse kmv_distinct documents.
+
+    Standard error of the raw estimate ~ 1.04/sqrt(m): b=8 -> ~6.5%.
+    """
+    if not 7 <= b <= 14:
+        # alpha below is Flajolet's m >= 128 constant; above 2^14
+        # registers the 60-bit hash budget starts starving the rank field
+        raise ValueError("b must be in [7, 14]")
+    m = 1 << b
+    width = 60 - b          # hash bits left for the rank after indexing
+    maxr = width + 1        # rank of w == 0 (all rank bits zero)
+    # alpha_m for m >= 128 (Flajolet's table); the m^2 * 2^maxr factor is
+    # folded into one Python-computed double literal so both engines
+    # divide the identical constant (unit scale = 2^maxr: a zero register
+    # contributes 2^-0 -> 1 << maxr, a rank-M register 1 << (maxr - M);
+    # total <= 2^b * 2^(61-b) = 2^61, always inside int64)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    numer = alpha * float(m) * float(m) * float(1 << maxr)
+    h = F.conv(F.substring(F.md5(F.col("__v").cast("string")), 1, 15),
+               16, 10).cast("long")
+    w = F.expr(f"__h div {m}")          # remaining width hash bits
+    # rank = position of the first 1-bit of w within its width-bit field
+    # = width - bit_length(w) + 1, and maxr when w = 0: conv(w, 10, 2) is
+    # the unpadded binary string, so its length IS bit_length(w) — no
+    # log2 (last-ulp engine drift) anywhere
+    rank = (F.when(F.col("__w") == 0, F.lit(maxr))
+            .otherwise(F.lit(maxr) - F.length(F.conv(
+                F.col("__w").cast("string"), 10, 2))))
+    regs = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, F.col(value_col).alias("__v"))
+        .distinct()
+        .select(*group_cols, h.alias("__h"))
+        .select(*group_cols, F.pmod(F.col("__h"), F.lit(m)).alias("__j"),
+                w.alias("__w"))
+        .select(*group_cols, "__j", rank.alias("__rank"))
+        .groupBy(*group_cols, "__j")
+        .agg(F.max("__rank").alias("__m"))
+    )
+    return (
+        regs.groupBy(*group_cols)
+        .agg(
+            F.sum(F.expr(f"shiftleft(1L, {maxr} - __m)"))
+            .alias("__units_hit"),
+            F.count(F.lit(1)).alias("__nreg"),
+        )
+        .select(
+            *group_cols,
+            (F.lit(m) - F.col("__nreg")).cast("int").alias("zero_registers"),
+            (F.col("__units_hit")
+             + (F.lit(m) - F.col("__nreg")) * F.lit(1 << maxr))
+            .alias("harmonic_units"),
+        )
+        .select(
+            *group_cols, "zero_registers", "harmonic_units",
+            (F.lit(numer) / F.col("harmonic_units").cast("double"))
+            .alias("est_hll"),
+        )
+    )

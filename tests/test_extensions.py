@@ -616,6 +616,55 @@ def test_kmv_distinct_accuracy(spark):
         kmv_distinct(df, ["g"], "v", k=1)
 
 
+def _hll_reference(values, b=8):
+    """Driver-side replay of the exact hll_distinct pipeline: 60-bit md5
+    prefix, register = h mod m, rank = maxr - bit_length(w)."""
+    import hashlib
+
+    m, maxr = 1 << b, 61 - b
+    regs = {}
+    for v in set(values):
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        j, w = h % m, h // m
+        rank = maxr if w == 0 else maxr - w.bit_length()
+        regs[j] = max(regs.get(j, 0), rank)
+    units = (sum(1 << (maxr - r) for r in regs.values())
+             + (m - len(regs)) * (1 << maxr))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return {"zero_registers": m - len(regs), "harmonic_units": units,
+            "est_hll": alpha * m * m * float(1 << maxr) / float(units)}
+
+
+def test_hll_distinct_exact_registers_and_accuracy(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.sketches import (
+        hll_distinct,
+    )
+
+    df = spark.range(5000).select(
+        F.lit("big").alias("g"), F.col("id").alias("v")
+    ).unionByName(
+        spark.range(10).select(F.lit("small").alias("g"),
+                               (F.col("id") + 100000).alias("v"))
+    )
+    out = {r["g"]: r for r in hll_distinct(df, ["g"], "v", b=8).collect()}
+    # bit-exact vs the driver-side replay of the same md5 register pipeline
+    for g, vals in (("big", range(5000)), ("small", range(100000, 100010))):
+        want = _hll_reference(vals)
+        got = out[g]
+        assert got["zero_registers"] == want["zero_registers"]
+        assert got["harmonic_units"] == want["harmonic_units"]
+        assert got["est_hll"] == want["est_hll"]
+    # raw-estimate accuracy at 5000 distinct (m=256 -> ~6.5% stderr)
+    assert abs(out["big"]["est_hll"] - 5000) / 5000 < 0.25
+    # cardinality, not frequency: duplicating every row changes nothing
+    dup = {r["g"]: r for r in
+           hll_distinct(df.unionByName(df), ["g"], "v", b=8).collect()}
+    assert {g: (r["harmonic_units"], r["est_hll"]) for g, r in out.items()} \
+        == {g: (r["harmonic_units"], r["est_hll"]) for g, r in dup.items()}
+    with pytest.raises(ValueError):
+        hll_distinct(df, ["g"], "v", b=2)
+
+
 def test_redact_pii(spark):
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
         redact_pii,

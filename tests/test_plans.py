@@ -318,6 +318,19 @@ def test_privacy_ladder_is_single_pass_no_join(spark):
     assert "partial_count(distinct" in plan or "HashAggregate" in plan
 
 
+def test_hll_distinct_plan_aggs_only_no_join(spark):
+    """hll_distinct is three cascaded hash aggregates (value distinct ->
+    per-register MAX -> per-group sum) over ONE scan — no join, no
+    window, no generator.  The shuffle after the register agg carries at
+    most m rows per group, so any join/window here would be a scale
+    smell."""
+    plan = _plan(entry.queries()["hll_distinct"](spark, SF))
+    assert plan.count("Scan parquet") == 1
+    for bad in ("Join", "Window", "Generate", "CartesianProduct"):
+        assert bad not in plan
+    assert plan.count("HashAggregate") >= 4  # 2 per partial/final stage
+
+
 def test_privacy_audits_aggregate_before_filter(spark):
     """k-anonymity / l-diversity gates are post-aggregation HAVINGs over
     ONE hash aggregate keyed on the QI tuple — a single scan each, no
