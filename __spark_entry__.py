@@ -79,6 +79,7 @@ from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.layout 
     zorder_key,
 )
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.sampling import (
+    dsir_importance_weights,
     hash_fraction_sample,
     stratified_sample,
     weighted_sample,
@@ -5290,6 +5291,108 @@ SELECT l_returnflag,
 FROM agg
 """
 
+DSIR_BUCKETS = 64
+DSIR_TARGET_SOURCE = "src0"  # the "looks like this" domain for selection
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (extensions/sampling.py:
+    dsir_importance_weights, arXiv:2302.03169): score every document by
+    the hashed-unigram log-likelihood ratio of the ``src0`` target
+    domain vs the whole corpus — the classical pick-data-that-looks-
+    like-the-target selection step.  Per-bucket LLR quantized to integer
+    micro-nats BEFORE the per-doc sum, so the score is an exact
+    order-independent integer; ln is evaluated once per bucket (64
+    quantizations total — same bounded 1-ulp exposure as tfidf's rank).
+    No reference analog — LLM-pipeline brief surface."""
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs, F.col("source") == DSIR_TARGET_SOURCE, buckets=DSIR_BUCKETS,
+    )
+
+
+ORACLE_DSIR_WEIGHTS = f"""
+WITH cells AS (
+  SELECT doc_id, (source = '{DSIR_TARGET_SOURCE}') AS is_target,
+         CAST(CAST('0x' || substr(md5('dsir:' || tok), 1, 8) AS BIGINT)
+              % {DSIR_BUCKETS} AS INTEGER) AS b
+  FROM (
+    SELECT doc_id, source, unnest({DUCK_TOKS}) AS tok
+    FROM documents
+    WHERE doc_id IS NOT NULL AND trim(text, {DUCK_WS}) <> ''
+  )
+),
+bstats AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_all,
+         CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
+  FROM cells GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(cnt_all) AS BIGINT) AS tot_all,
+         CAST(SUM(cnt_t) AS BIGINT) AS tot_t
+  FROM bstats
+),
+lr AS (
+  SELECT b,
+         CAST(floor(ln(((cnt_t + 1.0) * (tot_all + {DSIR_BUCKETS}.0))
+                       / ((cnt_all + 1.0) * (tot_t + {DSIR_BUCKETS}.0)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS lr_micro
+  FROM bstats CROSS JOIN tot
+),
+docb AS (
+  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS f FROM cells GROUP BY 1, 2
+)
+SELECT doc_id, CAST(SUM(f) AS BIGINT) AS n_toks,
+       CAST(SUM(f * lr_micro) AS BIGINT) AS score_micro
+FROM docb JOIN lr USING (b) GROUP BY 1
+"""
+
+JL_OUT_DIM = 8
+JL_IN_DIM = 64
+
+
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rademacher Johnson-Lindenstrauss projection (extensions/
+    similarity.py:rademacher_project, Achlioptas 2003): 64-dim
+    embeddings down to 8 via an md5-parity +/-1 sign matrix — the
+    width-reduction step ahead of LSH/coreset passes.  Micro-unit
+    quantization makes every cell an exact integer; the plan is a pure
+    per-row fold with NO shuffle/join/UDF (plan-asserted).  No reference
+    analog — LLM-pipeline brief surface."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        rademacher_project,
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    return rademacher_project(emb, out_dim=JL_OUT_DIM, in_dim=JL_IN_DIM)
+
+
+ORACLE_JL_PROJECTION = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                                  AS BIGINT)) AS qv
+  FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(embedding) = {JL_IN_DIM}
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+),
+cells AS (
+  SELECT vec_id, j.j AS j, i.i AS i,
+         qv[i.i + 1]
+         * (CASE WHEN substr(md5('jl:' || CAST(j.j AS VARCHAR) || ':'
+                                 || CAST(i.i AS VARCHAR)), 1, 1)
+                 IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END)
+             AS term
+  FROM q
+  CROSS JOIN (SELECT unnest(range(0, {JL_OUT_DIM})) AS j) j
+  CROSS JOIN (SELECT unnest(range(0, {JL_IN_DIM})) AS i) i
+)
+SELECT vec_id, CAST(j AS INTEGER) AS j,
+       CAST(SUM(term) AS BIGINT) AS proj_micro
+FROM cells GROUP BY 1, 2
+"""
+
 GAPFILL_MIN_PRICE = 400000  # rare high-value orders -> guaranteed day gaps
 
 
@@ -7624,7 +7727,7 @@ FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOPK}
 # round (all round-9 ADVICE items — see _GATE_CHANGED comments), (b) the
 # 11 r06-stale keys the round-9 verdict queued (they hit the audit
 # tool's <=4-round staleness bound at r10), (c) the alphabetically first
-# 35 of the 46 r07-stale keys.  The remaining 11 r07 keys carry to round
+# 32 of the 46 r07-stale keys.  The remaining 14 r07 keys carry to round
 # 11, still inside the bound.  A green CORRECTNESS_r10 leaves no
 # signature older than 3 rounds.
 _GATE_CHANGED = [
@@ -7645,6 +7748,12 @@ _GATE_CHANGED = [
     # KMV/CMS/HLL) — needs its first driver signature; displaces
     # regional_revenue (r07-stale) to the round-11 pad
     "hll_distinct",
+    # NEW keys r10 (DSIR importance weights, JL Rademacher projection —
+    # LLM data-selection surface) — need their first driver signatures;
+    # displace price_qty_corr / price_quartiles (r07-stale) to the
+    # round-11 pad
+    "dsir_weights",
+    "jl_projection",
 ]
 
 _GATE_PAD = [
@@ -7654,11 +7763,12 @@ _GATE_PAD = [
     "simhash_dedup", "source_quality_cap", "substring_dedup",
     "substring_dedup_dfcut", "token_drift", "winnow_match",
     "winnow_probe", "winnowing",
-    # next-stalest: last signed r07 (first 34 of 46 alphabetically; the
-    # remaining 12 — regional_revenue, repetition_scores, rollup_summary,
-    # salted_skew_join, sessionization, sliding_window, top_revenue_orders,
-    # train_test_split, tumbling_window, value_anomalies, vendor_summary,
-    # zone_summary — carry to the r11 pad, within the staleness bound)
+    # next-stalest: last signed r07 (first 32 of 46 alphabetically; the
+    # remaining 14 — price_qty_corr, price_quartiles, regional_revenue,
+    # repetition_scores, rollup_summary, salted_skew_join, sessionization,
+    # sliding_window, top_revenue_orders, train_test_split, tumbling_window,
+    # value_anomalies, vendor_summary, zone_summary — carry to the r11 pad,
+    # within the staleness bound)
     "ab_test", "adaptive_quality_filter", "append_if_absent",
     "asof_last_error", "bpe_token_count", "cluster_safe_split",
     "cohort_retention", "cube_summary", "daily_gapfill", "daily_summary",
@@ -7668,7 +7778,6 @@ _GATE_PAD = [
     "hash_sample", "inactive_customers", "json_extract", "label_centroids",
     "lang_id", "median_price", "mixture_weights", "monthly_summary",
     "moving_avg", "ols_trend", "payment_summary", "pivot_status_by_year",
-    "price_qty_corr", "price_quartiles",
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost
@@ -7823,6 +7932,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "kmv_distinct": q_kmv_distinct,
         "hll_distinct": q_hll_distinct,
+        "dsir_weights": q_dsir_weights,
+        "jl_projection": q_jl_projection,
         "daily_gapfill": q_daily_gapfill,
         "value_anomalies": q_value_anomalies,
         "pii_redact": q_pii_redact,
@@ -7983,6 +8094,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
         "kmv_distinct": ORACLE_KMV_DISTINCT,
         "hll_distinct": ORACLE_HLL_DISTINCT,
+        "dsir_weights": ORACLE_DSIR_WEIGHTS,
+        "jl_projection": ORACLE_JL_PROJECTION,
         "daily_gapfill": ORACLE_DAILY_GAPFILL,
         "value_anomalies": ORACLE_VALUE_ANOMALIES,
         "pii_redact": ORACLE_PII_REDACT,

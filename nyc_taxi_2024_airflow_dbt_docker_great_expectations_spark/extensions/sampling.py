@@ -134,3 +134,98 @@ def hash_fraction_sample(df: DataFrame, fraction: float,
     threshold = format(min(int(fraction * 16 ** 8), 16 ** 8 - 1), "08x")
     key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     return df.filter(F.substring(key, 1, 8) < F.lit(threshold))
+
+
+def dsir_importance_weights(docs: DataFrame, target,
+                            buckets: int = 64,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            salt: str = "dsir") -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169): score
+    every document by how much more likely its hashed-unigram profile is
+    under the TARGET domain's bucket multinomial than under the full
+    corpus's — the standard cheap proxy for "select pretraining data
+    that looks like the target distribution" without training a model.
+
+    ``target`` is a boolean Column marking target-domain rows (e.g.
+    ``F.col("source") == "wiki"``).  Tokens hash into ``buckets``
+    md5-derived buckets; both multinomials get add-one smoothing.  The
+    per-bucket log-likelihood ratio is quantized to integer micro-nats
+    BEFORE the per-document sum, so the document score is an
+    order-independent INTEGER aggregate — exact under any shuffle order
+    and on any engine.  (The one float op, ``ln``, is evaluated once per
+    bucket — a bounded set, not per row; a 1-ulp libm difference flips a
+    quantized value only when ``1e6 * ln(r)`` sits within ~1e-9 of a
+    rounding boundary, the same bounded exposure as tf-idf's rank
+    contract.)
+
+    Plan shape at 100 TB: one token explode feeding two partial/final
+    aggregates — the global per-bucket table is ``buckets`` rows
+    (broadcast-sized by construction; its corpus totals are a window
+    over those <= ``buckets`` post-aggregate rows, NOT a second corpus
+    pass), the per-(doc, bucket) table is at most ``docs x buckets`` and
+    collapses map-side; the LLR join is a broadcast.  No cartesian, no
+    driver collect, exactly two corpus scans.
+
+    Returns ``(id_col, n_toks, score_micro)`` — score in micro-nats;
+    resample by ``score_micro`` descending (ties broken by id) for the
+    top-k selection step.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    from .text import tokens, _wtrim
+
+    cells = (
+        docs.filter(F.col(id_col).isNotNull()
+                    & (_wtrim(F.col(text_col)) != ""))
+        .select(F.col(id_col), target.alias("__is_target"),
+                F.explode(tokens(text_col)).alias("__tok"))
+        .select(
+            id_col, "__is_target",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{salt}:"), F.col("__tok"))),
+                        1, 8),
+                    16, 10).cast("long"),
+                F.lit(buckets),
+            ).cast("int").alias("__b"),
+        )
+    )
+    bstats = cells.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__cnt_all"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0))
+        .cast("long").alias("__cnt_t"),
+    )
+    # The corpus totals come from a global window over bstats — whose
+    # input is <= buckets rows BY CONSTRUCTION (post-aggregate), so the
+    # single-partition window is metadata-sized at any corpus scale.  A
+    # separate .agg() would lazily re-derive bstats and pay a second
+    # full token-explode scan; the window keeps the stats pass at ONE.
+    wall = Window.partitionBy()
+    tot_all = F.sum("__cnt_all").over(wall)
+    tot_t = F.sum("__cnt_t").over(wall)
+    # The ratio is ONE expression tree, mirrored token-for-token in the
+    # oracle SQL: IEEE ops are correctly rounded, so identical trees give
+    # identical doubles and ln() is the only 1-ulp wildcard (see above).
+    smooth = F.lit(float(buckets))
+    lr = bstats.select(
+        "__b",
+        F.floor(
+            F.log(
+                ((F.col("__cnt_t") + F.lit(1.0)) * (tot_all + smooth))
+                / ((F.col("__cnt_all") + F.lit(1.0)) * (tot_t + smooth))
+            ) * F.lit(1000000.0) + F.lit(0.5)
+        ).cast("long").alias("__lr_micro"),
+    )
+    docb = cells.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__f"))
+    return (
+        docb.join(F.broadcast(lr), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__f").alias("n_toks"),
+            F.sum(F.col("__f") * F.col("__lr_micro")).alias("score_micro"),
+        )
+        .select(id_col, "n_toks", "score_micro")
+    )

@@ -1494,3 +1494,75 @@ def ivf_topk_from_index(spark, table_prefix: str, queries: DataFrame,
     qid_t = queries.schema[query_id_col].dataType.simpleString()
     return _ivf_probe(cent_local, assign, queries, k, n_probe,
                       id_t, qid_t, id_col, vec_col, query_id_col)
+
+
+def rademacher_project(corpus: DataFrame, out_dim: int = 8,
+                       in_dim: int = 64, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       salt: str = "jl") -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a Rademacher (+/-1)
+    sign matrix (Achlioptas 2003, "Database-friendly random projections"):
+    the dimensionality-reduction step that runs BEFORE LSH bucketing or
+    coreset selection when the raw embedding width makes per-pair math
+    the bottleneck — pairwise distances are preserved to (1 +/- eps)
+    with out_dim = O(log n / eps^2), and a +/-1 matrix needs no float
+    random generator, just sign bits.
+
+    Determinism and exactness: the sign matrix is a pure function of
+    ``(salt, j, i)`` via md5 first-hex-digit parity (same family as the
+    SimHash planes), and embedding elements are quantized to integer
+    micro-units up front, so every output cell is an exact integer sum —
+    identical on any engine, under any shuffle order, and mirrored 1:1
+    by the SQL oracle.  Rows with a NULL id/vector, a ragged length, or
+    NULL elements are dropped (guards mirrored in the oracle).
+
+    Plan shape: narrow scan -> per-row fold (zip_with + aggregate over
+    the literal sign rows, whole-stage codegen) -> posexplode to long
+    format.  NO shuffle, NO join, NO UDF — embarrassingly parallel at
+    any scale; the sign matrix lives in the plan as literals
+    (out_dim x in_dim ints, metadata-sized).
+
+    Returns ``(id_col, j, proj_micro)``: output coordinate ``j`` in
+    ``[0, out_dim)`` and the projection in micro-units (divide by 1e6
+    and by sqrt(out_dim) for the JL-scaled float value; the scale factor
+    is constant so it is left to the caller, keeping the contract
+    integer-exact).
+    """
+    if out_dim < 1 or in_dim < 1:
+        raise ValueError(
+            f"out_dim and in_dim must be >= 1, got {out_dim}, {in_dim}")
+    import hashlib
+
+    signs = [
+        [1 if int(hashlib.md5(f"{salt}:{j}:{i}".encode())
+                  .hexdigest()[0], 16) % 2 == 1 else -1
+         for i in range(in_dim)]
+        for j in range(out_dim)
+    ]
+    quant = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long"),
+    )
+    projs = F.array(*[
+        F.aggregate(
+            F.zip_with(
+                F.col("__q"),
+                F.array(*[F.lit(s) for s in signs[j]]),
+                lambda a, b: a * b.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        for j in range(out_dim)
+    ])
+    return (
+        corpus.filter(
+            F.col(id_col).isNotNull()
+            & F.col(vec_col).isNotNull()
+            & (F.size(vec_col) == in_dim)
+            & ~F.exists(vec_col, lambda x: x.isNull())
+        )
+        .withColumn("__q", quant)
+        .select(F.col(id_col), F.posexplode(projs).alias("j", "proj_micro"))
+    )

@@ -2206,3 +2206,107 @@ def test_kcenter_and_covariance_domain_guards(spark):
         [(1, [float("nan"), 1.0])], "vec_id long, embedding array<float>")
     with _pytest.raises(Exception, match="non-finite"):
         embedding_covariance(naninf).collect()
+
+
+def _dsir_reference(rows, target_source, buckets=64):
+    """Driver-side replay of the exact dsir_importance_weights pipeline:
+    md5-bucketed unigrams, add-one-smoothed LLR quantized to micro-nats
+    per bucket, integer per-doc sum."""
+    import hashlib
+    import math as m
+
+    cells = []
+    for doc_id, text, source in rows:
+        if text is None or text.strip() == "":
+            continue
+        for t in text.strip().split():
+            b = int(hashlib.md5(f"dsir:{t}".encode()).hexdigest()[:8],
+                    16) % buckets
+            cells.append((doc_id, source == target_source, b))
+    cnt_all, cnt_t = {}, {}
+    for _, is_t, b in cells:
+        cnt_all[b] = cnt_all.get(b, 0) + 1
+        cnt_t[b] = cnt_t.get(b, 0) + (1 if is_t else 0)
+    tot_all, tot_t = sum(cnt_all.values()), sum(cnt_t.values())
+    lr = {
+        b: m.floor(m.log(((cnt_t[b] + 1.0) * (tot_all + float(buckets)))
+                         / ((cnt_all[b] + 1.0) * (tot_t + float(buckets))))
+                   * 1000000.0 + 0.5)
+        for b in cnt_all
+    }
+    out = {}
+    for doc_id, _, b in cells:
+        n, s = out.get(doc_id, (0, 0))
+        out[doc_id] = (n + 1, s + lr[b])
+    return out
+
+
+def test_dsir_importance_weights_exact_and_ranks_target(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.sampling import (
+        dsir_importance_weights,
+    )
+
+    rows = [
+        (1, "alpha beta gamma alpha", "wiki"),
+        (2, "alpha beta beta gamma", "wiki"),
+        (3, "zeta eta theta iota kappa", "crawl"),
+        (4, "zeta zeta eta theta", "crawl"),
+        (5, "alpha beta gamma", "crawl"),     # target-looking crawl doc
+        (6, "   ", "crawl"),                  # blank -> dropped
+        (7, "", "wiki"),                      # empty -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in dsir_importance_weights(
+        df, F.col("source") == "wiki").collect()}
+    want = _dsir_reference(rows, "wiki")
+    assert set(got) == set(want)  # blanks dropped
+    for d, (n_toks, score) in want.items():
+        assert got[d]["n_toks"] == n_toks
+        assert got[d]["score_micro"] == score  # bit-exact integer contract
+    # the target-looking crawl doc outscores the target-unlike crawl docs
+    assert got[5]["score_micro"] > got[3]["score_micro"]
+    assert got[5]["score_micro"] > got[4]["score_micro"]
+    with pytest.raises(ValueError):
+        dsir_importance_weights(df, F.col("source") == "wiki", buckets=0)
+
+
+def _jl_reference(vecs, out_dim=8, in_dim=64, salt="jl"):
+    import hashlib
+    import math as m
+
+    signs = [
+        [1 if int(hashlib.md5(f"{salt}:{j}:{i}".encode())
+                  .hexdigest()[0], 16) % 2 == 1 else -1
+         for i in range(in_dim)]
+        for j in range(out_dim)
+    ]
+    out = {}
+    for vid, v in vecs:
+        q = [m.floor(float(x) * 1000000.0 + 0.5) for x in v]
+        for j in range(out_dim):
+            out[(vid, j)] = sum(s * qi for s, qi in zip(signs[j], q))
+    return out
+
+
+def test_rademacher_project_exact_and_guards(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        rademacher_project,
+    )
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(np.float32(x)) for x in rng.normal(size=8)])
+            for i in range(20)]
+    rows = vecs + [
+        (100, [0.1] * 5),          # ragged -> dropped
+        (101, None),               # NULL vector -> dropped
+        (102, [0.1] * 7 + [None]),  # NULL element -> dropped
+        (None, [0.2] * 8),         # NULL id -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = rademacher_project(df, out_dim=4, in_dim=8).collect()
+    got = {(r["vec_id"], r["j"]): r["proj_micro"] for r in out}
+    want = _jl_reference(vecs, out_dim=4, in_dim=8)
+    assert got == want  # bit-exact integer contract, guards drop 4 rows
+    with pytest.raises(ValueError):
+        rademacher_project(df, out_dim=0, in_dim=8)

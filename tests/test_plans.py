@@ -420,3 +420,33 @@ def test_embedding_covariance_plan_single_exchange_no_join(spark):
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange") == 1
     assert plan.count("HashAggregate") == 2  # partial + final
+
+
+def test_jl_projection_plan_is_shuffle_free(spark):
+    """rademacher_project is a pure per-row fold: scan -> project ->
+    posexplode.  The sign matrix is plan literals, so there is NO
+    exchange, NO join, NO aggregate — any of those appearing means the
+    projection stopped being embarrassingly parallel."""
+    plan = _plan(entry.queries()["jl_projection"](spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert "Generate" in plan  # the posexplode to long format
+    for bad in ("Exchange", "Join", "HashAggregate", "Window",
+                "CartesianProduct"):
+        assert bad not in plan
+
+
+def test_dsir_weights_plan_broadcasts_bucket_stats(spark):
+    """dsir_weights: the global bucket table (<= buckets rows) reaches the
+    per-doc side as a BROADCAST hash join, the corpus totals are a window
+    over the post-aggregate bucket rows (bounded input — NOT a third
+    corpus scan, which is what a lazy .agg() recompute would cost), and
+    nothing shuffles a sort-merge join.  Exactly two parquet scans
+    (global stats pass + per-doc pass), each one token explode feeding a
+    partial/final aggregate."""
+    plan = _plan(entry.queries()["dsir_weights"](spark, SF))
+    assert plan.count("Scan parquet") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan  # the bounded totals window
+    for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+                "BroadcastNestedLoopJoin"):
+        assert bad not in plan
