@@ -592,3 +592,108 @@ def test_embedding_covariance_matches_bruteforce(spark, rows):
             assert r["cov"] == want
             if n == 1:
                 assert r["cov"] == 0.0
+
+
+# --- DSIR importance weights vs driver-side reference ---------------------
+
+_dsir_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["wiki", "crawl", "books"]),
+        st.lists(st.sampled_from(["a", "b", "c", "dd", "ee", "zq"]),
+                 min_size=0, max_size=8),
+    ),
+    min_size=1, max_size=12,
+)
+
+
+@settings(**SETTINGS)
+@given(docs=_dsir_docs, buckets=st.sampled_from([4, 16, 64]))
+def test_dsir_weights_match_reference(spark, docs, buckets):
+    """dsir_importance_weights == the driver-side replay (md5 buckets,
+    add-one smoothing, micro-nat LLR quantized per bucket) bit-exactly,
+    for any corpus/target mix and bucket count — including corpora where
+    the target slice is empty."""
+    import hashlib
+    import math as m
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.sampling import (
+        dsir_importance_weights,
+    )
+
+    rows = [(i, " ".join(toks), src) for i, (src, toks) in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: (r["n_toks"], r["score_micro"])
+           for r in dsir_importance_weights(
+               df, F.col("source") == "wiki", buckets=buckets).collect()}
+
+    cells = []
+    for doc_id, text, src in rows:
+        for t in text.split():
+            b = int(hashlib.md5(f"dsir:{t}".encode()).hexdigest()[:8],
+                    16) % buckets
+            cells.append((doc_id, src == "wiki", b))
+    cnt_all: dict[int, int] = {}
+    cnt_t: dict[int, int] = {}
+    for _, is_t, b in cells:
+        cnt_all[b] = cnt_all.get(b, 0) + 1
+        cnt_t[b] = cnt_t.get(b, 0) + (1 if is_t else 0)
+    tot_all, tot_t = sum(cnt_all.values()), sum(cnt_t.values())
+    lr = {
+        b: m.floor(m.log(((cnt_t[b] + 1.0) * (tot_all + float(buckets)))
+                         / ((cnt_all[b] + 1.0)
+                            * (tot_t + float(buckets))))
+                   * 1000000.0 + 0.5)
+        for b in cnt_all
+    }
+    want: dict[int, tuple[int, int]] = {}
+    for doc_id, _, b in cells:
+        n, s = want.get(doc_id, (0, 0))
+        want[doc_id] = (n + 1, s + lr[b])
+    assert got == want
+
+
+# --- Rademacher JL projection vs numpy reference --------------------------
+
+_jl_vecs = st.lists(
+    st.lists(st.floats(min_value=-8.0, max_value=8.0,
+                       allow_nan=False, width=32),
+             min_size=6, max_size=6),
+    min_size=1, max_size=10,
+)
+
+
+@settings(**SETTINGS)
+@given(vecs=_jl_vecs, out_dim=st.sampled_from([1, 3, 5]))
+def test_rademacher_project_matches_reference(spark, vecs, out_dim):
+    """rademacher_project == the numpy/hashlib replay bit-exactly for any
+    float32 input and output width: quantize-to-micro-units then signed
+    integer sums, signs from md5 first-hex-digit parity."""
+    import hashlib
+    import math as m
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        rademacher_project,
+    )
+
+    import numpy as np
+
+    rows = [(i, [float(np.float32(x)) for x in v])
+            for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["vec_id"], r["j"]): r["proj_micro"]
+           for r in rademacher_project(df, out_dim=out_dim,
+                                       in_dim=6).collect()}
+
+    signs = [
+        [1 if int(hashlib.md5(f"jl:{j}:{i}".encode())
+                  .hexdigest()[0], 16) % 2 == 1 else -1
+         for i in range(6)]
+        for j in range(out_dim)
+    ]
+    want = {}
+    for vid, v in rows:
+        q = [m.floor(x * 1000000.0 + 0.5) for x in v]
+        for j in range(out_dim):
+            want[(vid, j)] = sum(s * qi for s, qi in zip(signs[j], q))
+    assert got == want
