@@ -46,6 +46,7 @@ from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.dedup i
     distinct_on_agg,
 )
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.merge import (
+    snapshot_diff,
     append_if_absent,
     upsert_by_key,
 )
@@ -5393,6 +5394,104 @@ SELECT vec_id, CAST(j AS INTEGER) AS j,
 FROM cells GROUP BY 1, 2
 """
 
+DIALOG_BUDGET = 16
+
+
+def q_dialog_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation/trajectory assembly (extensions/packing.py:
+    assemble_dialogs): each user's event log becomes ONE model-ready
+    training sequence — time-ordered event tokens concatenated up to a
+    16-event context window, truncation accounted.  collect_list order
+    is shuffle-dependent, so ordering happens INSIDE the row via
+    array_sort over (ts, event_id, token) structs — deterministic on
+    any engine/partitioning.  One partial/final hash aggregate, no
+    window, no join.  No reference analog — LLM-pipeline brief surface
+    (chat/agent-trajectory corpus construction)."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import (
+        assemble_dialogs,
+    )
+    ev = _t(spark, sf_dir, "events")
+    return assemble_dialogs(ev, budget=DIALOG_BUDGET)
+
+
+ORACLE_DIALOG_ASSEMBLY = f"""
+WITH r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND event_type IS NOT NULL
+)
+SELECT user_id, CAST(MAX(n_events) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       string_agg(event_type, ' ' ORDER BY rk) AS dialog
+FROM r WHERE rk <= {DIALOG_BUDGET} GROUP BY user_id
+"""
+
+# deterministic synthetic "second snapshot" of customer: ~5% of keys
+# removed (md5 prefix < '0d'), ~3% rebalanced (+100.0, prefix >= 'f8'),
+# ~3% re-keyed into a disjoint range (prefix < '08') as adds
+SNAP_KEY_OFFSET = 10_000_000
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot content diff (operators/merge.py:snapshot_diff): classify
+    every customer key as added/removed/changed between the stored
+    snapshot and a deterministically perturbed successor — the
+    data-versioning primitive behind backfill audits and
+    what-did-this-run-change reports.  Column-wise NULL-SAFE equality,
+    no stringified digests (no cross-engine float-formatting hazard);
+    one full outer join on the key, output is churn-sized.  Extends the
+    reference's full-rebuild S7 with the diff report dbt cannot
+    express."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+    h = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2)
+    modified = cust.filter(h >= F.lit("0d")).withColumn(
+        "c_acctbal",
+        F.when(h >= F.lit("f8"), F.col("c_acctbal") + F.lit(100.0))
+        .otherwise(F.col("c_acctbal")),
+    )
+    added = cust.filter(h < F.lit("08")).withColumn(
+        "c_custkey",
+        (F.col("c_custkey") + F.lit(SNAP_KEY_OFFSET)).cast("long"),
+    )
+    return snapshot_diff(cust, modified.unionByName(added), ["c_custkey"])
+
+
+ORACLE_SNAPSHOT_DIFF = f"""
+WITH oldt AS (
+  SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment FROM customer
+),
+h AS (
+  SELECT o.*, substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) AS hh
+  FROM oldt o
+),
+newt AS (
+  SELECT c_custkey, c_nationkey,
+         CASE WHEN hh >= 'f8' THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM h WHERE hh >= '0d'
+  UNION ALL
+  SELECT c_custkey + {SNAP_KEY_OFFSET}, c_nationkey, c_acctbal,
+         c_mktsegment
+  FROM h WHERE hh < '08'
+)
+SELECT c_custkey, status FROM (
+  SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+         CASE WHEN o.c_custkey IS NULL THEN 'added'
+              WHEN n.c_custkey IS NULL THEN 'removed'
+              WHEN (o.c_nationkey IS DISTINCT FROM n.c_nationkey)
+                OR (o.c_acctbal IS DISTINCT FROM n.c_acctbal)
+                OR (o.c_mktsegment IS DISTINCT FROM n.c_mktsegment)
+              THEN 'changed' END AS status
+  FROM oldt o FULL OUTER JOIN newt n ON o.c_custkey = n.c_custkey
+) WHERE status IS NOT NULL
+"""
+
 GAPFILL_MIN_PRICE = 400000  # rare high-value orders -> guaranteed day gaps
 
 
@@ -7727,7 +7826,7 @@ FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOPK}
 # round (all round-9 ADVICE items — see _GATE_CHANGED comments), (b) the
 # 11 r06-stale keys the round-9 verdict queued (they hit the audit
 # tool's <=4-round staleness bound at r10), (c) the alphabetically first
-# 32 of the 46 r07-stale keys.  The remaining 14 r07 keys carry to round
+# 30 of the 46 r07-stale keys.  The remaining 16 r07 keys carry to round
 # 11, still inside the bound.  A green CORRECTNESS_r10 leaves no
 # signature older than 3 rounds.
 _GATE_CHANGED = [
@@ -7748,12 +7847,16 @@ _GATE_CHANGED = [
     # KMV/CMS/HLL) — needs its first driver signature; displaces
     # regional_revenue (r07-stale) to the round-11 pad
     "hll_distinct",
-    # NEW keys r10 (DSIR importance weights, JL Rademacher projection —
-    # LLM data-selection surface) — need their first driver signatures;
-    # displace price_qty_corr / price_quartiles (r07-stale) to the
+    # NEW keys r10 (DSIR importance weights, JL Rademacher projection,
+    # dialog assembly, snapshot diff — LLM data-selection / corpus-
+    # assembly / data-versioning surface) — need their first driver
+    # signatures; displace price_qty_corr / price_quartiles /
+    # payment_summary / pivot_status_by_year (r07-stale) to the
     # round-11 pad
     "dsir_weights",
     "jl_projection",
+    "dialog_assembly",
+    "snapshot_diff",
 ]
 
 _GATE_PAD = [
@@ -7763,12 +7866,12 @@ _GATE_PAD = [
     "simhash_dedup", "source_quality_cap", "substring_dedup",
     "substring_dedup_dfcut", "token_drift", "winnow_match",
     "winnow_probe", "winnowing",
-    # next-stalest: last signed r07 (first 32 of 46 alphabetically; the
-    # remaining 14 — price_qty_corr, price_quartiles, regional_revenue,
-    # repetition_scores, rollup_summary, salted_skew_join, sessionization,
-    # sliding_window, top_revenue_orders, train_test_split, tumbling_window,
-    # value_anomalies, vendor_summary, zone_summary — carry to the r11 pad,
-    # within the staleness bound)
+    # next-stalest: last signed r07 (first 30 of 46 alphabetically; the
+    # remaining 16 — payment_summary, pivot_status_by_year, price_qty_corr,
+    # price_quartiles, regional_revenue, repetition_scores, rollup_summary,
+    # salted_skew_join, sessionization, sliding_window, top_revenue_orders,
+    # train_test_split, tumbling_window, value_anomalies, vendor_summary,
+    # zone_summary — carry to the r11 pad, within the staleness bound)
     "ab_test", "adaptive_quality_filter", "append_if_absent",
     "asof_last_error", "bpe_token_count", "cluster_safe_split",
     "cohort_retention", "cube_summary", "daily_gapfill", "daily_summary",
@@ -7777,7 +7880,7 @@ _GATE_PAD = [
     "exact_dedup", "fingerprints", "funnel", "hard_negatives",
     "hash_sample", "inactive_customers", "json_extract", "label_centroids",
     "lang_id", "median_price", "mixture_weights", "monthly_summary",
-    "moving_avg", "ols_trend", "payment_summary", "pivot_status_by_year",
+    "moving_avg", "ols_trend",
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost
@@ -7934,6 +8037,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "dsir_weights": q_dsir_weights,
         "jl_projection": q_jl_projection,
+        "dialog_assembly": q_dialog_assembly,
+        "snapshot_diff": q_snapshot_diff,
         "daily_gapfill": q_daily_gapfill,
         "value_anomalies": q_value_anomalies,
         "pii_redact": q_pii_redact,
@@ -8096,6 +8201,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": ORACLE_HLL_DISTINCT,
         "dsir_weights": ORACLE_DSIR_WEIGHTS,
         "jl_projection": ORACLE_JL_PROJECTION,
+        "dialog_assembly": ORACLE_DIALOG_ASSEMBLY,
+        "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "daily_gapfill": ORACLE_DAILY_GAPFILL,
         "value_anomalies": ORACLE_VALUE_ANOMALIES,
         "pii_redact": ORACLE_PII_REDACT,

@@ -334,3 +334,60 @@ def shard_manifest(df: DataFrame, n_shards: int, id_col: str = "doc_id",
         F.max("__id").alias("max_doc_id"),
         F.expr("bit_xor(__sig)").cast("long").alias("content_sig"),
     )
+
+
+def assemble_dialogs(events: DataFrame, budget: int,
+                     user_col: str = "user_id", ts_col: str = "ts",
+                     seq_col: str = "event_id", token_col: str = "event_type",
+                     sep: str = " ") -> DataFrame:
+    """Conversation/trajectory assembly: turn an event log into one
+    model-ready training sequence per user — the step that builds
+    chat/agent-trajectory corpora out of raw interaction logs (each
+    user's events, in time order, concatenated up to a ``budget``-event
+    context window, oldest-first truncation accounting included).
+
+    Determinism: ``collect_list`` order is shuffle-dependent, so the
+    events are collected as ``(ts, seq, token)`` structs and
+    ``array_sort``-ed INSIDE the row — struct comparison is
+    lexicographic, and ``seq_col`` (unique) breaks timestamp ties, so
+    the assembled string is a pure function of the data on any engine
+    and any partitioning.
+
+    Plan shape at 100 TB: ONE partial/final hash aggregate keyed on the
+    user — the collect shuffles exactly the (token, ts, seq) triples
+    that the output string carries, nothing wider; the sort + slice +
+    concat run row-local post-aggregation.  No window, no join.  Skewed
+    power users bound the per-row state at ``budget`` tokens OUTPUT, but
+    the collected array is the user's full history — for corpora where
+    single keys exceed executor memory, pre-filter with a windowed
+    top-``budget``-per-user pass (WindowGroupLimit prunes map-side)
+    before assembling.
+
+    Returns ``(user_col, n_events, n_kept, dialog)``: total events,
+    events kept after truncation, and the assembled sequence string.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    triple = F.struct(
+        F.col(ts_col).alias("ts"),
+        F.col(seq_col).alias("seq"),
+        F.col(token_col).alias("tok"),
+    )
+    agged = (
+        events.filter(F.col(user_col).isNotNull()
+                      & F.col(ts_col).isNotNull()
+                      & F.col(seq_col).isNotNull()
+                      & F.col(token_col).isNotNull())
+        .groupBy(user_col)
+        .agg(F.collect_list(triple).alias("__evs"))
+    )
+    ordered = F.array_sort(F.col("__evs"))
+    kept = F.slice(ordered, 1, budget)
+    return agged.select(
+        F.col(user_col),
+        F.size("__evs").cast("long").alias("n_events"),
+        F.least(F.size("__evs"), F.lit(budget)).cast("long")
+        .alias("n_kept"),
+        F.array_join(F.transform(kept, lambda s: s["tok"]), sep)
+        .alias("dialog"),
+    )

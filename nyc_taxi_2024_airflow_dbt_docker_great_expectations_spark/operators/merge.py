@@ -114,3 +114,51 @@ def month_partition_overwrite(df: DataFrame, path: str, month_col: str = "month"
     Spark-native form of the reference's DELETE-month-then-COPY
     (``dags/nyc_taxi_pipeline.py:130-135``)."""
     df.write.mode("overwrite").partitionBy(month_col).parquet(path)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  key_cols: list[str]) -> DataFrame:
+    """Content diff between two snapshots of the same table — the
+    data-versioning primitive behind backfill audits, CDC backstops, and
+    "what did this pipeline run actually change" reports: every key is
+    classified ``added`` / ``removed`` / ``changed``; unchanged rows
+    (the overwhelming bulk at 100 TB) are dropped.
+
+    Comparison is column-by-column NULL-SAFE EQUALITY over the shared
+    non-key columns — no stringified row digests, so no cross-engine
+    number-formatting hazards and NULL != '' conflations; the classifier
+    is exact for every data type that supports ``<=>``.
+
+    Plan shape: one full outer join keyed on ``key_cols`` (both sides
+    churn-scale tables — a shuffle join on the key is the correct
+    physical strategy; for a small delta snapshot AQE downgrades it to
+    broadcast), then a row-local CASE + filter.  Output volume is the
+    CHURN (added + removed + changed), never the table size.
+
+    Returns ``key_cols`` + ``status``.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    shared = [c for c in old.columns
+              if c in set(new.columns) and c not in set(key_cols)]
+    # prefix the non-key payload per side so the join output is
+    # collision-free regardless of the input column names
+    o = old.select(*key_cols,
+                   *[F.col(c).alias(f"__o_{c}") for c in shared],
+                   F.lit(True).alias("__in_old"))
+    n = new.select(*key_cols,
+                   *[F.col(c).alias(f"__n_{c}") for c in shared],
+                   F.lit(True).alias("__in_new"))
+    joined = o.join(n, on=key_cols, how="full_outer")
+    changed = F.lit(False)
+    for c in shared:
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+    )
+    return (
+        joined.select(*key_cols, status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )

@@ -89,3 +89,38 @@ def test_distinct_on_agg_matches_window(spark):
     a = sorted(map(tuple, distinct_on(df, ["k"], order).collect()))
     b = sorted(map(tuple, distinct_on_agg(df, ["k"], order).collect()))
     assert a == b == [(1, 1, "keep"), (2, 5, "only")]
+
+
+def test_snapshot_diff_statuses(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.merge import (
+        snapshot_diff,
+    )
+    import pytest
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, name string, bal double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0),          # unchanged -> dropped
+         (3, "c", None),          # NULL == NULL under <=>: unchanged
+         (4, "d", 41.0),          # changed
+         (5, "e", 50.0)],         # added
+        "k long, name string, bal double",
+    )
+    got = {r["k"]: r["status"]
+           for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "removed", 4: "changed", 5: "added"}
+    # column order must not matter: diff against a reordered projection
+    got2 = {r["k"]: r["status"]
+            for r in snapshot_diff(old.select("bal", "k", "name"),
+                                   new, ["k"]).collect()}
+    assert got2 == got
+    # NULL flipping to a value IS a change
+    new3 = new.withColumn(
+        "bal", F.when(F.col("k") == 3, 3.0).otherwise(F.col("bal")))
+    assert {r["k"]: r["status"]
+            for r in snapshot_diff(old, new3, ["k"]).collect()}[3] == "changed"
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new, [])

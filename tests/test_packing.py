@@ -178,3 +178,39 @@ def test_shard_manifest_detects_single_row_tamper(spark):
     s = changed[0]
     assert tam[s]["n_docs"] == base[s]["n_docs"]
     assert tam[s]["total_tokens"] == base[s]["total_tokens"] + 1
+
+
+def test_assemble_dialogs_order_truncation_and_guards(spark):
+    from datetime import datetime
+
+    import pytest
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import (
+        assemble_dialogs,
+    )
+
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    t2 = datetime(2024, 1, 1, 12, 0, 1)
+    rows = [
+        # user 1: same-timestamp tie broken by event_id (3 before 7)
+        (7, t, 1, "b"), (3, t, 1, "a"), (9, t2, 1, "c"),
+        # user 2: more events than budget -> oldest-first truncation
+        (1, t, 2, "x"), (2, t, 2, "y"), (4, t2, 2, "z"),
+        # NULL guards: dropped rows
+        (None, t, 3, "q"), (5, None, 3, "q"), (6, t, None, "q"),
+        (8, t, 3, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    out = {r["user_id"]: r for r in assemble_dialogs(
+        df, budget=2, seq_col="event_id").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_events"] == 3 and out[1]["n_kept"] == 2
+    assert out[1]["dialog"] == "a b"
+    assert out[2]["dialog"] == "x y"
+    # budget covering everything keeps the full ordered sequence
+    full = {r["user_id"]: r["dialog"] for r in assemble_dialogs(
+        df, budget=10, seq_col="event_id").collect()}
+    assert full[1] == "a b c" and full[2] == "x y z"
+    with pytest.raises(ValueError):
+        assemble_dialogs(df, budget=0)

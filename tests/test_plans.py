@@ -450,3 +450,24 @@ def test_dsir_weights_plan_broadcasts_bucket_stats(spark):
     for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
                 "BroadcastNestedLoopJoin"):
         assert bad not in plan
+
+
+def test_dialog_assembly_plan_single_agg_no_window(spark):
+    """assemble_dialogs is ONE partial/final aggregate keyed on the user
+    (collect_list -> row-local array_sort/slice/join) — a window or join
+    here would mean the per-user ordering escaped to a shuffle."""
+    plan = _plan(entry.queries()["dialog_assembly"](spark, SF))
+    assert plan.count("Scan parquet") == 1
+    for bad in ("Window", "Join", "CartesianProduct"):
+        assert bad not in plan
+
+
+def test_snapshot_diff_plan_is_single_key_join(spark):
+    """snapshot_diff is one full-outer equi-join on the key — hash or
+    sort-merge are both legitimate for two churn-scale snapshots, but a
+    nested loop / cartesian means the null-safe compare leaked into the
+    join condition."""
+    plan = _plan(entry.queries()["snapshot_diff"](spark, SF))
+    assert "FullOuter" in plan
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan
