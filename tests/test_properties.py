@@ -697,3 +697,89 @@ def test_rademacher_project_matches_reference(spark, vecs, out_dim):
         for j in range(out_dim):
             want[(vid, j)] = sum(s * qi for s, qi in zip(signs[j], q))
     assert got == want
+
+
+# --- dialog assembly vs driver-side replay --------------------------------
+
+_dialog_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),        # user (collisions)
+        st.integers(min_value=0, max_value=4),        # ts second (ties!)
+        st.sampled_from(["a", "b", "c", "d"]),        # token
+    ),
+    min_size=1, max_size=20,
+)
+
+
+@settings(**SETTINGS)
+@given(events=_dialog_events, budget=st.integers(min_value=1, max_value=6))
+def test_assemble_dialogs_matches_reference(spark, events, budget):
+    """assemble_dialogs == the driver-side replay (sort by (ts, seq),
+    truncate to budget, space-join) for any event mix, any budget, and
+    heavy timestamp ties — the unique seq col must fully determine the
+    assembled string."""
+    from datetime import datetime
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import (
+        assemble_dialogs,
+    )
+
+    rows = [(i, datetime(2024, 1, 1, 0, 0, ts), u, tok)
+            for i, (u, ts, tok) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r["user_id"]: (r["n_events"], r["n_kept"], r["dialog"])
+           for r in assemble_dialogs(df, budget=budget,
+                                     seq_col="event_id").collect()}
+
+    by_user: dict[int, list[tuple]] = {}
+    for eid, ts, u, tok in rows:
+        by_user.setdefault(u, []).append((ts, eid, tok))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        kept = evs[:budget]
+        want[u] = (len(evs), len(kept), " ".join(t for _, _, t in kept))
+    assert got == want
+
+
+# --- snapshot diff vs brute-force dict diff -------------------------------
+
+_snap_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),               # key
+        st.one_of(st.none(), st.integers(0, 3)),             # payload a
+        st.one_of(st.none(), st.sampled_from(["x", "y"])),   # payload b
+    ),
+    min_size=0, max_size=10,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(**SETTINGS)
+@given(old_rows=_snap_rows, new_rows=_snap_rows)
+def test_snapshot_diff_matches_bruteforce(spark, old_rows, new_rows):
+    """snapshot_diff == the brute-force dict diff for any pair of
+    snapshots, including NULL payloads on either side (NULL == NULL is
+    unchanged; NULL vs value is changed)."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.merge import (
+        snapshot_diff,
+    )
+
+    schema = "k long, pa long, pb string"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    got = {r["k"]: r["status"]
+           for r in snapshot_diff(old, new, ["k"]).collect()}
+
+    od = {r[0]: r[1:] for r in old_rows}
+    nd = {r[0]: r[1:] for r in new_rows}
+    want = {}
+    for k in od.keys() | nd.keys():
+        if k not in nd:
+            want[k] = "removed"
+        elif k not in od:
+            want[k] = "added"
+        elif od[k] != nd[k]:
+            want[k] = "changed"
+    assert got == want
