@@ -471,3 +471,23 @@ def test_snapshot_diff_plan_is_single_key_join(spark):
     assert "FullOuter" in plan
     for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
         assert bad not in plan
+
+
+def test_whole_registry_has_no_cartesian_product(spark):
+    """Global invariant over ALL registry queries: no plan may contain a
+    CartesianProduct, ever — the one operator with no legitimate use in
+    this engine (1-row combines are BroadcastNestedLoopJoin, which other
+    tests bound per-query).  Compiling a plan is cheap; this closes the
+    gap between per-round scale-smoke plan-flip checks by failing in CI
+    the moment a query regresses."""
+    qs = entry.queries()
+    offenders = []
+    for name, fn in qs.items():
+        try:
+            plan = _plan(fn(spark, SF))
+        except Exception as exc:  # surface compile breakage by name
+            offenders.append(f"{name}: failed to compile ({exc})")
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
