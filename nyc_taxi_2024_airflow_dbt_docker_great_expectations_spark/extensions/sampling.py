@@ -160,13 +160,13 @@ def dsir_importance_weights(docs: DataFrame, target,
     rounding boundary, the same bounded exposure as tf-idf's rank
     contract.)
 
-    Plan shape at 100 TB: one token explode feeding two partial/final
-    aggregates — the global per-bucket table is ``buckets`` rows
-    (broadcast-sized by construction; its corpus totals are a window
-    over those <= ``buckets`` post-aggregate rows, NOT a second corpus
-    pass), the per-(doc, bucket) table is at most ``docs x buckets`` and
-    collapses map-side; the LLR join is a broadcast.  No cartesian, no
-    driver collect, exactly two corpus scans.
+    Plan shape at 100 TB: ONE token-explode corpus scan, collapsed
+    map-side into the materialized per-(doc, bucket) aggregate (at most
+    ``docs x buckets`` rows); the global bucket table (``buckets`` rows,
+    broadcast-sized) reduces from that aggregate, and its corpus totals
+    are a window over those <= ``buckets`` post-aggregate rows — neither
+    re-reads the corpus.  The LLR join is a broadcast.  No cartesian, no
+    driver collect.
 
     Returns ``(id_col, n_toks, score_micro)`` — score in micro-nats;
     resample by ``score_micro`` descending (ties broken by id) for the
@@ -193,9 +193,21 @@ def dsir_importance_weights(docs: DataFrame, target,
             ).cast("int").alias("__b"),
         )
     )
-    bstats = cells.groupBy("__b").agg(
-        F.count(F.lit(1)).alias("__cnt_all"),
-        F.sum(F.when(F.col("__is_target"), 1).otherwise(0))
+    # The per-(doc, bucket) aggregate serves BOTH consumers — the global
+    # bucket stats reduce from it instead of re-paying the token-explode
+    # corpus scan (materialize_once pins it; lazy reuse would recompute).
+    # Its volume is <= docs x buckets rows, far below the token mass the
+    # explode produces — the standard persisted-intermediate trade every
+    # index in this repo makes.
+    from ..execution import materialize_once
+
+    docb = materialize_once(
+        cells.groupBy(id_col, "__is_target", "__b")
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+    bstats = docb.groupBy("__b").agg(
+        F.sum("__f").alias("__cnt_all"),
+        F.sum(F.when(F.col("__is_target"), F.col("__f")).otherwise(0))
         .cast("long").alias("__cnt_t"),
     )
     # The corpus totals come from a global window over bstats — whose
@@ -219,7 +231,6 @@ def dsir_importance_weights(docs: DataFrame, target,
             ) * F.lit(1000000.0) + F.lit(0.5)
         ).cast("long").alias("__lr_micro"),
     )
-    docb = cells.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__f"))
     return (
         docb.join(F.broadcast(lr), "__b")
         .groupBy(id_col)

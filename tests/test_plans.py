@@ -436,15 +436,16 @@ def test_jl_projection_plan_is_shuffle_free(spark):
 
 
 def test_dsir_weights_plan_broadcasts_bucket_stats(spark):
-    """dsir_weights: the global bucket table (<= buckets rows) reaches the
-    per-doc side as a BROADCAST hash join, the corpus totals are a window
-    over the post-aggregate bucket rows (bounded input — NOT a third
-    corpus scan, which is what a lazy .agg() recompute would cost), and
-    nothing shuffles a sort-merge join.  Exactly two parquet scans
-    (global stats pass + per-doc pass), each one token explode feeding a
-    partial/final aggregate."""
+    """dsir_weights: the corpus token explode is paid ONCE — the
+    materialized per-(doc, bucket) aggregate serves both the global
+    bucket stats and the scoring join, so the final plan reads the
+    checkpoint (Scan ExistingRDD), never parquet.  The bucket table
+    reaches the per-doc side as a BROADCAST hash join, the corpus totals
+    are a window over the post-aggregate bucket rows (bounded input),
+    and nothing shuffles a sort-merge join."""
     plan = _plan(entry.queries()["dsir_weights"](spark, SF))
-    assert plan.count("Scan parquet") == 2
+    assert plan.count("Scan parquet") == 0  # corpus read in the one
+    assert plan.count("Scan ExistingRDD") == 2  # materialization job
     assert "BroadcastHashJoin" in plan
     assert "Window" in plan  # the bounded totals window
     for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
