@@ -307,3 +307,71 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     )
     joined = big_salted.join(small_exploded, [key, "__salt"], how)
     return joined.drop("__salt")
+
+
+def parquet_file_stats(spark, path: str) -> tuple[int, int]:
+    """(data_file_count, total_bytes) for a parquet directory — the
+    small-file health check a warehouse runs before deciding to
+    compact.  Hadoop FS listing only; never reads row data."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    n_files, total = 0, 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith((".", "_")):
+            n_files += 1
+            total += st.getLen()
+    return n_files, total
+
+
+def compact_parquet(spark, path: str,
+                    target_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_bytes)`` files — the table-maintenance
+    primitive that keeps scan parallelism healthy after many
+    incremental appends (thousands of KB-sized files turn every scan
+    into a task-scheduling storm and an open()-per-file tax; 100-200 MB
+    files are the classic sweet spot).
+
+    Skips (and reports) when the layout is already at or below the
+    target file count — compaction must be idempotent and cheap to call
+    from a scheduled maintenance job.  ``coalesce`` (not repartition)
+    does the rewrite: narrowing to fewer files needs no shuffle.
+
+    The swap is write-tmp -> delete-original -> rename: NOT atomic
+    against concurrent readers (a reader between the delete and rename
+    sees a missing directory).  On a table format (Delta/Iceberg) use
+    its transactional OPTIMIZE instead; for plain parquet this is the
+    standard maintenance-window operation.
+
+    Returns ``{files_before, files_after, total_bytes, rewritten}``.
+    """
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
+    import math
+
+    files_before, total = parquet_file_stats(spark, path)
+    n_out = max(1, math.ceil(total / target_bytes))
+    if files_before <= n_out:
+        return {"files_before": files_before, "files_after": files_before,
+                "total_bytes": total, "rewritten": False}
+    df = spark.read.parquet(path).coalesce(n_out)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    fs = dst.getFileSystem(hconf)
+    if not fs.delete(dst, True):
+        raise IOError(f"could not remove {path} for the compaction swap")
+    if not fs.rename(src, dst):
+        raise IOError(
+            f"compaction swap failed: original removed, rewrite left at "
+            f"{tmp} — rename it into place manually")
+    files_after, _ = parquet_file_stats(spark, path)
+    return {"files_before": files_before, "files_after": files_after,
+            "total_bytes": total, "rewritten": True}
