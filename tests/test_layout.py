@@ -265,3 +265,23 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
 
     with pytest.raises(ValueError):
         compact_parquet(spark, path, target_bytes=0)
+
+
+def test_collect_table_stats_feeds_cbo(spark, tmp_path):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.catalog import (
+        collect_table_stats,
+    )
+
+    spark.range(1000).selectExpr("id", "id % 7 AS g") \
+        .write.mode("overwrite").saveAsTable("stats_demo")
+    try:
+        stats = collect_table_stats(spark, "stats_demo", columns=["id", "g"])
+        assert stats["rowCount"] == 1000
+        assert stats["sizeInBytes"] > 0
+        # column-level stats landed: NDV for g is visible in the catalog
+        desc = {r["info_name"]: r["info_value"] for r in spark.sql(
+            "DESCRIBE EXTENDED stats_demo g").collect()}
+        assert int(desc["distinct_count"]) == 7
+        assert int(desc["num_nulls"]) == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_demo")
