@@ -5377,6 +5377,8 @@ WITH q AS (
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
     AND len(embedding) = {JL_IN_DIM}
     AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND len(list_filter(embedding,
+                        x -> abs(CAST(x AS DOUBLE)) >= 9e12)) = 0
 ),
 cells AS (
   SELECT vec_id, j.j AS j, i.i AS i,

@@ -1513,8 +1513,12 @@ def rademacher_project(corpus: DataFrame, out_dim: int = 8,
     SimHash planes), and embedding elements are quantized to integer
     micro-units up front, so every output cell is an exact integer sum —
     identical on any engine, under any shuffle order, and mirrored 1:1
-    by the SQL oracle.  Rows with a NULL id/vector, a ragged length, or
-    NULL elements are dropped (guards mirrored in the oracle).
+    by the SQL oracle.  Rows with a NULL id/vector, a ragged length,
+    NULL elements, or any coordinate with ``|x| >= 9e12`` are dropped
+    (guards mirrored in the oracle).  The magnitude guard is
+    ANSI-neutrality armor: past ~9.2e12 the micro-unit long cast would
+    WRAP in unchecked mode but RAISE under ANSI — dropping the row keeps
+    both session modes bit-identical instead of mode-divergent.
 
     Plan shape: narrow scan -> per-row fold (zip_with + aggregate over
     the literal sign rows, whole-stage codegen) -> posexplode to long
@@ -1562,6 +1566,8 @@ def rademacher_project(corpus: DataFrame, out_dim: int = 8,
             & F.col(vec_col).isNotNull()
             & (F.size(vec_col) == in_dim)
             & ~F.exists(vec_col, lambda x: x.isNull())
+            & ~F.exists(vec_col,
+                        lambda x: F.abs(x.cast("double")) >= F.lit(9.0e12))
         )
         .withColumn("__q", quant)
         .select(F.col(id_col), F.posexplode(projs).alias("j", "proj_micro"))
