@@ -49,3 +49,51 @@ def run_incremental_ingest(spark: SparkSession, source_dir: str,
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def run_merge_sink(stream: DataFrame, target_path: str,
+                   checkpoint_path: str, keys: list[str],
+                   timeout_s: int = 300) -> None:
+    """Exactly-once streaming UPSERT: ``foreachBatch`` + the keyed merge
+    primitive — the canonical production sink when the target must hold
+    one row per key, not an append log (dimension tables, latest-state
+    stores, dedup-on-arrival ingest).
+
+    Semantics: Spark may REPLAY a micro-batch after a failure (same
+    ``batch_id``, same rows).  A blind append would duplicate; the
+    keyed merge is idempotent — replaying any batch, any number of
+    times, converges to the same target (pytest-asserted by invoking
+    the batch writer twice with the same payload).  Within a batch,
+    later-keyed duplicates are resolved by the merge's delta-wins rule.
+
+    On Delta/Iceberg the body becomes ``MERGE INTO`` and the
+    write-aside-and-swap disappears; checkpointing, replay, and the
+    availableNow trigger semantics stay identical.
+    """
+    from ..operators.merge import merge_write_path
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # within-batch duplicate keys must resolve DETERMINISTICALLY —
+        # dropDuplicates keeps whichever row a given shuffle delivers
+        # first, so a replay could install a different survivor.  MAX
+        # over the payload struct is a pure function of the batch
+        # contents: any replay converges to the same row.
+        payload = [c for c in batch_df.columns if c not in set(keys)]
+        if payload:
+            deduped = (
+                batch_df.groupBy(*keys)
+                .agg(F.max(F.struct(*payload)).alias("__p"))
+                .select(*keys, *[F.col(f"__p.{c}").alias(c)
+                                 for c in payload])
+            )
+        else:
+            deduped = batch_df.dropDuplicates(keys)
+        merge_write_path(batch_df.sparkSession, target_path, deduped, keys)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
