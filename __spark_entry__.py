@@ -5494,6 +5494,107 @@ SELECT c_custkey, status FROM (
 ) WHERE status IS NOT NULL
 """
 
+def q_range_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE window (capability superset of W2's ROWS
+    frames): per-supplier trailing-7-DAY revenue over the daily
+    aggregate — RANGE frames cover the calendar interval regardless of
+    how many rows fall in it (a gap-day supplier gets a short window;
+    ROWS -2 would silently reach back weeks), which is the semantics
+    every rolling-7d business metric actually wants.  The frame is keyed
+    on integer epoch days so the window bound arithmetic is identical on
+    any engine; revenue stays in integer cents end to end — the window
+    SUM is exact under any evaluation order."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_suppkey"), to_day("l_shipdate").alias("ship_date")
+    ).agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+        ).alias("day_cents")
+    )
+    keyed = daily.withColumn(
+        "day_key", F.datediff(F.col("ship_date"), F.lit("1970-01-01"))
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("day_key")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return keyed.select(
+        "l_suppkey", "ship_date", "day_cents",
+        F.sum("day_cents").over(w).alias("win7_cents"),
+        F.count(F.lit(1)).over(w).cast("int").alias("win7_days"),
+    )
+
+
+ORACLE_RANGE_WINDOW_REVENUE = """
+WITH daily AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_date,
+         CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS day_cents
+  FROM lineitem GROUP BY 1, 2
+),
+keyed AS (
+  SELECT *, (ship_date - DATE '1970-01-01') AS day_key FROM daily
+)
+SELECT l_suppkey, ship_date, day_cents,
+       CAST(SUM(day_cents) OVER w AS BIGINT) AS win7_cents,
+       CAST(COUNT(*) OVER w AS INTEGER) AS win7_days
+FROM keyed
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY day_key
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (wide -> long reshaping, the inverse of
+    pivot_status_by_year): the per-flag metric summary laid out one row
+    per (flag, metric) — the shape metric stores and plotting layers
+    ingest.  Spark's ``stack`` generator does the melt row-locally
+    (codegen, no shuffle beyond the source aggregate); all three metrics
+    are integer-exact (count / quantity / price in cents) so the long
+    values hash identically everywhere."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("l_quantity") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+        ).alias("sum_qty_cents"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+        ).alias("sum_price_cents"),
+    )
+    return wide.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'n_rows', n_rows, 'sum_qty_cents', sum_qty_cents,"
+            " 'sum_price_cents', sum_price_cents) AS (metric, value)"
+        ),
+    )
+
+
+ORACLE_UNPIVOT_METRICS = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS sum_qty_cents,
+         CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS sum_price_cents
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_qty_cents', sum_qty_cents FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM wide
+"""
+
 GAPFILL_MIN_PRICE = 400000  # rare high-value orders -> guaranteed day gaps
 
 
@@ -7828,7 +7929,7 @@ FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOPK}
 # round (all round-9 ADVICE items — see _GATE_CHANGED comments), (b) the
 # 11 r06-stale keys the round-9 verdict queued (they hit the audit
 # tool's <=4-round staleness bound at r10), (c) the alphabetically first
-# 30 of the 46 r07-stale keys.  The remaining 16 r07 keys carry to round
+# 28 of the 46 r07-stale keys.  The remaining 18 r07 keys carry to round
 # 11, still inside the bound.  A green CORRECTNESS_r10 leaves no
 # signature older than 3 rounds.
 _GATE_CHANGED = [
@@ -7859,6 +7960,11 @@ _GATE_CHANGED = [
     "jl_projection",
     "dialog_assembly",
     "snapshot_diff",
+    # NEW keys r10 (RANGE-interval window, UNPIVOT melt — classical OLAP
+    # shapes the registry lacked) — displace moving_avg / ols_trend
+    # (r07-stale) to the round-11 pad
+    "range_window_revenue",
+    "unpivot_metrics",
 ]
 
 _GATE_PAD = [
@@ -7868,9 +7974,10 @@ _GATE_PAD = [
     "simhash_dedup", "source_quality_cap", "substring_dedup",
     "substring_dedup_dfcut", "token_drift", "winnow_match",
     "winnow_probe", "winnowing",
-    # next-stalest: last signed r07 (first 30 of 46 alphabetically; the
-    # remaining 16 — payment_summary, pivot_status_by_year, price_qty_corr,
-    # price_quartiles, regional_revenue, repetition_scores, rollup_summary,
+    # next-stalest: last signed r07 (first 28 of 46 alphabetically; the
+    # remaining 18 — moving_avg, ols_trend, payment_summary,
+    # pivot_status_by_year, price_qty_corr, price_quartiles,
+    # regional_revenue, repetition_scores, rollup_summary,
     # salted_skew_join, sessionization, sliding_window, top_revenue_orders,
     # train_test_split, tumbling_window, value_anomalies, vendor_summary,
     # zone_summary — carry to the r11 pad, within the staleness bound)
@@ -7882,7 +7989,6 @@ _GATE_PAD = [
     "exact_dedup", "fingerprints", "funnel", "hard_negatives",
     "hash_sample", "inactive_customers", "json_extract", "label_centroids",
     "lang_id", "median_price", "mixture_weights", "monthly_summary",
-    "moving_avg", "ols_trend",
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost
@@ -8041,6 +8147,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_projection": q_jl_projection,
         "dialog_assembly": q_dialog_assembly,
         "snapshot_diff": q_snapshot_diff,
+        "range_window_revenue": q_range_window_revenue,
+        "unpivot_metrics": q_unpivot_metrics,
         "daily_gapfill": q_daily_gapfill,
         "value_anomalies": q_value_anomalies,
         "pii_redact": q_pii_redact,
@@ -8205,6 +8313,8 @@ def oracle_sql() -> dict[str, str]:
         "jl_projection": ORACLE_JL_PROJECTION,
         "dialog_assembly": ORACLE_DIALOG_ASSEMBLY,
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+        "range_window_revenue": ORACLE_RANGE_WINDOW_REVENUE,
+        "unpivot_metrics": ORACLE_UNPIVOT_METRICS,
         "daily_gapfill": ORACLE_DAILY_GAPFILL,
         "value_anomalies": ORACLE_VALUE_ANOMALIES,
         "pii_redact": ORACLE_PII_REDACT,

@@ -492,3 +492,18 @@ def test_whole_registry_has_no_cartesian_product(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_range_window_and_unpivot_plan_shapes(spark):
+    """range_window_revenue: ONE supplier-keyed exchange feeds both the
+    daily aggregate and the RANGE-frame window (same key, Catalyst
+    reuses the distribution) — no join, no extra shuffle.
+    unpivot_metrics: the stack() melt runs row-locally after the one
+    aggregate — no join, no window, single scan."""
+    rw = _plan(entry.queries()["range_window_revenue"](spark, SF))
+    assert rw.count("Scan parquet") == 1
+    assert "Window" in rw and "Join" not in rw
+    up = _plan(entry.queries()["unpivot_metrics"](spark, SF))
+    assert up.count("Scan parquet") == 1
+    for bad in ("Join", "Window", "CartesianProduct"):
+        assert bad not in up
