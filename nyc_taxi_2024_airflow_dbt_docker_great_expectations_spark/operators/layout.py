@@ -353,6 +353,20 @@ def compact_parquet(spark, path: str,
         raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
     import math
 
+    # A hive-partitioned layout must compact PER PARTITION: reading the
+    # root folds the `key=value` dirs into data columns and the rewrite
+    # would flatten the physical partitioning (and with it partition
+    # pruning).  Detect and refuse instead of silently degrading.
+    jvm0 = spark._jvm
+    root = jvm0.org.apache.hadoop.fs.Path(path)
+    fs0 = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    for st in fs0.listStatus(root):
+        if st.isDirectory() and "=" in st.getPath().getName():
+            raise ValueError(
+                f"{path} is hive-partitioned ({st.getPath().getName()}/...)"
+                " — compact each partition directory individually to keep"
+                " the partitioned layout")
+
     files_before, total = parquet_file_stats(spark, path)
     n_out = max(1, math.ceil(total / target_bytes))
     if files_before <= n_out:

@@ -135,6 +135,11 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
     broadcast), then a row-local CASE + filter.  Output volume is the
     CHURN (added + removed + changed), never the table size.
 
+    Contract: ``key_cols`` must uniquely identify rows in EACH snapshot
+    (it is a keyed-table diff) — a duplicated key turns the outer join
+    into its m x n pair expansion and the statuses stop meaning
+    anything.  Dedup first (``distinct_on``) if the inputs are logs.
+
     Returns ``key_cols`` + ``status``.
     """
     if not key_cols:

@@ -266,6 +266,14 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
     with pytest.raises(ValueError):
         compact_parquet(spark, path, target_bytes=0)
 
+    # hive-partitioned layouts must refuse: a root-level compaction would
+    # flatten key=value partitioning into data columns
+    ppath = str(tmp_path / "parted")
+    spark.range(100).selectExpr("id", "id % 3 AS part") \
+        .write.partitionBy("part").parquet(ppath)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet(spark, ppath, target_bytes=1 << 30)
+
 
 def test_collect_table_stats_feeds_cbo(spark, tmp_path):
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.catalog import (
