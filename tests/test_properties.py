@@ -783,3 +783,42 @@ def test_snapshot_diff_matches_bruteforce(spark, old_rows, new_rows):
         elif od[k] != nd[k]:
             want[k] = "changed"
     assert got == want
+
+
+# --- RANGE-interval window vs brute-force interval sum --------------------
+
+_rw_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # supplier
+        st.integers(min_value=0, max_value=20),     # day key
+        st.integers(min_value=-100, max_value=100),  # day cents
+    ),
+    min_size=1, max_size=25,
+    unique_by=lambda r: (r[0], r[1]),  # daily aggregate: one row per day
+)
+
+
+@settings(**SETTINGS)
+@given(rows=_rw_rows)
+def test_range_frame_matches_interval_bruteforce(spark, rows):
+    """A RANGE BETWEEN 6 PRECEDING AND CURRENT ROW frame keyed on integer
+    days == the brute-force 'sum every row of the same supplier with
+    day_key in [d-6, d]' definition — including gap days (where ROWS -6
+    would reach back too far) and negative values."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "supp long, day_key int, cents long")
+    w = (Window.partitionBy("supp").orderBy("day_key")
+         .rangeBetween(-6, Window.currentRow))
+    got = {(r["supp"], r["day_key"]): (r["win"], r["n"])
+           for r in df.select(
+               "supp", "day_key",
+               F.sum("cents").over(w).alias("win"),
+               F.count(F.lit(1)).over(w).cast("int").alias("n"),
+           ).collect()}
+    want = {}
+    for s, d, _ in rows:
+        inwin = [(c) for s2, d2, c in rows
+                 if s2 == s and d - 6 <= d2 <= d]
+        want[(s, d)] = (sum(inwin), len(inwin))
+    assert got == want
