@@ -5350,6 +5350,9 @@ FROM docb JOIN lr USING (b) GROUP BY 1
 
 JL_OUT_DIM = 8
 JL_IN_DIM = 64
+# fold-safe magnitude guard (see rademacher_project): in_dim micro-unit
+# cells each under bound*1e6 keep |sum| <= 2^62
+JL_BOUND = float((1 << 62) // (1_000_000 * JL_IN_DIM))
 
 
 def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5378,7 +5381,7 @@ WITH q AS (
     AND len(embedding) = {JL_IN_DIM}
     AND len(list_filter(embedding, x -> x IS NULL)) = 0
     AND len(list_filter(embedding,
-                        x -> abs(CAST(x AS DOUBLE)) >= 9e12)) = 0
+                        x -> abs(CAST(x AS DOUBLE)) >= {JL_BOUND!r})) = 0
 ),
 cells AS (
   SELECT vec_id, j.j AS j, i.i AS i,

@@ -81,7 +81,12 @@ def collect_table_stats(spark: SparkSession, table: str,
     (``{"rowCount": ..., "sizeInBytes": ...}``) read back from the
     catalog so callers (and tests) can assert the stats actually landed.
     """
-    ident = "`" + table.replace("`", "``") + "`"
+    # quote each dot-separated part individually: backquoting the whole
+    # string would turn a qualified name like `db.t` into a ONE-part
+    # identifier (a table literally named "db.t" in the current schema)
+    ident = ".".join(
+        "`" + part.replace("`", "``") + "`" for part in table.split(".")
+    )
     spark.sql(f"ANALYZE TABLE {ident} COMPUTE STATISTICS")
     if columns:
         quoted = ", ".join("`" + c.replace("`", "``") + "`"

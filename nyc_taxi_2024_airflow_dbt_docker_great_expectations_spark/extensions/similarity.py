@@ -458,16 +458,29 @@ def _blas_candidate_pairs(corpus: DataFrame, guard_threshold: float,
     )
 
 
+def md5_sign_matrix(n_rows: int, dim: int, salt: str,
+                    plus_on_odd: bool) -> list[list[int]]:
+    """±1 matrix from md5 first-hex-digit parity — reproducible
+    everywhere, no RNG.  ``plus_on_odd`` selects the parity convention:
+    the LSH planes predate :func:`rademacher_project` and map EVEN
+    digits to +1, the projection maps ODD digits to +1 (matching the
+    SQL oracles' odd-hex-digit IN-list); both call here so the two
+    conventions live in one place instead of two near-identical
+    generators drifting apart."""
+    want = 1 if plus_on_odd else 0
+    return [
+        [1 if int(hashlib.md5(f"{salt}:{p}:{d}".encode())
+                  .hexdigest()[0], 16) % 2 == want else -1
+         for d in range(dim)]
+        for p in range(n_rows)
+    ]
+
+
 def deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
     """±1 hyperplanes derived from md5 — reproducible everywhere, no RNG."""
-    planes = []
-    for p in range(n_planes):
-        row = []
-        for d in range(dim):
-            h = hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()
-            row.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
-        planes.append(row)
-    return planes
+    return [[float(s) for s in row]
+            for row in md5_sign_matrix(n_planes, dim, "plane",
+                                       plus_on_odd=False)]
 
 
 def _bucket_col_hof(vec_col: str, n_planes: int, dim: int) -> Column:
@@ -1514,11 +1527,13 @@ def rademacher_project(corpus: DataFrame, out_dim: int = 8,
     micro-units up front, so every output cell is an exact integer sum —
     identical on any engine, under any shuffle order, and mirrored 1:1
     by the SQL oracle.  Rows with a NULL id/vector, a ragged length,
-    NULL elements, or any coordinate with ``|x| >= 9e12`` are dropped
-    (guards mirrored in the oracle).  The magnitude guard is
-    ANSI-neutrality armor: past ~9.2e12 the micro-unit long cast would
-    WRAP in unchecked mode but RAISE under ANSI — dropping the row keeps
-    both session modes bit-identical instead of mode-divergent.
+    NULL elements, or any coordinate with ``|x| >= 2^62/(1e6*in_dim)``
+    are dropped (guards mirrored in the oracle).  The magnitude guard is
+    ANSI-neutrality armor sized for the whole FOLD, not just the per-cell
+    cast: ``in_dim`` micro-unit cells each bounded by ``bound*1e6`` keep
+    ``|sum| <= 2^62`` (factor-2 margin under int64), so neither the cast
+    nor the accumulated sum can wrap in unchecked mode / raise under
+    ANSI — both session modes stay bit-identical.
 
     Plan shape: narrow scan -> per-row fold (zip_with + aggregate over
     the literal sign rows, whole-stage codegen) -> posexplode to long
@@ -1535,14 +1550,8 @@ def rademacher_project(corpus: DataFrame, out_dim: int = 8,
     if out_dim < 1 or in_dim < 1:
         raise ValueError(
             f"out_dim and in_dim must be >= 1, got {out_dim}, {in_dim}")
-    import hashlib
-
-    signs = [
-        [1 if int(hashlib.md5(f"{salt}:{j}:{i}".encode())
-                  .hexdigest()[0], 16) % 2 == 1 else -1
-         for i in range(in_dim)]
-        for j in range(out_dim)
-    ]
+    signs = md5_sign_matrix(out_dim, in_dim, salt, plus_on_odd=True)
+    bound = float((1 << 62) // (1_000_000 * in_dim))
     quant = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(1000000.0) + F.lit(0.5))
@@ -1567,7 +1576,7 @@ def rademacher_project(corpus: DataFrame, out_dim: int = 8,
             & (F.size(vec_col) == in_dim)
             & ~F.exists(vec_col, lambda x: x.isNull())
             & ~F.exists(vec_col,
-                        lambda x: F.abs(x.cast("double")) >= F.lit(9.0e12))
+                        lambda x: F.abs(x.cast("double")) >= F.lit(bound))
         )
         .withColumn("__q", quant)
         .select(F.col(id_col), F.posexplode(projs).alias("j", "proj_micro"))

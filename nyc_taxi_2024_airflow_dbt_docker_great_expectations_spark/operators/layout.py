@@ -386,6 +386,12 @@ def compact_parquet(spark, path: str,
         raise IOError(
             f"compaction swap failed: original removed, rewrite left at "
             f"{tmp} — rename it into place manually")
+    # the swap happened outside Spark's writers: drop the session's
+    # shared file-listing cache entries or a same-session read would
+    # chase the deleted part files (same hazard merge_write_path
+    # documents for the identical delete+rename pattern)
+    spark.catalog.refreshByPath(path)
+    spark.catalog.refreshByPath(tmp)
     files_after, _ = parquet_file_stats(spark, path)
     return {"files_before": files_before, "files_after": files_after,
             "total_bytes": total, "rewritten": True}

@@ -144,8 +144,8 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
-    shared = [c for c in old.columns
-              if c in set(new.columns) and c not in set(key_cols)]
+    new_cols, keys = set(new.columns), set(key_cols)
+    shared = [c for c in old.columns if c in new_cols and c not in keys]
     # prefix the non-key payload per side so the join output is
     # collision-free regardless of the input column names
     o = old.select(*key_cols,

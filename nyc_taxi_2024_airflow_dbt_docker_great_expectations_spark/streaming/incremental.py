@@ -53,6 +53,7 @@ def run_incremental_ingest(spark: SparkSession, source_dir: str,
 
 def run_merge_sink(stream: DataFrame, target_path: str,
                    checkpoint_path: str, keys: list[str],
+                   order_col: str | None = None,
                    timeout_s: int = 300) -> None:
     """Exactly-once streaming UPSERT: ``foreachBatch`` + the keyed merge
     primitive — the canonical production sink when the target must hold
@@ -63,8 +64,15 @@ def run_merge_sink(stream: DataFrame, target_path: str,
     ``batch_id``, same rows).  A blind append would duplicate; the
     keyed merge is idempotent — replaying any batch, any number of
     times, converges to the same target (pytest-asserted by invoking
-    the batch writer twice with the same payload).  Within a batch,
-    later-keyed duplicates are resolved by the merge's delta-wins rule.
+    the batch writer twice with the same payload).
+
+    Within-batch duplicate keys: pass ``order_col`` (an event version /
+    sequence / timestamp column) and the HIGHEST ``order_col`` row wins
+    — the latest-state rule a versioned feed wants.  Without it the
+    winner is the lexicographic MAX over the payload struct in schema
+    column order: still a pure function of the batch contents (replay-
+    deterministic, unlike ``dropDuplicates``' arrival-order survivor),
+    but NOT "the newest row" — supply ``order_col`` whenever one exists.
 
     On Delta/Iceberg the body becomes ``MERGE INTO`` and the
     write-aside-and-swap disappears; checkpointing, replay, and the
@@ -72,17 +80,24 @@ def run_merge_sink(stream: DataFrame, target_path: str,
     """
     from ..operators.merge import merge_write_path
 
+    if order_col is not None and order_col in set(keys):
+        raise ValueError(f"order_col {order_col!r} cannot be a key column")
+
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # within-batch duplicate keys must resolve DETERMINISTICALLY —
-        # dropDuplicates keeps whichever row a given shuffle delivers
-        # first, so a replay could install a different survivor.  MAX
-        # over the payload struct is a pure function of the batch
-        # contents: any replay converges to the same row.
         payload = [c for c in batch_df.columns if c not in set(keys)]
+        if order_col is not None and order_col not in payload:
+            raise ValueError(
+                f"order_col {order_col!r} not in batch columns "
+                f"{batch_df.columns}")
         if payload:
+            # order_col leads the comparison struct so the max is
+            # version-ordered; remaining payload columns break exact
+            # version ties deterministically
+            lead = ([order_col] if order_col else []) + \
+                [c for c in payload if c != order_col]
             deduped = (
                 batch_df.groupBy(*keys)
-                .agg(F.max(F.struct(*payload)).alias("__p"))
+                .agg(F.max(F.struct(*lead)).alias("__p"))
                 .select(*keys, *[F.col(f"__p.{c}").alias(c)
                                  for c in payload])
             )

@@ -2302,9 +2302,10 @@ def test_rademacher_project_exact_and_guards(spark):
         (101, None),               # NULL vector -> dropped
         (102, [0.1] * 7 + [None]),  # NULL element -> dropped
         (None, [0.2] * 8),         # NULL id -> dropped
-        (103, [1.0e13] * 8),       # |x| >= 9e12 would wrap the long cast
-                                   # in unchecked mode / raise under ANSI
-                                   # -> dropped in BOTH modes
+        (103, [1.0e13] * 8),       # past the fold-safe bound
+                                   # (2^62/(1e6*in_dim)): would wrap the
+                                   # int64 fold in unchecked mode / raise
+                                   # under ANSI -> dropped in BOTH modes
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = rademacher_project(df, out_dim=4, in_dim=8).collect()

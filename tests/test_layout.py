@@ -291,5 +291,8 @@ def test_collect_table_stats_feeds_cbo(spark, tmp_path):
             "DESCRIBE EXTENDED stats_demo g").collect()}
         assert int(desc["distinct_count"]) == 7
         assert int(desc["num_nulls"]) == 0
+        # qualified names must quote per part, not as one identifier
+        q = collect_table_stats(spark, "default.stats_demo")
+        assert q["rowCount"] == 1000
     finally:
         spark.sql("DROP TABLE IF EXISTS stats_demo")

@@ -108,22 +108,27 @@ def test_merge_sink_upserts_and_replays_idempotently(spark, tmp_warehouse):
     stream = (spark.readStream
               .schema("k long, v string, rev long").parquet(src + "/*"))
 
-    # batch 1: initial keys, including a within-batch duplicate key whose
-    # winner must be the MAX payload struct (deterministic, not
-    # arrival-order)
-    drop("b1", [(1, "a", 1), (2, "b", 1), (2, "b", 2)])
-    run_merge_sink(stream, target, ckpt, keys=["k"])
-    assert state() == {1: ("a", 1), 2: ("b", 2)}
+    # batch 1: initial keys, including a within-batch duplicate key where
+    # the HIGHEST order_col must win even though its payload sorts LOWER
+    # lexicographically ('aaa' < 'zzz') — version order, not schema order
+    drop("b1", [(1, "a", 1), (2, "zzz", 1), (2, "aaa", 9)])
+    run_merge_sink(stream, target, ckpt, keys=["k"], order_col="rev")
+    assert state() == {1: ("a", 1), 2: ("aaa", 9)}
 
     # batch 2: update one key, add one key -> upsert, not append
-    drop("b2", [(2, "b2", 3), (3, "c", 1)])
-    run_merge_sink(stream, target, ckpt, keys=["k"])
-    assert state() == {1: ("a", 1), 2: ("b2", 3), 3: ("c", 1)}
+    drop("b2", [(2, "b2", 10), (3, "c", 1)])
+    run_merge_sink(stream, target, ckpt, keys=["k"], order_col="rev")
+    assert state() == {1: ("a", 1), 2: ("b2", 10), 3: ("c", 1)}
 
     # replay: simulate a post-failure re-delivery of the SAME batch by
     # invoking the sink with a fresh checkpoint over the same files —
     # the keyed merge converges instead of duplicating
     run_merge_sink(stream, target, os.path.join(tmp_warehouse, "kv_ckpt2"),
-                   keys=["k"])
-    assert state() == {1: ("a", 1), 2: ("b2", 3), 3: ("c", 1)}
+                   keys=["k"], order_col="rev")
+    assert state() == {1: ("a", 1), 2: ("b2", 10), 3: ("c", 1)}
     assert spark.read.parquet(target).count() == 3
+
+    import pytest
+
+    with pytest.raises(ValueError, match="cannot be a key column"):
+        run_merge_sink(stream, target, ckpt, keys=["k"], order_col="k")
