@@ -19,7 +19,28 @@ is applied map-side by the window-rank pushdown), never the value set.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _md5_60bit(col: Column) -> Column:
+    """60-bit md5-prefix hash (15 hex chars -> int64) — the ORACLE-
+    CONTRACT hash layout shared by every sketch in this module.  KMV and
+    HLL are documented to cross-check each other, so they MUST consume
+    the identical hash; keep the layout here, never inline it."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15),
+                  16, 10).cast("long")
+
+
+def _distinct_values(df: DataFrame, group_cols: list[str],
+                     value_col: str) -> DataFrame:
+    """Shared sketch prelude: non-null values collapsed to one row per
+    (group, value) BEFORE hashing — cardinality not frequency, and md5
+    is paid on the key space instead of the fact table."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, F.col(value_col).alias("__v"))
+        .distinct()
+    )
 
 
 def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str,
@@ -38,16 +59,10 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str,
     # value, so hashing after the distinct is value-identical while paying
     # md5+conv on |distinct| rows instead of |rows| — at 100 TB the
     # difference between hashing the fact table and hashing its key space
-    h = (
-        F.conv(F.substring(F.md5(F.col("__v").cast("string")), 1, 15),
-               16, 10).cast("long")
-        + F.lit(1)
-    ).cast("double") / F.lit(float(16 ** 15))
-    hashed = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(*group_cols, F.col(value_col).alias("__v"))
-        .distinct()
-        .select(*group_cols, h.alias("__h"))
+    h = ((_md5_60bit(F.col("__v")) + F.lit(1)).cast("double")
+         / F.lit(float(16 ** 15)))
+    hashed = _distinct_values(df, group_cols, value_col).select(
+        *group_cols, h.alias("__h")
     )
     w = Window.partitionBy(*group_cols).orderBy("__h")
     bottom_k = (
@@ -176,8 +191,7 @@ def hll_distinct(df: DataFrame, group_cols: list[str], value_col: str,
     # total <= 2^b * 2^(61-b) = 2^61, always inside int64)
     alpha = 0.7213 / (1.0 + 1.079 / m)
     numer = alpha * float(m) * float(m) * float(1 << maxr)
-    h = F.conv(F.substring(F.md5(F.col("__v").cast("string")), 1, 15),
-               16, 10).cast("long")
+    h = _md5_60bit(F.col("__v"))
     w = F.expr(f"__h div {m}")          # remaining width hash bits
     # rank = position of the first 1-bit of w within its width-bit field
     # = width - bit_length(w) + 1, and maxr when w = 0: conv(w, 10, 2) is
@@ -187,9 +201,7 @@ def hll_distinct(df: DataFrame, group_cols: list[str], value_col: str,
             .otherwise(F.lit(maxr) - F.length(F.conv(
                 F.col("__w").cast("string"), 10, 2))))
     regs = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(*group_cols, F.col(value_col).alias("__v"))
-        .distinct()
+        _distinct_values(df, group_cols, value_col)
         .select(*group_cols, h.alias("__h"))
         .select(*group_cols, F.pmod(F.col("__h"), F.lit(m)).alias("__j"),
                 w.alias("__w"))

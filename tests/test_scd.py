@@ -195,3 +195,29 @@ def test_scd2_close_then_reopen_roundtrip(spark):
                   for r in reopened.collect())
     assert rows == [(1, 1, "basic", "2024-02-01"),
                     (1, 2, "gold", "None")]
+
+
+def test_scd2_close_absent_column_order_and_marker_collision(spark):
+    """Regression pins for the round-10 left-join rewrite: (a) output
+    column ORDER equals the dim's even when the key is not the leading
+    column (the USING join moves key cols first; select(*dim.columns)
+    must restore), (b) a dim that legitimately carries the
+    __scd2_present marker name is not clobbered — the join marker
+    derives a collision-free name."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.scd import (
+        scd2_close_absent,
+    )
+
+    # key 'k' deliberately NOT the first column
+    dim = spark.createDataFrame(
+        [("open", 1, None, 7), ("open", 2, None, 9)],
+        "status string, k long, valid_to date, __scd2_present int",
+    )
+    snap = spark.createDataFrame([(1,)], "k long")
+    out = scd2_close_absent(dim, snap, ["k"], d("2024-03-01"))
+    assert out.columns == ["status", "k", "valid_to", "__scd2_present"]
+    got = {r["k"]: (str(r["valid_to"]), r["__scd2_present"])
+           for r in out.collect()}
+    # key 2 closed; the caller's __scd2_present payload column survives
+    # with its original values on BOTH rows
+    assert got == {1: ("None", 7), 2: ("2024-03-01", 9)}

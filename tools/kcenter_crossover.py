@@ -1,7 +1,8 @@
 """Measure the kcenter_select stateless-vs-materialized crossover: warm
 best-of-N wall time for each (k, materialize) cell at a given sf dir.
-Justifies the ``materialize=None`` default threshold (k > 32) with a
-logged measurement instead of a guess.
+Justifies the ``materialize=None`` default threshold (materialized for
+k > 4 — similarity.py:kcenter_select) with a logged measurement instead
+of a guess.
 
 Usage: python tools/kcenter_crossover.py [sf_dir] [repeats] [k,k,...]
 """

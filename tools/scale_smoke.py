@@ -131,9 +131,21 @@ def main() -> None:
     base = os.environ.get("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
     out = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_sf1")
     factor = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
-    skip = set()
-    if "--skip" in sys.argv:
-        skip = set(sys.argv[sys.argv.index("--skip") + 1:])
+    def _operands(flag: str) -> list[str]:
+        """Operands following ``flag`` UP TO the next --option — the old
+        greedy tail-slice swallowed later flags and their operands (e.g.
+        `--skip q --changed-plus-headline extra` put 'extra' in the skip
+        set, silently un-measuring an explicitly requested query)."""
+        if flag not in sys.argv:
+            return []
+        ops: list[str] = []
+        for a in sys.argv[sys.argv.index(flag) + 1:]:
+            if a.startswith("--"):
+                break
+            ops.append(a)
+        return ops
+
+    skip = set(_operands("--skip"))
 
     import __spark_entry__ as entrymod
 
@@ -142,10 +154,7 @@ def main() -> None:
     measure: set[str] | None = None  # None = full registry
     prior: dict = {}
     if "--full" not in sys.argv:
-        extra = []
-        if "--changed-plus-headline" in sys.argv:
-            idx = sys.argv.index("--changed-plus-headline")
-            extra = [a for a in sys.argv[idx + 1:] if not a.startswith("-")]
+        extra = _operands("--changed-plus-headline")
         if os.path.exists(prior_path):
             with open(prior_path) as f:
                 prior = json.load(f)
