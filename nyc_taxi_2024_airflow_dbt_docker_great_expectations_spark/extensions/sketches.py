@@ -24,9 +24,10 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 def _md5_60bit(col: Column) -> Column:
     """60-bit md5-prefix hash (15 hex chars -> int64) — the ORACLE-
-    CONTRACT hash layout shared by every sketch in this module.  KMV and
-    HLL are documented to cross-check each other, so they MUST consume
-    the identical hash; keep the layout here, never inline it."""
+    CONTRACT hash layout shared by the two cardinality sketches (KMV and
+    HLL; CMS uses its own seeded 32-bit cell hash).  The two are
+    documented to cross-check each other, so they MUST consume the
+    identical hash; keep the layout here, never inline it."""
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 15),
                   16, 10).cast("long")
 
