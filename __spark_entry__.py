@@ -5380,6 +5380,7 @@ WITH q AS (
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
     AND len(embedding) = {JL_IN_DIM}
     AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0
     AND len(list_filter(embedding,
                         x -> abs(CAST(x AS DOUBLE)) >= {JL_BOUND!r})) = 0
 ),

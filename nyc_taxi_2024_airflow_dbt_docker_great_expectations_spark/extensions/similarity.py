@@ -1527,8 +1527,12 @@ def rademacher_project(corpus: DataFrame, out_dim: int = 8,
     micro-units up front, so every output cell is an exact integer sum —
     identical on any engine, under any shuffle order, and mirrored 1:1
     by the SQL oracle.  Rows with a NULL id/vector, a ragged length,
-    NULL elements, or any coordinate with ``|x| >= 2^62/(1e6*in_dim)``
-    are dropped (guards mirrored in the oracle).  The magnitude guard is
+    NULL elements, a NaN coordinate (an explicit ``isnan`` clause — the
+    magnitude comparison alone is not NaN-reliable and non-ANSI Spark
+    would silently quantize a surviving NaN to 0 where ANSI/DuckDB
+    error), or any coordinate with ``|x| >= 2^62/(1e6*in_dim)`` are
+    dropped (guards mirrored in the oracle; same non-finite policy as
+    ``embedding_covariance``).  The magnitude guard is
     ANSI-neutrality armor sized for the whole FOLD, not just the per-cell
     cast: ``in_dim`` micro-unit cells each bounded by ``bound*1e6`` keep
     ``|sum| <= 2^62`` (factor-2 margin under int64), so neither the cast
@@ -1575,6 +1579,7 @@ def rademacher_project(corpus: DataFrame, out_dim: int = 8,
             & F.col(vec_col).isNotNull()
             & (F.size(vec_col) == in_dim)
             & ~F.exists(vec_col, lambda x: x.isNull())
+            & ~F.exists(vec_col, lambda x: F.isnan(x.cast("double")))
             & ~F.exists(vec_col,
                         lambda x: F.abs(x.cast("double")) >= F.lit(bound))
         )

@@ -26,16 +26,34 @@ read-modify-write; the logical semantics here are identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
-def upsert_by_key(target: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
+def quoted_col(name: str) -> Column:
+    """Exact-name column reference: backtick-quote so a column whose NAME
+    contains dots is never misparsed as a nested-field path (embedded
+    backticks escaped by doubling, per the SQL identifier rule)."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+def upsert_by_key(target: DataFrame, delta: DataFrame, keys: list[str],
+                  order_col: str | None = None) -> DataFrame:
     """Rows of ``target`` not matched by ``delta`` on ``keys``, plus all of
     ``delta`` — the merge/delete+insert primitive (S8/S9).
 
     NULL-safe on the join keys (a NULL-keyed target row survives unless the
     delta also carries a NULL key), matching SQL ``DELETE WHERE key IN (...)``
     + insert semantics closely enough for the reference's non-null keys.
+
+    ``order_col`` (a version / sequence / event-time column) switches the
+    matched-key rule from "delta always wins" to a VERSION GATE: for each
+    contested key the surviving row is the one with the highest
+    ``order_col`` across BOTH sides (remaining payload columns break exact
+    version ties, deterministically).  This is what makes the merge safe
+    against out-of-order or stale re-delivery — reprocessing an older feed
+    under a fresh checkpoint can no longer regress a key to a lower
+    version.  Without ``order_col`` the delta unconditionally replaces the
+    target row (classic dbt incremental-merge semantics).
 
     The target and delta schemas must agree on column NAMES: a target
     written under an older model contract (e.g. the pre-round-6 gold
@@ -51,7 +69,25 @@ def upsert_by_key(target: DataFrame, delta: DataFrame, keys: list[str]) -> DataF
         )
     delta_keys = F.broadcast(delta.select(*keys).distinct())
     kept = target.join(delta_keys, on=keys, how="left_anti")
-    return kept.unionByName(delta.select(*target.columns))
+    incoming = delta.select(*target.columns)
+    if order_col is not None:
+        if order_col in set(keys) or order_col not in target.columns:
+            raise ValueError(
+                f"order_col {order_col!r} must be a non-key target column; "
+                f"keys={keys}, target columns={target.columns}")
+        payload = [c for c in target.columns if c not in set(keys)]
+        lead = [order_col] + [c for c in payload if c != order_col]
+        contested = target.join(delta_keys, on=keys, how="left_semi")
+        incoming = (
+            contested.unionByName(incoming)
+            .groupBy(*[quoted_col(k) for k in keys])
+            .agg(F.max(F.struct(*[quoted_col(c).alias(c)
+                                  for c in lead])).alias("__p"))
+            .select(*[quoted_col(k) for k in keys],
+                    *[F.col("__p").getField(c).alias(c) for c in payload])
+            .select(*[quoted_col(c) for c in target.columns])
+        )
+    return kept.unionByName(incoming)
 
 
 # dbt calls the same thing "merge" for bronze/gold; keep an explicit alias so
@@ -78,7 +114,8 @@ def append_if_absent(target: DataFrame, delta: DataFrame, keys: list[str],
     return target.unionByName(new_rows.select(*target.columns))
 
 
-def merge_write_path(spark, path: str, delta: DataFrame, keys: list[str]) -> None:
+def merge_write_path(spark, path: str, delta: DataFrame, keys: list[str],
+                     order_col: str | None = None) -> None:
     """Merge ``delta`` into the parquet table at ``path`` by key (S8/S9) with
     a write-aside-and-swap, because Spark cannot overwrite a path that feeds
     the running plan.  First write (no target yet) is a plain write.
@@ -96,7 +133,8 @@ def merge_write_path(spark, path: str, delta: DataFrame, keys: list[str]) -> Non
         delta.write.mode("overwrite").parquet(path)
         return
     target = spark.read.parquet(path)
-    merged = upsert_by_key(target, delta.select(*target.columns), keys)
+    merged = upsert_by_key(target, delta.select(*target.columns), keys,
+                           order_col=order_col)
     tmp = path + ".__merge_tmp__"
     merged.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(path)
@@ -145,6 +183,15 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     new_cols, keys = set(new.columns), set(key_cols)
+    # the contract is two snapshots of the SAME table — an asymmetric
+    # column would make rows differing only there report as unchanged,
+    # a quiet failure mode for an audit primitive, so refuse loudly
+    drift = set(old.columns) ^ new_cols
+    if drift:
+        raise ValueError(
+            f"snapshot_diff: snapshots carry different column sets "
+            f"(asymmetric: {sorted(drift)}) — the diff is only defined "
+            "over a shared schema; align the snapshots first")
     shared = [c for c in old.columns if c in new_cols and c not in keys]
     # prefix the non-key payload per side so the join output is
     # collision-free regardless of the input column names

@@ -66,19 +66,24 @@ def run_merge_sink(stream: DataFrame, target_path: str,
     times, converges to the same target (pytest-asserted by invoking
     the batch writer twice with the same payload).
 
-    Within-batch duplicate keys: pass ``order_col`` (an event version /
-    sequence / timestamp column) and the HIGHEST ``order_col`` row wins
-    — the latest-state rule a versioned feed wants.  Without it the
-    winner is the lexicographic MAX over the payload struct in schema
-    column order: still a pure function of the batch contents (replay-
-    deterministic, unlike ``dropDuplicates``' arrival-order survivor),
-    but NOT "the newest row" — supply ``order_col`` whenever one exists.
+    Duplicate keys: pass ``order_col`` (an event version / sequence /
+    timestamp column) and the HIGHEST ``order_col`` row wins — both
+    WITHIN a batch and ACROSS batches: the merge is version-gated
+    against the target's existing row, so an out-of-order or stale
+    re-delivery spanning batches (e.g. reprocessing older files under a
+    fresh checkpoint) cannot regress a key to a lower version.  Without
+    ``order_col`` the within-batch winner is the lexicographic MAX over
+    the payload struct in schema column order and the batch
+    unconditionally replaces the target row (last-writer-wins): still a
+    pure function of the batch contents (replay-deterministic, unlike
+    ``dropDuplicates``' arrival-order survivor), but NOT "the newest
+    row" — supply ``order_col`` whenever one exists.
 
     On Delta/Iceberg the body becomes ``MERGE INTO`` and the
     write-aside-and-swap disappears; checkpointing, replay, and the
     availableNow trigger semantics stay identical.
     """
-    from ..operators.merge import merge_write_path
+    from ..operators.merge import merge_write_path, quoted_col
 
     if order_col is not None and order_col in set(keys):
         raise ValueError(f"order_col {order_col!r} cannot be a key column")
@@ -95,15 +100,21 @@ def run_merge_sink(stream: DataFrame, target_path: str,
             # version ties deterministically
             lead = ([order_col] if order_col else []) + \
                 [c for c in payload if c != order_col]
+            # getField / backtick-quoted refs (not dotted F.col paths) so
+            # column names containing dots are never misparsed as nested
+            # references
             deduped = (
-                batch_df.groupBy(*keys)
-                .agg(F.max(F.struct(*lead)).alias("__p"))
-                .select(*keys, *[F.col(f"__p.{c}").alias(c)
-                                 for c in payload])
+                batch_df.groupBy(*[quoted_col(k) for k in keys])
+                .agg(F.max(F.struct(*[quoted_col(c).alias(c)
+                                      for c in lead])).alias("__p"))
+                .select(*[quoted_col(k) for k in keys],
+                        *[F.col("__p").getField(c).alias(c)
+                          for c in payload])
             )
         else:
             deduped = batch_df.dropDuplicates(keys)
-        merge_write_path(batch_df.sparkSession, target_path, deduped, keys)
+        merge_write_path(batch_df.sparkSession, target_path, deduped, keys,
+                         order_col=order_col)
 
     q = (
         stream.writeStream.foreachBatch(_merge_batch)

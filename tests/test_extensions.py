@@ -2306,11 +2306,15 @@ def test_rademacher_project_exact_and_guards(spark):
                                    # (2^62/(1e6*in_dim)): would wrap the
                                    # int64 fold in unchecked mode / raise
                                    # under ANSI -> dropped in BOTH modes
+        (104, [float("nan")] + [0.1] * 7),  # NaN coordinate: the
+                                   # magnitude comparison alone is not
+                                   # NaN-reliable, the explicit isnan
+                                   # guard must drop it in BOTH modes
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = rademacher_project(df, out_dim=4, in_dim=8).collect()
     got = {(r["vec_id"], r["j"]): r["proj_micro"] for r in out}
     want = _jl_reference(vecs, out_dim=4, in_dim=8)
-    assert got == want  # bit-exact integer contract, guards drop 4 rows
+    assert got == want  # bit-exact integer contract, guards drop 6 rows
     with pytest.raises(ValueError):
         rademacher_project(df, out_dim=0, in_dim=8)

@@ -23,6 +23,31 @@ def test_upsert_by_key(spark):
     assert out == {1: "a", 2: "B", 3: "c", 4: "d"}  # delta wins on conflict
 
 
+def test_upsert_by_key_version_gate(spark):
+    """With order_col the matched-key winner is the HIGHEST version across
+    both sides — a stale delta cannot regress a key; a newer delta and a
+    brand-new key still land; unmatched target rows are untouched."""
+    import pytest
+
+    target = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 10), (3, "c", 7)], "k int, v string, rev long"
+    )
+    delta = spark.createDataFrame(
+        [(2, "stale", 3),    # lower rev -> target row survives
+         (3, "newer", 8),    # higher rev -> delta wins
+         (4, "d", 1)],       # new key -> inserted
+        "k int, v string, rev long",
+    )
+    out = {r["k"]: (r["v"], r["rev"])
+           for r in upsert_by_key(target, delta, ["k"],
+                                  order_col="rev").collect()}
+    assert out == {1: ("a", 5), 2: ("b", 10), 3: ("newer", 8), 4: ("d", 1)}
+    with pytest.raises(ValueError, match="non-key target column"):
+        upsert_by_key(target, delta, ["k"], order_col="k")
+    with pytest.raises(ValueError, match="non-key target column"):
+        upsert_by_key(target, delta, ["k"], order_col="missing")
+
+
 def test_upsert_idempotent(spark):
     """Applying the same delta twice yields the same table (S8/S9/S10 parity)."""
     target = spark.createDataFrame([(1, "a")], "k int, v string")
@@ -124,3 +149,10 @@ def test_snapshot_diff_statuses(spark):
             for r in snapshot_diff(old, new3, ["k"]).collect()}[3] == "changed"
     with pytest.raises(ValueError):
         snapshot_diff(old, new, [])
+    # schema drift (column added/dropped between snapshots) must refuse
+    # loudly — a row differing only in the asymmetric column would
+    # otherwise silently report as unchanged
+    with pytest.raises(ValueError, match="asymmetric.*extra"):
+        snapshot_diff(old, new.withColumn("extra", F.lit(1)), ["k"])
+    with pytest.raises(ValueError, match="asymmetric.*bal"):
+        snapshot_diff(old.drop("bal"), new, ["k"])

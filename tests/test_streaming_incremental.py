@@ -2,7 +2,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import functions as F
+from pyspark.sql import functions as F, types as T
 
 from conftest import trip_row, ts
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.schema import TRIP_SCHEMA
@@ -128,7 +128,41 @@ def test_merge_sink_upserts_and_replays_idempotently(spark, tmp_warehouse):
     assert state() == {1: ("a", 1), 2: ("b2", 10), 3: ("c", 1)}
     assert spark.read.parquet(target).count() == 3
 
+    # cross-batch version gate: a STALE re-delivery (older rev for an
+    # existing key, e.g. reprocessing old files under a fresh checkpoint)
+    # must not regress the key to the lower version; the genuinely-new
+    # key in the same stale batch still lands
+    drop("b_stale", [(2, "old-again", 3), (4, "d", 1)])
+    run_merge_sink(stream, target, os.path.join(tmp_warehouse, "kv_ckpt3"),
+                   keys=["k"], order_col="rev")
+    assert state() == {1: ("a", 1), 2: ("b2", 10), 3: ("c", 1), 4: ("d", 1)}
+
     import pytest
 
     with pytest.raises(ValueError, match="cannot be a key column"):
         run_merge_sink(stream, target, ckpt, keys=["k"], order_col="k")
+
+
+def test_merge_sink_payload_column_with_dot(spark, tmp_warehouse):
+    """Payload column names containing dots must survive the within-batch
+    dedup (getField extraction, not a dotted F.col path)."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.streaming.incremental import (
+        run_merge_sink,
+    )
+
+    src = os.path.join(tmp_warehouse, "dot_drops")
+    target = os.path.join(tmp_warehouse, "dot_state")
+    ckpt = os.path.join(tmp_warehouse, "dot_ckpt")
+    os.makedirs(src, exist_ok=True)
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v.x", T.StringType()),
+        T.StructField("rev", T.LongType()),
+    ])
+    spark.createDataFrame([(1, "a", 1), (1, "b", 2)], schema) \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(src, "b1"))
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    run_merge_sink(stream, target, ckpt, keys=["k"], order_col="rev")
+    rows = spark.read.parquet(target).collect()
+    assert [(r["k"], r["v.x"], r["rev"]) for r in rows] == [(1, "b", 2)]
