@@ -6,21 +6,39 @@ streaming micro-batch, and backfill writes a few files, and a year later a
 footer-parse + task-schedule overhead that dwarfs the I/O, and the
 NameNode/object-store listing itself becomes the bottleneck.
 
-``compact_parquet`` rewrites a path to ~``target_bytes`` files:
+``compact_parquet`` is the ONE maintenance primitive (an earlier duplicate
+in ``operators/layout.py`` was folded in here — each copy had a safety
+property the other lacked):
 
 - sizes come from the filesystem via Hadoop's ``FileSystem`` API (works on
   file://, hdfs://, s3a:// alike), never from counting rows;
-- ``repartition(n)`` round-robins for uniform file sizes, or
-  ``repartitionByRange(sort_cols)`` to cluster the data while compacting
+- the default rewrite is ``coalesce(n)`` — narrowing to fewer files needs
+  NO shuffle (adjacent input partitions are merged in place), the right
+  cost model for a maintenance job that touches every byte anyway; pass
+  ``shuffle=True`` for ``repartition(n)`` round-robin when uniform file
+  sizes matter more than the shuffle, or ``sort_cols`` for
+  ``repartitionByRange`` to cluster the data while compacting
   (range-clustered files give min/max footer statistics real pruning
   power — compaction is the natural moment to impose sort order);
-- the rewrite goes to a sibling temp dir, then swaps.  The swap is
-  delete+rename — atomic on HDFS-like filesystems, NOT on S3; an object
-  store deployment should point readers at a manifest/table format and
-  treat this as the rewrite step only.
+- already-compact paths are SKIPPED (``rewritten=False``) unless
+  ``sort_cols`` asks for clustering — idempotent and cheap to call from a
+  scheduled maintenance job;
+- a hive-partitioned layout (``key=value`` directories) is compacted PER
+  LEAF PARTITION, preserving the physical layout and with it partition
+  pruning — reading the root would fold the partition dirs into data
+  columns and a root-level rewrite would flatten them.  Pass
+  ``per_partition=False`` to refuse instead (maintenance jobs that want
+  to target partitions explicitly);
+- the swap is rename-aside, never delete-then-rename: the table path holds
+  data at every instant; a crash mid-swap leaves either the old data live
+  or both dirs present, and recovery is a rename — not a restore from
+  backup.  (Atomic on HDFS-like filesystems, NOT on S3; an object-store
+  deployment should point readers at a manifest/table format and treat
+  this as the rewrite step only.  On Delta/Iceberg use the transactional
+  ``OPTIMIZE`` instead.)
 
-Returns (files_before, files_after) so pipelines can log/alert on
-compaction ratios.
+Returns ``{files_before, files_after, total_bytes, rewritten,
+partitions_compacted}`` so pipelines can log/alert on compaction ratios.
 """
 
 from __future__ import annotations
@@ -53,27 +71,75 @@ def dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     return n, total
 
 
+def _leaf_partition_dirs(fs, hpath) -> list:
+    """Leaf ``key=value`` partition directories under ``hpath`` (handles
+    multi-level partitioning); empty list when the path is unpartitioned."""
+    parts = [st.getPath() for st in fs.listStatus(hpath)
+             if st.isDirectory() and "=" in st.getPath().getName()]
+    if not parts:
+        return []
+    leaves = []
+    for p in parts:
+        deeper = _leaf_partition_dirs(fs, p)
+        leaves.extend(deeper if deeper else [p])
+    return leaves
+
+
 def compact_parquet(spark: SparkSession, path: str,
                     target_bytes: int = 128 * 1024 * 1024,
-                    sort_cols: list[str] | None = None) -> tuple[int, int]:
+                    sort_cols: list[str] | None = None,
+                    shuffle: bool = False,
+                    per_partition: bool = True) -> dict:
     """Rewrite the parquet files under ``path`` into ~``target_bytes``
-    files; returns (files_before, files_after).
+    files (see module docstring for strategy/swap/partition semantics).
 
-    With ``sort_cols`` the rewrite range-clusters on those columns (global
-    sort across output files), so each file covers a narrow key range and
-    min/max pruning actually prunes.
+    Returns ``{files_before, files_after, total_bytes, rewritten,
+    partitions_compacted}``; ``rewritten`` is False when the layout was
+    already at or below the target file count (and no ``sort_cols``
+    clustering was requested).
     """
-    if target_bytes <= 0:
-        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
+    fs, hpath = _fs_and_path(spark, path)
+    leaves = _leaf_partition_dirs(fs, hpath)
+    if leaves:
+        if not per_partition:
+            raise ValueError(
+                f"{path} is hive-partitioned ({leaves[0].getName()}/...) "
+                "— a root-level rewrite would flatten the partition layout;"
+                " compact per partition (per_partition=True) or target the"
+                " partition directories individually")
+        report = {"files_before": 0, "files_after": 0, "total_bytes": 0,
+                  "rewritten": False, "partitions_compacted": 0}
+        for leaf in leaves:
+            sub = compact_parquet(spark, leaf.toString(),
+                                  target_bytes=target_bytes,
+                                  sort_cols=sort_cols, shuffle=shuffle)
+            for k in ("files_before", "files_after", "total_bytes"):
+                report[k] += sub[k]
+            if sub["rewritten"]:
+                report["rewritten"] = True
+                report["partitions_compacted"] += 1
+        # partition-column values live in the directory names, not the
+        # files — same-session readers of the ROOT need a fresh listing
+        spark.catalog.refreshByPath(path)
+        return report
+
     before, total = dir_stats(spark, path)
     n_out = max(1, math.ceil(total / target_bytes))
+    if before <= n_out and not sort_cols:
+        return {"files_before": before, "files_after": before,
+                "total_bytes": total, "rewritten": False,
+                "partitions_compacted": 0}
     df: DataFrame = spark.read.parquet(path)
     if sort_cols:
         out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
             *sort_cols
         )
-    else:
+    elif shuffle:
         out = df.repartition(n_out)
+    else:
+        out = df.coalesce(n_out)
     tmp = path.rstrip("/") + "__compact_tmp"
     out.write.mode("overwrite").parquet(tmp)
 
@@ -82,7 +148,6 @@ def compact_parquet(spark: SparkSession, path: str,
     # path__old; a crash mid-swap leaves either the old data live or both
     # dirs present, and recovery is a rename — not a restore from backup.
     old = path.rstrip("/") + "__compact_old"
-    fs, hpath = _fs_and_path(spark, path)
     _, tmp_path = _fs_and_path(spark, tmp)
     _, old_path = _fs_and_path(spark, old)
     if fs.exists(old_path):  # leftover from a crashed previous compaction
@@ -94,5 +159,12 @@ def compact_parquet(spark: SparkSession, path: str,
         fs.rename(old_path, hpath)  # roll back: restore the live table
         raise IOError(f"rename {tmp} -> {path} failed; old data restored")
     fs.delete(old_path, True)
+    # the swap happened outside Spark's writers: drop the session's shared
+    # file-listing cache entries or a same-session read would chase the
+    # deleted part files (same hazard merge_write_path documents)
+    spark.catalog.refreshByPath(path)
+    spark.catalog.refreshByPath(tmp)
     after, _ = dir_stats(spark, path)
-    return before, after
+    return {"files_before": before, "files_after": after,
+            "total_bytes": total, "rewritten": True,
+            "partitions_compacted": 0}

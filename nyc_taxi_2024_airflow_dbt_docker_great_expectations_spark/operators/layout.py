@@ -309,89 +309,6 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     return joined.drop("__salt")
 
 
-def parquet_file_stats(spark, path: str) -> tuple[int, int]:
-    """(data_file_count, total_bytes) for a parquet directory — the
-    small-file health check a warehouse runs before deciding to
-    compact.  Hadoop FS listing only; never reads row data."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    n_files, total = 0, 0
-    it = fs.listFiles(p, True)
-    while it.hasNext():
-        st = it.next()
-        name = st.getPath().getName()
-        if name.endswith(".parquet") and not name.startswith((".", "_")):
-            n_files += 1
-            total += st.getLen()
-    return n_files, total
-
-
-def compact_parquet(spark, path: str,
-                    target_bytes: int = 128 * 1024 * 1024) -> dict:
-    """Small-file compaction: rewrite a parquet directory into
-    ``ceil(total_bytes / target_bytes)`` files — the table-maintenance
-    primitive that keeps scan parallelism healthy after many
-    incremental appends (thousands of KB-sized files turn every scan
-    into a task-scheduling storm and an open()-per-file tax; 100-200 MB
-    files are the classic sweet spot).
-
-    Skips (and reports) when the layout is already at or below the
-    target file count — compaction must be idempotent and cheap to call
-    from a scheduled maintenance job.  ``coalesce`` (not repartition)
-    does the rewrite: narrowing to fewer files needs no shuffle.
-
-    The swap is write-tmp -> delete-original -> rename: NOT atomic
-    against concurrent readers (a reader between the delete and rename
-    sees a missing directory).  On a table format (Delta/Iceberg) use
-    its transactional OPTIMIZE instead; for plain parquet this is the
-    standard maintenance-window operation.
-
-    Returns ``{files_before, files_after, total_bytes, rewritten}``.
-    """
-    if target_bytes < 1:
-        raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
-    import math
-
-    # A hive-partitioned layout must compact PER PARTITION: reading the
-    # root folds the `key=value` dirs into data columns and the rewrite
-    # would flatten the physical partitioning (and with it partition
-    # pruning).  Detect and refuse instead of silently degrading.
-    jvm0 = spark._jvm
-    root = jvm0.org.apache.hadoop.fs.Path(path)
-    fs0 = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    for st in fs0.listStatus(root):
-        if st.isDirectory() and "=" in st.getPath().getName():
-            raise ValueError(
-                f"{path} is hive-partitioned ({st.getPath().getName()}/...)"
-                " — compact each partition directory individually to keep"
-                " the partitioned layout")
-
-    files_before, total = parquet_file_stats(spark, path)
-    n_out = max(1, math.ceil(total / target_bytes))
-    if files_before <= n_out:
-        return {"files_before": files_before, "files_after": files_before,
-                "total_bytes": total, "rewritten": False}
-    df = spark.read.parquet(path).coalesce(n_out)
-    tmp = path.rstrip("/") + ".__compact_tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    src = jvm.org.apache.hadoop.fs.Path(tmp)
-    dst = jvm.org.apache.hadoop.fs.Path(path)
-    fs = dst.getFileSystem(hconf)
-    if not fs.delete(dst, True):
-        raise IOError(f"could not remove {path} for the compaction swap")
-    if not fs.rename(src, dst):
-        raise IOError(
-            f"compaction swap failed: original removed, rewrite left at "
-            f"{tmp} — rename it into place manually")
-    # the swap happened outside Spark's writers: drop the session's
-    # shared file-listing cache entries or a same-session read would
-    # chase the deleted part files (same hazard merge_write_path
-    # documents for the identical delete+rename pattern)
-    spark.catalog.refreshByPath(path)
-    spark.catalog.refreshByPath(tmp)
-    files_after, _ = parquet_file_stats(spark, path)
-    return {"files_before": files_before, "files_after": files_after,
-            "total_bytes": total, "rewritten": True}
+# Small-file stats + compaction moved to operators/compaction.py
+# (dir_stats / compact_parquet) — one maintenance primitive with the
+# rename-aside crash-safe swap AND per-partition hive handling.

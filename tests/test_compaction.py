@@ -1,9 +1,11 @@
-"""Small-file compaction (operators/compaction.py)."""
+"""Small-file compaction (operators/compaction.py) — the ONE maintenance
+primitive (the earlier operators/layout.py duplicate was folded in)."""
 
 from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.compaction import (
@@ -29,11 +31,33 @@ def test_compact_merges_small_files_preserving_data(spark, tmp_warehouse):
 
     n_before, total = dir_stats(spark, path)
     assert n_before == 40
-    before, after = compact_parquet(spark, path, target_bytes=total)
-    assert (before, after) == (40, 1)
+    report = compact_parquet(spark, path, target_bytes=total)
+    assert report["rewritten"] is True
+    assert (report["files_before"], report["files_after"]) == (40, 1)
+    assert report["total_bytes"] == total
 
     got = spark.read.parquet(path)
     assert sorted(r["id"] for r in got.collect()) == want
+
+    # idempotent: already at/below the target file count -> no rewrite
+    report2 = compact_parquet(spark, path, target_bytes=total)
+    assert report2["rewritten"] is False
+    assert report2["files_after"] == 1
+
+    with pytest.raises(ValueError):
+        compact_parquet(spark, path, target_bytes=0)
+
+
+def test_compact_shuffle_mode_preserves_aggregates(spark, tmp_warehouse):
+    path = os.path.join(tmp_warehouse, "frag_sh")
+    spark.range(10_000).selectExpr("id", "id * 2 AS v") \
+        .repartition(40).write.mode("overwrite").parquet(path)
+    report = compact_parquet(spark, path, target_bytes=1 << 30, shuffle=True)
+    assert report["rewritten"] is True
+    assert report["files_before"] == 40 and report["files_after"] == 1
+    agg = spark.read.parquet(path).selectExpr("sum(id) s", "sum(v) sv") \
+        .collect()[0]
+    assert agg["s"] == 49_995_000 and agg["sv"] == 99_990_000
 
 
 def test_compact_with_sort_cols_range_clusters(spark, tmp_warehouse):
@@ -41,10 +65,10 @@ def test_compact_with_sort_cols_range_clusters(spark, tmp_warehouse):
     _fragmented_table(spark, path)
     _, total = dir_stats(spark, path)
     # ask for ~4 files, clustered on id
-    before, after = compact_parquet(
+    report = compact_parquet(
         spark, path, target_bytes=max(1, total // 4), sort_cols=["id"]
     )
-    assert before == 40 and 2 <= after <= 8
+    assert report["files_before"] == 40 and 2 <= report["files_after"] <= 8
     # range clustering: per-file id ranges must not overlap
     got = (
         spark.read.parquet(path)
@@ -74,7 +98,36 @@ def test_compact_recovers_stale_old_dir(spark, tmp_warehouse):
     os.makedirs(path + "__compact_old")
     with open(os.path.join(path + "__compact_old", "junk"), "w") as f:
         f.write("stale")
-    before, after = compact_parquet(spark, path, target_bytes=1 << 30)
-    assert (before, after) == (5, 1)
+    report = compact_parquet(spark, path, target_bytes=1 << 30)
+    assert (report["files_before"], report["files_after"]) == (5, 1)
     assert not os.path.exists(path + "__compact_old")
     assert spark.read.parquet(path).count() == 250
+
+
+def test_compact_hive_partitioned_per_partition(spark, tmp_warehouse):
+    """A hive-partitioned layout is compacted PER LEAF PARTITION: the
+    key=value directory structure (and with it partition pruning) must
+    survive, while each leaf's small files merge."""
+    path = os.path.join(tmp_warehouse, "parted")
+    spark.range(3_000).selectExpr("id", "id % 3 AS part") \
+        .repartition(10).write.partitionBy("part") \
+        .mode("overwrite").parquet(path)
+    before, _ = dir_stats(spark, path)
+    assert before == 30  # 10 files per partition
+
+    report = compact_parquet(spark, path, target_bytes=1 << 30)
+    assert report["rewritten"] is True
+    assert report["partitions_compacted"] == 3
+    assert report["files_before"] == 30 and report["files_after"] == 3
+    # layout preserved: partition dirs still exist, pruning still works
+    assert sorted(d for d in os.listdir(path) if d.startswith("part=")) == \
+        ["part=0", "part=1", "part=2"]
+    df = spark.read.parquet(path)
+    assert df.count() == 3_000
+    assert df.filter("part = 1").count() == 1_000
+    assert df.selectExpr("sum(id) s").collect()[0]["s"] == 4_498_500
+
+    # per_partition=False refuses instead of flattening
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet(spark, path, target_bytes=1 << 30,
+                        per_partition=False)

@@ -234,47 +234,6 @@ def test_adoption_validates_bucket_spec_and_props(spark):
     drop_table_and_location(spark, "meta_small2")
 
 
-def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
-    import pytest
-
-    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.layout import (
-        compact_parquet,
-        parquet_file_stats,
-    )
-
-    path = str(tmp_path / "frag")
-    spark.range(10_000).selectExpr("id", "id * 2 AS v") \
-        .repartition(40).write.parquet(path)
-    before_files, before_bytes = parquet_file_stats(spark, path)
-    assert before_files == 40
-
-    report = compact_parquet(spark, path, target_bytes=1 << 30)
-    assert report["rewritten"] is True
-    assert report["files_before"] == 40
-    assert report["files_after"] == 1
-
-    df = spark.read.parquet(path)
-    assert df.count() == 10_000
-    agg = df.selectExpr("sum(id) s", "sum(v) sv").collect()[0]
-    assert agg["s"] == 49_995_000 and agg["sv"] == 99_990_000
-
-    # idempotent: already at/below the target file count -> no rewrite
-    report2 = compact_parquet(spark, path, target_bytes=1 << 30)
-    assert report2["rewritten"] is False
-    assert report2["files_after"] == 1
-
-    with pytest.raises(ValueError):
-        compact_parquet(spark, path, target_bytes=0)
-
-    # hive-partitioned layouts must refuse: a root-level compaction would
-    # flatten key=value partitioning into data columns
-    ppath = str(tmp_path / "parted")
-    spark.range(100).selectExpr("id", "id % 3 AS part") \
-        .write.partitionBy("part").parquet(ppath)
-    with pytest.raises(ValueError, match="hive-partitioned"):
-        compact_parquet(spark, ppath, target_bytes=1 << 30)
-
-
 def test_collect_table_stats_feeds_cbo(spark, tmp_path):
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.catalog import (
         collect_table_stats,
