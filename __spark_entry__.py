@@ -6980,23 +6980,26 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic ``(p0 - p1) / sqrt(p*(1-p)*(1/n0 + 1/n1))`` is ONE
     fixed-order IEEE chain (divisions + one correctly-rounded sqrt), so
     the statistic is bit-identical in the SQL oracle — no tolerance.
-    One per-user aggregate + a 4-scalar combine."""
+    One per-user aggregate + ONE conditional 4-scalar combine (no
+    filter+crossJoin pair: the former two-filter form planned a
+    BroadcastNestedLoopJoin whose build side the plan could not prove
+    <=1-row; conditional aggregates read the per-user rows once).  The
+    `n0 > 0 AND n1 > 0` filter reproduces the oracle's CROSS JOIN
+    emptiness: either variant absent -> zero rows, not a NULL-rate row."""
     ev = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.max((F.col("event_type") == "purchase").cast("int"))
         .alias("converted")
     )
-    sides = per_user.groupBy(
-        (F.col("user_id") % 2).cast("int").alias("variant")
-    ).agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum("converted").cast("long").alias("n_converted"),
-    )
-    a = sides.filter(F.col("variant") == 0).select(
-        F.col("n_users").alias("n0"), F.col("n_converted").alias("c0"))
-    b = sides.filter(F.col("variant") == 1).select(
-        F.col("n_users").alias("n1"), F.col("n_converted").alias("c1"))
-    j = a.crossJoin(b)  # two 1-row sides
+    variant = (F.col("user_id") % 2).cast("int")
+    j = per_user.agg(
+        F.count(F.when(variant == 0, F.lit(1))).alias("n0"),
+        F.sum(F.when(variant == 0, F.col("converted")))
+        .cast("long").alias("c0"),
+        F.count(F.when(variant == 1, F.lit(1))).alias("n1"),
+        F.sum(F.when(variant == 1, F.col("converted")))
+        .cast("long").alias("c1"),
+    ).filter((F.col("n0") > 0) & (F.col("n1") > 0))
     p0 = F.col("c0").cast("double") / F.col("n0").cast("double")
     p1 = F.col("c1").cast("double") / F.col("n1").cast("double")
     p = (F.col("c0") + F.col("c1")).cast("double") \

@@ -215,7 +215,12 @@ def probe_bm25_index(spark, table_prefix: str, terms: tuple[str, ...],
     posts = spark.table(names["postings"]).filter(
         F.col("term").isin(*terms)
     )
-    stats = spark.table(names["stats"])
+    # the stats table IS one row, but re-aggregating it (max over 1 row ==
+    # identity) makes the <=1-row property visible to the PLAN: the
+    # crossJoin below is then provably a scalar broadcast, which the
+    # registry-wide nested-loop guard (tests/test_plans.py) enforces
+    stats = spark.table(names["stats"]).agg(
+        F.max("n_docs").alias("n_docs"), F.max("sum_dl").alias("sum_dl"))
     members = spark.table(names["members"])
     # df counts DOCUMENTS: each rep posting stands for `mult` copies
     dfs = posts.groupBy("term").agg(

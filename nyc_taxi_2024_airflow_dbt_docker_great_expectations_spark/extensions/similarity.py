@@ -259,9 +259,13 @@ def hard_negative_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     Shape: the label constraint moves INTO the grouping key.  The corpus
     blocks on (hash(id) mod n_blocks, label); each query replicates to every
-    (block, label != its own) cell via a broadcast join against the distinct
-    label set (labels are a small dimension — classes, sources, shards) plus
-    an in-plan block explode.  ``_grouped_topk_scores`` then runs unchanged:
+    (block, label != its own) cell by exploding a LITERAL array of the
+    distinct labels (labels are a small dimension — classes, sources,
+    shards — collected once, sorted for plan determinism; the in-plan
+    alternative, an inequality join against the label dim, is a
+    BroadcastNestedLoopJoin with a multi-row build side, which the
+    registry-wide plan guard forbids) plus an in-plan block explode.
+    ``_grouped_topk_scores`` then runs unchanged:
     one Arrow crossing per corpus row, group-local top-k, and the final
     window ranks O(n_blocks x labels x k) rows per query.  Crucially the
     label filter applies BEFORE the group-local top-k cut (filtering after
@@ -273,7 +277,14 @@ def hard_negative_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     """
     id_t = corpus.schema[id_col].dataType.simpleString()
     qid_t = queries.schema[query_id_col].dataType.simpleString()
-    labels = corpus.select(F.col(label_col).alias("__l")).distinct()
+    # bounded collect (label vocabulary, same class as the IVF centroid
+    # collect); NULL labels never satisfy `!=` so they are dropped here,
+    # exactly as the former join condition dropped them
+    label_vals = sorted(
+        r["__l"] for r in
+        corpus.select(F.col(label_col).alias("__l")).distinct().collect()
+        if r["__l"] is not None
+    )
     cp = corpus.select(
         F.concat_ws(
             "|",
@@ -284,10 +295,12 @@ def hard_negative_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
     )
+    label_arr = (F.array(*[F.lit(v) for v in label_vals]) if label_vals
+                 else F.array().cast("array<string>"))  # no labels -> no qp
     qp = (
         queries
-        .join(F.broadcast(labels),
-              F.col(label_col).cast("string") != F.col("__l").cast("string"))
+        .withColumn("__l", F.explode(label_arr))
+        .filter(F.col(label_col).cast("string") != F.col("__l").cast("string"))
         .select(
             F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__b"),
             F.col("__l"),

@@ -240,8 +240,8 @@ def test_session_round4_additions_plan_shapes(spark):
     """Round-4 session additions: the load-bearing plan properties of the
     new operators — keyed windows, broadcast relabel/threshold joins,
     codegen-only text scrubbing, no data-path nested loops (the only BNLJ
-    allowed is a 1-row stat combine or the label-dim inequality join in
-    hard_negatives, whose build side is the label dimension)."""
+    allowed is a 1-row stat combine; hard_negatives' former label-dim
+    inequality join became a literal label explode in round 11)."""
     qs = entry.queries()
     # value_anomalies: keyed window (never a global sort), no NL joins
     p = _plan(qs["value_anomalies"](spark, SF))
@@ -474,23 +474,65 @@ def test_snapshot_diff_plan_is_single_key_join(spark):
         assert bad not in plan
 
 
-def test_whole_registry_has_no_cartesian_product(spark):
-    """Global invariant over ALL registry queries: no plan may contain a
-    CartesianProduct, ever — the one operator with no legitimate use in
-    this engine (1-row combines are BroadcastNestedLoopJoin, which other
-    tests bound per-query).  Compiling a plan is cheap; this closes the
-    gap between per-round scale-smoke plan-flip checks by failing in CI
-    the moment a query regresses."""
+def _iter_physical_nodes(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _iter_physical_nodes(ch.apply(i))
+
+
+# unary nodes that cannot grow a <=1-row input
+_ROW_PRESERVING = {"Project", "Filter", "Sort", "Coalesce", "GlobalLimit",
+                   "LocalLimit", "Exchange", "BroadcastExchange",
+                   "ShuffleExchange", "ColumnarToRow", "InputAdapter",
+                   "WholeStageCodegen"}
+
+
+def _is_scalar_subplan(node) -> bool:
+    """True when the physical subtree provably produces <=1 row: a GLOBAL
+    aggregate (empty grouping keys) at the root, possibly under
+    row-preserving unary nodes."""
+    name = node.nodeName()
+    first = node.toString().split("\n", 1)[0]
+    if "Aggregate" in name and "keys=[]" in first:
+        return True
+    base = name.split(" ")[0].split("(")[0]
+    if base in _ROW_PRESERVING and node.children().size() == 1:
+        return _is_scalar_subplan(node.children().apply(0))
+    return False
+
+
+def test_whole_registry_nested_loop_invariant(spark):
+    """Global invariant over ALL registry queries (the full driver-gate
+    surface, not a named subset): no plan may contain a CartesianProduct,
+    ever — and any BroadcastNestedLoopJoin must broadcast a provably
+    <=1-row POST-AGGREGATE build side (the scalar-broadcast pattern used
+    by bm25_search / triangle_count / decayed_engagement / collocations /
+    hard_negatives / skew_profile / lsh_recall: a global aggregate's
+    single row joined onto every row — constant cost by construction).
+    Compiling a plan is cheap; this closes the gap between per-round
+    scale-smoke plan-flip checks by failing in CI the moment a query
+    regresses to an unbounded nested loop."""
+    entry.warm_persisted(spark, SF)  # build-once artifacts out of the loop
     qs = entry.queries()
     offenders = []
     for name, fn in qs.items():
         try:
-            plan = _plan(fn(spark, SF))
+            plan = fn(spark, SF)._jdf.queryExecution().sparkPlan()
         except Exception as exc:  # surface compile breakage by name
             offenders.append(f"{name}: failed to compile ({exc})")
             continue
-        if "CartesianProduct" in plan:
-            offenders.append(name)
+        for node in _iter_physical_nodes(plan):
+            nn = node.nodeName()
+            if nn == "CartesianProduct":
+                offenders.append(f"{name}: CartesianProduct")
+            elif nn == "BroadcastNestedLoopJoin":
+                build = node.children().apply(
+                    0 if node.buildSide().toString() == "BuildLeft" else 1)
+                if not _is_scalar_subplan(build):
+                    offenders.append(
+                        f"{name}: BNLJ build side not a <=1-row aggregate "
+                        f"({build.toString().splitlines()[0][:100]})")
     assert not offenders, offenders
 
 
