@@ -7921,6 +7921,228 @@ FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOPK}
 """
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rule set (extensions/text.py:gopher_rules,
+    Rae et al. 2021 arXiv:2112.11446 Appendix A): the published, citable
+    rule battery — word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio, alpha-word fraction, bullet/ellipsis line
+    shape, required-word presence — as per-doc booleans + the combined
+    keep decision.  Pure per-row codegen: no shuffle/join/UDF, scan-local
+    at any scale.  No reference analog — LLM-pipeline brief surface
+    (complements quality_scores' soft score with the named hard filter).
+    """
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        gopher_rules,
+    )
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+# mirrors gopher_rules bit-for-bit: integer counts, single-division
+# ratios, 3VL-free booleans (every rule carries the n>0 conjunct)
+_GOPHER_REQ = "['the','be','to','of','and','that','have','with']"
+ORACLE_GOPHER_RULES = f"""
+WITH base AS (
+  SELECT doc_id, trim(text, {DUCK_WS}) AS t,
+         CASE WHEN trim(text, {DUCK_WS}) = '' THEN 0
+              ELSE len({DUCK_TOKS}) END AS n,
+         CASE WHEN trim(text, {DUCK_WS}) = '' THEN []
+              ELSE {DUCK_TOKS} END AS toks
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, n, toks,
+         CASE WHEN n > 0 THEN
+           CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+           / CAST(n AS DOUBLE) END AS mean_wl,
+         CASE WHEN n > 0 THEN
+           CAST(((length(t) - length(replace(t, '#', '')))
+                 + (length(t) - length(replace(t, '…', '')))) * 3
+                + (length(t) - length(replace(t, '...', ''))) AS DOUBLE)
+           / (CAST(n AS DOUBLE) * 3.0) END AS symbol_ratio,
+         CASE WHEN n > 0 THEN
+           CAST(len(list_filter(toks,
+                                w -> regexp_matches(w, '[A-Za-z]')))
+                AS DOUBLE) / CAST(n AS DOUBLE) END AS alpha_frac,
+         CASE WHEN n > 0 THEN
+           CAST(len(list_filter(string_split(t, chr(10)),
+                l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+           / CAST(len(string_split(t, chr(10))) AS DOUBLE)
+         END AS bullet_frac,
+         CASE WHEN n > 0 THEN
+           CAST(len(list_filter(string_split(t, chr(10)),
+                l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) AS DOUBLE)
+           / CAST(len(string_split(t, chr(10))) AS DOUBLE)
+         END AS ellipsis_frac,
+         len(list_filter({_GOPHER_REQ},
+             w -> list_contains(list_transform(toks, x -> lower(x)), w)))
+             AS req_hits
+  FROM base
+),
+flags AS (
+  SELECT doc_id, n, mean_wl, symbol_ratio, alpha_frac, bullet_frac,
+         ellipsis_frac, req_hits,
+         (n >= 50 AND n <= 100000) AS p_count,
+         (n > 0 AND mean_wl >= 3.0 AND mean_wl <= 10.0) AS p_wl,
+         (n > 0 AND symbol_ratio <= 0.1) AS p_sym,
+         (n > 0 AND alpha_frac >= 0.80) AS p_alpha,
+         (n > 0 AND bullet_frac <= 0.90 AND ellipsis_frac <= 0.30)
+             AS p_lines,
+         (n > 0 AND req_hits >= 2) AS p_req
+  FROM sig
+)
+SELECT doc_id, CAST(n AS INTEGER) AS n_words, mean_wl AS mean_word_len,
+       symbol_ratio, alpha_frac AS alpha_word_frac, bullet_frac,
+       ellipsis_frac, CAST(req_hits AS INTEGER) AS required_hits,
+       p_count AS pass_word_count, p_wl AS pass_word_len,
+       p_sym AS pass_symbol_ratio, p_alpha AS pass_alpha_words,
+       p_lines AS pass_line_shape, p_req AS pass_required_words,
+       (p_count AND p_wl AND p_sym AND p_alpha AND p_lines AND p_req)
+           AS keep
+FROM flags
+"""
+
+
+TSPLIT_TEST_DAYS = 7
+TSPLIT_EMBARGO_DAYS = 1
+
+
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free temporal train/embargo/test split accounting
+    (extensions/sampling.py:temporal_split): the last 7 days of the
+    event stream become the test window, the 1 day before it is
+    embargoed (purged from training — the purge/embargo rule of
+    time-series CV), the rest trains.  The anchor is max(ts) — a 1-row
+    scalar broadcast — so the split is a pure function of the data.
+    One max scan + one classify/aggregate scan; no window, no data-sized
+    join.  No reference analog — LLM/eval-pipeline brief surface."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.sampling import (
+        temporal_split,
+    )
+    ev = _t(spark, sf_dir, "events")
+    return temporal_split(ev, "ts", "user_id",
+                          test_days=TSPLIT_TEST_DAYS,
+                          embargo_days=TSPLIT_EMBARGO_DAYS)
+
+
+ORACLE_TEMPORAL_SPLIT = f"""
+WITH ref AS (SELECT MAX(ts) AS max_ts FROM events),
+cls AS (
+  SELECT CASE
+           WHEN ts >= max_ts - INTERVAL {TSPLIT_TEST_DAYS} DAY THEN 'test'
+           WHEN ts >= max_ts - INTERVAL {TSPLIT_TEST_DAYS} DAY
+                        - INTERVAL {TSPLIT_EMBARGO_DAYS} DAY THEN 'embargo'
+           ELSE 'train'
+         END AS split,
+         ts, user_id
+  FROM events CROSS JOIN ref
+  WHERE ts IS NOT NULL
+)
+SELECT split, COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       MIN(ts) AS min_ts, MAX(ts) AS max_ts
+FROM cls GROUP BY 1
+"""
+
+
+KMV_SETOPS_K = 256
+
+
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra (extensions/sketches.py:kmv_set_ops, Beyer
+    et al. 2007): estimated |A|, |B|, |A∪B|, Jaccard, |A∩B| for the
+    'view'-user vs 'purchase'-user audiences from two bottom-256
+    sketches — corpus/audience overlap without an exact distinct join.
+    Shares _md5_60bit with kmv_distinct/hll_distinct so the sketch
+    family stays mergeable and cross-checkable; bottom-k is a
+    TakeOrdered (per-partition heaps, k rows per side cross the wire).
+    No reference analog — sketch-algebra brief surface."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.sketches import (
+        kmv_set_ops,
+    )
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return kmv_set_ops(a, b, "user_id", k=KMV_SETOPS_K)
+
+
+ORACLE_KMV_SET_OPS = f"""
+WITH ha AS (
+  SELECT DISTINCT (CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) + 1) / {POW60}.0 AS h
+  FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+),
+hb AS (
+  SELECT DISTINCT (CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) + 1) / {POW60}.0 AS h
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+),
+ka AS (SELECT h FROM ha ORDER BY h LIMIT {KMV_SETOPS_K}),
+kb AS (SELECT h FROM hb ORDER BY h LIMIT {KMV_SETOPS_K}),
+sa AS (SELECT COUNT(*) AS na, MAX(h) AS hka FROM ka),
+sb AS (SELECT COUNT(*) AS nb, MAX(h) AS hkb FROM kb),
+uk AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+       ORDER BY h LIMIT {KMV_SETOPS_K}),
+su AS (
+  SELECT COUNT(*) AS nu, MAX(uk.h) AS hku,
+         CAST(SUM(CASE WHEN ka.h IS NOT NULL AND kb.h IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nk
+  FROM uk LEFT JOIN ka ON uk.h = ka.h LEFT JOIN kb ON uk.h = kb.h
+)
+SELECT
+  CASE WHEN na < {KMV_SETOPS_K} THEN CAST(na AS DOUBLE)
+       ELSE {KMV_SETOPS_K - 1}.0 / hka END AS est_distinct_a,
+  CASE WHEN nb < {KMV_SETOPS_K} THEN CAST(nb AS DOUBLE)
+       ELSE {KMV_SETOPS_K - 1}.0 / hkb END AS est_distinct_b,
+  CASE WHEN nu < {KMV_SETOPS_K} THEN CAST(nu AS DOUBLE)
+       ELSE {KMV_SETOPS_K - 1}.0 / hku END AS est_union,
+  CAST(nk AS DOUBLE) / CAST(nu AS DOUBLE) AS jaccard,
+  (CAST(nk AS DOUBLE) / CAST(nu AS DOUBLE))
+  * (CASE WHEN nu < {KMV_SETOPS_K} THEN CAST(nu AS DOUBLE)
+          ELSE {KMV_SETOPS_K - 1}.0 / hku END) AS est_intersection,
+  CAST(nu AS INTEGER) AS sketch_k
+FROM su CROSS JOIN sa CROSS JOIN sb
+"""
+
+
+def q_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the classic OLAP LAG query the
+    registry lacked: monthly revenue (decimal-exact sum) with previous
+    month and growth ratio via a LAG window.  The window runs on the
+    POST-AGGREGATE month table (|months| rows — the single-partition
+    sort is metadata-sized; the data itself moved in the one groupBy
+    exchange).  try_divide mirrors the oracle's NULL-on-zero division;
+    the first month's growth is NULL by LAG convention."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        month_start("o_orderdate").alias("revenue_month")
+    ).agg(exact_sum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("revenue_month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "revenue_month", "revenue",
+        prev.alias("prev_revenue"),
+        F.try_divide(F.col("revenue") - prev, prev).alias("mom_growth"),
+    )
+
+
+ORACLE_REVENUE_GROWTH = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+             AS revenue_month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38, 2))) AS DOUBLE)
+             AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT revenue_month, revenue,
+       LAG(revenue) OVER (ORDER BY revenue_month) AS prev_revenue,
+       (revenue - LAG(revenue) OVER (ORDER BY revenue_month))
+       / LAG(revenue) OVER (ORDER BY revenue_month) AS mom_growth
+FROM monthly
+"""
+
+
 # The driver's correctness gate snapshots the FIRST 50 registry entries in
 # insertion order each round (verified: CORRECTNESS_r01..r04 each contain
 # exactly the first 50 keys of that round's registry — r01 and r04 differ by
@@ -7929,73 +8151,74 @@ FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOPK}
 # CORRECTNESS artifact rotate to the front; with 68 unsigned keys, round 5
 # signs 50 of them and round 6 the rest.  ORACLE_KEYS.md carries the full
 # key -> (round introduced, signed-where) inventory.
-# Round-10 rotation (freshness maintenance — `tools/audit_scorecard.py`
+# Round-11 rotation (freshness maintenance — `tools/audit_scorecard.py`
 # prints the latest-green-signature distribution these lists are built
 # from; a pytest asserts the composed scorecard stays consistent).  The
-# window fronts (a) the three keys whose implementation changed this
-# round (all round-9 ADVICE items — see _GATE_CHANGED comments), (b) the
-# 11 r06-stale keys the round-9 verdict queued (they hit the audit
-# tool's <=4-round staleness bound at r10), (c) the alphabetically first
-# 28 of the 46 r07-stale keys.  The remaining 18 r07 keys carry to round
-# 11, still inside the bound.  A green CORRECTNESS_r10 leaves no
-# signature older than 3 rounds.
+# window fronts (a) the four NEW round-11 keys (first signatures), (b)
+# the seven keys whose implementation changed this round (round-10
+# ADVICE fixes + the registry-wide nested-loop-invariant refactors), (c)
+# ALL 18 r07-stale keys (they hit the audit tool's <=4-round staleness
+# bound exactly at r11 — the round-10 verdict's task 1), (d) the
+# alphabetically first 20 of the 47 r08-stale keys.  The remaining 27
+# r08 keys carry to round 12, where they hit the bound and must all be
+# fronted (27 + lead + r12 changes fits the 50 window).
 _GATE_CHANGED = [
-    # impl changed r10: kcenter_select drops NULL ids up front (oracle
-    # mirrors; ADVICE) and the materialize=None default flips to the
-    # running-min variant at k>4 (measured 2.22 s vs 3.98 s stateless at
-    # sf0.1, k=8; trajectory bit-identical, property-tested)
-    "coreset_select",
-    # impl changed r10: the |u| overflow guard validates on the FLOAT
-    # side before the int64 cast (a huge coordinate previously wrapped
-    # to INT64_MIN and could slip past the post-cast check; ADVICE)
-    "embedding_covariance",
-    # impl changed r10: scd2_close_absent restores the dim's column
-    # order after the USING join and derives a collision-free presence
-    # marker (ADVICE)
-    "scd2_hard_delete",
-    # NEW key r10 (deterministic HyperLogLog, completes the sketch trio
-    # KMV/CMS/HLL) — needs its first driver signature; displaces
-    # regional_revenue (r07-stale) to the round-11 pad
-    "hll_distinct",
-    # NEW keys r10 (DSIR importance weights, JL Rademacher projection,
-    # dialog assembly, snapshot diff — LLM data-selection / corpus-
-    # assembly / data-versioning surface) — need their first driver
-    # signatures; displace price_qty_corr / price_quartiles /
-    # payment_summary / pivot_status_by_year (r07-stale) to the
-    # round-11 pad
-    "dsir_weights",
+    # NEW keys r11: Gopher rule filter (Rae et al. 2021), temporal
+    # train/embargo/test split, KMV set algebra (Beyer et al. 2007),
+    # MoM revenue growth (LAG) — need their first driver signatures
+    "gopher_rules",
+    "temporal_split",
+    "kmv_set_ops",
+    "revenue_growth",
+    # impl changed r11 (ADVICE): NaN coordinates dropped via explicit
+    # isnan guard, mirrored in the oracle
     "jl_projection",
-    "dialog_assembly",
+    # impl changed r11 (ADVICE): refuses snapshots with drifted column
+    # sets instead of silently reporting asymmetric-column diffs as
+    # unchanged
     "snapshot_diff",
-    # NEW keys r10 (RANGE-interval window, UNPIVOT melt — classical OLAP
-    # shapes the registry lacked) — displace moving_avg / ols_trend
-    # (r07-stale) to the round-11 pad
-    "range_window_revenue",
-    "unpivot_metrics",
+    # impl changed r11 (ADVICE): upsert_by_key grew the order_col
+    # version gate + backtick-quoted (dot-safe) column refs; the default
+    # no-order_col path this query exercises is logically unchanged
+    "merge_upsert",
+    # impl changed r11 (nested-loop invariant): the two filtered 1-row
+    # sides + crossJoin collapsed into ONE conditional 4-scalar
+    # aggregate (values identical, plan provably bounded)
+    "ab_test",
+    # impl changed r11 (nested-loop invariant): label-dim inequality
+    # join -> literal label-array explode
+    "hard_negatives",
+    # impl changed r11 (nested-loop invariant): the 1-row stats table is
+    # re-aggregated at read so the scalar broadcast is plan-provable;
+    # both queries consume probe_bm25_index
+    "bm25_vs_index",
+    "hybrid_rrf",
 ]
 
 _GATE_PAD = [
-    # stalest: last signed r06 (the 11 keys the r9 window could not fit —
-    # they hit the audit tool's <=4-round staleness bound at r10)
-    "rank_correlation", "referential_check", "semantic_dedup",
-    "simhash_dedup", "source_quality_cap", "substring_dedup",
-    "substring_dedup_dfcut", "token_drift", "winnow_match",
-    "winnow_probe", "winnowing",
-    # next-stalest: last signed r07 (first 28 of 46 alphabetically; the
-    # remaining 18 — moving_avg, ols_trend, payment_summary,
-    # pivot_status_by_year, price_qty_corr, price_quartiles,
-    # regional_revenue, repetition_scores, rollup_summary,
-    # salted_skew_join, sessionization, sliding_window, top_revenue_orders,
-    # train_test_split, tumbling_window, value_anomalies, vendor_summary,
-    # zone_summary — carry to the r11 pad, within the staleness bound)
-    "ab_test", "adaptive_quality_filter", "append_if_absent",
-    "asof_last_error", "bpe_token_count", "cluster_safe_split",
-    "cohort_retention", "cube_summary", "daily_gapfill", "daily_summary",
-    "decode_join", "dedup_clusters", "embedding_ivf_topk",
-    "embedding_lsh_topk", "embedding_neardup", "embedding_topk",
-    "exact_dedup", "fingerprints", "funnel", "hard_negatives",
-    "hash_sample", "inactive_customers", "json_extract", "label_centroids",
-    "lang_id", "median_price", "mixture_weights", "monthly_summary",
+    # stalest: last signed r07 — ALL 18 hit the <=4-round bound at r11
+    "moving_avg", "ols_trend", "payment_summary", "pivot_status_by_year",
+    "price_qty_corr", "price_quartiles", "regional_revenue",
+    "repetition_scores", "rollup_summary", "salted_skew_join",
+    "sessionization", "sliding_window", "top_revenue_orders",
+    "train_test_split", "tumbling_window", "value_anomalies",
+    "vendor_summary", "zone_summary",
+    # next-stalest: last signed r08 (alphabetically first 20 of 47; the
+    # remaining 27 — kmv_distinct, l_diversity_audit, langid_confusion,
+    # lsh_recall, markup_strip, minhash_vs_index, next_token_model,
+    # profile_orders, quality_metrics, quality_scores,
+    # range_join_incidents, scd2_history, set_ops, silver_clean,
+    # skew_profile, stateful_sessions, stratified_sample, stream_dedup,
+    # stream_enrich, stream_interval_join, text_stats, tfidf_terms,
+    # topk_orders, training_corpus, unique_check, urgent_customers,
+    # watermark_filter — carry to the r12 pad, at the bound there)
+    "audio_meta", "bigram_novelty", "binary_meta", "bpe_encode",
+    "bpe_sequence_pack", "cdc_chunks", "cdc_dedup_stats",
+    "cluster_canonical_best", "collocations", "corpus_shuffle",
+    "cross_source_dupes", "decontamination", "dedup_rate_by_source",
+    "doc_chunks", "embedding_quantize", "frame_sample",
+    "generalization_ladder", "image_resize", "jsonl_roundtrip",
+    "k_anonymity_audit",
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost
@@ -8156,6 +8379,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "range_window_revenue": q_range_window_revenue,
         "unpivot_metrics": q_unpivot_metrics,
+        "gopher_rules": q_gopher_rules,
+        "temporal_split": q_temporal_split,
+        "kmv_set_ops": q_kmv_set_ops,
+        "revenue_growth": q_revenue_growth,
         "daily_gapfill": q_daily_gapfill,
         "value_anomalies": q_value_anomalies,
         "pii_redact": q_pii_redact,
@@ -8322,6 +8549,10 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "range_window_revenue": ORACLE_RANGE_WINDOW_REVENUE,
         "unpivot_metrics": ORACLE_UNPIVOT_METRICS,
+        "gopher_rules": ORACLE_GOPHER_RULES,
+        "temporal_split": ORACLE_TEMPORAL_SPLIT,
+        "kmv_set_ops": ORACLE_KMV_SET_OPS,
+        "revenue_growth": ORACLE_REVENUE_GROWTH,
         "daily_gapfill": ORACLE_DAILY_GAPFILL,
         "value_anomalies": ORACLE_VALUE_ANOMALIES,
         "pii_redact": ORACLE_PII_REDACT,

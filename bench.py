@@ -116,15 +116,33 @@ def main() -> None:
     # never free-rides on the JVM/cache residue of repeat k-1 of the same
     # query.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
-    timings: dict[str, float] = {}
+    rounds: list[dict[str, float]] = []
     for _ in range(repeats):
+        cur: dict[str, float] = {}
         for name, fn in entrymod.queries().items():
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            elapsed = round(time.perf_counter() - t0, 3)
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
+            cur[name] = round(time.perf_counter() - t0, 3)
+        rounds.append(cur)
+    timings = {name: min(r[name] for r in rounds) for name in rounds[0]}
+
+    # measured same-HEAD noise floor (round-10 VERDICT #4): the per-query
+    # relative spread between this run's own whole-registry rounds —
+    # identical code, identical data, same session — is the distribution
+    # a round-over-round "mover" must clear before it means anything.
+    # Sub-floor queries are excluded: their spread is per-job fixed cost,
+    # not scaling signal (same 0.2s floor reasoning as the scale gate).
+    NOISE_FLOOR_SEC = 0.2
+    noise_p50 = noise_p95 = None
+    spreads = sorted(
+        (max(vals) - min(vals)) / min(vals)
+        for vals in ([r[n] for r in rounds] for n in timings)
+        if min(vals) >= NOISE_FLOOR_SEC
+    ) if repeats >= 2 else []
+    if spreads:
+        noise_p50 = round(spreads[int(0.50 * (len(spreads) - 1))], 3)
+        noise_p95 = round(spreads[int(0.95 * (len(spreads) - 1))], 3)
 
     total = round(sum(timings.values()), 3)
     compact = {k: round(v, 2) for k, v in timings.items()}
@@ -143,6 +161,13 @@ def main() -> None:
             "repeats_best_of": repeats,
             "compile_warm": compile_warm,
             "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+            # same-HEAD inter-round relative spread over queries whose
+            # best time >= noise_floor_sec: the measured bar a
+            # round-over-round mover must clear (n = queries measured)
+            "noise_p50": noise_p50,
+            "noise_p95": noise_p95,
+            "noise_floor_sec": NOISE_FLOOR_SEC,
+            "noise_n": len(spreads),
         },
     }
     full_line = json.dumps(full, separators=(",", ":"))

@@ -240,3 +240,54 @@ def dsir_importance_weights(docs: DataFrame, target,
         )
         .select(id_col, "n_toks", "score_micro")
     )
+
+
+def temporal_split(df: DataFrame, ts_col: str, user_col: str,
+                   test_days: int = 7, embargo_days: int = 1) -> DataFrame:
+    """Leakage-free time-based train/test split with an embargo gap — the
+    evaluation-holdout primitive for temporal data (forecasting, ranking,
+    any model scored on "the future"): the most recent ``test_days`` of
+    the stream become the test window, the ``embargo_days`` immediately
+    before it are DROPPED from training (rows whose influence straddles
+    the boundary — the purge/embargo rule from time-series CV), and
+    everything earlier trains.
+
+    The anchor is the observed ``max(ts)`` (a 1-row aggregate, broadcast
+    as a scalar onto the row-local classifier — the sanctioned
+    scalar-BNLJ pattern), so the split is a pure function of the data:
+    no wall clock, reproducible on any engine.
+
+    Returns one row per split (``train`` / ``embargo`` / ``test``; absent
+    splits absent) with ``n_events``, ``n_users`` (exact distinct),
+    ``min_ts``, ``max_ts`` — the accounting a pipeline logs before
+    materializing the split (the embargo row makes dropped volume
+    visible instead of silently vanishing).  NULL timestamps are
+    excluded (unplaceable).
+
+    Scale shape: one max-aggregate scan + one classify-and-aggregate scan
+    (count-distinct expands to the usual two-phase partial aggregate); no
+    window, no data-sized join.
+    """
+    if test_days < 1 or embargo_days < 0:
+        raise ValueError(
+            f"test_days must be >= 1 and embargo_days >= 0, got "
+            f"{test_days}, {embargo_days}")
+    ref = df.agg(F.max(F.col(ts_col)).alias("__max_ts"))
+    test_start = F.col("__max_ts") - F.expr(f"INTERVAL {test_days} DAYS")
+    train_end = test_start - F.expr(f"INTERVAL {embargo_days} DAYS")
+    split = (
+        F.when(F.col(ts_col) >= test_start, F.lit("test"))
+        .when(F.col(ts_col) >= train_end, F.lit("embargo"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        df.filter(F.col(ts_col).isNotNull())
+        .join(F.broadcast(ref))  # 1-row scalar broadcast
+        .groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct(F.col(user_col)).alias("n_users"),
+            F.min(F.col(ts_col)).alias("min_ts"),
+            F.max(F.col(ts_col)).alias("max_ts"),
+        )
+    )

@@ -230,3 +230,83 @@ def hll_distinct(df: DataFrame, group_cols: list[str], value_col: str,
             .alias("est_hll"),
         )
     )
+
+
+def kmv_set_ops(a: DataFrame, b: DataFrame, value_col: str,
+                k: int = 256) -> DataFrame:
+    """KMV sketch SET ALGEBRA (Beyer et al. 2007, "On synopses for
+    distinct-value estimation under multiset operations"): estimate
+    ``|A|``, ``|B|``, ``|A ∪ B|``, Jaccard, and ``|A ∩ B|`` from two
+    bottom-k sketches — the audit primitive for corpus overlap questions
+    ("how much does crawl B add over crawl A?", "what fraction of
+    purchase users are view users?") that exact distinct-joins answer at
+    full shuffle cost.
+
+    Method: both sides hash distinct values through the shared
+    ``_md5_60bit`` layout (so the sketches are mergeable with
+    ``kmv_distinct``'s and the whole family cross-checks); the union
+    sketch is the k smallest of the two sketches' hash union; with
+    ``K = {h in union sketch : h in sketch_A and h in sketch_B}``,
+    Jaccard ``ρ = |K| / |union sketch|`` and
+    ``|A ∩ B| = ρ · est(A ∪ B)``.  When the union holds fewer than k
+    hashes every estimate is EXACT (the sketches are the full hash sets).
+
+    Deterministic on any engine: md5 uniforms, bottom-k by hash order,
+    single-division ratios — the SQL oracle replays it bit-for-bit.
+
+    Scale shape: each side pays one distinct + a TakeOrdered bottom-k
+    (per-partition heaps — k rows cross the wire per side, NEVER the
+    value sets); everything after operates on <= 2k rows.  No window
+    over the data, no single-partition exchange of input rows.
+
+    Returns ONE row: (est_distinct_a, est_distinct_b, est_union,
+    jaccard, est_intersection, sketch_k int).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    def _bottom_k(df: DataFrame) -> DataFrame:
+        h = ((_md5_60bit(F.col("__v")) + F.lit(1)).cast("double")
+             / F.lit(float(16 ** 15)))
+        return (
+            _distinct_values(df, [], value_col)
+            .select(h.alias("__h")).distinct()
+            .orderBy("__h").limit(k)  # TakeOrdered: per-partition heaps
+        )
+    ka, kb = _bottom_k(a), _bottom_k(b)
+
+    def _est(cnt: Column, hk: Column) -> Column:
+        return F.when(cnt < k, cnt.cast("double")) \
+            .otherwise(F.lit(float(k - 1)) / hk)
+
+    sa = ka.agg(F.count(F.lit(1)).alias("__na"), F.max("__h").alias("__ha"))
+    sb = kb.agg(F.count(F.lit(1)).alias("__nb"), F.max("__h").alias("__hb"))
+    both = ka.join(kb, "__h", "inner").select("__h")  # <=k rows each side
+    union_k = ka.unionByName(kb).distinct().orderBy("__h").limit(k)
+    su = (
+        union_k.join(F.broadcast(both.withColumn("__in_both", F.lit(1))),
+                     "__h", "left")
+        .agg(
+            F.count(F.lit(1)).alias("__nu"),
+            F.max("__h").alias("__hu"),
+            F.sum(F.coalesce(F.col("__in_both"), F.lit(0)))
+            .cast("long").alias("__nk"),
+        )
+    )
+    est_u = _est(F.col("__nu"), F.col("__hu"))
+    # try_divide: an empty union sketch (both inputs empty) yields NULL
+    # here exactly as the oracle's NULL-on-zero division, instead of
+    # Spark's IEEE NaN
+    jacc = F.try_divide(F.col("__nk").cast("double"),
+                        F.col("__nu").cast("double"))
+    return (
+        su.join(F.broadcast(sa)).join(F.broadcast(sb))  # three 1-row sides
+        .select(
+            _est(F.col("__na"), F.col("__ha")).alias("est_distinct_a"),
+            _est(F.col("__nb"), F.col("__hb")).alias("est_distinct_b"),
+            est_u.alias("est_union"),
+            jacc.alias("jaccard"),
+            (jacc * est_u).alias("est_intersection"),
+            F.col("__nu").cast("int").alias("sketch_k"),
+        )
+    )

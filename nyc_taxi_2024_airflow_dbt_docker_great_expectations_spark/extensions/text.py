@@ -1126,3 +1126,110 @@ def truncation_loss(df: DataFrame, budget: int, group_col: str = "source",
         F.try_divide(F.col("lost_tokens").cast("double"),
                      F.col("total_tokens").cast("double")),
     )
+
+
+# Rae et al. 2021 ("Scaling Language Models: Methods, Analysis & Insights
+# from Training Gopher", arXiv:2112.11446, Appendix A) — the published
+# quality-filter rule set.  Word membership is checked on DISTINCT
+# lowercased tokens ("contains at least 2 of the following"), not hits.
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have",
+                         "with")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 min_alpha_word_frac: float = 0.80,
+                 max_bullet_frac: float = 0.90,
+                 max_ellipsis_frac: float = 0.30,
+                 min_required_words: int = 2) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, Appendix A)
+    as per-document boolean flags + the combined ``keep`` decision — the
+    named, citable ruleset a pre-training pipeline applies before any
+    learned filter (vs ``quality_scores``' soft heuristic score).
+
+    Rules (thresholds parameterized, defaults = the published values):
+
+    - word count in [min_words, max_words]
+    - mean word length in [min_mean_word_len, max_mean_word_len]
+    - symbol-to-word ratio <= max_symbol_ratio (symbols: ``#``, ``…``,
+      and ASCII ``...`` — non-overlapping left-to-right counts, identical
+      in Spark and the SQL oracle's ``replace``)
+    - fraction of words containing an alphabetic char >= min_alpha_word_frac
+    - bullet-led line fraction <= max_bullet_frac and ellipsis-ended line
+      fraction <= max_ellipsis_frac (lines split on ``\\n``; a
+      single-line corpus passes both trivially)
+    - at least min_required_words DISTINCT members of
+      ``GOPHER_REQUIRED_WORDS`` present (lowercased)
+
+    Empty documents fail every rule (NULL-free booleans: each rule
+    carries an explicit ``n_words > 0`` / ``n_lines > 0`` conjunct so a
+    NULL ratio can never leak 3-valued logic into ``keep``).
+
+    Plan shape: pure per-row codegen (string ops + array HOFs), NO
+    shuffle/join/UDF — scan-local at any scale, the same embarrassingly
+    parallel shape as quality_scores.  Output: one row per document with
+    the measured signals, each rule's boolean, and ``keep``.
+    """
+    t = _wtrim(_c(text_col))
+    toks = tokens(text_col)
+    n = token_count(text_col)
+    nd = n.cast("double")
+    word_len_sum = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_wl = word_len_sum.cast("double") / nd
+    n_chars = F.length(t)
+    hash_cnt = n_chars - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    uni_ell = n_chars - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    # chars removed by replacing '...' = 3 x occurrence count; keeping the
+    # x3 on the integer side makes the ratio ONE exactly-rounded division
+    # (engine-bit-exact) instead of a sum of two roundings
+    ascii_ell3 = n_chars - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    symbol_ratio = ((hash_cnt + uni_ell) * F.lit(3) + ascii_ell3) \
+        .cast("double") / (nd * F.lit(3.0))
+    alpha_frac = F.size(
+        F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+    ).cast("double") / nd
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]"))
+    ).cast("double") / n_lines.cast("double")
+    ellipsis_frac = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$"))
+    ).cast("double") / n_lines.cast("double")
+    required_hits = F.size(F.array_intersect(
+        F.transform(toks, lambda x: F.lower(x)),
+        F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
+    ))
+    nonempty = n > 0
+    p_count = (n >= min_words) & (n <= max_words)
+    p_wl = nonempty & (mean_wl >= min_mean_word_len) \
+        & (mean_wl <= max_mean_word_len)
+    p_sym = nonempty & (symbol_ratio <= max_symbol_ratio)
+    p_alpha = nonempty & (alpha_frac >= min_alpha_word_frac)
+    p_lines = nonempty & (n_lines > 0) & (bullet_frac <= max_bullet_frac) \
+        & (ellipsis_frac <= max_ellipsis_frac)
+    p_req = nonempty & (required_hits >= min_required_words)
+    return df.select(
+        id_col,
+        n.cast("int").alias("n_words"),
+        F.when(nonempty, mean_wl).alias("mean_word_len"),
+        F.when(nonempty, symbol_ratio).alias("symbol_ratio"),
+        F.when(nonempty, alpha_frac).alias("alpha_word_frac"),
+        F.when(nonempty, bullet_frac).alias("bullet_frac"),
+        F.when(nonempty, ellipsis_frac).alias("ellipsis_frac"),
+        required_hits.cast("int").alias("required_hits"),
+        p_count.alias("pass_word_count"),
+        p_wl.alias("pass_word_len"),
+        p_sym.alias("pass_symbol_ratio"),
+        p_alpha.alias("pass_alpha_words"),
+        p_lines.alias("pass_line_shape"),
+        p_req.alias("pass_required_words"),
+        (p_count & p_wl & p_sym & p_alpha & p_lines & p_req).alias("keep"),
+    )

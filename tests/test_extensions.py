@@ -2318,3 +2318,66 @@ def test_rademacher_project_exact_and_guards(spark):
     assert got == want  # bit-exact integer contract, guards drop 6 rows
     with pytest.raises(ValueError):
         rademacher_project(df, out_dim=0, in_dim=8)
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """Each Gopher rule triggers on its designed offender and the clean
+    long document keeps; an empty document fails every rule NULL-free."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        gopher_rules,
+    )
+
+    good = " ".join(["the", "be", "to", "of", "and", "word", "text",
+                     "data", "more", "info"] * 6)          # 60 words, clean
+    short = "the be to of and word"                        # < min_words
+    longwords = " ".join(["the", "be"] + ["x" * 40] * 58)  # mean len > 10
+    symbols = " ".join(["the", "be"] + ["###"] * 58)       # symbol ratio
+    numeric = " ".join(["the", "be"] + ["123"] * 58)       # alpha frac < .8
+    bullets = "\n".join(["the be to of and"] +
+                        ["- item %d" % i for i in range(60)])  # bullet lines
+    norequired = " ".join(["alpha", "beta", "gamma"] * 20)  # no req words
+    rows = [(1, good), (2, short), (3, longwords), (4, symbols),
+            (5, numeric), (6, bullets), (7, norequired), (8, ""),
+            (9, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+
+    assert out[1]["keep"] is True
+    assert out[2]["pass_word_count"] is False and out[2]["keep"] is False
+    assert out[3]["pass_word_len"] is False
+    assert out[4]["pass_symbol_ratio"] is False
+    assert out[5]["pass_alpha_words"] is False
+    assert out[6]["pass_line_shape"] is False   # > 90% bullet lines
+    assert out[6]["pass_word_count"] is True    # 65 words otherwise fine
+    assert out[7]["pass_required_words"] is False
+    for d in (8, 9):  # empty/NULL text: every rule False, none NULL
+        for c in ("pass_word_count", "pass_word_len", "pass_symbol_ratio",
+                  "pass_alpha_words", "pass_line_shape",
+                  "pass_required_words", "keep"):
+            assert out[d][c] is False, (d, c)
+    assert out[1]["required_hits"] == 5
+    assert abs(out[1]["mean_word_len"] - (192.0 / 60.0)) < 1e-12
+
+
+def test_kmv_set_ops_exact_below_k_and_estimates(spark):
+    """With k above both cardinalities every output is EXACT set algebra;
+    with tiny k the estimates stay finite and the union sketch holds k."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.sketches import (
+        kmv_set_ops,
+    )
+    import pytest
+
+    a = spark.createDataFrame([(i,) for i in range(100)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(60, 160)], "v long")
+    r = kmv_set_ops(a, b, "v", k=1024).collect()[0]
+    assert r["est_distinct_a"] == 100.0 and r["est_distinct_b"] == 100.0
+    assert r["est_union"] == 160.0
+    assert abs(r["jaccard"] - 40.0 / 160.0) < 1e-12
+    assert abs(r["est_intersection"] - 40.0) < 1e-12
+    assert r["sketch_k"] == 160
+
+    small = kmv_set_ops(a, b, "v", k=32).collect()[0]
+    assert small["sketch_k"] == 32
+    assert 100.0 <= small["est_union"] <= 260.0  # coarse but sane at k=32
+    with pytest.raises(ValueError):
+        kmv_set_ops(a, b, "v", k=1)

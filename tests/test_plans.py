@@ -549,3 +549,36 @@ def test_range_window_and_unpivot_plan_shapes(spark):
     assert up.count("Scan parquet") == 1
     for bad in ("Join", "Window", "CartesianProduct"):
         assert bad not in up
+
+
+def test_round11_addition_plan_shapes(spark):
+    """Round-11 additions hold their scale-critical plan properties:
+
+    - gopher_rules: pure per-row codegen — no exchange, no join, no
+      aggregate (the same scan-local shape as quality_scores);
+    - temporal_split: the max(ts) anchor is the sanctioned 1-row scalar
+      broadcast; the classifier aggregates in one partial/final pass —
+      no window;
+    - kmv_set_ops: bottom-k is TakeOrdered (per-partition heaps), never
+      an Exchange SinglePartition of input rows before the sketch cut;
+    - revenue_growth: the LAG window runs on the POST-AGGREGATE month
+      table (aggregate below the window in the plan), one parquet scan.
+    """
+    qs = entry.queries()
+    g = _plan(qs["gopher_rules"](spark, SF))
+    assert "Exchange" not in g and "Join" not in g
+    assert "HashAggregate" not in g and "Window" not in g
+
+    ts = _plan(qs["temporal_split"](spark, SF))
+    assert "Window" not in ts and "CartesianProduct" not in ts
+    assert ts.count("BroadcastNestedLoopJoin") <= 1  # the 1-row max anchor
+
+    kv = _plan(qs["kmv_set_ops"](spark, SF))
+    assert "TakeOrderedAndProject" in kv
+    assert "CartesianProduct" not in kv
+
+    rg = _plan(qs["revenue_growth"](spark, SF))
+    assert rg.count("Scan parquet") == 1 and "Window" in rg
+    # the aggregate must appear BELOW the window: the window sorts the
+    # |months| aggregate output, never the raw orders
+    assert rg.index("HashAggregate") > rg.index("Window")

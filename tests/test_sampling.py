@@ -72,3 +72,46 @@ def test_mixture_sample_budget_semantics(spark):
         for r in mixture_sample(df, {"a": 35, "b": 1000},
                                 token_col="nt").collect()
     )
+
+
+def test_temporal_split_boundaries_and_embargo(spark):
+    """Split boundaries are >= cuts anchored at max(ts): the last
+    test_days are test, the embargo_days before them are embargo, the
+    rest train; NULL timestamps are excluded; absent splits are absent."""
+    from datetime import datetime
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.sampling import (
+        temporal_split,
+    )
+    import pytest
+
+    def t(d, h=0):
+        return datetime(2024, 1, d, h)
+
+    rows = [
+        (1, t(1)),       # train (far past)
+        (2, t(21, 23)),  # train (just before the embargo cut)
+        (3, t(22)),      # embargo start boundary (>= max-8d)
+        (4, t(22, 23)),  # embargo
+        (5, t(23)),      # test start boundary (>= max-7d)
+        (6, t(30)),      # test anchor (max ts)
+        (1, t(29)),      # user 1 also in test: time split allows overlap
+        (7, None),       # NULL ts: excluded
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r["split"]: r for r in
+           temporal_split(df, "ts", "user_id",
+                          test_days=7, embargo_days=1).collect()}
+    assert set(out) == {"train", "embargo", "test"}
+    assert (out["train"]["n_events"], out["train"]["n_users"]) == (2, 2)
+    assert (out["embargo"]["n_events"], out["embargo"]["n_users"]) == (2, 2)
+    assert (out["test"]["n_events"], out["test"]["n_users"]) == (3, 3)
+    assert out["test"]["min_ts"] == t(23) and out["test"]["max_ts"] == t(30)
+    assert out["embargo"]["min_ts"] == t(22)
+    # no embargo -> the embargo split vanishes, rows fall to train
+    out0 = {r["split"]: r["n_events"] for r in
+            temporal_split(df, "ts", "user_id",
+                           test_days=7, embargo_days=0).collect()}
+    assert out0 == {"train": 4, "test": 3}
+    with pytest.raises(ValueError):
+        temporal_split(df, "ts", "user_id", test_days=0)
