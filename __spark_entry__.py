@@ -8151,6 +8151,79 @@ FROM monthly
 # CORRECTNESS artifact rotate to the front; with 68 unsigned keys, round 5
 # signs 50 of them and round 6 the rest.  ORACLE_KEYS.md carries the full
 # key -> (round introduced, signed-where) inventory.
+def q_fulfillment_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency (extensions/analytics.py:
+    interval_concurrency): per day, how many order lines were IN
+    FULFILLMENT (order placed, not yet shipped — the interval
+    [o_orderdate, l_shipdate]).  The naive day-x-interval range join is
+    quadratic; the sweep line emits two deltas per interval row-locally,
+    nets them in one hash aggregate (output bounded by |distinct days|),
+    and runs the cumulative sum on the tiny post-aggregate day table.
+    The orders join is the standard orderkey hash join.  No reference
+    analog — classical OLAP/ops-analytics brief surface."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        interval_concurrency,
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    iv = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    return interval_concurrency(iv, "o_orderdate", "l_shipdate")
+
+
+ORACLE_FULFILLMENT_CONCURRENCY = """
+WITH iv AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS s, CAST(l.l_shipdate AS DATE) AS e
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
+    AND CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+),
+deltas AS (
+  SELECT s AS d, 1 AS delta FROM iv
+  UNION ALL
+  SELECT e + 1 AS d, -1 AS delta FROM iv
+),
+daily AS (SELECT d, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY 1)
+SELECT d AS day,
+       CAST(SUM(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS n_open
+FROM daily
+"""
+
+
+def q_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM feature block (extensions/analytics.py:rfm_features): per
+    customer, days since last order (anchored at the observed max order
+    date — 1-row scalar broadcast, pure function of the data), order
+    count, decimal-exact spend — the classic behavioral features a
+    churn/LTV training set starts from.  One per-user aggregate + the
+    scalar anchor.  No reference analog — feature-engineering brief
+    surface."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        rfm_features,
+    )
+    return rfm_features(_t(spark, sf_dir, "orders"))
+
+
+ORACLE_RFM_FEATURES = """
+WITH anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS max_d FROM orders),
+per_user AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order_date,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38, 2))) AS DOUBLE)
+             AS monetary
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+  GROUP BY 1
+)
+SELECT o_custkey,
+       CAST(datediff('day', last_order_date, max_d) AS INTEGER)
+           AS recency_days,
+       frequency, monetary, last_order_date
+FROM per_user CROSS JOIN anchor
+"""
+
+
 # Round-11 rotation (freshness maintenance — `tools/audit_scorecard.py`
 # prints the latest-green-signature distribution these lists are built
 # from; a pytest asserts the composed scorecard stays consistent).  The
@@ -8170,6 +8243,11 @@ _GATE_CHANGED = [
     "temporal_split",
     "kmv_set_ops",
     "revenue_growth",
+    # NEW keys r11 (second batch): sweep-line interval concurrency, RFM
+    # feature block — displace jsonl_roundtrip / k_anonymity_audit
+    # (r08-stale) to the round-12 pad
+    "fulfillment_concurrency",
+    "rfm_features",
     # impl changed r11 (ADVICE): NaN coordinates dropped via explicit
     # isnan guard, mirrored in the oracle
     "jl_projection",
@@ -8203,8 +8281,9 @@ _GATE_PAD = [
     "sessionization", "sliding_window", "top_revenue_orders",
     "train_test_split", "tumbling_window", "value_anomalies",
     "vendor_summary", "zone_summary",
-    # next-stalest: last signed r08 (alphabetically first 20 of 47; the
-    # remaining 27 — kmv_distinct, l_diversity_audit, langid_confusion,
+    # next-stalest: last signed r08 (alphabetically first 18 of 47; the
+    # remaining 29 — jsonl_roundtrip, k_anonymity_audit, kmv_distinct,
+    # l_diversity_audit, langid_confusion,
     # lsh_recall, markup_strip, minhash_vs_index, next_token_model,
     # profile_orders, quality_metrics, quality_scores,
     # range_join_incidents, scd2_history, set_ops, silver_clean,
@@ -8217,8 +8296,7 @@ _GATE_PAD = [
     "cluster_canonical_best", "collocations", "corpus_shuffle",
     "cross_source_dupes", "decontamination", "dedup_rate_by_source",
     "doc_chunks", "embedding_quantize", "frame_sample",
-    "generalization_ladder", "image_resize", "jsonl_roundtrip",
-    "k_anonymity_audit",
+    "generalization_ladder", "image_resize",
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost
@@ -8383,6 +8461,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_split": q_temporal_split,
         "kmv_set_ops": q_kmv_set_ops,
         "revenue_growth": q_revenue_growth,
+        "fulfillment_concurrency": q_fulfillment_concurrency,
+        "rfm_features": q_rfm_features,
         "daily_gapfill": q_daily_gapfill,
         "value_anomalies": q_value_anomalies,
         "pii_redact": q_pii_redact,
@@ -8553,6 +8633,8 @@ def oracle_sql() -> dict[str, str]:
         "temporal_split": ORACLE_TEMPORAL_SPLIT,
         "kmv_set_ops": ORACLE_KMV_SET_OPS,
         "revenue_growth": ORACLE_REVENUE_GROWTH,
+        "fulfillment_concurrency": ORACLE_FULFILLMENT_CONCURRENCY,
+        "rfm_features": ORACLE_RFM_FEATURES,
         "daily_gapfill": ORACLE_DAILY_GAPFILL,
         "value_anomalies": ORACLE_VALUE_ANOMALIES,
         "pii_redact": ORACLE_PII_REDACT,

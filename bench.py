@@ -115,7 +115,7 @@ def main() -> None:
     # rounds (not per-query back-to-back repeats) so repeat k of query q
     # never free-rides on the JVM/cache residue of repeat k-1 of the same
     # query.
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     rounds: list[dict[str, float]] = []
     for _ in range(repeats):
         cur: dict[str, float] = {}
@@ -131,15 +131,20 @@ def main() -> None:
     # relative spread between this run's own whole-registry rounds —
     # identical code, identical data, same session — is the distribution
     # a round-over-round "mover" must clear before it means anything.
+    # Round 1 is EXCLUDED whenever repeats >= 3: its spread against the
+    # warm rounds is first-touch asymmetry (target-SF page-cache fill,
+    # per-plan codegen), not steady-state jitter — measured p50 of the
+    # 1-vs-2 spread was 0.51 at sf0.1 vs 0.0x between warm rounds.
     # Sub-floor queries are excluded: their spread is per-job fixed cost,
     # not scaling signal (same 0.2s floor reasoning as the scale gate).
     NOISE_FLOOR_SEC = 0.2
+    noise_rounds = rounds[1:] if len(rounds) >= 3 else rounds
     noise_p50 = noise_p95 = None
     spreads = sorted(
         (max(vals) - min(vals)) / min(vals)
-        for vals in ([r[n] for r in rounds] for n in timings)
+        for vals in ([r[n] for r in noise_rounds] for n in timings)
         if min(vals) >= NOISE_FLOOR_SEC
-    ) if repeats >= 2 else []
+    ) if len(noise_rounds) >= 2 else []
     if spreads:
         noise_p50 = round(spreads[int(0.50 * (len(spreads) - 1))], 3)
         noise_p95 = round(spreads[int(0.95 * (len(spreads) - 1))], 3)
@@ -162,12 +167,14 @@ def main() -> None:
             "compile_warm": compile_warm,
             "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
             # same-HEAD inter-round relative spread over queries whose
-            # best time >= noise_floor_sec: the measured bar a
+            # best time >= noise_floor_sec, WARM rounds only (round 1
+            # excluded when repeats >= 3): the measured bar a
             # round-over-round mover must clear (n = queries measured)
             "noise_p50": noise_p50,
             "noise_p95": noise_p95,
             "noise_floor_sec": NOISE_FLOOR_SEC,
             "noise_n": len(spreads),
+            "noise_rounds": len(noise_rounds),
         },
     }
     full_line = json.dumps(full, separators=(",", ":"))

@@ -382,3 +382,96 @@ def token_drift_chisq(df: DataFrame, source_col: str = "source",
             F.expr(chisq_chain(top_k)).alias("chisq"),
         )
     )
+
+
+def interval_concurrency(df: DataFrame, start_col: str, end_col: str,
+                         count_col: str = "n_open",
+                         day_col: str = "day") -> DataFrame:
+    """Sweep-line interval concurrency: for every day, how many intervals
+    ``[start, end]`` (both inclusive, date-granular) cover it — max
+    concurrent shipments in transit, open orders in fulfillment, parallel
+    sessions.  The naive form is a day-x-interval range join (quadratic
+    blowup); the sweep line is the scale-correct shape:
+
+    1. each interval EMITS two deltas (+1 at start, -1 at end+1 day) —
+       row-local generate, no join;
+    2. one partial/final hash aggregate nets the deltas per day (output
+       bounded by |distinct days|, never |intervals|);
+    3. a cumulative-sum window over the tiny post-aggregate day table
+       (the single-partition sort is metadata-sized — the data itself
+       collapsed in step 2) yields the running open count.
+
+    Rows with a NULL endpoint or ``end < start`` are dropped (undefined
+    coverage).  The output is the STEP FUNCTION, not a dense calendar:
+    one row per day that carries a delta, each count valid from that day
+    until the next row's day (a dense series would be |calendar| rows for
+    no information — gap-fill downstream with daily_gapfill's shape if a
+    plot needs it).  The day after the last interval closes appears with
+    count 0, closing the series.
+
+    Returns ``(day_col date, count_col long)`` ordered by day.
+    """
+    start, end = F.col(start_col).cast("date"), F.col(end_col).cast("date")
+    deltas = (
+        df.filter(start.isNotNull() & end.isNotNull() & (end >= start))
+        .select(F.explode(F.array(
+            F.struct(start.alias("__d"), F.lit(1).alias("__delta")),
+            F.struct(F.date_add(end, 1).alias("__d"),
+                     F.lit(-1).alias("__delta")),
+        )).alias("__e"))
+        .select(F.col("__e.__d").alias("__d"),
+                F.col("__e.__delta").alias("__delta"))
+    )
+    daily = deltas.groupBy("__d").agg(
+        F.sum("__delta").cast("long").alias("__net"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("__d").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    return (
+        daily.select(
+            F.col("__d").alias(day_col),
+            F.sum("__net").over(w).alias(count_col),
+        ).orderBy(day_col)
+    )
+
+
+def rfm_features(orders: DataFrame, user_col: str = "o_custkey",
+                 date_col: str = "o_orderdate",
+                 amount_col: str = "o_totalprice") -> DataFrame:
+    """RFM feature engineering (recency / frequency / monetary) — the
+    classic per-entity behavioral feature block for churn/LTV models and
+    training-set construction: days since last order (anchored at the
+    observed max date — a 1-row scalar broadcast, so the features are a
+    pure function of the data, no wall clock), order count, and
+    decimal-exact spend.
+
+    One per-user aggregate + the scalar anchor join; amounts sum in
+    DECIMAL(38,2) before the double cast so the monetary feature is
+    bit-identical under any partitioning/engine.
+
+    Returns ``(user_col, recency_days int, frequency long,
+    monetary double, last_order_date date)``.
+    """
+    anchor = orders.agg(
+        F.max(F.col(date_col).cast("date")).alias("__max_d"))
+    per_user = (
+        orders.filter(F.col(user_col).isNotNull()
+                      & F.col(date_col).isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.max(F.col(date_col).cast("date")).alias("last_order_date"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col(amount_col).cast("decimal(38,2)"))
+            .cast("double").alias("monetary"),
+        )
+    )
+    return (
+        per_user.join(F.broadcast(anchor))  # 1-row scalar broadcast
+        .select(
+            user_col,
+            F.datediff(F.col("__max_d"), F.col("last_order_date"))
+            .cast("int").alias("recency_days"),
+            "frequency", "monetary", "last_order_date",
+        )
+    )

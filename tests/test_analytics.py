@@ -183,3 +183,53 @@ def test_groupwise_percentile_cont_null_values(spark):
     for g, (n, p25, med, p75) in oracle.items():
         assert got[g]["n_items"] == n
         assert (got[g]["p25"], got[g]["median"], got[g]["p75"]) == (p25, med, p75)
+
+
+def test_interval_concurrency_sweep_line(spark):
+    """Known overlap pattern, inclusive endpoints, invalid rows dropped,
+    step-function output (delta days only — day 5 is covered at count 1
+    but emits no row; the day-4 row's count holds until day 6), and the
+    day after the last close appears with count 0."""
+    from datetime import date
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        interval_concurrency,
+    )
+
+    d = lambda n: date(2024, 1, n)  # noqa: E731
+    rows = [
+        (d(1), d(3)),    # covers 1,2,3
+        (d(2), d(2)),    # covers 2
+        (d(3), d(5)),    # covers 3,4,5
+        (d(9), d(1)),    # end < start: dropped
+        (None, d(4)),    # NULL start: dropped
+        (d(4), None),    # NULL end: dropped
+    ]
+    df = spark.createDataFrame(rows, "s date, e date")
+    out = {r["day"]: r["n_open"]
+           for r in interval_concurrency(df, "s", "e").collect()}
+    assert out == {d(1): 1, d(2): 2, d(3): 2, d(4): 1, d(6): 0}
+
+
+def test_rfm_features_anchor_and_exact_sums(spark):
+    from datetime import date
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        rfm_features,
+    )
+
+    rows = [
+        (1, date(2024, 1, 1), 10.10),
+        (1, date(2024, 1, 20), 0.20),
+        (2, date(2024, 1, 31), 5.00),   # anchor customer: recency 0
+        (None, date(2024, 1, 15), 9.9),  # NULL user: dropped
+        (3, None, 9.9),                  # NULL date: dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate date, o_totalprice double")
+    out = {r["o_custkey"]: r for r in rfm_features(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["recency_days"] == 11 and out[1]["frequency"] == 2
+    assert out[1]["monetary"] == 10.30  # decimal-exact, no fp drift
+    assert out[1]["last_order_date"] == date(2024, 1, 20)
+    assert out[2]["recency_days"] == 0 and out[2]["monetary"] == 5.00

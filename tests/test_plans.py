@@ -582,3 +582,17 @@ def test_round11_addition_plan_shapes(spark):
     # the aggregate must appear BELOW the window: the window sorts the
     # |months| aggregate output, never the raw orders
     assert rg.index("HashAggregate") > rg.index("Window")
+
+    # fulfillment_concurrency: the sweep line joins hash-wise, explodes
+    # deltas row-locally, and the cumulative window runs BELOW-aggregate
+    # (on the |days| net table, never the raw interval rows)
+    fc = _plan(qs["fulfillment_concurrency"](spark, SF))
+    assert "CartesianProduct" not in fc
+    assert "BroadcastNestedLoopJoin" not in fc
+    assert "Generate explode" in fc and "Window" in fc
+    assert fc.index("HashAggregate") > fc.index("Window")
+
+    # rfm_features: one per-user aggregate + the 1-row anchor broadcast
+    rfm = _plan(qs["rfm_features"](spark, SF))
+    assert rfm.count("BroadcastNestedLoopJoin") <= 1  # the scalar anchor
+    assert "CartesianProduct" not in rfm and "Window" not in rfm
