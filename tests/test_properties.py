@@ -822,3 +822,117 @@ def test_range_frame_matches_interval_bruteforce(spark, rows):
                  if s2 == s and d - 6 <= d2 <= d]
         want[(s, d)] = (sum(inwin), len(inwin))
     assert got == want
+
+
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=20),   # start day-of-month
+        st.integers(min_value=0, max_value=8),    # duration days
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(**SETTINGS)
+@given(intervals_strategy)
+def test_interval_concurrency_matches_brute_force(spark, ivs):
+    """The sweep line equals the brute-force per-day coverage count at
+    every emitted day, and the emitted days include every day where the
+    count CHANGES (step-function completeness)."""
+    from datetime import date, timedelta
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        interval_concurrency,
+    )
+
+    rows = [(date(2024, 1, s), date(2024, 1, s) + timedelta(days=d))
+            for s, d in ivs]
+    df = spark.createDataFrame(rows, "s date, e date")
+    got = {r["day"]: r["n_open"]
+           for r in interval_concurrency(df, "s", "e").collect()}
+
+    def cover(day):
+        return sum(1 for s, e in rows if s <= day <= e)
+
+    for day, n in got.items():
+        assert n == cover(day), (day, n)
+    # completeness: scan the swept range; wherever the brute-force count
+    # changes versus the previous day, a row must exist with that value
+    lo = min(s for s, _ in rows)
+    hi = max(e for _, e in rows) + timedelta(days=1)
+    day, prev = lo, 0
+    while day <= hi:
+        c = cover(day)
+        if c != prev:
+            assert day in got and got[day] == c, day
+        prev = c
+        day += timedelta(days=1)
+
+
+kmv_sets_strategy = st.tuples(
+    st.sets(st.integers(min_value=0, max_value=400), min_size=1,
+            max_size=60),
+    st.sets(st.integers(min_value=0, max_value=400), min_size=1,
+            max_size=60),
+)
+
+
+@settings(**SETTINGS)
+@given(kmv_sets_strategy)
+def test_kmv_set_ops_exact_when_k_covers_union(spark, ab):
+    """Whenever k >= |A ∪ B| the sketch holds every hash and the whole
+    output is EXACT set algebra — cardinalities, union, Jaccard,
+    intersection."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.sketches import (
+        kmv_set_ops,
+    )
+
+    sa, sb = ab
+    a = spark.createDataFrame([(v,) for v in sa], "v long")
+    b = spark.createDataFrame([(v,) for v in sb], "v long")
+    r = kmv_set_ops(a, b, "v", k=512).collect()[0]
+    union, inter = sa | sb, sa & sb
+    assert r["est_distinct_a"] == float(len(sa))
+    assert r["est_distinct_b"] == float(len(sb))
+    assert r["est_union"] == float(len(union))
+    assert r["sketch_k"] == len(union)
+    assert abs(r["jaccard"] - len(inter) / len(union)) < 1e-12
+    assert abs(r["est_intersection"] - len(inter)) < 1e-9
+
+
+events_split_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=28),   # day
+        st.integers(min_value=0, max_value=40),   # user
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**SETTINGS)
+@given(events_split_strategy)
+def test_temporal_split_partitions_the_stream(spark, evs):
+    """The three splits PARTITION the non-null rows (counts sum to the
+    input) and respect the boundary order: every train ts < every
+    embargo ts < every test ts is impossible to violate because the
+    cuts are half-open >= thresholds on a shared anchor."""
+    from datetime import datetime
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.sampling import (
+        temporal_split,
+    )
+
+    rows = [(u, datetime(2024, 1, d)) for d, u in evs]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = temporal_split(df, "ts", "user_id",
+                         test_days=7, embargo_days=2).collect()
+    assert sum(r["n_events"] for r in out) == len(rows)
+    bounds = {r["split"]: (r["min_ts"], r["max_ts"]) for r in out}
+    if "train" in bounds and "embargo" in bounds:
+        assert bounds["train"][1] < bounds["embargo"][0]
+    if "embargo" in bounds and "test" in bounds:
+        assert bounds["embargo"][1] < bounds["test"][0]
+    if "train" in bounds and "test" in bounds:
+        assert bounds["train"][1] < bounds["test"][0]
