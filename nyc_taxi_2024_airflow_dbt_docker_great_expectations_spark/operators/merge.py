@@ -67,9 +67,14 @@ def upsert_by_key(target: DataFrame, delta: DataFrame, keys: list[str],
             "— the target was written under an older model contract; "
             "full-rebuild the mart (dbt --full-refresh semantics)"
         )
-    delta_keys = F.broadcast(delta.select(*keys).distinct())
+    # quoted_col everywhere a column list feeds select(): dotted names
+    # must resolve as exact names, never nested paths (join(on=keys) and
+    # unionByName are name-exact already)
+    delta_keys = F.broadcast(
+        delta.select(*[quoted_col(k).alias(k) for k in keys]).distinct())
     kept = target.join(delta_keys, on=keys, how="left_anti")
-    incoming = delta.select(*target.columns)
+    incoming = delta.select(*[quoted_col(c).alias(c)
+                              for c in target.columns])
     if order_col is not None:
         if order_col in set(keys) or order_col not in target.columns:
             raise ValueError(
@@ -107,11 +112,13 @@ def append_if_absent(target: DataFrame, delta: DataFrame, keys: list[str],
     then shuffles both sides on the key (or AQE picks broadcast for whichever
     side turns out small), instead of OOMing executors with a huge broadcast.
     """
-    target_keys = target.select(*keys).distinct()
+    target_keys = target.select(*[quoted_col(k).alias(k)
+                                  for k in keys]).distinct()
     if broadcast_target_keys:
         target_keys = F.broadcast(target_keys)
     new_rows = delta.join(target_keys, on=keys, how="left_anti")
-    return target.unionByName(new_rows.select(*target.columns))
+    return target.unionByName(
+        new_rows.select(*[quoted_col(c).alias(c) for c in target.columns]))
 
 
 def merge_write_path(spark, path: str, delta: DataFrame, keys: list[str],
@@ -133,8 +140,10 @@ def merge_write_path(spark, path: str, delta: DataFrame, keys: list[str],
         delta.write.mode("overwrite").parquet(path)
         return
     target = spark.read.parquet(path)
-    merged = upsert_by_key(target, delta.select(*target.columns), keys,
-                           order_col=order_col)
+    merged = upsert_by_key(
+        target,
+        delta.select(*[quoted_col(c).alias(c) for c in target.columns]),
+        keys, order_col=order_col)
     tmp = path + ".__merge_tmp__"
     merged.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(path)
