@@ -52,3 +52,26 @@ def test_oracle_keys_table_is_regenerated_not_hand_edited():
     assert TABLE_MARKER in text, "generation marker missing"
     committed = text.split(TABLE_MARKER, 1)[1].lstrip("\n")
     assert committed == render_keys_table(REPO)
+
+
+def test_gate_window_fronts_every_at_bound_key():
+    """PROSPECTIVE staleness guard (round-11): the audit tool flags the
+    <=4-round staleness bound only AFTER it is exceeded; this test fails
+    BEFORE — any key whose latest signature is 3+ rounds behind the
+    newest artifact (it would hit the bound if this round's window
+    skipped it) must sit in the current gate window.  Automates the
+    "front the stale keys in _GATE_FRONT" round-start task the last
+    three verdicts assigned by hand."""
+    from audit_scorecard import artifact_keys, signed_rounds
+
+    keys = registry_keys(REPO)
+    window = set(keys[:GATE_WINDOW])
+    signed = signed_rounds(REPO)
+    arts = artifact_keys(REPO)
+    newest = max(arts)
+    must_front = {k for k, rounds in signed.items()
+                  if k in set(keys) and rounds[-1] <= newest - 3}
+    missing = sorted(must_front - window)
+    assert not missing, (
+        f"{len(missing)} keys hit the staleness bound unless this round's "
+        f"window signs them — add to _GATE_FRONT: {missing}")
