@@ -8151,6 +8151,64 @@ FROM monthly
 # CORRECTNESS artifact rotate to the front; with 68 unsigned keys, round 5
 # signs 50 of them and round 6 the rest.  ORACLE_KEYS.md carries the full
 # key -> (round introduced, signed-where) inventory.
+def q_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-dedup REMOVAL (extensions/dedup.py:
+    remove_duplicated_spans, Lee et al. ACL '22): rewrite every document
+    dropping the tokens inside cross-doc duplicated word 4-grams — the
+    ACTION counterpart to substring_dedup's audit (first occurrence
+    keeps its text, verbatim copies rewrite to '', boilerplate spans
+    vanish from otherwise-novel documents).  Gram-keyed window for the
+    min owner (the audit's exchange shape), per-doc sorted dup-position
+    arrays, in-row HOF rebuild; multiplicity-collapsed.  No reference
+    analog — LLM-pipeline brief surface."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        remove_duplicated_spans,
+    )
+    return remove_duplicated_spans(_t(spark, sf_dir, "documents"),
+                                   n=SUBSTR_N)
+
+
+ORACLE_SUBSTRING_REMOVAL = f"""
+WITH base AS (
+  SELECT doc_id, {DUCK_TOKS} AS toks,
+         CASE WHEN trim(text, {DUCK_WS}) = '' THEN 0
+              ELSE len({DUCK_TOKS}) END AS n
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+gstruct AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - {SUBSTR_N} + 2),
+            i -> struct_pack(gpos := CAST(i - 1 AS INTEGER),
+                             gram := array_to_string(
+                                 toks[i:i + {SUBSTR_N - 1}], ' ')))) AS g
+  FROM base WHERE n >= {SUBSTR_N}
+),
+grams AS (SELECT doc_id, g.gpos AS gpos, g.gram AS gram FROM gstruct),
+owners AS (SELECT gram, MIN(doc_id) AS owner FROM grams GROUP BY 1),
+dups AS (
+  SELECT g.doc_id, list(g.gpos ORDER BY g.gpos) AS dl
+  FROM grams g JOIN owners o USING (gram)
+  WHERE o.owner < g.doc_id
+  GROUP BY 1
+),
+rebuilt AS (
+  SELECT b.doc_id, b.n,
+         list_filter(b.toks, (x, i) ->
+           len(list_filter(COALESCE(d.dl, []),
+               p -> p >= i - 1 - {SUBSTR_N - 1} AND p <= i - 1)) = 0)
+             AS kept
+  FROM base b LEFT JOIN dups d USING (doc_id)
+)
+SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE n - len(kept) END AS INTEGER)
+           AS n_removed,
+       CASE WHEN n = 0 THEN ''
+            ELSE COALESCE(array_to_string(kept, ' '), '') END
+           AS clean_text
+FROM rebuilt
+"""
+
+
 def q_fulfillment_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sweep-line interval concurrency (extensions/analytics.py:
     interval_concurrency): per day, how many order lines were IN
@@ -8248,6 +8306,9 @@ _GATE_CHANGED = [
     # (r08-stale) to the round-12 pad
     "fulfillment_concurrency",
     "rfm_features",
+    # NEW key r11 (third batch): Lee et al. exact substring-dedup
+    # REMOVAL — displaces image_resize (r08-stale) to the round-12 pad
+    "substring_removal",
     # impl changed r11 (ADVICE): NaN coordinates dropped via explicit
     # isnan guard, mirrored in the oracle
     "jl_projection",
@@ -8281,9 +8342,9 @@ _GATE_PAD = [
     "sessionization", "sliding_window", "top_revenue_orders",
     "train_test_split", "tumbling_window", "value_anomalies",
     "vendor_summary", "zone_summary",
-    # next-stalest: last signed r08 (alphabetically first 18 of 47; the
-    # remaining 29 — jsonl_roundtrip, k_anonymity_audit, kmv_distinct,
-    # l_diversity_audit, langid_confusion,
+    # next-stalest: last signed r08 (alphabetically first 17 of 47; the
+    # remaining 30 — image_resize, jsonl_roundtrip, k_anonymity_audit,
+    # kmv_distinct, l_diversity_audit, langid_confusion,
     # lsh_recall, markup_strip, minhash_vs_index, next_token_model,
     # profile_orders, quality_metrics, quality_scores,
     # range_join_incidents, scd2_history, set_ops, silver_clean,
@@ -8296,7 +8357,7 @@ _GATE_PAD = [
     "cluster_canonical_best", "collocations", "corpus_shuffle",
     "cross_source_dupes", "decontamination", "dedup_rate_by_source",
     "doc_chunks", "embedding_quantize", "frame_sample",
-    "generalization_ladder", "image_resize",
+    "generalization_ladder",
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost
@@ -8463,6 +8524,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_growth": q_revenue_growth,
         "fulfillment_concurrency": q_fulfillment_concurrency,
         "rfm_features": q_rfm_features,
+        "substring_removal": q_substring_removal,
         "daily_gapfill": q_daily_gapfill,
         "value_anomalies": q_value_anomalies,
         "pii_redact": q_pii_redact,
@@ -8635,6 +8697,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_growth": ORACLE_REVENUE_GROWTH,
         "fulfillment_concurrency": ORACLE_FULFILLMENT_CONCURRENCY,
         "rfm_features": ORACLE_RFM_FEATURES,
+        "substring_removal": ORACLE_SUBSTRING_REMOVAL,
         "daily_gapfill": ORACLE_DAILY_GAPFILL,
         "value_anomalies": ORACLE_VALUE_ANOMALIES,
         "pii_redact": ORACLE_PII_REDACT,

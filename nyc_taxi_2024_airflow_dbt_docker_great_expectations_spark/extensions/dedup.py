@@ -1443,3 +1443,121 @@ def probe_minhash_index(new: DataFrame, table_prefix: str,
             "jaccard",
         )
     )
+
+
+def remove_duplicated_spans(df: DataFrame, n: int = 4,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Exact substring-dedup REMOVAL (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL '22) — the action counterpart
+    to :func:`duplicated_ngram_stats`' audit: rewrite each document with
+    every token DROPPED that sits inside a word ``n``-gram whose first
+    corpus occurrence (min ``id_col``) is an EARLIER document.  The first
+    occurrence keeps its text; boilerplate, quoted passages, and verbatim
+    copies lose exactly the repeated spans (a full verbatim copy rewrites
+    to the empty string) — the transform that cuts memorization without
+    discarding the novel remainder of a document.
+
+    Semantics: a token at 0-based position ``t`` is removed iff some
+    gram start ``p`` in ``[t-n+1, t]`` is cross-doc duplicated
+    (``owner < id``).  Within-doc repeats are NOT removed (their owner
+    is the document itself).  Output text is the space-joined surviving
+    tokens (whitespace normalized — the same convention for untouched
+    documents, so the contract is uniform).  Documents with NULL id or
+    text are dropped; documents shorter than ``n`` tokens pass through
+    with zero removals.
+
+    Plan shape: gram explode with positions (posting volume) -> ONE
+    gram-keyed window exchange for the min owner (identical shape to the
+    audit) -> duplicated positions collected per doc (second, id-keyed
+    exchange; the array is sorted IN-ROW so collect order can't leak) ->
+    broadcast-free id join back to the documents -> per-row HOF rebuild
+    (filter-with-index + exists over the dup-position array; per-doc
+    work O(tokens x dup_positions), document-local).  Multiplicity
+    collapse: only group reps push gram mass through the window; a
+    non-rep verbatim copy expands to clean_text '' (every position
+    covered) without touching its text — value-identical to the
+    uncollapsed computation, same argument as the audit's.
+
+    Returns ``(id_col, n_tokens int, n_removed int, clean_text)``.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    base = df.filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+    tagged = materialize_once(
+        rep_tags(base.select(F.col(id_col), F.col(text_col)),
+                 text_col, id_col)
+    )
+    reps = tagged.filter(F.col(id_col) == F.col("__rep"))
+    toks = tokens(text_col)
+    n_toks = token_count(text_col)
+    gram_structs = F.when(
+        n_toks >= n,
+        F.transform(
+            F.sequence(F.lit(0), n_toks - n),
+            lambda i: F.struct(
+                i.alias("gpos"),
+                F.concat_ws(" ", F.slice(toks, i + 1, n)).alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<gpos:int,gram:string>>"))
+    grams = reps.select(
+        F.col(id_col), F.explode(gram_structs).alias("__g")
+    ).select(id_col, F.col("__g.gpos").alias("gpos"),
+             F.col("__g.gram").alias("gram"))
+    from pyspark.sql import Window
+
+    owner = F.min(id_col).over(Window.partitionBy("gram"))
+    dup_pos = (
+        grams.withColumn("__owner", owner)
+        .filter(F.col("__owner") < F.col(id_col))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("gpos")).alias("__dups"))
+    )
+    rep_clean = (
+        reps.join(dup_pos, id_col, "left")
+        .withColumn("__dups", F.coalesce(
+            F.col("__dups"), F.array().cast("array<int>")))
+        .select(
+            F.col(id_col).alias("__rep_id"),
+            n_toks.cast("int").alias("n_tokens"),
+            F.filter(
+                toks,
+                lambda x, i: ~F.exists(
+                    F.col("__dups"),
+                    lambda p: (p >= i - (n - 1)) & (p <= i),
+                ),
+            ).alias("__kept"),
+        )
+        .select(
+            "__rep_id", "n_tokens",
+            # blank docs: split('') yields [''] so size(kept)=1 while
+            # n_tokens=0 — pin both outputs to the empty-document case
+            F.when(F.col("n_tokens") == 0, F.lit(0))
+            .otherwise(F.col("n_tokens") - F.size("__kept")).cast("int")
+            .alias("n_removed"),
+            F.when(F.col("n_tokens") == 0, F.lit(""))
+            .otherwise(F.concat_ws(" ", F.col("__kept")))
+            .alias("clean_text"),
+        )
+    )
+    # member expansion: a verbatim copy's every gram is owned by its rep
+    # (owner <= rep < member), so all n_tokens positions are covered when
+    # the doc has grams at all; shorter-than-n docs have no grams and
+    # pass through (their clean_text equals the rep's, same text)
+    return (
+        tagged.select(F.col("__rep"), F.col(id_col).alias("__member"))
+        .join(rep_clean, F.col("__rep") == F.col("__rep_id"))
+        .select(
+            F.col("__member").alias(id_col),
+            F.col("n_tokens"),
+            F.when(F.col("__member") == F.col("__rep"), F.col("n_removed"))
+            .otherwise(F.when(F.col("n_tokens") >= n, F.col("n_tokens"))
+                       .otherwise(F.lit(0)).cast("int"))
+            .alias("n_removed"),
+            F.when(F.col("__member") == F.col("__rep"), F.col("clean_text"))
+            .otherwise(F.when(F.col("n_tokens") >= n, F.lit(""))
+                       .otherwise(F.col("clean_text")))
+            .alias("clean_text"),
+        )
+    )

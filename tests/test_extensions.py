@@ -2381,3 +2381,40 @@ def test_kmv_set_ops_exact_below_k_and_estimates(spark):
     assert 100.0 <= small["est_union"] <= 260.0  # coarse but sane at k=32
     with pytest.raises(ValueError):
         kmv_set_ops(a, b, "v", k=1)
+
+
+def test_remove_duplicated_spans_semantics(spark):
+    """Lee et al. exact substring removal: the first corpus occurrence
+    keeps its text, a verbatim copy rewrites to '', an embedded
+    duplicated gram loses exactly its span, sub-n docs pass through,
+    WITHIN-doc repeats are not removed, blank docs are stable."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.dedup import (
+        remove_duplicated_spans,
+    )
+    import pytest
+
+    rows = [
+        (1, "a b c d e f"),            # first occurrence: untouched
+        (2, "a b c d e f"),            # verbatim copy -> ''
+        (3, "x y a b c d z w"),        # embedded dup gram -> "x y z w"
+        (4, "p q r"),                  # < n tokens: pass through
+        (5, "a b c d"),                # exactly the dup gram -> ''
+        (6, "m n o p m n o p"),        # within-doc repeat: NOT removed
+        (7, ""),                       # blank: stable zeros
+        (None, "a b c d"),             # NULL id: dropped
+        (8, None),                     # NULL text: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+           for r in remove_duplicated_spans(df, n=4).collect()}
+    assert out == {
+        1: (6, 0, "a b c d e f"),
+        2: (6, 6, ""),
+        3: (8, 4, "x y z w"),
+        4: (3, 0, "p q r"),
+        5: (4, 4, ""),
+        6: (8, 0, "m n o p m n o p"),
+        7: (0, 0, ""),
+    }
+    with pytest.raises(ValueError):
+        remove_duplicated_spans(df, n=0)

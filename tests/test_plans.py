@@ -596,3 +596,11 @@ def test_round11_addition_plan_shapes(spark):
     rfm = _plan(qs["rfm_features"](spark, SF))
     assert rfm.count("BroadcastNestedLoopJoin") <= 1  # the scalar anchor
     assert "CartesianProduct" not in rfm and "Window" not in rfm
+
+    # substring_removal: gram-keyed window (the audit's exchange shape) +
+    # hash joins; the HOF rebuild stays in codegen — no Python eval, no
+    # nested loops
+    sr = _plan(qs["substring_removal"](spark, SF))
+    assert "Window" in sr and "CartesianProduct" not in sr
+    assert "BroadcastNestedLoopJoin" not in sr
+    assert "BatchEvalPython" not in sr and "ArrowEvalPython" not in sr
