@@ -4510,8 +4510,9 @@ def q_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     RNG.  min_dist_sq is the coverage-radius sequence (NULL for the
     seed).  At k=8 the materialize=None default picks the running-min
     variant (carried __dmin updated against only the newest center,
-    localCheckpoint-truncated — measured 2.22 s vs 3.98 s stateless at
-    sf0.1, tools/kcenter_crossover.py); trajectory is bit-identical to
+    lazily persisted per round with a depth-capped localCheckpoint cut —
+    measured ~1.7 s warm / 1.8 s cold vs 3.98 s stateless at sf0.1,
+    round-12 panel in MEASUREMENTS.md); trajectory is bit-identical to
     the stateless form (property-tested).  The oracle replays the same
     trajectory as an unrolled CTE chain (same left-fold distance, same
     (dist DESC, id ASC) argmax); no reference analog — LLM-pipeline
@@ -8282,82 +8283,244 @@ FROM per_user CROSS JOIN anchor
 """
 
 
-# Round-11 rotation (freshness maintenance — `tools/audit_scorecard.py`
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority winsorized mean of order value
+    (extensions/analytics.py:winsorized_mean) — robust statistics for
+    metric pipelines: clamp to the exact [p05, p95] percentile band,
+    then average, so a handful of outliers cannot drag the group mean.
+    Two passes: the bounds come from the streaming partitioned-window
+    percentile (<= 2 rows kept per quantile per group), broadcast back
+    onto the fact scan; both means are integer-unit exact sums.  No
+    reference analog — LLM-pipeline robust-metrics surface."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        winsorized_mean,
+    )
+    return winsorized_mean(_t(spark, sf_dir, "orders"), "o_orderpriority",
+                           "o_totalprice", lo=0.05, hi=0.95)
+
+
+ORACLE_WINSORIZED_STATS = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_items
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+b AS (
+  SELECT o_orderpriority, n_items,
+         MAX(CASE WHEN rn = CAST(floor(0.05 * (n_items - 1)) AS BIGINT) + 1
+                  THEN o_totalprice END) AS vll,
+         MAX(CASE WHEN rn = CAST(floor(0.05 * (n_items - 1)) AS BIGINT) + 2
+                  THEN o_totalprice END) AS vlh,
+         MAX(CASE WHEN rn = CAST(floor(0.95 * (n_items - 1)) AS BIGINT) + 1
+                  THEN o_totalprice END) AS vhl,
+         MAX(CASE WHEN rn = CAST(floor(0.95 * (n_items - 1)) AS BIGINT) + 2
+                  THEN o_totalprice END) AS vhh
+  FROM ranked GROUP BY 1, 2
+),
+bounds AS (
+  SELECT o_orderpriority, n_items,
+         vll + (COALESCE(vlh, vll) - vll)
+             * (0.05 * (n_items - 1) - floor(0.05 * (n_items - 1))) AS p_lo,
+         vhl + (COALESCE(vhh, vhl) - vhl)
+             * (0.95 * (n_items - 1) - floor(0.95 * (n_items - 1))) AS p_hi
+  FROM b
+),
+agg AS (
+  SELECT o.o_orderpriority, bd.n_items, bd.p_lo, bd.p_hi,
+         CAST(SUM(CAST(floor(o.o_totalprice * 10000.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 10000.0 AS sraw,
+         CAST(SUM(CAST(floor(least(greatest(o.o_totalprice, bd.p_lo),
+                                   bd.p_hi) * 10000.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 10000.0 AS swin
+  FROM orders o JOIN bounds bd USING (o_orderpriority)
+  WHERE o.o_totalprice IS NOT NULL
+  GROUP BY 1, 2, 3, 4
+)
+SELECT o_orderpriority, n_items, p_lo, p_hi,
+       sraw / CAST(n_items AS DOUBLE) AS raw_mean,
+       swin / CAST(n_items AS DOUBLE) AS win_mean
+FROM agg
+"""
+
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers
+    (extensions/analytics.py:gini_concentration) — the inequality gauge
+    a pipeline runs on revenue-per-customer / tokens-per-source /
+    examples-per-label to quantify distribution skew (0 = uniform,
+    -> 1 = one entity holds everything).  Per-customer revenue sums in
+    exact integer 1e-4 units; the global value rank is the two-phase
+    range prefix sum (packing.py:global_rank — ONE range exchange,
+    O(partitions) driver rows, never an unpartitioned window); the
+    sort-based identity (2*S1 - (n+1)*S0)/(n*S0) finishes from two exact
+    DECIMAL sums.  No reference analog — LLM-pipeline distribution-health
+    surface."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        gini_concentration,
+    )
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * F.lit(10000.0)
+                           + F.lit(0.5)).cast("long")).alias("units"))
+    )
+    return gini_concentration(per_cust, "units", "o_custkey").select(
+        "n_entities",
+        F.col("total_units").alias("total_revenue"),
+        "gini",
+    )
+
+
+ORACLE_REVENUE_GINI = """
+WITH pc AS (
+  SELECT o_custkey,
+         SUM(CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT)) AS units
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+),
+r AS (
+  SELECT units,
+         ROW_NUMBER() OVER (ORDER BY units, o_custkey) AS rk
+  FROM pc WHERE units IS NOT NULL
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_entities,
+         SUM(CAST(units AS HUGEINT)) AS s0,
+         SUM(CAST(rk AS HUGEINT) * CAST(units AS HUGEINT)) AS s1
+  FROM r
+)
+SELECT n_entities,
+       CAST(s0 AS DOUBLE) / 10000.0 AS total_revenue,
+       CASE WHEN n_entities = 0 OR s0 = 0 THEN NULL
+            ELSE (2.0 * CAST(s1 AS DOUBLE)
+                  - (CAST(n_entities AS DOUBLE) + 1.0) * CAST(s0 AS DOUBLE))
+                 / (CAST(n_entities AS DOUBLE) * CAST(s0 AS DOUBLE))
+       END AS gini
+FROM s
+"""
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token-frequency distribution
+    (extensions/analytics.py:zipf_fit) — vocabulary-health gauge for LLM
+    data: OLS slope of ln(freq) on ln(rank) (natural text ~ -1; toward 0
+    = boilerplate flood, past -2 = nuked long tail).  Tokenization is
+    the SHARED whitespace tokenizer (text.py:tokens — same expression as
+    vocab_build); the frequency rank is the two-phase range prefix sum,
+    never an unpartitioned window; ln values quantize to exact integer
+    micro-units (the dsir_weights recipe) so the sufficient-statistic
+    sums are engine- and order-exact.  No reference analog —
+    LLM-pipeline corpus-statistics surface."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        zipf_fit,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        tokens,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    return zipf_fit(freq)
+
+
+ORACLE_ZIPF_SLOPE = f"""
+WITH toks AS (
+  SELECT unnest({DUCK_TOKS}) AS term FROM documents
+),
+counts AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM toks
+  WHERE term <> '' GROUP BY 1
+),
+r AS (
+  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term) AS rk FROM counts
+),
+q AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000.0 + 0.5)
+                       AS BIGINT)) AS DOUBLE) / 1000000.0 AS sx,
+         CAST(SUM(CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000.0 + 0.5)
+                       AS BIGINT)) AS DOUBLE) / 1000000.0 AS sy,
+         CAST(SUM(CAST(floor((ln(CAST(rk AS DOUBLE)) * ln(CAST(f AS DOUBLE)))
+                             * 1000000.0 + 0.5)
+                       AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxy,
+         CAST(SUM(CAST(floor((ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE)))
+                             * 1000000.0 + 0.5)
+                       AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxx
+  FROM r
+)
+SELECT n_types,
+       CASE WHEN (CAST(n_types AS DOUBLE) * sxx - sx * sx) = 0 THEN NULL
+            ELSE (CAST(n_types AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n_types AS DOUBLE) * sxx - sx * sx) END AS slope,
+       CASE WHEN (CAST(n_types AS DOUBLE) * sxx - sx * sx) = 0 THEN NULL
+            ELSE (sy - ((CAST(n_types AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n_types AS DOUBLE) * sxx - sx * sx)) * sx)
+                 / CAST(n_types AS DOUBLE) END AS intercept
+FROM q
+"""
+
+
+# Round-12 rotation (freshness maintenance — `tools/audit_scorecard.py`
 # prints the latest-green-signature distribution these lists are built
 # from; a pytest asserts the composed scorecard stays consistent).  The
-# window fronts (a) the four NEW round-11 keys (first signatures), (b)
-# the seven keys whose implementation changed this round (round-10
-# ADVICE fixes + the registry-wide nested-loop-invariant refactors), (c)
-# ALL 18 r07-stale keys (they hit the audit tool's <=4-round staleness
-# bound exactly at r11 — the round-10 verdict's task 1), (d) the
-# alphabetically first 20 of the 47 r08-stale keys.  The remaining 27
-# r08 keys carry to round 12, where they hit the bound and must all be
-# fronted (27 + lead + r12 changes fits the 50 window).
+# window fronts (a) the three NEW round-12 keys (first signatures), (b)
+# the keys whose implementation changed this round (round-11 ADVICE
+# fixes + the kcenter round-state rework), (c) ALL 30 r08-stale keys
+# named by the prospective fronting guard at round-11 handoff (they hit
+# the <=4-round bound exactly at r12), (d) the alphabetically first
+# r09-stale keys that still fit.  The remaining r09 keys carry to round
+# 13, where they hit the bound and must all be fronted.
 _GATE_CHANGED = [
-    # NEW keys r11: Gopher rule filter (Rae et al. 2021), temporal
-    # train/embargo/test split, KMV set algebra (Beyer et al. 2007),
-    # MoM revenue growth (LAG) — need their first driver signatures
-    "gopher_rules",
-    "temporal_split",
-    "kmv_set_ops",
-    "revenue_growth",
-    # NEW keys r11 (second batch): sweep-line interval concurrency, RFM
-    # feature block — displace jsonl_roundtrip / k_anonymity_audit
-    # (r08-stale) to the round-12 pad
-    "fulfillment_concurrency",
-    "rfm_features",
-    # NEW key r11 (third batch): Lee et al. exact substring-dedup
-    # REMOVAL — displaces image_resize (r08-stale) to the round-12 pad
-    "substring_removal",
-    # impl changed r11 (ADVICE): NaN coordinates dropped via explicit
-    # isnan guard, mirrored in the oracle
-    "jl_projection",
-    # impl changed r11 (ADVICE): refuses snapshots with drifted column
-    # sets instead of silently reporting asymmetric-column diffs as
-    # unchanged
-    "snapshot_diff",
-    # impl changed r11 (ADVICE): upsert_by_key grew the order_col
-    # version gate + backtick-quoted (dot-safe) column refs; the default
-    # no-order_col path this query exercises is logically unchanged
+    # NEW keys r12: robust winsorized group means, revenue-concentration
+    # Gini over the distributed global rank, Zipf vocabulary-health fit
+    # — need their first driver signatures
+    "winsorized_stats",
+    "revenue_gini",
+    "zipf_slope",
+    # impl changed r12 (ADVICE): upsert_by_key's version gate now routes
+    # NULL-key delta rows AROUND the groupBy so gated/ungated modes agree
+    # on NULL-key multiplicity; the no-order_col path this query
+    # exercises is logically unchanged
     "merge_upsert",
-    # impl changed r11 (nested-loop invariant): the two filtered 1-row
-    # sides + crossJoin collapsed into ONE conditional 4-scalar
-    # aggregate (values identical, plan provably bounded)
-    "ab_test",
-    # impl changed r11 (nested-loop invariant): label-dim inequality
-    # join -> literal label-array explode
+    # impl changed r12 (ADVICE): the label-vocabulary collect is bounded
+    # by code (limit(max_labels+1) + raise), not by assumption
     "hard_negatives",
-    # impl changed r11 (nested-loop invariant): the 1-row stats table is
-    # re-aggregated at read so the scalar broadcast is plan-provable;
-    # both queries consume probe_bm25_index
+    # impl changed r12 (ADVICE): the probe's 1-row stats re-aggregation
+    # filters its all-NULL empty-input row, so a corrupt/empty stats
+    # table yields an empty probe instead of NULL scores; both queries
+    # consume probe_bm25_index
     "bm25_vs_index",
     "hybrid_rrf",
+    # impl possibly changed r12 (verdict task 3): kcenter_select
+    # materialization strategy under measurement — front it so whatever
+    # lands gets a fresh signature either way
+    "coreset_select",
 ]
 
 _GATE_PAD = [
-    # stalest: last signed r07 — ALL 18 hit the <=4-round bound at r11
-    "moving_avg", "ols_trend", "payment_summary", "pivot_status_by_year",
-    "price_qty_corr", "price_quartiles", "regional_revenue",
-    "repetition_scores", "rollup_summary", "salted_skew_join",
-    "sessionization", "sliding_window", "top_revenue_orders",
-    "train_test_split", "tumbling_window", "value_anomalies",
-    "vendor_summary", "zone_summary",
-    # next-stalest: last signed r08 (alphabetically first 17 of 47; the
-    # remaining 30 — image_resize, jsonl_roundtrip, k_anonymity_audit,
-    # kmv_distinct, l_diversity_audit, langid_confusion,
-    # lsh_recall, markup_strip, minhash_vs_index, next_token_model,
-    # profile_orders, quality_metrics, quality_scores,
-    # range_join_incidents, scd2_history, set_ops, silver_clean,
-    # skew_profile, stateful_sessions, stratified_sample, stream_dedup,
-    # stream_enrich, stream_interval_join, text_stats, tfidf_terms,
-    # topk_orders, training_corpus, unique_check, urgent_customers,
-    # watermark_filter — carry to the r12 pad, at the bound there)
-    "audio_meta", "bigram_novelty", "binary_meta", "bpe_encode",
-    "bpe_sequence_pack", "cdc_chunks", "cdc_dedup_stats",
-    "cluster_canonical_best", "collocations", "corpus_shuffle",
-    "cross_source_dupes", "decontamination", "dedup_rate_by_source",
-    "doc_chunks", "embedding_quantize", "frame_sample",
-    "generalization_ladder",
+    # stalest: last signed r08 — ALL 30 hit the <=4-round bound at r12
+    # (named by the prospective fronting guard at round-11 handoff)
+    "image_resize", "jsonl_roundtrip", "k_anonymity_audit",
+    "kmv_distinct", "l_diversity_audit", "langid_confusion",
+    "lsh_recall", "markup_strip", "minhash_vs_index", "next_token_model",
+    "profile_orders", "quality_metrics", "quality_scores",
+    "range_join_incidents", "scd2_history", "set_ops", "silver_clean",
+    "skew_profile", "stateful_sessions", "stratified_sample",
+    "stream_dedup", "stream_enrich", "stream_interval_join",
+    "text_stats", "tfidf_terms", "topk_orders", "training_corpus",
+    "unique_check", "urgent_customers", "watermark_filter",
+    # next-stalest: last signed r09 (alphabetically first 14 of 43; the
+    # rest carry to the r13 pad, where they hit the bound)
+    "ann_recall", "bloom_decontamination", "bm25_search", "bpe_train",
+    "cms_topk", "containment_dedup", "cooccurrence_lift",
+    "curriculum_order", "decayed_engagement", "event_transitions",
+    "exact_quantiles",
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost
@@ -8524,6 +8687,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_growth": q_revenue_growth,
         "fulfillment_concurrency": q_fulfillment_concurrency,
         "rfm_features": q_rfm_features,
+        "winsorized_stats": q_winsorized_stats,
+        "revenue_gini": q_revenue_gini,
+        "zipf_slope": q_zipf_slope,
         "substring_removal": q_substring_removal,
         "daily_gapfill": q_daily_gapfill,
         "value_anomalies": q_value_anomalies,
@@ -8697,6 +8863,9 @@ def oracle_sql() -> dict[str, str]:
         "revenue_growth": ORACLE_REVENUE_GROWTH,
         "fulfillment_concurrency": ORACLE_FULFILLMENT_CONCURRENCY,
         "rfm_features": ORACLE_RFM_FEATURES,
+        "winsorized_stats": ORACLE_WINSORIZED_STATS,
+        "revenue_gini": ORACLE_REVENUE_GINI,
+        "zipf_slope": ORACLE_ZIPF_SLOPE,
         "substring_removal": ORACLE_SUBSTRING_REMOVAL,
         "daily_gapfill": ORACLE_DAILY_GAPFILL,
         "value_anomalies": ORACLE_VALUE_ANOMALIES,

@@ -475,3 +475,149 @@ def rfm_features(orders: DataFrame, user_col: str = "o_custkey",
             "frequency", "monetary", "last_order_date",
         )
     )
+
+
+def winsorized_mean(df: DataFrame, group_col: str, val_col: str,
+                    lo: float = 0.05, hi: float = 0.95,
+                    scale: int = 4) -> DataFrame:
+    """Per-group winsorized mean — the robust-statistics step a metrics
+    or reward-model pipeline runs so a handful of fat-finger outliers
+    cannot drag a group mean (clamp to the [p_lo, p_hi] percentile band,
+    then average).
+
+    Two passes, both scale-safe: pass 1 computes the exact per-group
+    percentile bounds via :func:`groupwise_percentile_cont` (streaming
+    partitioned window, <= 2 rows kept per quantile per group); pass 2
+    broadcast-joins the |groups|-row bounds table back and aggregates the
+    clamped values — the fact table is scanned twice and never shuffled
+    beyond the two group-keyed aggregates.
+
+    Determinism: the bounds use the ANSI interpolation chain the oracle
+    mirrors; the clamp is least/greatest (exact); both means are
+    integer-unit exact sums (:func:`_unit_sum`) divided by the count in
+    one IEEE step.  NULL values are excluded (percentiles already ignore
+    them; counting them in the mean would disagree with AVG semantics).
+
+    Returns ``(group_col, n_items, p_lo, p_hi, raw_mean, win_mean)``.
+    """
+    bounds = groupwise_percentile_cont(df, group_col, val_col,
+                                       {"p_lo": lo, "p_hi": hi})
+    base = df.filter(F.col(val_col).isNotNull()).select(group_col, val_col)
+    j = base.join(F.broadcast(bounds), group_col)
+    v = F.col(val_col).cast("double")
+    clamped = F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi"))
+    agg = j.groupBy(group_col, "n_items", "p_lo", "p_hi").agg(
+        _unit_sum(v, scale).alias("__sraw"),
+        _unit_sum(clamped, scale).alias("__swin"),
+    )
+    n = F.col("n_items").cast("double")
+    return agg.select(
+        group_col, "n_items", "p_lo", "p_hi",
+        (F.col("__sraw") / n).alias("raw_mean"),
+        (F.col("__swin") / n).alias("win_mean"),
+    )
+
+
+def gini_concentration(df: DataFrame, unit_col: str, id_col: str,
+                       unit_scale: int = 4) -> DataFrame:
+    """Gini coefficient of a non-negative per-entity measure already
+    expressed in INTEGER units (``unit_col``, e.g. money at 10^-4
+    precision) — the concentration/inequality gauge a data pipeline runs
+    on revenue-per-customer, tokens-per-source, or examples-per-label to
+    quantify how skewed a distribution is (0 = uniform, -> 1 = one
+    entity holds everything).
+
+    Sort-based identity ``G = (2*S1 - (n+1)*S0) / (n*S0)`` with
+    ``S1 = sum(rank_i * x_i)`` under ascending (value, id) order.  The
+    global rank comes from :func:`packing.global_rank` (two-phase range
+    prefix sum — ONE range exchange, O(partitions) driver rows), never an
+    unpartitioned window: ranking a billion entities must not serialize
+    into a single task.
+
+    Determinism: integer units make S0/S1 exact DECIMAL(38,0) sums under
+    any shuffle order; the finish is one fixed IEEE chain on doubles the
+    SQL oracle mirrors.  NULL units/ids are excluded (they cannot be
+    ranked); an empty input yields NULL gini.
+
+    Returns one row: ``(n_entities, total_units, gini)``.
+    """
+    from .packing import global_rank
+
+    pts = df.filter(F.col(unit_col).isNotNull() & F.col(id_col).isNotNull())
+    ranked, _n = global_rank(
+        pts.select(F.col(id_col).alias("__id"),
+                   F.col(unit_col).cast("long").alias("__x")),
+        [F.col("__x").asc(), F.col("__id").asc()],
+        out_col="__r",
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        F.sum(F.col("__x").cast("decimal(38,0)")).alias("__s0"),
+        F.sum((F.col("__r") * F.col("__x")).cast("decimal(38,0)"))
+        .alias("__s1"),
+    )
+    nd = F.col("n_entities").cast("double")
+    s0 = F.col("__s0").cast("double")
+    s1 = F.col("__s1").cast("double")
+    gini = (F.lit(2.0) * s1 - (nd + F.lit(1.0)) * s0) / (nd * s0)
+    return agg.select(
+        "n_entities",
+        (s0 / F.lit(float(10 ** unit_scale))).alias("total_units"),
+        F.when((F.col("n_entities") == 0) | (F.col("__s0") == 0),
+               F.lit(None).cast("double")).otherwise(gini).alias("gini"),
+    )
+
+
+def zipf_fit(freq: DataFrame, term_col: str = "term",
+             freq_col: str = "n_occurrences") -> DataFrame:
+    """Zipf's-law fit over a term-frequency table: OLS slope/intercept of
+    ``ln(freq)`` on ``ln(rank)`` with rank = 1-based position under
+    (freq DESC, term ASC) — the vocabulary-health gauge for an LLM
+    corpus (natural text sits near slope -1; a slope collapsing toward 0
+    flags boilerplate floods, one near -2 flags a nuked long tail).
+
+    The global frequency rank uses :func:`packing.global_rank` (range
+    prefix sum), never an unpartitioned window — a 100 M-type vocabulary
+    must not rank in one task.  The regression is the sufficient-
+    statistics closed form over per-row ``ln`` values quantized to
+    integer MICRO-units (floor(v*1e6+0.5), the dsir_weights recipe:
+    per-row libm ln agrees across engines at micro precision, and the
+    quantized sums are exact under any order).
+
+    Returns one row: ``(n_types, slope, intercept)`` (NULL fit when
+    fewer than 2 types).
+    """
+    from .packing import global_rank
+
+    ranked, _n = global_rank(
+        freq.select(F.col(term_col).alias("__t"),
+                    F.col(freq_col).cast("long").alias("__f")),
+        [F.col("__f").desc(), F.col("__t").asc()],
+        out_col="__r",
+    )
+    x = F.log(F.col("__r").cast("double"))
+    y = F.log(F.col("__f").cast("double"))
+
+    def micro(expr):
+        return (F.sum(F.floor(expr * F.lit(1e6) + F.lit(0.5))
+                      .cast("long").cast("decimal(38,0)"))
+                .cast("double") / F.lit(1e6))
+
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        micro(x).alias("__sx"),
+        micro(y).alias("__sy"),
+        micro(x * y).alias("__sxy"),
+        micro(x * x).alias("__sxx"),
+    )
+    nd = F.col("n_types").cast("double")
+    denom = nd * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = (nd * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / denom
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / nd
+    return agg.select(
+        "n_types",
+        F.when(denom == F.lit(0.0), F.lit(None).cast("double"))
+        .otherwise(slope).alias("slope"),
+        F.when(denom == F.lit(0.0), F.lit(None).cast("double"))
+        .otherwise(intercept).alias("intercept"),
+    )

@@ -218,9 +218,15 @@ def probe_bm25_index(spark, table_prefix: str, terms: tuple[str, ...],
     # the stats table IS one row, but re-aggregating it (max over 1 row ==
     # identity) makes the <=1-row property visible to the PLAN: the
     # crossJoin below is then provably a scalar broadcast, which the
-    # registry-wide nested-loop guard (tests/test_plans.py) enforces
+    # registry-wide nested-loop guard (tests/test_plans.py) enforces.
+    # A global agg over an EMPTY (corrupt) stats table yields one all-NULL
+    # row, which would silently propagate NULL scores — the isNotNull
+    # filter restores the pre-aggregation edge case (empty stats -> empty
+    # probe result) while keeping the <=1-row plan property.
     stats = spark.table(names["stats"]).agg(
-        F.max("n_docs").alias("n_docs"), F.max("sum_dl").alias("sum_dl"))
+        F.max("n_docs").alias("n_docs"),
+        F.max("sum_dl").alias("sum_dl"),
+    ).filter(F.col("n_docs").isNotNull())
     members = spark.table(names["members"])
     # df counts DOCUMENTS: each rep posting stands for `mult` copies
     dfs = posts.groupBy("term").agg(

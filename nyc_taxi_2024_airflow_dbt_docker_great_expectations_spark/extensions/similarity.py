@@ -274,17 +274,31 @@ def hard_negative_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     queries: (query_id, vec, label).  Exact, deterministic, linear-scan
     like ``cosine_topk`` — the verification baseline an ANN-backed miner
     would be checked against at scale.
+
+    NOTE: building the plan EAGERLY collects the distinct label vocabulary
+    (a Spark job fires at call time, and the labels are baked into the
+    plan as literals — a corpus mutated between plan-build and execution
+    keeps the stale vocabulary).  The collect is bounded BY CODE, not by
+    assumption: more than ``max_labels`` distinct labels raises instead of
+    pulling an unbounded vocabulary onto the driver — at that cardinality
+    "label" is not a class dimension and this exact miner is the wrong
+    tool (use an ANN-backed miner with a post-filter).
     """
     id_t = corpus.schema[id_col].dataType.simpleString()
     qid_t = queries.schema[query_id_col].dataType.simpleString()
     # bounded collect (label vocabulary, same class as the IVF centroid
-    # collect); NULL labels never satisfy `!=` so they are dropped here,
+    # collect) — limit(max_labels+1) caps the transfer BEFORE it reaches
+    # the driver; NULL labels never satisfy `!=` so they are dropped here,
     # exactly as the former join condition dropped them
-    label_vals = sorted(
-        r["__l"] for r in
-        corpus.select(F.col(label_col).alias("__l")).distinct().collect()
-        if r["__l"] is not None
-    )
+    max_labels = 10_000
+    rows = (corpus.select(F.col(label_col).alias("__l")).distinct()
+            .limit(max_labels + 1).collect())
+    if len(rows) > max_labels:
+        raise ValueError(
+            f"hard_negative_topk: >{max_labels} distinct values in "
+            f"{label_col!r} — not a class-like label dimension; refusing "
+            "to inline the vocabulary into the plan")
+    label_vals = sorted(r["__l"] for r in rows if r["__l"] is not None)
     cp = corpus.select(
         F.concat_ws(
             "|",
@@ -1331,20 +1345,25 @@ def kcenter_select(corpus: DataFrame, k: int = 8,
       write, read, or recover (an executor loss just recomputes).
     - ``materialize=True`` (default for k > 4): carries a running
       ``__dmin`` column, updated each round against only the NEWEST
-      center and truncated via an eager ``localCheckpoint`` — total
-      work O(k * dim) per row-scan unit plus k n-row materializations.
-      The checkpoint blocks live in executor storage until the context
-      cleaner GCs the dropped references; a lost executor requires
-      restarting the traversal (the trade for the k-fold fold saving).
+      center — total work O(k * dim) per row-scan unit.  Round state is
+      a LAZY per-round ``persist(MEMORY_AND_DISK)`` (materialized by the
+      same top-1 job — one job per round), with one eager
+      ``localCheckpoint`` every ``_KCENTER_CHAIN_CUT`` rounds to cut the
+      logical-plan depth (see :func:`_kcenter_rounds_materialized` for
+      the measured rationale).  Cached/checkpointed blocks live in
+      executor storage until unpersisted round-over-round; a lost
+      executor recomputes persisted rounds from lineage but requires a
+      restart if it held checkpoint blocks (the trade for the k-fold
+      fold saving).
 
     ``materialize=None`` picks by the measured crossover
     (tools/kcenter_crossover.py; sf0.1 = 60k x 64-dim, warm best-of-3,
-    stateless vs materialized): k=2 0.70/0.68 s, k=4 1.11/1.04 s,
-    k=6 1.77/1.29 s, k=8 3.98/2.22 s, k=16 12.2/4.67 s,
-    k=32 39.1/5.78 s, k=64 142.5/10.5 s — the O(k^2) fold cost
+    stateless vs materialized, round-12 hybrid): k=8 3.98/~1.7 s,
+    k=32 39.1/6.2 s, k=64 142.5/11.2 s — the O(k^2) fold cost
     dominates from k~6 up and the two forms are measurement noise
     apart below that, where the stateless form's operational purity
-    wins the tie.
+    wins the tie (MEASUREMENTS.md logs the full round-12 cold/warm
+    panel).
 
     Exactness: float->double widening is value-exact, the distance fold
     is the sequential left fold (matches DuckDB ``list_sum``), min/least
@@ -1412,28 +1431,57 @@ def kcenter_select(corpus: DataFrame, k: int = 8,
     return corpus.sparkSession.createDataFrame(picked, schema)
 
 
+# lineage-depth cap for _kcenter_rounds_materialized: how many per-round
+# persist() layers may stack before ONE localCheckpoint truncates the
+# chain.  Each round adds a filter+select pair; past ~32 stacked rounds
+# task/plan recursion overflows the JVM stack (measured: StackOverflowError
+# at k=32 with no truncation), so the cap must stay well below that.
+_KCENTER_CHAIN_CUT = 8
+
+
 def _kcenter_rounds_materialized(pts: DataFrame, k: int,
                                  picked: list, chosen: list) -> list:
     """The ``materialize=True`` round loop of :func:`kcenter_select`:
     carry a running ``__dmin`` (distance to the nearest chosen center)
     and update it each round against only the NEWEST center —
     O(k * dim) fold work per row-scan unit instead of the stateless
-    form's O(k^2 * dim).  Each round's frame is truncated with an eager
-    ``localCheckpoint`` so Catalyst never re-analyzes a k-deep lineage
-    (analysis alone would go O(k^2)); the trajectory is bit-identical to
-    the stateless form because min over finite doubles is associative
-    (``least(least(d1,d2),d3) == least(d1,least(d2,d3))``) and both
-    forms apply the same per-center distance fold.  Mutates and returns
-    ``picked``; extends ``chosen`` alongside."""
+    form's O(k^2 * dim).
+
+    Round state strategy (round-12, replacing eager per-round
+    ``localCheckpoint``): each round's frame is ``persist(
+    MEMORY_AND_DISK)`` — LAZY, so the same top-1 job that picks the next
+    center materializes it (one job per round, not two), and the
+    previous round's cache is unpersisted only after its successor is
+    materialized.  Every ``_KCENTER_CHAIN_CUT`` rounds one eager
+    ``localCheckpoint`` truncates the lineage: persist alone does not cut
+    the logical plan, and past ~32 stacked rounds plan recursion
+    overflows the JVM stack (measured), while checkpointing EVERY round
+    was the bench flip-flop culprit (verdict task 3 measurement, solo
+    k=8 sf0.1: per-round checkpoint 12.25 s cold / 2.6-5.0 s warm —
+    page-cache-state sensitive — vs this form 2.43 s cold / 2.1-2.5 s
+    warm, stable in both states and faster than every prior variant).
+
+    The trajectory is bit-identical to the stateless form because min
+    over finite doubles is associative (``least(least(d1,d2),d3) ==
+    least(d1,least(d2,d3))``) and both forms apply the same per-center
+    distance fold (property-tested).  Mutates and returns ``picked``;
+    extends ``chosen`` alongside."""
+    from pyspark import StorageLevel
+
     cur = (
         pts.filter(F.col("__id") != F.lit(chosen[0][0]))
         .select("__id", "__v",
                 _sq_dist_to(F.col("__v"), chosen[0][1]).alias("__dmin"))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    prev = None
+    depth = 1
     while len(picked) < k:
         cand = (cur.orderBy(F.desc("__dmin"), F.asc("__id"))
                 .limit(1).collect())
+        if prev is not None:  # successor materialized; cache safe to drop
+            prev.unpersist()
+            prev = None
         if not cand:
             break
         row = cand[0]
@@ -1442,13 +1490,24 @@ def _kcenter_rounds_materialized(pts: DataFrame, k: int,
         picked.append((len(picked) + 1, row["__id"], float(row["__dmin"])))
         if len(picked) >= k:
             break
-        cur = (
+        nxt = (
             cur.filter(F.col("__id") != F.lit(row["__id"]))
             .select("__id", "__v",
                     F.least(F.col("__dmin"),
                             _sq_dist_to(F.col("__v"), cvec)).alias("__dmin"))
-            .localCheckpoint(eager=True)
         )
+        if depth >= _KCENTER_CHAIN_CUT:
+            nxt = nxt.localCheckpoint(eager=True)  # cuts plan + caches
+            cur.unpersist()
+            depth = 1
+        else:
+            nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+            prev = cur
+            depth += 1
+        cur = nxt
+    cur.unpersist()
+    if prev is not None:
+        prev.unpersist()
     return picked
 
 

@@ -55,27 +55,61 @@ def _fs_and_path(spark: SparkSession, path: str):
     return fs, hpath
 
 
+# in-flight compaction dirs are HIDDEN (leading "."): Spark's file index
+# skips dot/underscore basenames, so a concurrent reader of the table root
+# never sees a half-written rewrite or a renamed-aside old partition as an
+# extra hive partition.  The suffixes still tag them for explicit skipping
+# (pre-fix visible leftovers) and for operator forensics after a crash.
+_TMP_SUFFIX = "__compact_tmp"
+_OLD_SUFFIX = "__compact_old"
+
+
+def _aside_name(path: str, suffix: str) -> str:
+    """Hidden sibling for the rewrite/renamed-old dir: ``parent/.base<sfx>``.
+    A leading dot (not just the suffix) is what guarantees Spark readers
+    and this module's own listings skip it mid-flight."""
+    p = path.rstrip("/")
+    parent, base = p.rsplit("/", 1)
+    return f"{parent}/.{base.lstrip('.')}{suffix}"
+
+
+def _is_aside(name: str) -> bool:
+    return name.endswith((_TMP_SUFFIX, _OLD_SUFFIX))
+
+
 def dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
-    """(n_data_files, total_bytes) under ``path`` (recursive, skips hidden
-    and _SUCCESS-style marker files)."""
+    """(n_data_files, total_bytes) under ``path``: recursive, skipping
+    hidden / _SUCCESS-style entries AND everything underneath them (a file
+    with an innocent basename inside ``.x__compact_tmp/`` must not count
+    — ``listFiles`` only exposes leaf names, so recurse manually), plus
+    visible ``__compact_tmp``/``__compact_old`` leftovers from the
+    pre-hidden-name layout."""
     fs, hpath = _fs_and_path(spark, path)
-    it = fs.listFiles(hpath, True)
     n, total = 0, 0
-    while it.hasNext():
-        st = it.next()
-        name = st.getPath().getName()
-        if name.startswith(("_", ".")):
-            continue
-        n += 1
-        total += st.getLen()
+    stack = [hpath]
+    while stack:
+        for st in fs.listStatus(stack.pop()):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")) or _is_aside(name):
+                continue
+            if st.isDirectory():
+                stack.append(st.getPath())
+            else:
+                n += 1
+                total += st.getLen()
     return n, total
 
 
 def _leaf_partition_dirs(fs, hpath) -> list:
     """Leaf ``key=value`` partition directories under ``hpath`` (handles
-    multi-level partitioning); empty list when the path is unpartitioned."""
+    multi-level partitioning); empty list when the path is unpartitioned.
+    Hidden dirs and ``__compact_tmp``/``__compact_old`` leftovers are NOT
+    partitions — a crashed compaction's aside dir must never be adopted
+    as a real leaf and compacted into place (silent row duplication)."""
     parts = [st.getPath() for st in fs.listStatus(hpath)
-             if st.isDirectory() and "=" in st.getPath().getName()]
+             if st.isDirectory() and "=" in st.getPath().getName()
+             and not st.getPath().getName().startswith(("_", "."))
+             and not _is_aside(st.getPath().getName())]
     if not parts:
         return []
     leaves = []
@@ -140,14 +174,19 @@ def compact_parquet(spark: SparkSession, path: str,
         out = df.repartition(n_out)
     else:
         out = df.coalesce(n_out)
-    tmp = path.rstrip("/") + "__compact_tmp"
+    tmp = _aside_name(path, _TMP_SUFFIX)
     out.write.mode("overwrite").parquet(tmp)
 
     # Swap via rename-aside, never delete-then-rename: the table path must
-    # hold data at every instant.  path -> path__old, tmp -> path, then drop
-    # path__old; a crash mid-swap leaves either the old data live or both
-    # dirs present, and recovery is a rename — not a restore from backup.
-    old = path.rstrip("/") + "__compact_old"
+    # hold data at every instant.  path -> .path__old, tmp -> path, then
+    # drop the old dir; a crash mid-swap leaves either the old data live or
+    # both dirs present, and recovery is a rename — not a restore from
+    # backup.  Both aside dirs are HIDDEN siblings: concurrent root readers
+    # skip dot-dirs, so neither the in-flight rewrite nor the renamed-aside
+    # old partition ever shows up as a duplicate hive partition, and a
+    # crashed run's leftovers are ignored by _leaf_partition_dirs/dir_stats
+    # instead of being compacted into place as real data.
+    old = _aside_name(path, _OLD_SUFFIX)
     _, tmp_path = _fs_and_path(spark, tmp)
     _, old_path = _fs_and_path(spark, old)
     if fs.exists(old_path):  # leftover from a crashed previous compaction

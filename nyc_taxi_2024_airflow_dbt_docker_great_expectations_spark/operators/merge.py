@@ -55,6 +55,12 @@ def upsert_by_key(target: DataFrame, delta: DataFrame, keys: list[str],
     version.  Without ``order_col`` the delta unconditionally replaces the
     target row (classic dbt incremental-merge semantics).
 
+    NULL-key delta rows take the SAME path in both modes: they are never
+    contested (the joins use null-rejecting equality), so every NULL-key
+    delta row passes through — the version gate routes them around its
+    groupBy rather than letting NULLs-are-one-group semantics collapse
+    them to a single survivor (pre-round-12 the two modes disagreed).
+
     The target and delta schemas must agree on column NAMES: a target
     written under an older model contract (e.g. the pre-round-6 gold
     column names) fails here with an explicit message — full-rebuild the
@@ -82,15 +88,28 @@ def upsert_by_key(target: DataFrame, delta: DataFrame, keys: list[str],
                 f"keys={keys}, target columns={target.columns}")
         payload = [c for c in target.columns if c not in set(keys)]
         lead = [order_col] + [c for c in payload if c != order_col]
+        # NULL-key delta rows are never CONTESTED (the anti/semi joins use
+        # null-rejecting equality, so they match no target row) — route
+        # them AROUND the version gate, exactly like the ungated path,
+        # instead of letting the groupBy's NULLs-are-one-group semantics
+        # collapse them to a single survivor.  The two modes now agree on
+        # NULL-key multiplicity: every NULL-key delta row passes through.
+        null_key = None
+        for k in keys:
+            c = quoted_col(k).isNull()
+            null_key = c if null_key is None else (null_key | c)
+        null_rows = incoming.filter(null_key)
+        gated = incoming.filter(~null_key)
         contested = target.join(delta_keys, on=keys, how="left_semi")
         incoming = (
-            contested.unionByName(incoming)
+            contested.unionByName(gated)
             .groupBy(*[quoted_col(k) for k in keys])
             .agg(F.max(F.struct(*[quoted_col(c).alias(c)
                                   for c in lead])).alias("__p"))
             .select(*[quoted_col(k) for k in keys],
                     *[F.col("__p").getField(c).alias(c) for c in payload])
             .select(*[quoted_col(c) for c in target.columns])
+            .unionByName(null_rows)
         )
     return kept.unionByName(incoming)
 

@@ -233,3 +233,79 @@ def test_rfm_features_anchor_and_exact_sums(spark):
     assert out[1]["monetary"] == 10.30  # decimal-exact, no fp drift
     assert out[1]["last_order_date"] == date(2024, 1, 20)
     assert out[2]["recency_days"] == 0 and out[2]["monetary"] == 5.00
+
+
+def test_winsorized_mean_clamps_outliers(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        winsorized_mean,
+    )
+
+    # group "a": 1..9 plus a 1000.0 outlier; p10/p90 over the 10 sorted
+    # values interpolate at pos = q*(n-1) = 0.9 and 8.1:
+    # p_lo = 1 + 0.9*(2-1) = 1.9 ; p_hi = 9 + 0.1*(1000-9) = 108.1
+    rows = [("a", float(v)) for v in range(1, 10)] + [("a", 1000.0)]
+    rows += [("a", None), ("b", 7.0)]  # NULL excluded; 1-row group
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in
+           winsorized_mean(df, "g", "v", lo=0.1, hi=0.9).collect()}
+    a = out["a"]
+    assert a["n_items"] == 10
+    assert a["p_lo"] == pytest.approx(1.9)
+    assert a["p_hi"] == pytest.approx(108.1)
+    assert a["raw_mean"] == pytest.approx((45 + 1000) / 10)
+    # clamped: 1.9, 2..9 (unchanged), 108.1 -> mean 15.4
+    assert a["win_mean"] == pytest.approx((1.9 + sum(range(2, 10)) + 108.1)
+                                          / 10)
+    b = out["b"]  # degenerate group: bounds == value, both means equal
+    assert (b["p_lo"], b["p_hi"]) == (7.0, 7.0)
+    assert b["raw_mean"] == b["win_mean"] == 7.0
+
+
+def test_gini_concentration_known_distributions(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        gini_concentration,
+    )
+
+    # uniform holdings -> G = 0 by the sort identity
+    # (2*S1-(n+1)*S0)/(n*S0) with S1 = x*sum(1..n) = x*n(n+1)/2
+    uni = spark.createDataFrame([(i, 50000) for i in range(1, 5)],
+                                "id long, units long")
+    r = gini_concentration(uni, "units", "id").collect()[0]
+    assert r["n_entities"] == 4 and r["gini"] == 0.0
+    assert r["total_units"] == pytest.approx(20.0)  # 200000 / 1e4
+
+    # one entity holds everything: G = (2*n*S0-(n+1)*S0)/(n*S0) = (n-1)/n
+    one = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 100)], "id long, units long")
+    r = gini_concentration(one, "units", "id").collect()[0]
+    assert r["gini"] == pytest.approx(3 / 4)
+
+    # NULLs excluded; empty -> NULL gini
+    nulls = spark.createDataFrame([(1, None), (None, 5)],
+                                  "id long, units long")
+    r = gini_concentration(nulls, "units", "id").collect()[0]
+    assert r["n_entities"] == 0 and r["gini"] is None
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    import math
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        zipf_fit,
+    )
+
+    # plant an EXACT power law f(r) = round(1e6 * r^-1.25): the OLS fit
+    # over ln/ln must recover ~-1.25 (rounding of f adds tiny noise)
+    rows = [(f"t{r:04d}", int(round(1e6 * r ** -1.25)))
+            for r in range(1, 201)]
+    df = spark.createDataFrame(rows, "term string, n_occurrences long")
+    out = zipf_fit(df).collect()[0]
+    assert out["n_types"] == 200
+    assert out["slope"] == pytest.approx(-1.25, abs=1e-3)
+    assert out["intercept"] == pytest.approx(math.log(1e6), rel=1e-3)
+
+    # degenerate: a single type has zero ln(rank) variance -> NULL fit
+    single = spark.createDataFrame([("only", 42)],
+                                   "term string, n_occurrences long")
+    out = zipf_fit(single).collect()[0]
+    assert out["n_types"] == 1 and out["slope"] is None

@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 from audit_scorecard import (  # noqa: E402
     GATE_WINDOW,
     TABLE_MARKER,
+    artifact_paths,
     audit,
     pending_keys,
     registry_keys,
@@ -75,3 +76,44 @@ def test_gate_window_fronts_every_at_bound_key():
     assert not missing, (
         f"{len(missing)} keys hit the staleness bound unless this round's "
         f"window signs them — add to _GATE_FRONT: {missing}")
+
+
+def test_artifact_paths_reads_committed_only(tmp_path):
+    """Round-12 fix for the recurring handoff false-red (rounds 10 AND
+    11): the driver drops the next round's CORRECTNESS_r{N}.json AFTER
+    the builder's final commit, which used to flip the two freshness
+    tests red on a tree whose committed state was green.  The tool now
+    composes GIT-COMMITTED artifacts only — an uncommitted artifact is
+    invisible; committing it (the round-start sync) makes the fronting
+    guard fire exactly as before.  Outside a git repo, fall back to the
+    working-tree glob so `--repo` on an exported tree still works."""
+    import subprocess
+
+    repo = tmp_path / "r"
+    repo.mkdir()
+    subprocess.run(["git", "-C", str(repo), "init", "-q"], check=True)
+    subprocess.run(["git", "-C", str(repo), "config", "user.email", "t@t"],
+                   check=True)
+    subprocess.run(["git", "-C", str(repo), "config", "user.name", "t"],
+                   check=True)
+    (repo / "CORRECTNESS_r01.json").write_text("{}")
+    subprocess.run(["git", "-C", str(repo), "add", "-A"], check=True)
+    subprocess.run(["git", "-C", str(repo), "commit", "-qm", "r01"],
+                   check=True)
+    # the handoff state: a newer artifact exists on disk but is not
+    # committed — it must NOT enter the composition
+    (repo / "CORRECTNESS_r02.json").write_text("{}")
+    names = [os.path.basename(p) for p in artifact_paths(str(repo))]
+    assert names == ["CORRECTNESS_r01.json"]
+    # the round-start sync commits it — now it composes
+    subprocess.run(["git", "-C", str(repo), "add", "-A"], check=True)
+    subprocess.run(["git", "-C", str(repo), "commit", "-qm", "r02"],
+                   check=True)
+    names = [os.path.basename(p) for p in artifact_paths(str(repo))]
+    assert names == ["CORRECTNESS_r01.json", "CORRECTNESS_r02.json"]
+    # non-git fallback: plain directory uses the glob
+    plain = tmp_path / "plain"
+    plain.mkdir()
+    (plain / "CORRECTNESS_r07.json").write_text("{}")
+    names = [os.path.basename(p) for p in artifact_paths(str(plain))]
+    assert names == ["CORRECTNESS_r07.json"]

@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.compaction import (
+    _aside_name,
     compact_parquet,
     dir_stats,
 )
@@ -85,23 +86,62 @@ def test_compact_leaves_no_tmp_dir(spark, tmp_warehouse):
     path = os.path.join(tmp_warehouse, "frag3")
     _fragmented_table(spark, path, n_files=5)
     compact_parquet(spark, path, target_bytes=1 << 30)
-    assert not os.path.exists(path + "__compact_tmp")
-    assert not os.path.exists(path + "__compact_old")
+    # no aside dirs left — neither the hidden names nor the pre-round-12
+    # visible ones; the parent holds ONLY the table dir
+    assert os.listdir(tmp_warehouse) == ["frag3"]
     assert spark.read.parquet(path).count() == 250
 
 
-def test_compact_recovers_stale_old_dir(spark, tmp_warehouse):
-    """A leftover path__compact_old from a crashed run must not block (or
-    corrupt) the next compaction."""
+def test_compact_aside_names_are_hidden(tmp_warehouse):
+    """The in-flight rewrite and renamed-aside old dirs are DOT-prefixed
+    siblings: Spark's file index (and this module's own listings) skip
+    them, so a concurrent root reader can never see a half-written
+    rewrite or a duplicate of a partition mid-swap (round-12 ADVICE)."""
+    tmp = _aside_name("/w/tbl/part=3", "__compact_tmp")
+    assert tmp == "/w/tbl/.part=3__compact_tmp"
+    assert _aside_name("/w/tbl/", "__compact_old") == "/w/.tbl__compact_old"
+
+
+def test_compact_recovers_stale_hidden_old_dir(spark, tmp_warehouse):
+    """A leftover hidden old dir from a crashed run must not block (or
+    corrupt) the next compaction — it is reclaimed."""
     path = os.path.join(tmp_warehouse, "frag4")
     _fragmented_table(spark, path, n_files=5)
-    os.makedirs(path + "__compact_old")
-    with open(os.path.join(path + "__compact_old", "junk"), "w") as f:
+    old = _aside_name(path, "__compact_old")
+    os.makedirs(old)
+    with open(os.path.join(old, "junk"), "w") as f:
         f.write("stale")
     report = compact_parquet(spark, path, target_bytes=1 << 30)
     assert (report["files_before"], report["files_after"]) == (5, 1)
-    assert not os.path.exists(path + "__compact_old")
+    assert not os.path.exists(old)
     assert spark.read.parquet(path).count() == 250
+
+
+def test_compact_ignores_legacy_visible_aside_dirs(spark, tmp_warehouse):
+    """Pre-round-12 layouts left VISIBLE `...__compact_tmp/_old` siblings.
+    They must be ignored — never counted by dir_stats, never adopted by
+    the leaf scan as a real partition and compacted into place (the
+    silent-row-duplication hazard the ADVICE named) — but NOT silently
+    deleted: unknown data from a crash is an operator decision."""
+    path = os.path.join(tmp_warehouse, "parted_legacy")
+    spark.range(300).selectExpr("id", "id % 3 AS part") \
+        .repartition(5).write.partitionBy("part") \
+        .mode("overwrite").parquet(path)
+    # plant a legacy visible aside holding a full duplicate of part=1
+    legacy = os.path.join(path, "part=1__compact_tmp")
+    spark.read.parquet(os.path.join(path, "part=1")).write.parquet(legacy)
+    before, _ = dir_stats(spark, path)
+    report = compact_parquet(spark, path, target_bytes=1 << 30)
+    assert report["partitions_compacted"] == 3  # not 4
+    assert report["files_before"] == before  # duplicate never counted
+    assert os.path.exists(legacy)  # ignored, not reclaimed
+    # the real leaves hold each row exactly once: the duplicate was not
+    # compacted into place (a legacy VISIBLE aside is unavoidably seen by
+    # root readers — which is exactly why new asides are dot-hidden)
+    live = spark.read.parquet(*[os.path.join(path, f"part={i}")
+                                for i in range(3)])
+    assert live.count() == 300
+    assert live.groupBy("id").count().filter("count > 1").count() == 0
 
 
 def test_compact_hive_partitioned_per_partition(spark, tmp_warehouse):

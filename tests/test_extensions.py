@@ -183,6 +183,27 @@ def test_hard_negative_topk_excludes_own_label(spark, vectors):
         assert r["cosine_sim"] == pytest.approx(s)
 
 
+def test_hard_negative_topk_label_cardinality_guard(spark):
+    """The label-vocabulary collect is bounded BY CODE (round-12 ADVICE):
+    >10k distinct labels means 'label' is not a class dimension, and the
+    miner refuses to inline the vocabulary instead of OOMing the driver.
+    The limit caps the transfer before the check, so even the refused
+    call never pulls more than max_labels+1 rows."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        hard_negative_topk,
+    )
+
+    wide = spark.range(10_001).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+        F.col("id").cast("string").alias("label"),
+    )
+    qs = wide.limit(1).select(F.col("vec_id").alias("query_id"),
+                              "embedding", "label")
+    with pytest.raises(ValueError, match="distinct values"):
+        hard_negative_topk(wide, qs, k=2)
+
+
 def test_neardup_pairs_embedding(spark, vectors):
     out = {(r["id_a"], r["id_b"]): r["cosine_sim"]
            for r in neardup_pairs(vectors, threshold=0.9).collect()}
@@ -1360,6 +1381,26 @@ def test_bm25_index_probe_equals_direct(spark, tmp_path):
                                        k=15).collect()]
     assert probe == direct
     assert len(direct) == 15
+
+
+def test_bm25_probe_empty_stats_yields_empty_not_nulls(spark):
+    """An empty/corrupt stats table must make the probe EMPTY, not score
+    every candidate NULL: the <=1-row re-aggregation that proves the
+    scalar broadcast to the plan guard yields one all-NULL row over zero
+    input rows, and the isNotNull filter restores the pre-aggregation
+    edge case (round-12 ADVICE)."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.search import (
+        _bm25_table_names,
+        build_bm25_index,
+        probe_bm25_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    names = build_bm25_index(docs, "bm25_t_nostats")
+    empty = spark.createDataFrame([], spark.table(names["stats"]).schema)
+    empty.write.mode("overwrite").saveAsTable(names["stats"])
+    out = probe_bm25_index(spark, "bm25_t_nostats", ("vector",), k=5)
+    assert out.count() == 0
 
 
 def test_resize_nearest_downsamples_and_checksums(spark):

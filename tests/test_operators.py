@@ -48,6 +48,31 @@ def test_upsert_by_key_version_gate(spark):
         upsert_by_key(target, delta, ["k"], order_col="missing")
 
 
+def test_upsert_null_key_multiplicity_matches_across_modes(spark):
+    """NULL-key delta rows take the SAME path gated and ungated
+    (round-12 ADVICE): they are never contested, so EVERY NULL-key delta
+    row passes through — the version gate must not collapse them to one
+    survivor via groupBy's NULLs-are-one-group semantics."""
+    target = spark.createDataFrame(
+        [(1, "a", 5), (None, "tnull", 9)], "k int, v string, rev long")
+    delta = spark.createDataFrame(
+        [(None, "d1", 1), (None, "d2", 2), (1, "A", 7)],
+        "k int, v string, rev long")
+    ungated = [(r["k"], r["v"]) for r in
+               upsert_by_key(target, delta, ["k"]).collect()]
+    gated = [(r["k"], r["v"]) for r in
+             upsert_by_key(target, delta, ["k"],
+                           order_col="rev").collect()]
+    # both modes: NULL target row kept, BOTH NULL delta rows appended
+    assert sorted(v for k, v in gated if k is None) == \
+        ["d1", "d2", "tnull"]
+    assert sorted(v for k, v in ungated if k is None) == \
+        ["d1", "d2", "tnull"]
+    # non-NULL keys follow each mode's own rule (delta-wins vs version)
+    assert dict((k, v) for k, v in ungated if k is not None) == {1: "A"}
+    assert dict((k, v) for k, v in gated if k is not None) == {1: "A"}
+
+
 def test_upsert_idempotent(spark):
     """Applying the same delta twice yields the same table (S8/S9/S10 parity)."""
     target = spark.createDataFrame([(1, "a")], "k int, v string")

@@ -502,17 +502,40 @@ def _is_scalar_subplan(node) -> bool:
     return False
 
 
-def test_whole_registry_nested_loop_invariant(spark):
-    """Global invariant over ALL registry queries (the full driver-gate
-    surface, not a named subset): no plan may contain a CartesianProduct,
-    ever — and any BroadcastNestedLoopJoin must broadcast a provably
-    <=1-row POST-AGGREGATE build side (the scalar-broadcast pattern used
-    by bm25_search / triangle_count / decayed_engagement / collocations /
-    hard_negatives / skew_profile / lsh_recall: a global aggregate's
-    single row joined onto every row — constant cost by construction).
+def _subtree_is_bounded(node) -> bool:
+    """True when the subtree's row count is provably SUB-INPUT bounded:
+    an aggregate (|groups| rows), a global/take-ordered limit, or a
+    window-group limit appears somewhere below — the inputs on which a
+    single-partition sort is metadata-sized by construction."""
+    for n in _iter_physical_nodes(node):
+        name = n.nodeName()
+        if ("Aggregate" in name or "TakeOrderedAndProject" in name
+                or "GlobalLimit" in name or "WindowGroupLimit" in name):
+            return True
+    return False
+
+
+def test_whole_registry_nested_loop_and_global_window_invariants(spark):
+    """Global invariants over ALL registry queries (the full driver-gate
+    surface, not a named subset), one plan compile per query:
+
+    1. no plan may contain a CartesianProduct, ever — and any
+       BroadcastNestedLoopJoin must broadcast a provably <=1-row
+       POST-AGGREGATE build side (the scalar-broadcast pattern used by
+       bm25_search / triangle_count / decayed_engagement / collocations /
+       hard_negatives / skew_profile / lsh_recall: a global aggregate's
+       single row joined onto every row — constant cost by construction);
+    2. every PARTITION-LESS Window (WindowExec moves ALL rows to one
+       partition) must sit above a bounded subtree — an aggregate,
+       TakeOrdered, or limit — so its input is |groups|/k rows, never
+       the raw table (the revenue_growth / fulfillment_concurrency /
+       moving_avg cumsum-over-post-aggregate pattern; round-11 verdict
+       task 6).  A future edit that slides a global window onto raw data
+       fails here in CI, not in the 100 TB postmortem.
+
     Compiling a plan is cheap; this closes the gap between per-round
-    scale-smoke plan-flip checks by failing in CI the moment a query
-    regresses to an unbounded nested loop."""
+    scale-smoke plan-flip checks by failing the moment a query regresses
+    to an unbounded nested loop or an unbounded single-partition sort."""
     entry.warm_persisted(spark, SF)  # build-once artifacts out of the loop
     qs = entry.queries()
     offenders = []
@@ -533,6 +556,12 @@ def test_whole_registry_nested_loop_invariant(spark):
                     offenders.append(
                         f"{name}: BNLJ build side not a <=1-row aggregate "
                         f"({build.toString().splitlines()[0][:100]})")
+            elif nn == "Window" and node.partitionSpec().size() == 0:
+                child = node.children().apply(0)
+                if not _subtree_is_bounded(child):
+                    offenders.append(
+                        f"{name}: partition-less Window over an unbounded "
+                        f"input ({child.toString().splitlines()[0][:100]})")
     assert not offenders, offenders
 
 
@@ -604,3 +633,30 @@ def test_round11_addition_plan_shapes(spark):
     assert "Window" in sr and "CartesianProduct" not in sr
     assert "BroadcastNestedLoopJoin" not in sr
     assert "BatchEvalPython" not in sr and "ArrowEvalPython" not in sr
+
+
+def test_round12_addition_plan_shapes(spark):
+    """Round-12 additions hold their scale-critical plan properties:
+
+    - winsorized_stats: the |groups|-row bounds table reaches the fact
+      scan as a BROADCAST hash join; the percentile window is
+      PARTITIONED by the group (streaming sort, never single-partition);
+      no nested loops;
+    - revenue_gini / zipf_slope: the global value/frequency rank is the
+      two-phase range prefix sum (MapInPandas over the materialized
+      range layout — Scan ExistingRDD) with NO Window anywhere: ranking
+      the entity/vocabulary table must never serialize into one task.
+    """
+    qs = entry.queries()
+    ws = _plan(qs["winsorized_stats"](spark, SF))
+    assert "BroadcastHashJoin" in ws and "Window" in ws
+    assert "CartesianProduct" not in ws
+    assert "BroadcastNestedLoopJoin" not in ws
+
+    for name in ("revenue_gini", "zipf_slope"):
+        p = _plan(qs[name](spark, SF))
+        assert "Window" not in p, name
+        assert "MapInPandas" in p and "Scan ExistingRDD" in p, name
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                    "SortMergeJoin"):
+            assert bad not in p, name

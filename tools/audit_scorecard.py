@@ -41,11 +41,35 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 GATE_WINDOW = 50  # the driver snapshots this many leading registry keys
+
+
+def artifact_paths(repo: str) -> list[str]:
+    """CORRECTNESS artifacts to compose — GIT-COMMITTED ones only.
+
+    The driver drops the NEXT round's CORRECTNESS_r{N}.json into the tree
+    AFTER the builder's final commit; globbing the working tree made the
+    two freshness tests structurally red at every handoff (rounds 10 and
+    11 both).  Listing via `git ls-files` means an uncommitted artifact
+    is invisible until the round-start sync commits it — at which point
+    the fronting guard fires exactly as before.  Outside a git repo
+    (temp dirs in unit tests, exported trees) fall back to the glob.
+    """
+    try:
+        out = subprocess.run(
+            ["git", "-C", repo, "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True, text=True, check=True).stdout
+        paths = [os.path.join(repo, p) for p in out.split() if p]
+        # a committed artifact deleted from the working tree has nothing
+        # readable; skip it rather than crash mid-audit
+        return sorted(p for p in paths if os.path.exists(p))
+    except (OSError, subprocess.CalledProcessError):
+        return sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
 
 
 def registry_keys(repo: str) -> list[str]:
@@ -65,7 +89,7 @@ def registry_keys(repo: str) -> list[str]:
 def signed_rounds(repo: str) -> dict[str, list[int]]:
     """key -> sorted rounds whose artifact signed it GREEN."""
     out: dict[str, list[int]] = {}
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+    for path in artifact_paths(repo):
         rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
         with open(path) as f:
             art = json.load(f)
@@ -81,7 +105,7 @@ def signed_rounds(repo: str) -> dict[str, list[int]]:
 def artifact_keys(repo: str) -> dict[int, set[str]]:
     """round -> every key present in that round's artifact (green or not)."""
     out: dict[int, set[str]] = {}
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+    for path in artifact_paths(repo):
         rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
         with open(path) as f:
             out[rnd] = set(json.load(f).keys())

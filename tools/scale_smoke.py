@@ -268,6 +268,17 @@ def main() -> None:
                 timings[name] = t
                 base_timings[name] = prior["base_queries"][name]
                 carried.append(name)
+    # per-query ratio bookkeeping (round-11 verdict task 5): the AGGREGATE
+    # factor crept 2.61 -> 3.2 -> 3.54 across rounds with zero per-query
+    # flags; persisting the worst per-query scaled/base ratios lets the
+    # next round diff ratio movement per query (fixed-overhead
+    # amortization vs real creep) instead of re-deriving it.  Sub-floor
+    # (sub-second scaled) queries are excluded, same rule as the gate —
+    # their ratios are per-job fixed cost, not scaling signal.
+    ratios = {n: round(t / base_timings[n], 1)
+              for n, t in timings.items()
+              if base_timings.get(n) and t >= 1.0}
+    top_ratios = dict(sorted(ratios.items(), key=lambda kv: -kv[1])[:10])
     result = {
         "metric": "total_headline_query_time",
         "value": round(sum(timings.values()), 3),
@@ -281,6 +292,7 @@ def main() -> None:
         "failures": failures,
         "plan_flips": plan_flips,
         "time_ratio_flags": time_flags,
+        "top_ratios": top_ratios,
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "base_queries": {k: round(v, 2) for k, v in base_timings.items()},
         # self-describing run conditions, same block bench.py writes
