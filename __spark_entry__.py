@@ -8283,6 +8283,305 @@ FROM per_user CROSS JOIN anchor
 """
 
 
+def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality PERCENTILE normalization
+    (extensions/packing.py:grouped_global_rank) — the source-relative
+    score a corpus mixer thresholds on (an absolute cutoff tuned on web
+    text guillotines code/legal feeds; a percentile is comparable across
+    sources).  The rank is the skew-safe grouped two-phase prefix sum:
+    a ``Window.partitionBy(source)`` would serialize a 40%-of-corpus
+    source through ONE task's sort, while the range layout spreads every
+    source across as many partitions as its volume needs and ranks
+    assemble as offset + partition-local position.  pctile =
+    (rank-1)/(n-1), 0.0 for singleton sources.  No reference analog —
+    LLM-pipeline normalization surface."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import (
+        grouped_global_rank,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        quality_score_col,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", quality_score_col().alias("quality_score")
+    ).filter(F.col("source").isNotNull()
+             & F.col("quality_score").isNotNull())
+    ranked, _totals = grouped_global_rank(
+        base, "source",
+        [F.col("quality_score").asc(), F.col("doc_id").asc()],
+        out_col="src_rank", n_col="src_n",
+    )
+    return ranked.select(
+        "doc_id", "source", "quality_score", "src_rank", "src_n",
+        F.when(F.col("src_n") > 1,
+               (F.col("src_rank") - 1).cast("double")
+               / (F.col("src_n") - 1).cast("double"))
+        .otherwise(F.lit(0.0)).alias("pctile"),
+    )
+
+
+ORACLE_QUALITY_PERCENTILE = f"""
+WITH scored AS (
+  SELECT q.doc_id, d.source, q.quality_score
+  FROM ({ORACLE_QUALITY_SCORES}) q JOIN documents d USING (doc_id)
+  WHERE d.source IS NOT NULL AND q.quality_score IS NOT NULL
+),
+r AS (
+  SELECT doc_id, source, quality_score,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality_score, doc_id) AS src_rank,
+         COUNT(*) OVER (PARTITION BY source) AS src_n
+  FROM scored
+)
+SELECT doc_id, source, quality_score,
+       CAST(src_rank AS BIGINT) AS src_rank,
+       CAST(src_n AS BIGINT) AS src_n,
+       CASE WHEN src_n > 1
+            THEN CAST(src_rank - 1 AS DOUBLE) / CAST(src_n - 1 AS DOUBLE)
+            ELSE 0.0 END AS pctile
+FROM r
+"""
+
+
+def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per source
+    (extensions/analytics.py:entropy_from_counts) — the corpus-diversity
+    gauge: entropy collapsing toward 0 flags a boilerplate flood or a
+    dedup pass gone wrong, rising entropy tracks vocabulary breadth.
+    One (source, term) aggregate then one per-source aggregate; ln
+    quantizes to exact integer micro-units and the c*ln(c) terms multiply
+    in DECIMAL(38,0) so the sums are order- and overflow-exact.  No
+    reference analog — LLM-pipeline corpus-statistics surface."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        entropy_from_counts,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        tokens,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.filter(F.col("source").isNotNull())
+        .select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return entropy_from_counts(counts, "source", "c").select(
+        "source",
+        F.col("n_obs").alias("n_tokens"),
+        F.col("n_categories").alias("n_types"),
+        "entropy",
+    )
+
+
+ORACLE_SOURCE_ENTROPY = f"""
+WITH toks AS (
+  SELECT source, unnest({DUCK_TOKS}) AS term FROM documents
+  WHERE source IS NOT NULL
+),
+counts AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+  WHERE term <> '' GROUP BY 1, 2
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         SUM(CAST(c AS HUGEINT)
+             * CAST(CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
+                         AS BIGINT) AS HUGEINT)) AS s
+  FROM counts GROUP BY 1
+)
+SELECT source, n_tokens, n_types,
+       CAST(CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5)
+                 AS BIGINT) AS DOUBLE) / 1000000.0
+       - (CAST(s AS DOUBLE) / 1000000.0) / CAST(n_tokens AS DOUBLE)
+           AS entropy
+FROM agg
+"""
+
+
+def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state entropy of the next-event distribution
+    (extensions/analytics.py:entropy_from_counts over the
+    event_transitions step counts) — the sequence-predictability gauge:
+    0 = the state always leads one place (a funnel edge), high = the
+    state scatters (an exploration hub).  Same keyed lead window and
+    transition aggregate as `event_transitions`, then the micro-unit
+    exact entropy identity per state.  No reference analog —
+    LLM-pipeline sequence-statistics surface."""
+    from pyspark.sql import Window as W
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        entropy_from_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = steps.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    return entropy_from_counts(counts, "event_type", "c").select(
+        "event_type",
+        F.col("n_obs").alias("n_steps"),
+        F.col("n_categories").alias("n_next_types"),
+        "entropy",
+    )
+
+
+ORACLE_TRANSITION_ENTROPY = """
+WITH steps AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+counts AS (
+  SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM steps WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(c) AS BIGINT) AS n_steps,
+         CAST(COUNT(*) AS BIGINT) AS n_next_types,
+         SUM(CAST(c AS HUGEINT)
+             * CAST(CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
+                         AS BIGINT) AS HUGEINT)) AS s
+  FROM counts GROUP BY 1
+)
+SELECT event_type, n_steps, n_next_types,
+       CAST(CAST(floor(ln(CAST(n_steps AS DOUBLE)) * 1000000.0 + 0.5)
+                 AS BIGINT) AS DOUBLE) / 1000000.0
+       - (CAST(s AS DOUBLE) / 1000000.0) / CAST(n_steps AS DOUBLE)
+           AS entropy
+FROM agg
+"""
+
+
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-mixing
+    diagnostic: two feeds sharing most of their vocabulary are near-
+    duplicates at the distribution level (double-counted mixture mass)
+    even when no document pair is a near-dup.  One distinct
+    (source, term) set, sizes per source (broadcast — |sources| is a
+    small dimension), and a term-keyed self-join whose per-term fan-out
+    is bounded by C(|sources|, 2) — never an all-pairs document
+    comparison.  Jaccard = |A∩B| / (|A|+|B|-|A∩B|) as one exact integer
+    division.  No reference analog — LLM-pipeline mixture surface."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        tokens,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    st = (
+        docs.filter(F.col("source").isNotNull())
+        .select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    x = st.select(F.col("source").alias("src_a"), "term")
+    y = st.select(F.col("source").alias("src_b"), "term")
+    inter = (
+        x.join(y, on=[x["term"] == y["term"],
+                      F.col("src_a") < F.col("src_b")])
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"),
+                      F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"),
+                      F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a", "src_b", "n_common", "n_a", "n_b",
+            (F.col("n_common").cast("double")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+             .cast("double")).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_SOURCE_VOCAB_OVERLAP = f"""
+WITH st AS (
+  SELECT DISTINCT source, term FROM (
+    SELECT source, unnest({DUCK_TOKS}) AS term FROM documents
+    WHERE source IS NOT NULL
+  ) WHERE term <> ''
+),
+sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY 1
+),
+inter AS (
+  SELECT x.source AS src_a, y.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM st x JOIN st y ON x.term = y.term AND x.source < y.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       CAST(n_common AS DOUBLE)
+       / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON src_a = sa.source
+JOIN sizes sb ON src_b = sb.source
+"""
+
+
+KFOLD_K = 5
+KFOLD_SALT = "kfold:"
+
+
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment + balance audit — the
+    cross-validation infrastructure step: fold = salted-md5 bucket mod K
+    (same id -> same fold, forever, on any engine — the
+    train_test_split idiom), audited as per-(lang, fold) counts with each
+    fold's share of its language.  The share window runs on the
+    POST-AGGREGATE |langs x K| table.  No reference analog —
+    LLM-pipeline split surface."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    fold = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(KFOLD_SALT),
+                           F.col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("int") % KFOLD_K
+    )
+    per = docs.groupBy("lang", fold.alias("fold")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = Window.partitionBy("lang")
+    return per.select(
+        "lang", "fold", "n_docs",
+        (F.col("n_docs").cast("double")
+         / F.sum("n_docs").over(w).cast("double")).alias("fold_share"),
+    )
+
+
+ORACLE_KFOLD_ASSIGN = f"""
+WITH f AS (
+  SELECT lang,
+         CAST(CAST('0x' || substr(md5('{KFOLD_SALT}'
+                                      || CAST(doc_id AS VARCHAR)), 1, 4)
+                   AS INTEGER) % {KFOLD_K} AS INTEGER) AS fold
+  FROM documents WHERE lang IS NOT NULL
+),
+per AS (
+  SELECT lang, fold, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM f GROUP BY 1, 2
+)
+SELECT lang, fold, n_docs,
+       CAST(n_docs AS DOUBLE)
+       / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS fold_share
+FROM per
+"""
+
+
 def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority winsorized mean of order value
     (extensions/analytics.py:winsorized_mean) — robust statistics for
@@ -8478,11 +8777,18 @@ FROM q
 # 13, where they hit the bound and must all be fronted.
 _GATE_CHANGED = [
     # NEW keys r12: robust winsorized group means, revenue-concentration
-    # Gini over the distributed global rank, Zipf vocabulary-health fit
-    # — need their first driver signatures
+    # Gini over the distributed global rank, Zipf vocabulary-health fit,
+    # per-source quality percentile over the skew-safe GROUPED rank,
+    # per-source token entropy, deterministic k-fold assignment — need
+    # their first driver signatures
     "winsorized_stats",
     "revenue_gini",
     "zipf_slope",
+    "quality_percentile",
+    "source_entropy",
+    "kfold_assign",
+    "transition_entropy",
+    "source_vocab_overlap",
     # impl changed r12 (ADVICE): upsert_by_key's version gate now routes
     # NULL-key delta rows AROUND the groupBy so gated/ungated modes agree
     # on NULL-key multiplicity; the no-order_col path this query
@@ -8518,9 +8824,7 @@ _GATE_PAD = [
     # next-stalest: last signed r09 (alphabetically first 14 of 43; the
     # rest carry to the r13 pad, where they hit the bound)
     "ann_recall", "bloom_decontamination", "bm25_search", "bpe_train",
-    "cms_topk", "containment_dedup", "cooccurrence_lift",
-    "curriculum_order", "decayed_engagement", "event_transitions",
-    "exact_quantiles",
+    "cms_topk", "containment_dedup",
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost
@@ -8690,6 +8994,11 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_stats": q_winsorized_stats,
         "revenue_gini": q_revenue_gini,
         "zipf_slope": q_zipf_slope,
+        "quality_percentile": q_quality_percentile,
+        "source_entropy": q_source_entropy,
+        "kfold_assign": q_kfold_assign,
+        "transition_entropy": q_transition_entropy,
+        "source_vocab_overlap": q_source_vocab_overlap,
         "substring_removal": q_substring_removal,
         "daily_gapfill": q_daily_gapfill,
         "value_anomalies": q_value_anomalies,
@@ -8866,6 +9175,11 @@ def oracle_sql() -> dict[str, str]:
         "winsorized_stats": ORACLE_WINSORIZED_STATS,
         "revenue_gini": ORACLE_REVENUE_GINI,
         "zipf_slope": ORACLE_ZIPF_SLOPE,
+        "quality_percentile": ORACLE_QUALITY_PERCENTILE,
+        "source_entropy": ORACLE_SOURCE_ENTROPY,
+        "kfold_assign": ORACLE_KFOLD_ASSIGN,
+        "transition_entropy": ORACLE_TRANSITION_ENTROPY,
+        "source_vocab_overlap": ORACLE_SOURCE_VOCAB_OVERLAP,
         "substring_removal": ORACLE_SUBSTRING_REMOVAL,
         "daily_gapfill": ORACLE_DAILY_GAPFILL,
         "value_anomalies": ORACLE_VALUE_ANOMALIES,

@@ -621,3 +621,39 @@ def zipf_fit(freq: DataFrame, term_col: str = "term",
         F.when(denom == F.lit(0.0), F.lit(None).cast("double"))
         .otherwise(intercept).alias("intercept"),
     )
+
+
+def entropy_from_counts(df: DataFrame, group_col: str,
+                        count_col: str) -> DataFrame:
+    """Shannon entropy (nats) of a categorical distribution per group,
+    from pre-aggregated ``(group, category, count)`` rows — the diversity
+    gauge a corpus pipeline runs per source/shard (token-distribution
+    entropy collapsing = boilerplate flood or dedup gone wrong; label
+    entropy = class balance).
+
+    Identity ``H = ln(N) - (sum c*ln(c)) / N`` needs ONE further
+    aggregate over the counts table; ``ln(c)`` quantizes to exact integer
+    micro-units per row (the dsir/zipf recipe — engines agree at micro
+    precision and the sum is order-exact), multiplied into DECIMAL(38,0)
+    BEFORE summing so 100 TB-scale ``c * ln(c)`` terms cannot overflow
+    int64.  The finish is a fixed IEEE chain the SQL oracle mirrors.
+
+    Returns ``(group_col, n_obs, n_categories, entropy)``; a group whose
+    every count is 1 (or with one category) lands at ~0 exactly as the
+    identity dictates.
+    """
+    c = F.col(count_col).cast("long")
+    micro_ln = F.floor(F.log(c.cast("double")) * F.lit(1e6) + F.lit(0.5)) \
+        .cast("long")
+    agg = df.groupBy(group_col).agg(
+        F.sum(c).cast("long").alias("n_obs"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.sum(c.cast("decimal(38,0)") * micro_ln.cast("decimal(38,0)"))
+        .alias("__s"),
+    )
+    ln_n = (F.floor(F.log(F.col("n_obs").cast("double")) * F.lit(1e6)
+                    + F.lit(0.5)).cast("double") / F.lit(1e6))
+    ent = ln_n - (F.col("__s").cast("double") / F.lit(1e6)) \
+        / F.col("n_obs").cast("double")
+    return agg.select(group_col, "n_obs", "n_categories",
+                      ent.alias("entropy"))

@@ -172,6 +172,105 @@ def global_rank(df: DataFrame, order, out_col: str = "rank"):
     return ranged.mapInPandas(add_rank, out_schema), running
 
 
+def grouped_global_rank(df: DataFrame, group_col: str, order,
+                        out_col: str = "rank", n_col: str | None = None,
+                        max_cells: int = 1_000_000):
+    """Per-GROUP 1-based rank of each row under ``order``, without a
+    ``Window.partitionBy(group)`` — the skew-safe form for the
+    few-groups/huge-groups regime (per-source quality percentiles,
+    per-split orderings): a partitioned window serializes each group's
+    full row set through ONE task's sort, so a 40%-of-corpus source
+    becomes a 40%-of-corpus task.  Here the data range-partitions on
+    (group, *order) — every group spans as many partitions as its volume
+    needs — and ranks assemble as offset + partition-local position, the
+    same two-phase prefix-sum plan as :func:`global_rank`.
+
+    Phase 2 collects one ``(partition, group, n)`` row per group-fragment;
+    range layout makes a group occupy a CONTIGUOUS partition run, so the
+    cell count is bounded by ``n_partitions + n_groups`` — checked against
+    ``max_cells`` with a loud raise (a group column with entity-level
+    cardinality belongs in an ordinary partitioned window instead: groups
+    are small there, and this primitive's driver state would not be).
+
+    ``order`` must totally order rows WITHIN a group (include a unique
+    tiebreak); NULL group keys must be filtered by the caller (they would
+    need engine-specific NULL ordering semantics the range partitioner
+    does not promise).  ``n_col`` optionally emits each row's group total
+    (for percentile = (rank-1)/(n-1) normalizations) from the same
+    driver-side cells — no extra scan or join.
+
+    Returns ``(ranked_df, totals)`` where ``totals`` maps group key ->
+    row count; the phase-1 materialization makes the call eager.
+    """
+    order = list(order)
+    ranged = materialize_once(
+        df.repartitionByRange(F.col(group_col), *order)
+        .sortWithinPartitions(F.col(group_col), *order)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    cells = (
+        ranged.groupBy("__pid", group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .limit(max_cells + 1)
+        .collect()
+    )
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"grouped_global_rank: >{max_cells} (partition, group) cells — "
+            f"{group_col!r} looks entity-cardinality; use a partitioned "
+            "window (groups that numerous are individually small)")
+    by_group: dict = {}
+    for r in cells:
+        if r[group_col] is None:
+            raise ValueError(
+                "grouped_global_rank: NULL group keys present — filter "
+                "them out (range partitioning does not promise an "
+                "engine-portable NULL order)")
+        by_group.setdefault(r[group_col], []).append((r["__pid"], r["n"]))
+    offsets: dict = {}
+    totals: dict = {}
+    for g, frags in by_group.items():
+        run = 0
+        for pid, n in sorted(frags):
+            offsets[(pid, g)] = run
+            run += n
+        totals[g] = run
+
+    extra = [StructField(out_col, LongType(), False)]
+    if n_col is not None:
+        extra.append(StructField(n_col, LongType(), False))
+    out_schema = StructType(ranged.drop("__pid").schema.fields + extra)
+
+    def add_rank(iterator):
+        import numpy as np
+        import pandas as pd
+
+        pid = None
+        local: dict = {}  # per-group rows already emitted this partition
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            if pid is None:  # one partition == one __pid by construction
+                pid = int(pdf["__pid"].iloc[0])
+            labels, uniques = pd.factorize(pdf[group_col])
+            base = np.array(
+                [offsets.get((pid, g), 0) + local.get(g, 0)
+                 for g in uniques], dtype="int64")
+            within = pd.Series(labels).groupby(labels).cumcount().to_numpy()
+            out = pdf.drop(columns=["__pid"])
+            out[out_col] = base[labels] + within + 1
+            if n_col is not None:
+                out[n_col] = np.array(
+                    [totals.get(g, 0) for g in uniques],
+                    dtype="int64")[labels]
+            counts = np.bincount(labels)
+            for i, g in enumerate(uniques):
+                local[g] = local.get(g, 0) + int(counts[i])
+            yield out
+
+    return ranged.mapInPandas(add_rank, out_schema), totals
+
+
 def pack_sequences(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", budget: int = 512) -> DataFrame:
     """Concat-and-split packing: documents laid end-to-end in ``id_col``

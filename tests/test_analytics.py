@@ -309,3 +309,22 @@ def test_zipf_fit_recovers_planted_slope(spark):
                                    "term string, n_occurrences long")
     out = zipf_fit(single).collect()[0]
     assert out["n_types"] == 1 and out["slope"] is None
+
+
+def test_entropy_from_counts_known_distributions(spark):
+    import math
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        entropy_from_counts,
+    )
+
+    rows = [("uni", f"t{i}", 10) for i in range(4)]       # uniform: ln 4
+    rows += [("one", "only", 99)]                          # single cat: 0
+    rows += [("skew", "big", 9), ("skew", "small", 1)]     # H(0.9, 0.1)
+    df = spark.createDataFrame(rows, "g string, term string, c long")
+    out = {r["g"]: r for r in entropy_from_counts(df, "g", "c").collect()}
+    assert out["uni"]["n_obs"] == 40 and out["uni"]["n_categories"] == 4
+    assert out["uni"]["entropy"] == pytest.approx(math.log(4), abs=1e-5)
+    assert out["one"]["entropy"] == pytest.approx(0.0, abs=1e-5)
+    h = -(0.9 * math.log(0.9) + 0.1 * math.log(0.1))
+    assert out["skew"]["entropy"] == pytest.approx(h, abs=1e-5)

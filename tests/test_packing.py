@@ -214,3 +214,36 @@ def test_assemble_dialogs_order_truncation_and_guards(spark):
     assert full[1] == "a b c" and full[2] == "x y z"
     with pytest.raises(ValueError):
         assemble_dialogs(df, budget=0)
+
+
+def test_grouped_global_rank_matches_window_semantics(spark):
+    """grouped_global_rank == ROW_NUMBER() OVER (PARTITION BY g ORDER BY
+    v, id) without the single-task-per-group window; totals and the
+    optional n_col match the group sizes; NULL groups and cell blowups
+    raise loudly."""
+    import pytest
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import (
+        grouped_global_rank,
+    )
+
+    rows = [("a", i, 100 - i) for i in range(1, 8)] + \
+           [("b", 10, 5), ("b", 11, 5), ("c", 1, 1)]
+    df = spark.createDataFrame(rows, "g string, id int, v int")
+    ranked, totals = grouped_global_rank(
+        df, "g", [F.col("v").asc(), F.col("id").asc()],
+        out_col="rk", n_col="gn")
+    got = {(r["g"], r["id"]): (r["rk"], r["gn"]) for r in ranked.collect()}
+    assert totals == {"a": 7, "b": 2, "c": 1}
+    # group a: v = 100-i descending in i, so rank is reversed id order
+    for i in range(1, 8):
+        assert got[("a", i)] == (8 - i, 7)
+    assert got[("b", 10)] == (1, 2) and got[("b", 11)] == (2, 2)  # tie->id
+    assert got[("c", 1)] == (1, 1)
+
+    with pytest.raises(ValueError, match="NULL group keys"):
+        grouped_global_rank(
+            spark.createDataFrame([(None, 1, 1)], "g string, id int, v int"),
+            "g", [F.col("v"), F.col("id")])[0].collect()
+    with pytest.raises(ValueError, match="cells"):
+        grouped_global_rank(df, "g", [F.col("v"), F.col("id")],
+                            max_cells=1)

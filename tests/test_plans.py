@@ -660,3 +660,39 @@ def test_round12_addition_plan_shapes(spark):
         for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
                     "SortMergeJoin"):
             assert bad not in p, name
+
+    # quality_percentile: the skew-safe GROUPED rank — same MapInPandas
+    # shape, and critically NO Window.partitionBy(source) (a 40%-of-corpus
+    # source would serialize through one task's sort)
+    qp = _plan(qs["quality_percentile"](spark, SF))
+    assert "Window" not in qp and "MapInPandas" in qp
+    assert "CartesianProduct" not in qp
+    assert "BroadcastNestedLoopJoin" not in qp
+
+    # source_entropy: two chained aggregates (term counts -> per-source
+    # entropy), no window, no join — pure shuffle-then-reduce
+    se = _plan(qs["source_entropy"](spark, SF))
+    assert "Join" not in se and "Window" not in se
+    assert se.count("Scan parquet") == 1
+
+    # kfold_assign: the share window runs on the POST-AGGREGATE
+    # |langs x K| table (aggregate below the window), one scan
+    kf = _plan(qs["kfold_assign"](spark, SF))
+    assert kf.count("Scan parquet") == 1 and "Window" in kf
+    assert kf.index("HashAggregate") > kf.index("Window")
+    assert "Join" not in kf
+
+    # transition_entropy: user-keyed lead window + two chained
+    # aggregates — no join, no nested loop
+    te = _plan(qs["transition_entropy"](spark, SF))
+    assert "Join" not in te and "CartesianProduct" not in te
+    assert "Window" in te  # the per-user lead, keyed
+
+    # source_vocab_overlap: term-keyed equi self-join (hash or SMJ both
+    # fine), sizes arrive broadcast — and NEVER a nested loop (the
+    # src_a < src_b inequality must ride the term equi-key, not become
+    # the join itself)
+    so = _plan(qs["source_vocab_overlap"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in so
+    assert "CartesianProduct" not in so
+    assert "BroadcastHashJoin" in so  # the two size lookups
