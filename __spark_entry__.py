@@ -8701,6 +8701,77 @@ FROM s
 """
 
 
+def q_revenue_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve deciles of customer revenue — the point-wise
+    companion to `revenue_gini`: decile d's cumulative share of total
+    revenue when customers sort ascending by spend (the "bottom 50% of
+    customers hold X% of revenue" readout).  Same exact integer units
+    and distributed global rank as the Gini; the decile is 64-bit
+    integer arithmetic ((rank-1)*10 div n), the shares are one cumsum
+    window over the POST-AGGREGATE 10-row decile table, and divisions
+    are single IEEE ops the oracle mirrors.  No reference analog —
+    LLM-pipeline distribution-health surface."""
+    from pyspark.sql import Window as W
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import (
+        global_rank,
+    )
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * F.lit(10000.0)
+                           + F.lit(0.5)).cast("long")).alias("units"))
+        .filter(F.col("units").isNotNull())
+    )
+    ranked, n_total = global_rank(
+        per_cust, [F.col("units").asc(), F.col("o_custkey").asc()],
+        out_col="rk")
+    dec = ranked.groupBy(
+        F.expr(f"cast((rk - 1) * 10 div {int(n_total)} as int)")
+        .alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("units").cast("decimal(38,0)")).alias("__u"),
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    tot = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return dec.select(
+        "decile", "n_customers",
+        (F.col("__u").cast("double") / F.lit(10000.0)).alias("decile_revenue"),
+        (F.sum("__u").over(w).cast("double")
+         / F.sum("__u").over(tot).cast("double")).alias("cum_share"),
+    ).orderBy("decile")
+
+
+ORACLE_REVENUE_LORENZ = """
+WITH pc AS (
+  SELECT o_custkey,
+         SUM(CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT)) AS units
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+),
+r AS (
+  SELECT units,
+         ROW_NUMBER() OVER (ORDER BY units, o_custkey) AS rk,
+         COUNT(*) OVER () AS n
+  FROM pc WHERE units IS NOT NULL
+),
+dec AS (
+  SELECT CAST((rk - 1) * 10 // n AS INTEGER) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         SUM(CAST(units AS HUGEINT)) AS u
+  FROM r GROUP BY 1
+)
+SELECT decile, n_customers,
+       CAST(u AS DOUBLE) / 10000.0 AS decile_revenue,
+       CAST(SUM(u) OVER (ORDER BY decile
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE)
+       / CAST(SUM(u) OVER () AS DOUBLE) AS cum_share
+FROM dec ORDER BY decile
+"""
+
+
 def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit of the corpus token-frequency distribution
     (extensions/analytics.py:zipf_fit) — vocabulary-health gauge for LLM
@@ -8789,6 +8860,7 @@ _GATE_CHANGED = [
     "kfold_assign",
     "transition_entropy",
     "source_vocab_overlap",
+    "revenue_lorenz",
     # impl changed r12 (ADVICE): upsert_by_key's version gate now routes
     # NULL-key delta rows AROUND the groupBy so gated/ungated modes agree
     # on NULL-key multiplicity; the no-order_col path this query
@@ -8824,7 +8896,7 @@ _GATE_PAD = [
     # next-stalest: last signed r09 (alphabetically first 14 of 43; the
     # rest carry to the r13 pad, where they hit the bound)
     "ann_recall", "bloom_decontamination", "bm25_search", "bpe_train",
-    "cms_topk", "containment_dedup",
+    "cms_topk",
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost
@@ -8994,6 +9066,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_stats": q_winsorized_stats,
         "revenue_gini": q_revenue_gini,
         "zipf_slope": q_zipf_slope,
+        "revenue_lorenz": q_revenue_lorenz,
         "quality_percentile": q_quality_percentile,
         "source_entropy": q_source_entropy,
         "kfold_assign": q_kfold_assign,
@@ -9175,6 +9248,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorized_stats": ORACLE_WINSORIZED_STATS,
         "revenue_gini": ORACLE_REVENUE_GINI,
         "zipf_slope": ORACLE_ZIPF_SLOPE,
+        "revenue_lorenz": ORACLE_REVENUE_LORENZ,
         "quality_percentile": ORACLE_QUALITY_PERCENTILE,
         "source_entropy": ORACLE_SOURCE_ENTROPY,
         "kfold_assign": ORACLE_KFOLD_ASSIGN,

@@ -696,3 +696,11 @@ def test_round12_addition_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in so
     assert "CartesianProduct" not in so
     assert "BroadcastHashJoin" in so  # the two size lookups
+
+    # revenue_lorenz: cumsum/total windows run on the POST-AGGREGATE
+    # 10-row decile table; the customer rank is the MapInPandas prefix
+    # sum, never an unpartitioned window over entities
+    lz = _plan(qs["revenue_lorenz"](spark, SF))
+    assert "MapInPandas" in lz and "Window" in lz
+    assert lz.index("HashAggregate") > lz.index("Window")
+    assert "CartesianProduct" not in lz
