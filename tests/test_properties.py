@@ -936,3 +936,105 @@ def test_temporal_split_partitions_the_stream(spark, evs):
         assert bounds["embargo"][1] < bounds["test"][0]
     if "train" in bounds and "test" in bounds:
         assert bounds["train"][1] < bounds["test"][0]
+
+
+@settings(**SETTINGS)
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2),    # group (few, big)
+              st.integers(min_value=-50, max_value=50)),  # value
+    min_size=1, max_size=24))
+def test_grouped_global_rank_matches_serial_model(spark, rows):
+    """grouped_global_rank == serial per-group ROW_NUMBER for any values
+    and any physical partitioning; the totals map and the emitted n_col
+    both equal the group sizes."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.packing import (
+        grouped_global_rank,
+    )
+
+    data = [(f"g{g}", i, v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, k long, v long") \
+        .repartition(4)
+    ranked, totals = grouped_global_rank(
+        df, "g", [F.col("v").asc(), F.col("k").asc()],
+        out_col="r", n_col="gn")
+    got = {r["k"]: (r["g"], r["r"], r["gn"]) for r in ranked.collect()}
+    assert len(got) == len(data)
+    by_g: dict = {}
+    for g, k, v in data:
+        by_g.setdefault(g, []).append((v, k))
+    assert totals == {g: len(m) for g, m in by_g.items()}
+    for g, members in by_g.items():
+        for pos, (v, k) in enumerate(sorted(members), start=1):
+            assert got[k] == (g, pos, len(members))
+
+
+@settings(**SETTINGS)
+@given(units=st.lists(st.integers(min_value=0, max_value=1000),
+                      min_size=1, max_size=20))
+def test_gini_bounds_and_model(spark, units):
+    """gini_concentration stays in [0, 1) and matches the serial sort
+    identity; all-zero totals yield NULL."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        gini_concentration,
+    )
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(units)], "id long, units long"
+    ).repartition(3)
+    r = gini_concentration(df, "units", "id").collect()[0]
+    assert r["n_entities"] == len(units)
+    s0 = sum(units)
+    if s0 == 0:
+        assert r["gini"] is None
+        return
+    xs = sorted(units)
+    n = len(xs)
+    s1 = sum(rk * x for rk, x in enumerate(xs, start=1))
+    want = (2.0 * s1 - (n + 1.0) * s0) / (float(n) * s0)
+    assert r["gini"] == want  # exact: integer sums, one IEEE chain
+    assert 0.0 <= r["gini"] < 1.0
+
+
+@settings(**SETTINGS)
+@given(counts=st.lists(st.integers(min_value=1, max_value=500),
+                       min_size=1, max_size=15))
+def test_entropy_bounds(spark, counts):
+    """entropy_from_counts lands in [0, ln(k)] (micro-quantization slack)
+    and matches the serial identity to micro precision."""
+    import math
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        entropy_from_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("g", f"c{i}", c) for i, c in enumerate(counts)],
+        "g string, cat string, c long")
+    r = entropy_from_counts(df, "g", "c").collect()[0]
+    n = sum(counts)
+    want = math.log(n) - sum(c * math.log(c) for c in counts) / n
+    assert r["n_obs"] == n and r["n_categories"] == len(counts)
+    assert abs(r["entropy"] - want) < 2e-5
+    assert -1e-5 <= r["entropy"] <= math.log(len(counts)) + 1e-5
+
+
+@settings(**SETTINGS)
+@given(vals=st.lists(st.floats(min_value=-100, max_value=100,
+                               allow_nan=False, width=32),
+                     min_size=1, max_size=20),
+       lo=st.integers(min_value=0, max_value=4))
+def test_winsorized_mean_bounds(spark, vals, lo):
+    """The winsorized mean always lies within [p_lo, p_hi] (up to the
+    1e-4 quantization unit) and equals the raw mean when nothing clips."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        winsorized_mean,
+    )
+
+    q_lo, q_hi = lo / 10.0, 1.0 - lo / 10.0
+    df = spark.createDataFrame([("g", float(v)) for v in vals],
+                               "g string, v double")
+    r = winsorized_mean(df, "g", "v", lo=q_lo, hi=q_hi).collect()[0]
+    assert r["n_items"] == len(vals)
+    assert r["p_lo"] - 1e-4 <= r["win_mean"] <= r["p_hi"] + 1e-4
+    if lo == 0:  # p0/p100 clip nothing
+        assert abs(r["win_mean"] - r["raw_mean"]) < 1e-9
