@@ -3136,6 +3136,45 @@ FROM documents
 """
 
 
+def q_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media intensity histogram + moments (multimodal.py:
+    channel_histogram): deterministic 8x8 grayscale bitmaps synthesized
+    executor-side, vectorized numpy bucketing over Arrow batches — the
+    blank/saturated/low-contrast media gate of a multimodal curation
+    pipeline.  Pure integer bin counts and pixel sum; the mean is one
+    explicit IEEE division.  The oracle replays pixel formula + integer
+    bucketing + the division in SQL."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.multimodal import (
+        channel_histogram,
+        synth_bitmap,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_bitmap(docs.select(F.col("doc_id").alias("media_id")))
+    return channel_histogram(media, bins=16).select(
+        "media_id", "n_pixels", "bins", "px_sum",
+        (F.col("px_sum").cast("double")
+         / F.col("n_pixels").cast("double")).alias("px_mean"),
+    )
+
+
+# pixel (y,x) of the synthetic 8x8 bitmap = (id*31 + y*7 + x*13) % 256;
+# bins bucket by p // 16 (16 bins of width 16)
+ORACLE_IMAGE_HISTOGRAM = """
+WITH px AS (
+  SELECT doc_id, list_transform(range(0, 64), k ->
+      (doc_id * 31 + (k // 8) * 7 + (k % 8) * 13) % 256) AS ps
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(64 AS INTEGER) AS n_pixels,
+       list_transform(range(0, 16), b ->
+         CAST(len(list_filter(ps, p -> p // 16 = b)) AS BIGINT)) AS bins,
+       CAST(list_sum(ps) AS BIGINT) AS px_sum,
+       CAST(list_sum(ps) AS DOUBLE) / CAST(64 AS DOUBLE) AS px_mean
+FROM px
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster canonicalization: connected components over the
     n-gram-Jaccard pair graph (min-reachable-id labels); survivors of
@@ -8861,6 +8900,7 @@ _GATE_CHANGED = [
     "transition_entropy",
     "source_vocab_overlap",
     "revenue_lorenz",
+    "image_histogram",
     # impl changed r12 (ADVICE): upsert_by_key's version gate now routes
     # NULL-key delta rows AROUND the groupBy so gated/ungated modes agree
     # on NULL-key multiplicity; the no-order_col path this query
@@ -8896,7 +8936,6 @@ _GATE_PAD = [
     # next-stalest: last signed r09 (alphabetically first 14 of 43; the
     # rest carry to the r13 pad, where they hit the bound)
     "ann_recall", "bloom_decontamination", "bm25_search", "bpe_train",
-    "cms_topk",
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost
@@ -9067,6 +9106,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_gini": q_revenue_gini,
         "zipf_slope": q_zipf_slope,
         "revenue_lorenz": q_revenue_lorenz,
+        "image_histogram": q_image_histogram,
         "quality_percentile": q_quality_percentile,
         "source_entropy": q_source_entropy,
         "kfold_assign": q_kfold_assign,
@@ -9249,6 +9289,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_gini": ORACLE_REVENUE_GINI,
         "zipf_slope": ORACLE_ZIPF_SLOPE,
         "revenue_lorenz": ORACLE_REVENUE_LORENZ,
+        "image_histogram": ORACLE_IMAGE_HISTOGRAM,
         "quality_percentile": ORACLE_QUALITY_PERCENTILE,
         "source_entropy": ORACLE_SOURCE_ENTROPY,
         "kfold_assign": ORACLE_KFOLD_ASSIGN,

@@ -365,3 +365,51 @@ def resize_nearest(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return df.select("media_id", "width", "height", "pixels").mapInPandas(
         run, "media_id long, out_w int, out_h int, pixels binary, checksum long"
     )
+
+
+def channel_histogram(df: DataFrame, bins: int = 16) -> DataFrame:
+    """Intensity histogram + first-moment stats over raw grayscale
+    bitmaps — the multimodal feature-extraction step a curation pipeline
+    runs to spot blank/saturated/low-contrast media before paying for a
+    model forward pass.  Vectorized numpy inside Arrow ``mapInPandas``
+    (raw bitmap math needs no image library; compressed-format decode
+    stays behind ``decode_image_meta``'s backend guard).
+
+    ``bins`` must divide 256; bin b counts pixels in
+    ``[b*256/bins, (b+1)*256/bins)`` — pure integer bucketing, so the
+    counts (and the exact integer ``px_sum``) replay in SQL.  NULL
+    payloads pass through with NULL features, row preserved.
+
+    Returns ``(media_id, n_pixels int, bins array<bigint>, px_sum
+    bigint)``; derive the mean downstream as one IEEE division so the
+    float stays an explicit, oracle-mirrorable chain.
+    """
+    if bins < 1 or 256 % bins:
+        raise ValueError(f"bins must divide 256, got {bins}")
+    shift_div = 256 // bins
+
+    def run(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, w, h, px in zip(pdf["media_id"], pdf["width"],
+                                     pdf["height"], pdf["pixels"]):
+                if px is None:
+                    rows.append((mid, None, None, None))
+                    continue
+                a = np.frombuffer(bytes(px), dtype=np.uint8)[: int(w) * int(h)]
+                counts = np.bincount(a // shift_div, minlength=bins)
+                rows.append((mid, int(a.size),
+                             [int(c) for c in counts[:bins]],
+                             int(a.astype(np.int64).sum())))
+            out = pd.DataFrame(
+                rows, columns=["media_id", "n_pixels", "bins", "px_sum"])
+            out["n_pixels"] = pd.array(out["n_pixels"], dtype="Int32")
+            out["px_sum"] = pd.array(out["px_sum"], dtype="Int64")
+            yield out
+
+    return df.select("media_id", "width", "height", "pixels").mapInPandas(
+        run, "media_id long, n_pixels int, bins array<bigint>, px_sum long"
+    )

@@ -2459,3 +2459,31 @@ def test_remove_duplicated_spans_semantics(spark):
     }
     with pytest.raises(ValueError):
         remove_duplicated_spans(df, n=0)
+
+
+def test_channel_histogram_counts_and_nulls(spark):
+    """channel_histogram replays in python: exact bin counts (p // 16),
+    integer pixel sum; bins must divide 256; NULL payloads pass through
+    with NULL features."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.multimodal import (
+        channel_histogram,
+        synth_bitmap,
+    )
+
+    ids = spark.createDataFrame([(3,), (9,)], "media_id long")
+    media = synth_bitmap(ids, width=8, height=8)
+    out = {r["media_id"]: r for r in channel_histogram(media).collect()}
+    for mid in (3, 9):
+        px = [(mid * 31 + y * 7 + x * 13) % 256
+              for y in range(8) for x in range(8)]
+        want = [0] * 16
+        for p in px:
+            want[p // 16] += 1
+        assert list(out[mid]["bins"]) == want
+        assert out[mid]["px_sum"] == sum(px)
+        assert out[mid]["n_pixels"] == 64
+    nulled = media.withColumn("pixels", F.lit(None).cast("binary"))
+    nr = channel_histogram(nulled).collect()
+    assert all(r["px_sum"] is None and r["bins"] is None for r in nr)
+    with pytest.raises(ValueError, match="divide 256"):
+        channel_histogram(media, bins=7)

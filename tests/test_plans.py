@@ -704,3 +704,10 @@ def test_round12_addition_plan_shapes(spark):
     assert "MapInPandas" in lz and "Window" in lz
     assert lz.index("HashAggregate") > lz.index("Window")
     assert "CartesianProduct" not in lz
+
+    # image_histogram: fully narrow — one scan feeding chained Arrow
+    # stages (synth + histogram), no exchange/join/window anywhere
+    ih = _plan(qs["image_histogram"](spark, SF))
+    assert ih.count("Scan parquet") == 1 and "MapInPandas" in ih
+    for bad in ("Exchange", "Join", "Window", "HashAggregate"):
+        assert bad not in ih

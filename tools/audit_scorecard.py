@@ -247,8 +247,12 @@ def write_keys_doc(repo: str) -> None:
             "ORACLE_KEYS.md has no generation marker — add TABLE_MARKER "
             "above the inventory table once, then --write-keys maintains it")
     head = text.split(TABLE_MARKER)[0]
+    # render FIRST: opening with "w" truncates immediately, so a render
+    # failure (e.g. a registry syntax error) must not leave the committed
+    # doc empty (observed: a broken __spark_entry__ edit zeroed the file)
+    body = head + TABLE_MARKER + "\n\n" + render_keys_table(repo)
     with open(path, "w") as f:
-        f.write(head + TABLE_MARKER + "\n\n" + render_keys_table(repo))
+        f.write(body)
 
 
 def main() -> None:
