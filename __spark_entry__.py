@@ -3175,6 +3175,107 @@ FROM px
 """
 
 
+MUTUAL_KNN_UNIVERSE = 500  # shared with the oracle: all-pairs in SQL
+MUTUAL_KNN_K = 10
+
+
+def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN reciprocity filter (similarity.py:mutual_knn_pairs):
+    (a, b) kept iff each is in the other's exact cosine top-k — the
+    hub-vector killer semantic-dedup / bitext-mining pipelines apply
+    before trusting neighbor lists.  One blocked cogrouped Arrow top-k
+    pass with the corpus as its own query set, then a pair-keyed
+    self-equi-join of the k*N list.  The universe is id-bounded so the
+    brute-force SQL oracle stays all-pairs tractable at every SF."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        mutual_knn_pairs,
+    )
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < MUTUAL_KNN_UNIVERSE)
+    return mutual_knn_pairs(emb, k=MUTUAL_KNN_K)
+
+
+ORACLE_MUTUAL_KNN = f"""
+WITH u AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id < {MUTUAL_KNN_UNIVERSE}
+),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM u),
+scored AS (
+  SELECT q.qid AS query_id, e.vec_id, {_DUCK_COS} AS cosine_sim
+  FROM u e CROSS JOIN q WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored
+),
+topk AS (SELECT * FROM ranked WHERE rank <= {MUTUAL_KNN_K})
+SELECT f.query_id AS id_a, f.vec_id AS id_b, f.cosine_sim,
+       CAST(f.rank AS INTEGER) AS rank_ab,
+       CAST(r.rank AS INTEGER) AS rank_ba
+FROM topk f JOIN topk r ON f.query_id = r.vec_id AND f.vec_id = r.query_id
+WHERE f.query_id < f.vec_id
+"""
+
+
+QUALITY_SWEEP_THRESHOLDS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor counts across a grid of quality-score cutoffs — the
+    observability readout for CHOOSING a corpus filter threshold
+    (filter_funnel's sibling: the funnel audits a fixed policy, the
+    sweep shows the whole tradeoff curve).  ONE scan, one 1-row
+    conditional aggregate (9 survivor sums + the total), exploded to the
+    9-row curve post-aggregate; shares are single exact integer
+    divisions."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        quality_score_col,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    score = quality_score_col()
+    aggs = [F.count(F.lit(1)).cast("long").alias("__total")]
+    for i, t in enumerate(QUALITY_SWEEP_THRESHOLDS):
+        aggs.append(F.sum(F.when(score >= F.lit(t), F.lit(1))
+                          .otherwise(F.lit(0))).cast("long").alias(f"__n{i}"))
+    row = docs.agg(*aggs)
+    curve = F.array(*[
+        F.struct(F.lit(float(t)).alias("threshold"),
+                 F.col(f"__n{i}").alias("n_pass"))
+        for i, t in enumerate(QUALITY_SWEEP_THRESHOLDS)
+    ])
+    return (
+        row.select("__total", F.explode(curve).alias("__c"))
+        .select(
+            F.col("__c.threshold").alias("threshold"),
+            F.col("__c.n_pass").alias("n_pass"),
+            (F.col("__c.n_pass").cast("double")
+             / F.col("__total").cast("double")).alias("pass_share"),
+        )
+    )
+
+
+_SWEEP_ARMS = "\nUNION ALL\n".join(
+    f"SELECT CAST({t} AS DOUBLE) AS threshold, n{i} AS n_pass,"
+    f" CAST(n{i} AS DOUBLE) / CAST(total AS DOUBLE) AS pass_share FROM agg"
+    for i, t in enumerate(QUALITY_SWEEP_THRESHOLDS)
+)
+_SWEEP_SUMS = ",\n         ".join(
+    f"CAST(SUM(CASE WHEN quality_score >= {t} THEN 1 ELSE 0 END)"
+    f" AS BIGINT) AS n{i}"
+    for i, t in enumerate(QUALITY_SWEEP_THRESHOLDS)
+)
+ORACLE_QUALITY_THRESHOLD_SWEEP = f"""
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+         {_SWEEP_SUMS}
+  FROM ({ORACLE_QUALITY_SCORES})
+)
+{_SWEEP_ARMS}
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster canonicalization: connected components over the
     n-gram-Jaccard pair graph (min-reachable-id labels); survivors of
@@ -8901,6 +9002,8 @@ _GATE_CHANGED = [
     "source_vocab_overlap",
     "revenue_lorenz",
     "image_histogram",
+    "mutual_knn",
+    "quality_threshold_sweep",
     # impl changed r12 (ADVICE): upsert_by_key's version gate now routes
     # NULL-key delta rows AROUND the groupBy so gated/ungated modes agree
     # on NULL-key multiplicity; the no-order_col path this query
@@ -8935,7 +9038,7 @@ _GATE_PAD = [
     "unique_check", "urgent_customers", "watermark_filter",
     # next-stalest: last signed r09 (alphabetically first 14 of 43; the
     # rest carry to the r13 pad, where they hit the bound)
-    "ann_recall", "bloom_decontamination", "bm25_search", "bpe_train",
+    "ann_recall", "bloom_decontamination",
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost
@@ -9107,6 +9210,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": q_zipf_slope,
         "revenue_lorenz": q_revenue_lorenz,
         "image_histogram": q_image_histogram,
+        "mutual_knn": q_mutual_knn,
+        "quality_threshold_sweep": q_quality_threshold_sweep,
         "quality_percentile": q_quality_percentile,
         "source_entropy": q_source_entropy,
         "kfold_assign": q_kfold_assign,
@@ -9290,6 +9395,8 @@ def oracle_sql() -> dict[str, str]:
         "zipf_slope": ORACLE_ZIPF_SLOPE,
         "revenue_lorenz": ORACLE_REVENUE_LORENZ,
         "image_histogram": ORACLE_IMAGE_HISTOGRAM,
+        "mutual_knn": ORACLE_MUTUAL_KNN,
+        "quality_threshold_sweep": ORACLE_QUALITY_THRESHOLD_SWEEP,
         "quality_percentile": ORACLE_QUALITY_PERCENTILE,
         "source_entropy": ORACLE_SOURCE_ENTROPY,
         "kfold_assign": ORACLE_KFOLD_ASSIGN,

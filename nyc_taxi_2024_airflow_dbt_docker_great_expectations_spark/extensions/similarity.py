@@ -248,6 +248,45 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return _final_topk(scored, k, id_col, query_id_col)
 
 
+def mutual_knn_pairs(corpus: DataFrame, k: int = 10,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Mutual k-nearest-neighbor pairs: (a, b) kept iff b is in a's exact
+    cosine top-k AND a is in b's — the reciprocity filter semantic-dedup
+    and cross-lingual mining pipelines use to kill hub vectors (a point
+    "near everything" appears in many top-k lists but reciprocates few,
+    so one-directional neighbors are mostly noise; Artetxe & Schwenk's
+    margin-based mining builds on the same reciprocity idea).
+
+    One :func:`cosine_topk` pass with the corpus as its own query set
+    (blocked cogrouped Arrow scoring — the same scale shape as the ANN
+    baseline), then a self-equi-join of the k·N top-k rows on the
+    directed pair key and an ``id_a < id_b`` cut so each mutual pair
+    emits once.  cosine(a,b) == cosine(b,a) bitwise (same left-fold dot,
+    commutative norm product), so keeping the a->b score is exact.
+
+    Returns ``(id_a, id_b, cosine_sim, rank_ab, rank_ba)``.
+    """
+    qs = corpus.select(F.col(id_col).alias("__qid"),
+                       F.col(vec_col).alias(vec_col))
+    topk = cosine_topk(corpus, qs, k=k, id_col=id_col, vec_col=vec_col,
+                       query_id_col="__qid")
+    fwd = topk.select(
+        F.col("__qid").alias("id_a"), F.col(id_col).alias("id_b"),
+        F.col("cosine_sim"), F.col("rank").alias("rank_ab"),
+    )
+    rev = topk.select(
+        F.col(id_col).alias("__ra"), F.col("__qid").alias("__rb"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return (
+        fwd.join(rev, (F.col("id_a") == F.col("__ra"))
+                 & (F.col("id_b") == F.col("__rb")))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cosine_sim", "rank_ab", "rank_ba")
+    )
+
+
 def hard_negative_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        label_col: str = "label",

@@ -2487,3 +2487,34 @@ def test_channel_histogram_counts_and_nulls(spark):
     assert all(r["px_sum"] is None and r["bins"] is None for r in nr)
     with pytest.raises(ValueError, match="divide 256"):
         channel_histogram(media, bins=7)
+
+
+def test_mutual_knn_pairs_matches_bruteforce(spark, vectors):
+    """mutual_knn_pairs == brute-force reciprocity over exact cosine
+    top-k lists: each undirected pair appears once (id_a < id_b) with
+    both directed ranks; one-directional neighbors are dropped."""
+    import numpy as np
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        mutual_knn_pairs,
+    )
+
+    k = 2
+    got = {(r["id_a"], r["id_b"]): (r["rank_ab"], r["rank_ba"])
+           for r in mutual_knn_pairs(vectors, k=k).collect()}
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in vectors.collect()}
+    topk = {}
+    for a, va in rows.items():
+        sims = sorted(
+            ((b, float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))))
+             for b, vb in rows.items() if b != a),
+            key=lambda t: (-t[1], t[0]))[:k]
+        topk[a] = {b: rk for rk, (b, _) in enumerate(sims, start=1)}
+    want = {}
+    for a in rows:
+        for b, rab in topk[a].items():
+            if a < b and a in topk[b]:
+                want[(a, b)] = (rab, topk[b][a])
+    assert got == want
+    assert want  # the fixture must actually produce mutual pairs

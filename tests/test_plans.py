@@ -711,3 +711,18 @@ def test_round12_addition_plan_shapes(spark):
     assert ih.count("Scan parquet") == 1 and "MapInPandas" in ih
     for bad in ("Exchange", "Join", "Window", "HashAggregate"):
         assert bad not in ih
+
+    # mutual_knn: cogrouped Arrow top-k scoring + a pair-keyed EQUI
+    # self-join of the k*N list — never a nested loop over vectors
+    mk = _plan(qs["mutual_knn"](spark, SF))
+    assert "FlatMapCoGroupsInPandas" in mk
+    assert "CartesianProduct" not in mk
+    assert "BroadcastNestedLoopJoin" not in mk
+
+    # quality_threshold_sweep: ONE 1-row conditional aggregate, curve
+    # exploded post-aggregate — no join, no window, single scan
+    qt = _plan(qs["quality_threshold_sweep"](spark, SF))
+    assert qt.count("Scan parquet") == 1
+    assert "Generate explode" in qt
+    for bad in ("Join", "Window", "CartesianProduct"):
+        assert bad not in qt
