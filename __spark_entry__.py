@@ -4897,24 +4897,34 @@ WITH ranked AS (
   FROM lineitem
   WHERE l_extendedprice IS NOT NULL
 ),
+-- q * (n-1) in DOUBLE arithmetic, not DuckDB's exact DECIMAL-literal
+-- fraction: the decimal chain diverges from Spark's double chain by an
+-- ulp that a large (vhi - vlo) amplifies (the round-12 winsorized_stats
+-- lesson; 0.5 was binary-exact by luck, 0.9 was absorbed by luck)
 agg AS (
   SELECT l_returnflag, n_items,
-         MAX(CASE WHEN rn = CAST(floor(0.5 * (n_items - 1)) AS BIGINT) + 1
+         MAX(CASE WHEN rn = CAST(floor(CAST(0.5 AS DOUBLE) * (n_items - 1))
+                            AS BIGINT) + 1
                   THEN l_extendedprice END) AS v50lo,
-         MAX(CASE WHEN rn = CAST(floor(0.5 * (n_items - 1)) AS BIGINT) + 2
+         MAX(CASE WHEN rn = CAST(floor(CAST(0.5 AS DOUBLE) * (n_items - 1))
+                            AS BIGINT) + 2
                   THEN l_extendedprice END) AS v50hi,
-         MAX(CASE WHEN rn = CAST(floor(0.9 * (n_items - 1)) AS BIGINT) + 1
+         MAX(CASE WHEN rn = CAST(floor(CAST(0.9 AS DOUBLE) * (n_items - 1))
+                            AS BIGINT) + 1
                   THEN l_extendedprice END) AS v90lo,
-         MAX(CASE WHEN rn = CAST(floor(0.9 * (n_items - 1)) AS BIGINT) + 2
+         MAX(CASE WHEN rn = CAST(floor(CAST(0.9 AS DOUBLE) * (n_items - 1))
+                            AS BIGINT) + 2
                   THEN l_extendedprice END) AS v90hi
   FROM ranked GROUP BY 1, 2
 )
 SELECT l_returnflag,
        v50lo + (COALESCE(v50hi, v50lo) - v50lo)
-             * (0.5 * (n_items - 1) - floor(0.5 * (n_items - 1)))
+             * (CAST(0.5 AS DOUBLE) * (n_items - 1)
+                - floor(CAST(0.5 AS DOUBLE) * (n_items - 1)))
            AS median_price,
        v90lo + (COALESCE(v90hi, v90lo) - v90lo)
-             * (0.9 * (n_items - 1) - floor(0.9 * (n_items - 1)))
+             * (CAST(0.9 AS DOUBLE) * (n_items - 1)
+                - floor(CAST(0.9 AS DOUBLE) * (n_items - 1)))
            AS p90_price,
        n_items
 FROM agg
@@ -8746,24 +8756,33 @@ WITH ranked AS (
          COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_items
   FROM orders WHERE o_totalprice IS NOT NULL
 ),
+-- q * (n-1) MUST be DOUBLE arithmetic: a bare 0.05 literal is DECIMAL in
+-- DuckDB, whose exact fraction diverges from Spark's double chain by an
+-- ulp that a large (vhi - vlo) amplifies into a hash mismatch
 b AS (
   SELECT o_orderpriority, n_items,
-         MAX(CASE WHEN rn = CAST(floor(0.05 * (n_items - 1)) AS BIGINT) + 1
+         MAX(CASE WHEN rn = CAST(floor(CAST(0.05 AS DOUBLE) * (n_items - 1))
+                            AS BIGINT) + 1
                   THEN o_totalprice END) AS vll,
-         MAX(CASE WHEN rn = CAST(floor(0.05 * (n_items - 1)) AS BIGINT) + 2
+         MAX(CASE WHEN rn = CAST(floor(CAST(0.05 AS DOUBLE) * (n_items - 1))
+                            AS BIGINT) + 2
                   THEN o_totalprice END) AS vlh,
-         MAX(CASE WHEN rn = CAST(floor(0.95 * (n_items - 1)) AS BIGINT) + 1
+         MAX(CASE WHEN rn = CAST(floor(CAST(0.95 AS DOUBLE) * (n_items - 1))
+                            AS BIGINT) + 1
                   THEN o_totalprice END) AS vhl,
-         MAX(CASE WHEN rn = CAST(floor(0.95 * (n_items - 1)) AS BIGINT) + 2
+         MAX(CASE WHEN rn = CAST(floor(CAST(0.95 AS DOUBLE) * (n_items - 1))
+                            AS BIGINT) + 2
                   THEN o_totalprice END) AS vhh
   FROM ranked GROUP BY 1, 2
 ),
 bounds AS (
   SELECT o_orderpriority, n_items,
          vll + (COALESCE(vlh, vll) - vll)
-             * (0.05 * (n_items - 1) - floor(0.05 * (n_items - 1))) AS p_lo,
+             * (CAST(0.05 AS DOUBLE) * (n_items - 1)
+                - floor(CAST(0.05 AS DOUBLE) * (n_items - 1))) AS p_lo,
          vhl + (COALESCE(vhh, vhl) - vhl)
-             * (0.95 * (n_items - 1) - floor(0.95 * (n_items - 1))) AS p_hi
+             * (CAST(0.95 AS DOUBLE) * (n_items - 1)
+                - floor(CAST(0.95 AS DOUBLE) * (n_items - 1))) AS p_hi
   FROM b
 ),
 agg AS (
@@ -9004,6 +9023,11 @@ _GATE_CHANGED = [
     "image_histogram",
     "mutual_knn",
     "quality_threshold_sweep",
+    # oracle changed r12: q*(n-1) forced to DOUBLE arithmetic (a bare
+    # 0.05/0.9 literal is DECIMAL in DuckDB — its exact fraction diverges
+    # from Spark's double chain by an ulp that a large vhi-vlo amplifies;
+    # winsorized_stats caught it live, median_price was absorbed luck)
+    "median_price",
     # impl changed r12 (ADVICE): upsert_by_key's version gate now routes
     # NULL-key delta rows AROUND the groupBy so gated/ungated modes agree
     # on NULL-key multiplicity; the no-order_col path this query
@@ -9038,7 +9062,7 @@ _GATE_PAD = [
     "unique_check", "urgent_customers", "watermark_filter",
     # next-stalest: last signed r09 (alphabetically first 14 of 43; the
     # rest carry to the r13 pad, where they hit the bound)
-    "ann_recall", "bloom_decontamination",
+    "ann_recall",
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost
