@@ -117,3 +117,63 @@ def has_verbatim_copies(df, key_cols) -> bool:
         F.count(F.lit(1)), F.count_distinct(F.xxhash64(*keys))
     ).first()
     return n != nd
+
+
+class IterativeState:
+    """Round-state manager for iterative algorithms (star contraction,
+    greedy k-center): each round's frame is persisted LAZILY, so the
+    round's own first action materializes it — one job per round instead
+    of the eager-checkpoint-plus-action two — and superseded rounds are
+    unpersisted explicitly once their successor is materialized.  Every
+    ``chain_cut`` rounds one eager ``localCheckpoint`` truncates the
+    logical plan: persist alone does not cut lineage, and ~32 stacked
+    rounds overflow the JVM stack (measured, round 12); checkpointing
+    EVERY round was the coreset_select bench flip-flop culprit
+    (MEASUREMENTS.md — page-cache-sensitive and slower in both states).
+
+    Protocol::
+
+        state = IterativeState()
+        while ...:
+            frame = state.advance(build_next(frame))
+            ... run an action on frame ...   # materializes the persist
+            state.settle()                   # drop superseded rounds
+        # the NEWEST frame stays cached for downstream consumers;
+        # call close() instead when nothing downstream reads it.
+    """
+
+    def __init__(self, chain_cut: int = 8):
+        if chain_cut < 1:
+            raise ValueError(f"chain_cut must be >= 1, got {chain_cut}")
+        self.chain_cut = chain_cut
+        self._depth = 0
+        self._frames: list[DataFrame] = []  # oldest -> newest, all cached
+
+    def advance(self, df: DataFrame) -> DataFrame:
+        """Register the next round's frame.  Returns a lazily persisted
+        frame (or, at the depth cap, an eagerly checkpointed one — the
+        checkpoint must materialize BEFORE its parents are dropped)."""
+        if self._depth + 1 >= self.chain_cut:
+            out = df.localCheckpoint(eager=True)
+            self._drop_superseded(keep=0)  # lineage cut: parents disposable
+            self._depth = 0
+        else:
+            out = df.persist(StorageLevel.MEMORY_AND_DISK)
+            self._depth += 1
+        self._frames.append(out)
+        return out
+
+    def settle(self) -> None:
+        """Unpersist every frame except the newest — call AFTER an action
+        has materialized the newest frame (dropping a parent earlier
+        would force the child to recompute its lineage from scratch)."""
+        self._drop_superseded(keep=1)
+
+    def close(self) -> None:
+        """Unpersist everything, newest included — for algorithms whose
+        result is driver-side state rather than the final frame."""
+        self._drop_superseded(keep=0)
+
+    def _drop_superseded(self, keep: int) -> None:
+        while len(self._frames) > keep:
+            self._frames.pop(0).unpersist()

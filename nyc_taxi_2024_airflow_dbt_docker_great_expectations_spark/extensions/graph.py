@@ -35,7 +35,7 @@ import warnings
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..execution import materialize_once
+from ..execution import IterativeState, materialize_once
 
 
 class ConvergenceWarning(UserWarning):
@@ -140,14 +140,20 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
         return int(row["bad"] or 0)
 
     converged = False
+    # round state: lazy persist per contraction round — the convergence
+    # test's own job materializes it (one job per round, not the eager
+    # checkpoint's two) — with a depth-capped localCheckpoint so the
+    # lineage can't grow unboundedly on slow-converging inputs
+    # (execution.IterativeState; the round-12 kcenter rework pattern)
+    state = IterativeState()
     for _ in range(max_iter):
         # contract FIRST, then test: almost every input needs at least one
         # round, so checking up front wastes a job; contraction is
         # idempotent on an already-converged star forest.
-        # materialization truncates the growing lineage (iterative plans
-        # otherwise re-execute all prior rounds every action)
-        e = materialize_once(_small_star(_large_star(e)))
-        if _non_star_count(e) == 0:
+        e = state.advance(_small_star(_large_star(e)))
+        bad = _non_star_count(e)
+        state.settle()  # superseded rounds; the newest stays cached
+        if bad == 0:
             converged = True
             break
     if not converged and _non_star_count(e) > 0:

@@ -1505,22 +1505,18 @@ def _kcenter_rounds_materialized(pts: DataFrame, k: int,
     least(d1,least(d2,d3))``) and both forms apply the same per-center
     distance fold (property-tested).  Mutates and returns ``picked``;
     extends ``chosen`` alongside."""
-    from pyspark import StorageLevel
+    from ..execution import IterativeState
 
-    cur = (
+    state = IterativeState(chain_cut=_KCENTER_CHAIN_CUT)
+    cur = state.advance(
         pts.filter(F.col("__id") != F.lit(chosen[0][0]))
         .select("__id", "__v",
                 _sq_dist_to(F.col("__v"), chosen[0][1]).alias("__dmin"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    prev = None
-    depth = 1
     while len(picked) < k:
         cand = (cur.orderBy(F.desc("__dmin"), F.asc("__id"))
                 .limit(1).collect())
-        if prev is not None:  # successor materialized; cache safe to drop
-            prev.unpersist()
-            prev = None
+        state.settle()  # superseded rounds; the newest just materialized
         if not cand:
             break
         row = cand[0]
@@ -1529,24 +1525,13 @@ def _kcenter_rounds_materialized(pts: DataFrame, k: int,
         picked.append((len(picked) + 1, row["__id"], float(row["__dmin"])))
         if len(picked) >= k:
             break
-        nxt = (
+        cur = state.advance(
             cur.filter(F.col("__id") != F.lit(row["__id"]))
             .select("__id", "__v",
                     F.least(F.col("__dmin"),
                             _sq_dist_to(F.col("__v"), cvec)).alias("__dmin"))
         )
-        if depth >= _KCENTER_CHAIN_CUT:
-            nxt = nxt.localCheckpoint(eager=True)  # cuts plan + caches
-            cur.unpersist()
-            depth = 1
-        else:
-            nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
-            prev = cur
-            depth += 1
-        cur = nxt
-    cur.unpersist()
-    if prev is not None:
-        prev.unpersist()
+    state.close()  # result is the driver-side picked list
     return picked
 
 
