@@ -2009,15 +2009,18 @@ cents{x} AS (
 
 
 # the shared IVF index replay — centroid seed draw, both Lloyd rounds,
-# inverted-list assignment — used by the ivf_topk AND semantic_dedup
-# oracles (the Spark twins share _ivf_index the same way)
-def _duck_ivf_index(n_lists: int, sample: int) -> str:
+# inverted-list assignment — used by the ivf_topk, semantic_dedup AND
+# mutual_knn_index oracles (the Spark twins share _ivf_index the same
+# way); ``src`` names the corpus relation the index is built over (a CTE
+# for a bounded universe, "embeddings" for the full table)
+def _duck_ivf_index(n_lists: int, sample: int,
+                    src: str = "embeddings") -> str:
     return f"""cents0 AS (
   SELECT vec_id AS cid,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce FROM (
     SELECT vec_id, embedding,
            ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-    FROM embeddings
+    FROM {src}
   ) WHERE rn <= {n_lists}
 ),
 samp AS (
@@ -2025,7 +2028,7 @@ samp AS (
     SELECT vec_id, embedding,
            ROW_NUMBER() OVER (
                ORDER BY md5('lloyd:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
-    FROM embeddings
+    FROM {src}
   ) WHERE rn <= {sample}
 ),
 su AS (
@@ -2041,7 +2044,7 @@ assign AS (
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
                               ORDER BY {_duck_cos('e.embedding', 'c.ce')} DESC,
                                        c.cid) AS rn
-    FROM embeddings e CROSS JOIN cents c
+    FROM {src} e CROSS JOIN cents c
   ) WHERE rn = 1
 )"""
 
@@ -3143,7 +3146,13 @@ def q_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     blank/saturated/low-contrast media gate of a multimodal curation
     pipeline.  Pure integer bin counts and pixel sum; the mean is one
     explicit IEEE division.  The oracle replays pixel formula + integer
-    bucketing + the division in SQL."""
+    bucketing + the division in SQL.
+
+    The gate row ships the bins as a ','-joined STRING: the driver
+    harness canonicalizes result frames through pandas ``sort_values``,
+    which cannot sort an unhashable ARRAY cell (the one red row of
+    rounds 1-12) — library callers use :func:`channel_histogram`
+    directly and keep the typed ``ARRAY<BIGINT>``."""
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.multimodal import (
         channel_histogram,
         synth_bitmap,
@@ -3151,14 +3160,18 @@ def q_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = synth_bitmap(docs.select(F.col("doc_id").alias("media_id")))
     return channel_histogram(media, bins=16).select(
-        "media_id", "n_pixels", "bins", "px_sum",
+        "media_id", "n_pixels",
+        F.concat_ws(",", F.col("bins").cast("array<string>"))
+        .alias("bins_csv"),
+        "px_sum",
         (F.col("px_sum").cast("double")
          / F.col("n_pixels").cast("double")).alias("px_mean"),
     )
 
 
 # pixel (y,x) of the synthetic 8x8 bitmap = (id*31 + y*7 + x*13) % 256;
-# bins bucket by p // 16 (16 bins of width 16)
+# bins bucket by p // 16 (16 bins of width 16); the bin list ships as a
+# ','-joined string so the driver's pandas canonicalizer can sort the row
 ORACLE_IMAGE_HISTOGRAM = """
 WITH px AS (
   SELECT doc_id, list_transform(range(0, 64), k ->
@@ -3167,8 +3180,9 @@ WITH px AS (
 )
 SELECT doc_id AS media_id,
        CAST(64 AS INTEGER) AS n_pixels,
-       list_transform(range(0, 16), b ->
-         CAST(len(list_filter(ps, p -> p // 16 = b)) AS BIGINT)) AS bins,
+       array_to_string(list_transform(range(0, 16), b ->
+         CAST(len(list_filter(ps, p -> p // 16 = b)) AS BIGINT)),
+         ',') AS bins_csv,
        CAST(list_sum(ps) AS BIGINT) AS px_sum,
        CAST(list_sum(ps) AS DOUBLE) / CAST(64 AS DOUBLE) AS px_mean
 FROM px
@@ -3211,6 +3225,94 @@ ranked AS (
   FROM scored
 ),
 topk AS (SELECT * FROM ranked WHERE rank <= {MUTUAL_KNN_K})
+SELECT f.query_id AS id_a, f.vec_id AS id_b, f.cosine_sim,
+       CAST(f.rank AS INTEGER) AS rank_ab,
+       CAST(r.rank AS INTEGER) AS rank_ba
+FROM topk f JOIN topk r ON f.query_id = r.vec_id AND f.vec_id = r.query_id
+WHERE f.query_id < f.vec_id
+"""
+
+
+def q_mutual_knn_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-backed mutual k-NN (similarity.py:mutual_knn_from_index): the
+    reciprocity filter served from a PERSISTED IVF index over the same
+    bounded universe as the exact q_mutual_knn — the 100 TB shape, where
+    each direction's top-k probes n_probe/n_lists of the corpus instead
+    of all of it (round-12 verdict item 5).  Surviving pairs carry
+    bit-identical scores to the exact form (same left-fold re-score);
+    recall vs exact is measured in tests/test_extensions.py.  The oracle
+    replays the index build (seed draw + both Lloyd rounds + assignment,
+    via _duck_ivf_index over the universe CTE), the 4-list probe, and
+    the reciprocity join — value-exact at any SF."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        mutual_knn_from_index,
+    )
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < MUTUAL_KNN_UNIVERSE)
+    prefix = _mknn_ivf_index_if_absent(spark, sf_dir, emb)
+    return mutual_knn_from_index(spark, prefix, emb, k=MUTUAL_KNN_K,
+                                 n_probe=4)
+
+
+def _mknn_ivf_index_if_absent(spark: SparkSession, sf_dir: str,
+                              universe: DataFrame) -> str:
+    """Persisted IVF index over the mutual-kNN bounded universe (distinct
+    from the full-corpus index of _ivf_index_if_absent: the exact twin
+    ranks within the universe, so the ANN twin must index the same rows
+    for recall to be comparable).  Build-once per warehouse; warmed by
+    warm_persisted."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        IVF_INDEX_TABLES,
+        build_ivf_index_tables,
+    )
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.layout import (
+        adopt_bucketed_table,
+    )
+
+    prefix = f"mknn_ivf_idx_{_sfx(sf_dir)}"
+    ivf_keys = {"centroids": None, "lists": ["__list"]}
+    ivf_props = {"kind": "ivf_index", "n_lists": 16, "refine_iters": 2,
+                 "sample_size": 512}
+    if not all(spark.catalog.tableExists(f"{prefix}_{t}")
+               or adopt_bucketed_table(spark, f"{prefix}_{t}", ivf_keys[t],
+                                       props=ivf_props)
+               for t in IVF_INDEX_TABLES):
+        build_ivf_index_tables(universe, prefix, n_lists=16,
+                               refine_iters=2, sample_size=512)
+    return prefix
+
+
+ORACLE_MUTUAL_KNN_INDEX = f"""
+WITH u AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id < {MUTUAL_KNN_UNIVERSE}
+),
+{_duck_ivf_index(16, 512, src="u")},
+q AS (SELECT vec_id AS qid, embedding AS qe FROM u),
+probes AS (
+  SELECT qid, cid AS list FROM (
+    SELECT q.qid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {_duck_cos('q.qe', 'c.ce')} DESC,
+                                       c.cid) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT q.qid AS query_id, e.vec_id, {_DUCK_COS} AS cosine_sim
+  FROM u e
+  JOIN assign a USING (vec_id)
+  JOIN probes p ON a.list = p.list
+  JOIN q ON q.qid = p.qid
+  WHERE e.vec_id <> q.qid
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, vec_id) AS rank
+    FROM scored
+  ) WHERE rank <= {MUTUAL_KNN_K}
+)
 SELECT f.query_id AS id_a, f.vec_id AS id_b, f.cosine_sim,
        CAST(f.rank AS INTEGER) AS rank_ab,
        CAST(r.rank AS INTEGER) AS rank_ba
@@ -8995,74 +9097,58 @@ FROM q
 """
 
 
-# Round-12 rotation (freshness maintenance — `tools/audit_scorecard.py`
+# Round-13 rotation (freshness maintenance — `tools/audit_scorecard.py`
 # prints the latest-green-signature distribution these lists are built
 # from; a pytest asserts the composed scorecard stays consistent).  The
-# window fronts (a) the three NEW round-12 keys (first signatures), (b)
-# the keys whose implementation changed this round (round-11 ADVICE
-# fixes + the kcenter round-state rework), (c) ALL 30 r08-stale keys
-# named by the prospective fronting guard at round-11 handoff (they hit
-# the <=4-round bound exactly at r12), (d) the alphabetically first
-# r09-stale keys that still fit.  The remaining r09 keys carry to round
-# 13, where they hit the bound and must all be fronted.
+# window fronts (a) the keys whose implementation changed this round
+# (round-12 ADVICE fixes + the image_histogram gate-safety rework) and
+# the one NEW key, (b) ALL 42 r09-stale keys that hit the <=4-round
+# bound exactly at r13 (named by the prospective fronting guard at
+# round-12 handoff), (c) the alphabetically first r10-stale key to fill
+# the window.
 _GATE_CHANGED = [
-    # NEW keys r12: robust winsorized group means, revenue-concentration
-    # Gini over the distributed global rank, Zipf vocabulary-health fit,
-    # per-source quality percentile over the skew-safe GROUPED rank,
-    # per-source token entropy, deterministic k-fold assignment — need
-    # their first driver signatures
-    "winsorized_stats",
-    "revenue_gini",
-    "zipf_slope",
-    "quality_percentile",
-    "source_entropy",
-    "kfold_assign",
-    "transition_entropy",
-    "source_vocab_overlap",
-    "revenue_lorenz",
+    # gate-safety fix r13 (the ONE red row of rounds 1-12): bins now
+    # ships as a ','-joined string on both engines — the driver's pandas
+    # canonicalizer crashed sorting the old ARRAY<BIGINT> cell; one-retry
+    # grace in audit_scorecard covers it until this artifact signs it
     "image_histogram",
+    # impl changed r13 (ADVICE): gini S1 casts each factor to
+    # DECIMAL(38,0) BEFORE multiplying (the rank*units product used to
+    # evaluate in int64 first — silent wrap at scale)
+    "revenue_gini",
+    # impl changed r13 (ADVICE): entropy_from_counts drops non-positive
+    # counts up front (ln(0) -> Long.MIN_VALUE poison under non-ANSI);
+    # both keys consume it
+    "source_entropy",
+    "transition_entropy",
+    # impl changed r13: the reciprocity join's k*N top-k list is
+    # materialized once (localCheckpoint) instead of recomputing per
+    # join side — shared _reciprocal_pairs with the new index variant
     "mutual_knn",
-    "quality_threshold_sweep",
-    # oracle changed r12: q*(n-1) forced to DOUBLE arithmetic (a bare
-    # 0.05/0.9 literal is DECIMAL in DuckDB — its exact fraction diverges
-    # from Spark's double chain by an ulp that a large vhi-vlo amplifies;
-    # winsorized_stats caught it live, median_price was absorbed luck)
-    "median_price",
-    # impl changed r12 (ADVICE): upsert_by_key's version gate now routes
-    # NULL-key delta rows AROUND the groupBy so gated/ungated modes agree
-    # on NULL-key multiplicity; the no-order_col path this query
-    # exercises is logically unchanged
-    "merge_upsert",
-    # impl changed r12 (ADVICE): the label-vocabulary collect is bounded
-    # by code (limit(max_labels+1) + raise), not by assumption
-    "hard_negatives",
-    # impl changed r12 (ADVICE): the probe's 1-row stats re-aggregation
-    # filters its all-NULL empty-input row, so a corrupt/empty stats
-    # table yields an empty probe instead of NULL scores; both queries
-    # consume probe_bm25_index
-    "bm25_vs_index",
-    "hybrid_rrf",
-    # impl possibly changed r12 (verdict task 3): kcenter_select
-    # materialization strategy under measurement — front it so whatever
-    # lands gets a fresh signature either way
-    "coreset_select",
+    # NEW key r13 (verdict item 5): mutual k-NN served from the
+    # persisted IVF index — needs its first driver signature
+    "mutual_knn_from_index",
 ]
 
 _GATE_PAD = [
-    # stalest: last signed r08 — ALL 30 hit the <=4-round bound at r12
-    # (named by the prospective fronting guard at round-11 handoff)
-    "image_resize", "jsonl_roundtrip", "k_anonymity_audit",
-    "kmv_distinct", "l_diversity_audit", "langid_confusion",
-    "lsh_recall", "markup_strip", "minhash_vs_index", "next_token_model",
-    "profile_orders", "quality_metrics", "quality_scores",
-    "range_join_incidents", "scd2_history", "set_ops", "silver_clean",
-    "skew_profile", "stateful_sessions", "stratified_sample",
-    "stream_dedup", "stream_enrich", "stream_interval_join",
-    "text_stats", "tfidf_terms", "topk_orders", "training_corpus",
-    "unique_check", "urgent_customers", "watermark_filter",
-    # next-stalest: last signed r09 (alphabetically first 14 of 43; the
-    # rest carry to the r13 pad, where they hit the bound)
-    "ann_recall",
+    # stalest: last signed r09 — ALL 42 hit the <=4-round bound at r13
+    # (named by the prospective fronting guard at round-12 handoff)
+    "bloom_decontamination", "bm25_search", "bpe_train", "cms_topk",
+    "containment_dedup", "cooccurrence_lift", "curriculum_order",
+    "decayed_engagement", "event_transitions", "exact_quantiles",
+    "filter_funnel", "fuzzy_match", "incremental_clusters",
+    "incremental_neardup", "knn_predict", "last_touch_attribution",
+    "length_quartiles", "linear_probe", "lm_coverage", "minhash_dedup",
+    "mixture_sample", "neardup_vs_index", "ngram_jaccard_dedup",
+    "oov_rate", "overlap_join", "packing_efficiency", "pagerank",
+    "pii_redact", "price_histogram", "quantization_error",
+    "sequence_pack", "shard_manifest", "split_leakage_audit",
+    "sql_gold_priority", "top_customer_per_nation", "triangle_count",
+    "truncation_loss", "user_erasure", "value_outliers", "vocab_build",
+    "weighted_sample", "zorder_key",
+    # next-stalest: last signed r10 (alphabetically first 1 of 43; the
+    # rest carry to the r14 pad, where they hit the bound)
+    "adaptive_quality_filter",
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost
@@ -9102,6 +9188,10 @@ def warm_persisted(spark: SparkSession, sf_dir: str) -> None:
     _cust_name_copies(spark, sf_dir)
     _bloom_mask(spark, sf_dir)
     _ivf_index_if_absent(spark, sf_dir, _t(spark, sf_dir, "embeddings"))
+    _mknn_ivf_index_if_absent(
+        spark, sf_dir,
+        _t(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < MUTUAL_KNN_UNIVERSE))
     q_pagerank(spark, sf_dir)  # builds the edges/nodes/degree tables
 
 
@@ -9235,6 +9325,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_lorenz": q_revenue_lorenz,
         "image_histogram": q_image_histogram,
         "mutual_knn": q_mutual_knn,
+        "mutual_knn_from_index": q_mutual_knn_from_index,
         "quality_threshold_sweep": q_quality_threshold_sweep,
         "quality_percentile": q_quality_percentile,
         "source_entropy": q_source_entropy,
@@ -9420,6 +9511,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_lorenz": ORACLE_REVENUE_LORENZ,
         "image_histogram": ORACLE_IMAGE_HISTOGRAM,
         "mutual_knn": ORACLE_MUTUAL_KNN,
+        "mutual_knn_from_index": ORACLE_MUTUAL_KNN_INDEX,
         "quality_threshold_sweep": ORACLE_QUALITY_THRESHOLD_SWEEP,
         "quality_percentile": ORACLE_QUALITY_PERCENTILE,
         "source_entropy": ORACLE_SOURCE_ENTROPY,

@@ -553,7 +553,8 @@ def gini_concentration(df: DataFrame, unit_col: str, id_col: str,
     agg = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_entities"),
         F.sum(F.col("__x").cast("decimal(38,0)")).alias("__s0"),
-        F.sum((F.col("__r") * F.col("__x")).cast("decimal(38,0)"))
+        F.sum(F.col("__r").cast("decimal(38,0)")
+              * F.col("__x").cast("decimal(38,0)"))
         .alias("__s1"),
     )
     nd = F.col("n_entities").cast("double")
@@ -641,8 +642,16 @@ def entropy_from_counts(df: DataFrame, group_col: str,
     Returns ``(group_col, n_obs, n_categories, entropy)``; a group whose
     every count is 1 (or with one category) lands at ~0 exactly as the
     identity dictates.
+
+    Contract: counts must be POSITIVE.  Zero-count categories contribute
+    nothing to H by the ``0*ln(0) = 0`` convention and are dropped up
+    front (they'd otherwise poison the group: ``ln(0) = -inf`` and the
+    non-ANSI long cast of ``-inf`` is Long.MIN_VALUE); negative counts
+    are dropped by the same filter — a counts table containing them is
+    already corrupt upstream.
     """
     c = F.col(count_col).cast("long")
+    df = df.filter(c > 0)
     micro_ln = F.floor(F.log(c.cast("double")) * F.lit(1e6) + F.lit(0.5)) \
         .cast("long")
     agg = df.groupBy(group_col).agg(

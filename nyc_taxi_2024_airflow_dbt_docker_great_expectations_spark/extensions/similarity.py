@@ -265,12 +265,27 @@ def mutual_knn_pairs(corpus: DataFrame, k: int = 10,
     emits once.  cosine(a,b) == cosine(b,a) bitwise (same left-fold dot,
     commutative norm product), so keeping the a->b score is exact.
 
+    Exact-by-contract means quadratic compute by nature — fine as the
+    measured baseline on a bounded universe; the 100 TB serving shape is
+    :func:`mutual_knn_from_index`, the same reciprocity join over the
+    persisted IVF lists.
+
     Returns ``(id_a, id_b, cosine_sim, rank_ab, rank_ba)``.
     """
     qs = corpus.select(F.col(id_col).alias("__qid"),
                        F.col(vec_col).alias(vec_col))
     topk = cosine_topk(corpus, qs, k=k, id_col=id_col, vec_col=vec_col,
                        query_id_col="__qid")
+    return _reciprocal_pairs(topk, id_col)
+
+
+def _reciprocal_pairs(topk: DataFrame, id_col: str) -> DataFrame:
+    """The reciprocity half of mutual k-NN: self-equi-join the directed
+    ``(__qid, id, cosine_sim, rank)`` top-k list on the reversed pair key,
+    keep each mutual pair once (``id_a < id_b``).  The k·N list is
+    materialized ONCE (localCheckpoint) — it feeds both join sides, and
+    without the cut each side would recompute the full top-k scan."""
+    topk = materialize_once(topk)
     fwd = topk.select(
         F.col("__qid").alias("id_a"), F.col(id_col).alias("id_b"),
         F.col("cosine_sim"), F.col("rank").alias("rank_ab"),
@@ -285,6 +300,37 @@ def mutual_knn_pairs(corpus: DataFrame, k: int = 10,
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "cosine_sim", "rank_ab", "rank_ba")
     )
+
+
+def mutual_knn_from_index(spark, table_prefix: str, queries: DataFrame,
+                          k: int = 10, n_probe: int = 4,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """ANN-backed mutual k-NN: the reciprocity filter of
+    :func:`mutual_knn_pairs` served from the PERSISTED IVF index
+    (:func:`build_ivf_index_tables`) instead of the exact all-pairs
+    scan — the shape that survives 100 TB, where N² cosine folds do not.
+
+    ``queries`` supplies the query set (typically the same rows the
+    index was built on: the corpus probing itself); each side's top-k
+    comes from :func:`ivf_topk_from_index` (probe ``n_probe`` of
+    ``n_lists`` inverted lists, exact re-score within probed lists), so
+    per-query cost is ``~n_probe/n_lists`` of the corpus, not all of it.
+    A pair survives only when BOTH directions land in the probed top-k —
+    reciprocity on top of ANN recall, so the result is a SUBSET of the
+    exact mutual pairs whenever the probe misses a true neighbor
+    (recall-vs-exact is pytest-measured; scores of surviving pairs are
+    bit-identical to the exact form since the re-score is the same
+    left-fold cosine).
+
+    Returns ``(id_a, id_b, cosine_sim, rank_ab, rank_ba)``.
+    """
+    qs = queries.select(F.col(id_col).alias("__qid"),
+                        F.col(vec_col).alias(vec_col))
+    topk = ivf_topk_from_index(spark, table_prefix, qs, k=k,
+                               n_probe=n_probe, id_col=id_col,
+                               vec_col=vec_col, query_id_col="__qid")
+    return _reciprocal_pairs(topk, id_col)
 
 
 def hard_negative_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,

@@ -67,14 +67,90 @@ _OLD_SUFFIX = "__compact_old"
 def _aside_name(path: str, suffix: str) -> str:
     """Hidden sibling for the rewrite/renamed-old dir: ``parent/.base<sfx>``.
     A leading dot (not just the suffix) is what guarantees Spark readers
-    and this module's own listings skip it mid-flight."""
+    and this module's own listings skip it mid-flight.  A bare relative
+    path with no separator (``compact_parquet(spark, "mytable")``) gets a
+    parentless hidden sibling in the working directory."""
     p = path.rstrip("/")
-    parent, base = p.rsplit("/", 1)
-    return f"{parent}/.{base.lstrip('.')}{suffix}"
+    parent, sep, base = p.rpartition("/")
+    if not base:  # path was all slashes, e.g. "/" — nothing to compact
+        raise ValueError(f"cannot derive an aside name for path {path!r}")
+    return f"{parent}{sep}.{base.lstrip('.')}{suffix}"
 
 
 def _is_aside(name: str) -> bool:
     return name.endswith((_TMP_SUFFIX, _OLD_SUFFIX))
+
+
+_MARKER_SUFFIX = "__COMPACTION_SWAP"
+
+
+def _swap_marker(fs, spark: SparkSession, path: str, tmp: str, old: str):
+    """Create the visible swap-window marker file next to ``path`` and
+    return its Hadoop Path.  Its content IS the recovery runbook, so an
+    operator who finds it after a crash needs no source access."""
+    p = path.rstrip("/")
+    parent, sep, base = p.rpartition("/")
+    # "_" prefix: Spark file indexes skip it (like _SUCCESS) so a reader
+    # of a table ROOT never chokes on it, but unlike the dot-hidden
+    # asides it DOES show up in a plain ls
+    _, marker_path = _fs_and_path(
+        spark, f"{parent}{sep}_{base}{_MARKER_SUFFIX}")
+    msg = (
+        f"compaction swap in progress for {p}\n"
+        f"If this file outlived the job, the swap crashed mid-flight.\n"
+        f"Recovery: if {p} is missing, rename the hidden live copy back:\n"
+        f"  {old} -> {p}   (pre-compaction data), or if absent\n"
+        f"  {tmp} -> {p}   (the completed rewrite)\n"
+        f"If {p} exists, delete leftover hidden asides and this marker.\n"
+    )
+    out = fs.create(marker_path, True)
+    try:
+        out.write(bytearray(msg.encode("utf-8")))
+    finally:
+        out.close()
+    return marker_path
+
+
+def migrate_compaction_asides(spark: SparkSession, path: str,
+                              delete: bool = False) -> dict:
+    """One-time migration for PRE-hidden-name compaction leftovers: find
+    VISIBLE ``*__compact_tmp`` / ``*__compact_old`` dirs under ``path``
+    (recursively — they can sit next to hive leaf partitions) and rename
+    each to its dot-hidden sibling (``delete=True`` removes them
+    instead).  Visible leftovers only predate the hidden-aside layout;
+    once a lake has been swept by this helper the dual skip convention in
+    ``dir_stats`` / ``_leaf_partition_dirs`` carries no live load.
+
+    Never touches already-hidden asides or the live data.  Returns
+    ``{renamed, deleted, paths}`` (``paths`` = the leftovers found, for
+    the maintenance log).
+    """
+    fs, hpath = _fs_and_path(spark, path)
+    found, renamed, deleted = [], 0, 0
+    stack = [hpath]
+    while stack:
+        for st in fs.listStatus(stack.pop()):
+            name = st.getPath().getName()
+            if name.startswith((".", "_")):
+                continue  # already hidden (or metadata) — not a leftover
+            if st.isDirectory() and _is_aside(name):
+                found.append(st.getPath().toString())
+                if delete:
+                    fs.delete(st.getPath(), True)
+                    deleted += 1
+                else:
+                    parent = st.getPath().getParent()
+                    hidden = spark._jvm.org.apache.hadoop.fs.Path(
+                        parent, "." + name)
+                    if fs.exists(hidden):  # hidden twin already there —
+                        fs.delete(st.getPath(), True)  # visible is stale
+                        deleted += 1
+                    else:
+                        fs.rename(st.getPath(), hidden)
+                        renamed += 1
+            elif st.isDirectory():
+                stack.append(st.getPath())
+    return {"renamed": renamed, "deleted": deleted, "paths": sorted(found)}
 
 
 def dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
@@ -131,6 +207,18 @@ def compact_parquet(spark: SparkSession, path: str,
     partitions_compacted}``; ``rewritten`` is False when the layout was
     already at or below the target file count (and no ``sort_cols``
     clustering was requested).
+
+    Crash recovery: the aside dirs are dot-hidden, so after a crash
+    mid-swap a plain ``ls`` of the parent can look empty even though the
+    data is safe.  A marker file ``_<base>__COMPACTION_SWAP`` (visible to
+    ls; skipped by Spark readers like ``_SUCCESS``) exists in the parent
+    for exactly the swap window, containing these same instructions, so
+    the state is discoverable.  To recover:
+    if ``path`` is missing, the live copy is the hidden sibling —
+    ``rename parent/.base__compact_old -> path`` (old data) or, if only
+    ``parent/.base__compact_tmp`` exists, rename that instead (the
+    completed rewrite).  If ``path`` exists, delete any leftover hidden
+    asides and the marker; readers were never affected.
     """
     if target_bytes < 1:
         raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
@@ -191,13 +279,21 @@ def compact_parquet(spark: SparkSession, path: str,
     _, old_path = _fs_and_path(spark, old)
     if fs.exists(old_path):  # leftover from a crashed previous compaction
         fs.delete(old_path, True)
+    # a VISIBLE marker exists for exactly the swap window: the asides are
+    # dot-hidden, so after a crash mid-swap a plain ls of the parent looks
+    # empty — the marker (with recovery instructions inline) is what makes
+    # the hidden live copy discoverable
+    marker = _swap_marker(fs, spark, path, tmp, old)
     if not fs.rename(hpath, old_path):
+        fs.delete(marker, False)
         raise IOError(f"rename {path} -> {old} failed; table untouched, "
                       f"new data is in {tmp}")
     if not fs.rename(tmp_path, hpath):
         fs.rename(old_path, hpath)  # roll back: restore the live table
+        fs.delete(marker, False)
         raise IOError(f"rename {tmp} -> {path} failed; old data restored")
     fs.delete(old_path, True)
+    fs.delete(marker, False)
     # the swap happened outside Spark's writers: drop the session's shared
     # file-listing cache entries or a same-session read would chase the
     # deleted part files (same hazard merge_write_path documents)

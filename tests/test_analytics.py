@@ -328,3 +328,40 @@ def test_entropy_from_counts_known_distributions(spark):
     assert out["one"]["entropy"] == pytest.approx(0.0, abs=1e-5)
     h = -(0.9 * math.log(0.9) + 0.1 * math.log(0.1))
     assert out["skew"]["entropy"] == pytest.approx(h, abs=1e-5)
+
+
+def test_gini_s1_exact_beyond_int64(spark):
+    """S1 = sum(rank*x) must not wrap at int64 (round-12 ADVICE): each
+    factor is cast to DECIMAL(38,0) BEFORE multiplying.  Three equal
+    holdings of 4e18 units put rank*x up to 1.2e19 > 2^63-1 — an int64
+    product wraps negative and drags gini far from the true 0."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        gini_concentration,
+    )
+
+    huge = 4_000_000_000_000_000_000  # fits long; 3*huge does not
+    df = spark.createDataFrame([(i, huge) for i in range(1, 4)],
+                               "id long, units long")
+    r = gini_concentration(df, "units", "id").collect()[0]
+    assert r["n_entities"] == 3
+    assert r["gini"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_entropy_from_counts_drops_nonpositive(spark):
+    """Zero/negative counts contribute nothing (0*ln(0)=0 convention)
+    instead of poisoning the group via ln(0) = -inf -> Long.MIN_VALUE
+    under the non-ANSI cast (round-12 ADVICE)."""
+    import math
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        entropy_from_counts,
+    )
+
+    rows = [("g", "a", 9), ("g", "b", 1),
+            ("g", "zero", 0), ("g", "neg", -5)]
+    df = spark.createDataFrame(rows, "g string, term string, c long")
+    out = entropy_from_counts(df, "g", "c").collect()[0]
+    # identical to the clean (9, 1) distribution; the bad rows vanish
+    assert out["n_obs"] == 10 and out["n_categories"] == 2
+    h = -(0.9 * math.log(0.9) + 0.1 * math.log(0.1))
+    assert out["entropy"] == pytest.approx(h, abs=1e-5)

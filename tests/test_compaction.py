@@ -171,3 +171,128 @@ def test_compact_hive_partitioned_per_partition(spark, tmp_warehouse):
     with pytest.raises(ValueError, match="hive-partitioned"):
         compact_parquet(spark, path, target_bytes=1 << 30,
                         per_partition=False)
+
+
+def test_aside_name_bare_relative_path():
+    """A bare relative table path (no '/') must not crash name derivation
+    (round-12 ADVICE: the rsplit unpack raised ValueError); all-slash
+    paths fail loudly instead of producing a nonsense sibling."""
+    assert _aside_name("mytable", "__compact_tmp") == \
+        ".mytable__compact_tmp"
+    with pytest.raises(ValueError, match="aside name"):
+        _aside_name("/", "__compact_tmp")
+
+
+def test_compact_bare_relative_path_roundtrip(spark):
+    """End-to-end compaction of a table addressed by a bare relative
+    path — the case the old parent/base unpack crashed on.  Relative
+    paths resolve against the JVM's working directory (NOT the Python
+    process cwd), so the test reads back through the same relative name
+    and cleans up via the JVM-resolved location."""
+    import shutil
+
+    jvm_cwd = spark._jvm.java.lang.System.getProperty("user.dir")
+    resolved = os.path.join(jvm_cwd, "bare_tbl")
+    try:
+        _fragmented_table(spark, "bare_tbl", n_files=5)
+        report = compact_parquet(spark, "bare_tbl", target_bytes=1 << 30)
+        assert (report["files_before"], report["files_after"]) == (5, 1)
+        assert spark.read.parquet("bare_tbl").count() == 250
+        # no aside/marker litter next to the table
+        base = os.path.basename(resolved)
+        leftovers = [n for n in os.listdir(jvm_cwd)
+                     if base in n and n != base]
+        assert leftovers == []
+    finally:
+        for n in ("bare_tbl", ".bare_tbl__compact_tmp",
+                  ".bare_tbl__compact_old"):
+            shutil.rmtree(os.path.join(jvm_cwd, n), ignore_errors=True)
+        marker = os.path.join(jvm_cwd, "_bare_tbl__COMPACTION_SWAP")
+        if os.path.exists(marker):
+            os.remove(marker)
+
+
+def test_swap_marker_is_visible_and_self_documenting(spark,
+                                                     tmp_warehouse):
+    """During the swap window a ``_<base>__COMPACTION_SWAP`` marker sits
+    next to the table: VISIBLE to a plain ls (the dot-hidden asides are
+    not — the round-12 ADVICE crash-forensics gap) yet skipped by Spark
+    readers via the ``_`` prefix, and its CONTENT is the recovery
+    runbook."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.compaction import (
+        _fs_and_path,
+        _swap_marker,
+    )
+    path = os.path.join(tmp_warehouse, "mark_tbl")
+    _fragmented_table(spark, path, n_files=2)
+    fs, _ = _fs_and_path(spark, path)
+    marker = _swap_marker(fs, spark, path,
+                          _aside_name(path, "__compact_tmp"),
+                          _aside_name(path, "__compact_old"))
+    local = os.path.join(tmp_warehouse, "_mark_tbl__COMPACTION_SWAP")
+    assert os.path.exists(local)
+    text = open(local).read()
+    assert "__compact_old" in text and "rename" in text.lower()
+    # Spark still reads the PARENT dir's table cleanly with the marker
+    # present (the '_' prefix hides it from the file index)
+    assert spark.read.parquet(path).count() == 100
+    fs.delete(marker, False)
+    # ...and a successful compaction leaves no marker behind
+    compact_parquet(spark, path, target_bytes=1 << 30)
+    assert sorted(os.listdir(tmp_warehouse)) == ["mark_tbl"]
+
+
+def test_migrate_compaction_asides(spark, tmp_warehouse):
+    """One-time migration of pre-hidden-name leftovers: visible
+    ``__compact_tmp/_old`` dirs are renamed to their dot-hidden form
+    (delete=True removes them); hidden asides and live data untouched;
+    a visible leftover whose hidden twin already exists is dropped as
+    stale rather than clobbering the twin."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.operators.compaction import (
+        migrate_compaction_asides,
+    )
+    path = os.path.join(tmp_warehouse, "lake")
+    spark.range(300).selectExpr("id", "id % 3 AS part") \
+        .repartition(2).write.partitionBy("part") \
+        .mode("overwrite").parquet(path)
+    legacy1 = os.path.join(path, "part=1__compact_tmp")
+    legacy2 = os.path.join(path, "part=2__compact_old")
+    hidden_kept = os.path.join(path, ".part=0__compact_old")
+    for d in (legacy1, legacy2, hidden_kept):
+        os.makedirs(d)
+        with open(os.path.join(d, "f"), "w") as fh:
+            fh.write("x")
+    # twin conflict: visible leftover whose hidden form already exists
+    twin_visible = os.path.join(path, "part=0__compact_tmp")
+    twin_hidden = os.path.join(path, ".part=0__compact_tmp")
+    os.makedirs(twin_visible)
+    os.makedirs(twin_hidden)
+    with open(os.path.join(twin_hidden, "keep"), "w") as fh:
+        fh.write("live")
+
+    report = migrate_compaction_asides(spark, path)
+    assert report["renamed"] == 2 and report["deleted"] == 1
+    assert sorted(os.path.basename(p) for p in report["paths"]) == \
+        ["part=0__compact_tmp", "part=1__compact_tmp",
+         "part=2__compact_old"]
+    assert not os.path.exists(legacy1) and not os.path.exists(legacy2)
+    assert os.path.exists(os.path.join(path, ".part=1__compact_tmp"))
+    assert os.path.exists(os.path.join(path, ".part=2__compact_old"))
+    assert os.path.exists(os.path.join(twin_hidden, "keep"))  # untouched
+    assert os.path.exists(hidden_kept)
+    assert spark.read.parquet(path).count() == 300  # data intact
+
+    # second sweep: nothing visible left; delete=True on a clean lake is
+    # a no-op too
+    assert migrate_compaction_asides(spark, path) == \
+        {"renamed": 0, "deleted": 0, "paths": []}
+
+    # delete mode removes instead of renaming
+    os.makedirs(legacy1)
+    with open(os.path.join(legacy1, "f"), "w") as fh:
+        fh.write("x")
+    report = migrate_compaction_asides(spark, path, delete=True)
+    assert (report["renamed"], report["deleted"]) == (0, 1)
+    assert len(report["paths"]) == 1
+    assert report["paths"][0].endswith("part=1__compact_tmp")
+    assert not os.path.exists(legacy1)

@@ -712,10 +712,15 @@ def test_round12_addition_plan_shapes(spark):
     for bad in ("Exchange", "Join", "Window", "HashAggregate"):
         assert bad not in ih
 
-    # mutual_knn: cogrouped Arrow top-k scoring + a pair-keyed EQUI
-    # self-join of the k*N list — never a nested loop over vectors
+    # mutual_knn: the k*N directed top-k list is checkpoint-materialized
+    # ONCE (r13: it feeds both sides of the reciprocity join, which used
+    # to recompute the full cogrouped scoring per side), so the final
+    # plan is a pair-keyed EQUI self-join over the checkpointed RDD —
+    # never a nested loop over vectors.  The cogrouped Arrow scoring
+    # shape itself is asserted on embedding_topk (same cosine_topk).
     mk = _plan(qs["mutual_knn"](spark, SF))
-    assert "FlatMapCoGroupsInPandas" in mk
+    assert "Scan ExistingRDD" in mk  # the materialized top-k list
+    assert "Join" in mk
     assert "CartesianProduct" not in mk
     assert "BroadcastNestedLoopJoin" not in mk
 

@@ -125,12 +125,28 @@ def doc_inventory(repo: str) -> dict[str, bool]:
 
 
 def _pending(keys: list[str], signed: dict, arts: dict) -> set[str]:
-    """Keys legitimately unsigned: inside the current gate window AND
-    never present in ANY artifact (added this round, awaiting their
-    first signature).  Single definition shared by audit() and the
-    pytest so the grace can never drift between the two."""
+    """Keys legitimately unsigned, two bounded cases:
+
+    (a) inside the current gate window AND never present in ANY artifact
+        — added this round, awaiting their first signature;
+    (b) ONE-RETRY grace: red (present, never green) in ONLY the newest
+        artifact and re-queued in the window — the fix ships this round
+        and the next artifact adjudicates it.  A key red in TWO artifact
+        rounds stays a hard violation: parking a broken key in the
+        window forever must not silence the audit (the bound is what
+        keeps this honest — it self-expires at the next artifact).
+
+    Single definition shared by audit() and the pytest so the grace can
+    never drift between the two."""
+    window = set(keys[:GATE_WINDOW])
     seen = set().union(*arts.values()) if arts else set()
-    return (set(keys[:GATE_WINDOW]) - seen) - set(signed)
+    pending = (window - seen) - set(signed)
+    if arts:
+        newest = max(arts)
+        earlier = (set().union(*(v for r, v in arts.items() if r != newest))
+                   if len(arts) > 1 else set())
+        pending |= (window & (arts[newest] - earlier)) - set(signed)
+    return pending
 
 
 def pending_keys(repo: str) -> set[str]:
@@ -153,17 +169,16 @@ def audit(repo: str) -> tuple[list[str], dict[str, int]]:
                 f"phantom keys in CORRECTNESS_r{rnd:02d}: {sorted(phantom)}")
 
     # a key added mid-round is legitimately unsigned until the NEXT driver
-    # artifact lands — but only while it (a) sits inside the gate window
-    # (queued for imminent signature) and (b) has never appeared in any
-    # artifact (a key an artifact saw but didn't sign was RED, not new;
-    # parking it in the window forever must not silence that)
+    # artifact lands; a key RED in only the newest artifact gets exactly
+    # one in-window retry round (see _pending) — everything else unsigned
+    # is a hard violation
     pending = sorted(_pending(keys, signed, arts))
     never = kset - set(signed)
     hard_never = sorted(never - set(pending))
     if hard_never:
         violations.append(f"never-signed keys: {hard_never}")
     if pending:
-        print(f"pending first signature (new, in-window): "
+        print(f"pending signature (new or one-retry, in-window): "
               f"{', '.join(pending)}")
 
     doc = doc_inventory(repo)
