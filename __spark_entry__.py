@@ -8653,6 +8653,72 @@ FROM agg
 """
 
 
+def q_source_lang_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between source and language
+    (extensions/analytics.py:mutual_information) — the factorization
+    gauge for corpus curation: MI near 0 means source and language mix
+    independently (source-level dedup/sampling cannot skew the language
+    balance); high MI flags coupling (one source owning one language).
+    One (source, lang) cell aggregate over the corpus, marginals
+    broadcast back onto the (tiny) cell table, one 1-row finish; every
+    ln micro-quantized into DECIMAL(38,0) sums so both engines agree
+    bit-for-bit.  No reference analog — LLM-pipeline corpus-statistics
+    surface."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        mutual_information,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return mutual_information(docs, "source", "lang")
+
+
+# same micro-quantized ln recipe as the entropy oracles; H terms spelled
+# as the SAME IEEE chain Spark uses (qln(N) - (S/1e6)/N), MI as the sum
+# of the three H expressions in the same order
+def _duck_h(s: str) -> str:
+    return ("CAST(CAST(floor(ln(CAST(n_obs AS DOUBLE)) * 1000000.0 + 0.5) "
+            "AS BIGINT) AS DOUBLE) / 1000000.0 "
+            f"- (CAST({s} AS DOUBLE) / 1000000.0) / CAST(n_obs AS DOUBLE)")
+
+
+ORACLE_SOURCE_LANG_MI = f"""
+WITH pts AS (
+  SELECT source, lang FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL
+),
+cells AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pts GROUP BY 1, 2
+),
+ma AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ca FROM cells GROUP BY 1),
+mb AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS cb FROM cells GROUP BY 1),
+j AS (
+  SELECT cl.c, ma.ca, mb.cb
+  FROM cells cl JOIN ma USING (source) JOIN mb USING (lang)
+),
+agg AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_obs,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         SUM(CAST(c AS HUGEINT)
+             * CAST(CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
+                         AS BIGINT) AS HUGEINT)) AS sab,
+         SUM(CAST(c AS HUGEINT)
+             * CAST(CAST(floor(ln(CAST(ca AS DOUBLE)) * 1000000.0 + 0.5)
+                         AS BIGINT) AS HUGEINT)) AS sa,
+         SUM(CAST(c AS HUGEINT)
+             * CAST(CAST(floor(ln(CAST(cb AS DOUBLE)) * 1000000.0 + 0.5)
+                         AS BIGINT) AS HUGEINT)) AS sb
+  FROM j
+)
+SELECT n_obs, n_cells,
+       {_duck_h('sa')} AS h_a,
+       {_duck_h('sb')} AS h_b,
+       {_duck_h('sab')} AS h_joint,
+       ({_duck_h('sa')}) + ({_duck_h('sb')}) - ({_duck_h('sab')})
+         AS mi_nats
+FROM agg
+"""
+
+
 def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-state entropy of the next-event distribution
     (extensions/analytics.py:entropy_from_counts over the
@@ -9146,9 +9212,9 @@ _GATE_PAD = [
     "sql_gold_priority", "top_customer_per_nation", "triangle_count",
     "truncation_loss", "user_erasure", "value_outliers", "vocab_build",
     "weighted_sample", "zorder_key",
-    # next-stalest: last signed r10 (alphabetically first 1 of 43; the
-    # rest carry to the r14 pad, where they hit the bound)
-    "adaptive_quality_filter",
+    # NEW key r13: source-language mutual information — needs its first
+    # driver signature (the r10 cohort is not at the bound until r14)
+    "source_lang_mi",
 ]
 
 # cheap pure-scan query leads: whatever residual first-query session cost
@@ -9329,6 +9395,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_threshold_sweep": q_quality_threshold_sweep,
         "quality_percentile": q_quality_percentile,
         "source_entropy": q_source_entropy,
+        "source_lang_mi": q_source_lang_mi,
         "kfold_assign": q_kfold_assign,
         "transition_entropy": q_transition_entropy,
         "source_vocab_overlap": q_source_vocab_overlap,
@@ -9515,6 +9582,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_threshold_sweep": ORACLE_QUALITY_THRESHOLD_SWEEP,
         "quality_percentile": ORACLE_QUALITY_PERCENTILE,
         "source_entropy": ORACLE_SOURCE_ENTROPY,
+        "source_lang_mi": ORACLE_SOURCE_LANG_MI,
         "kfold_assign": ORACLE_KFOLD_ASSIGN,
         "transition_entropy": ORACLE_TRANSITION_ENTROPY,
         "source_vocab_overlap": ORACLE_SOURCE_VOCAB_OVERLAP,

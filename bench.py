@@ -127,6 +127,32 @@ def main() -> None:
         rounds.append(cur)
     timings = {name: min(r[name] for r in rounds) for name in rounds[0]}
 
+    # adaptive tail repeats (round-12 VERDICT #6): most of the registry
+    # now runs under 1s warm, where the inter-round noise p95 (~0.3s)
+    # IS the signal — a best-of-3 min of a sub-0.5s query is still a
+    # coin flip round-over-round.  Queries whose best-of-N landed under
+    # TAIL_THRESHOLD_SEC get TAIL_EXTRA_ROUNDS more whole-subset rounds
+    # (same round organization: no per-query back-to-back free-riding),
+    # making their reported time a best-of-(repeats+extra) whose min is
+    # far more stable.  Skipped for single-shot runs (repeats == 1 means
+    # the caller wants one cheap pass, e.g. a smoke).
+    TAIL_THRESHOLD_SEC = 0.5
+    TAIL_EXTRA_ROUNDS = 2 if repeats > 1 else 0
+    tail = sorted(n for n, v in timings.items() if v < TAIL_THRESHOLD_SEC)
+    qfns = entrymod.queries()
+    tail_rounds: list[dict[str, float]] = []
+    for _ in range(TAIL_EXTRA_ROUNDS if tail else 0):
+        cur = {}
+        for name in tail:
+            t0 = time.perf_counter()
+            qfns[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop").save()
+            cur[name] = round(time.perf_counter() - t0, 3)
+        tail_rounds.append(cur)
+    for name in tail:
+        timings[name] = min([timings[name]]
+                            + [tr[name] for tr in tail_rounds])
+
     # measured same-HEAD noise floor (round-10 VERDICT #4): the per-query
     # relative spread between this run's own whole-registry rounds —
     # identical code, identical data, same session — is the distribution
@@ -175,6 +201,13 @@ def main() -> None:
             "noise_floor_sec": NOISE_FLOOR_SEC,
             "noise_n": len(spreads),
             "noise_rounds": len(noise_rounds),
+            # adaptive tail repeats: queries under tail_threshold_sec
+            # after the best-of-N pass got tail_extra_rounds extra
+            # whole-subset rounds (reported time = best of
+            # repeats + tail_extra_rounds samples)
+            "tail_threshold_sec": TAIL_THRESHOLD_SEC,
+            "tail_extra_rounds": len(tail_rounds),
+            "tail_n": len(tail),
         },
     }
     full_line = json.dumps(full, separators=(",", ":"))

@@ -666,3 +666,70 @@ def entropy_from_counts(df: DataFrame, group_col: str,
         / F.col("n_obs").cast("double")
     return agg.select(group_col, "n_obs", "n_categories",
                       ent.alias("entropy"))
+
+
+def mutual_information(df: DataFrame, col_a: str,
+                       col_b: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, plus
+    the marginal/joint entropies it decomposes into — the dependence
+    gauge a corpus pipeline runs on (source, language), (shard, label),
+    or (time-bucket, topic): MI near 0 means the two factorize (sampling
+    by one cannot skew the other); high MI flags coupling (e.g. one
+    source dominating one language, so a source-level dedup silently
+    reshapes the language mix).
+
+    Identities over co-occurrence counts (``N`` rows, cell counts
+    ``c_ab``, marginals ``c_a``/``c_b``):
+
+    - ``H(X)   = ln N - (sum_cells c_ab * ln c_a) / N``  (and sym. for Y)
+    - ``H(X,Y) = ln N - (sum_cells c_ab * ln c_ab) / N``
+    - ``MI     = H(X) + H(Y) - H(X,Y)``
+
+    so EVERYTHING reduces to one groupBy(a, b) exchange over the data,
+    two broadcast joins of the (tiny) marginal tables onto the cells,
+    and ONE 1-row aggregate — no second pass over the corpus, no
+    crossJoin.  Every ``ln`` quantizes to exact integer micro-units per
+    row (the dsir/zipf/entropy recipe: engines agree at micro precision)
+    multiplied into DECIMAL(38,0) sums, so the result is a pure function
+    of the data under any shuffle order and the SQL oracle mirrors it
+    bit-for-bit; the finish is a fixed IEEE chain.  Rows with a NULL in
+    either column are excluded (they have no cell); empty input yields
+    one row of NULLs/zeros.
+
+    Returns one row:
+    ``(n_obs, n_cells, h_a, h_b, h_joint, mi_nats)``.
+    """
+    pts = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    cells = pts.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    ma = cells.groupBy("__a").agg(F.sum("__c").cast("long").alias("__ca"))
+    mb = cells.groupBy("__b").agg(F.sum("__c").cast("long").alias("__cb"))
+    j = cells.join(F.broadcast(ma), "__a").join(F.broadcast(mb), "__b")
+
+    def micro_ln(c):
+        return F.floor(F.log(c.cast("double")) * F.lit(1e6) + F.lit(0.5)) \
+            .cast("long").cast("decimal(38,0)")
+
+    cdec = F.col("__c").cast("decimal(38,0)")
+    agg = j.agg(
+        F.sum(F.col("__c")).cast("long").alias("n_obs"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(cdec * micro_ln(F.col("__c"))).alias("__sab"),
+        F.sum(cdec * micro_ln(F.col("__ca"))).alias("__sa"),
+        F.sum(cdec * micro_ln(F.col("__cb"))).alias("__sb"),
+    )
+    ln_n = (F.floor(F.log(F.col("n_obs").cast("double")) * F.lit(1e6)
+                    + F.lit(0.5)).cast("double") / F.lit(1e6))
+    nd = F.col("n_obs").cast("double")
+
+    def h(s):
+        return ln_n - (F.col(s).cast("double") / F.lit(1e6)) / nd
+
+    return agg.select(
+        "n_obs", "n_cells",
+        h("__sa").alias("h_a"),
+        h("__sb").alias("h_b"),
+        h("__sab").alias("h_joint"),
+        (h("__sa") + h("__sb") - h("__sab")).alias("mi_nats"),
+    )

@@ -365,3 +365,37 @@ def test_entropy_from_counts_drops_nonpositive(spark):
     assert out["n_obs"] == 10 and out["n_categories"] == 2
     h = -(0.9 * math.log(0.9) + 0.1 * math.log(0.1))
     assert out["entropy"] == pytest.approx(h, abs=1e-5)
+
+
+def test_mutual_information_known_distributions(spark):
+    import math
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        mutual_information,
+    )
+
+    # perfect dependence: b is a function of a (and vice versa) ->
+    # MI = H(a) = H(b) = ln 2
+    dep = spark.createDataFrame(
+        [("x", "1"), ("x", "1"), ("y", "2"), ("y", "2")], "a string, b string")
+    r = mutual_information(dep, "a", "b").collect()[0]
+    assert (r["n_obs"], r["n_cells"]) == (4, 2)
+    assert r["h_a"] == pytest.approx(math.log(2), abs=1e-5)
+    assert r["h_b"] == pytest.approx(math.log(2), abs=1e-5)
+    assert r["h_joint"] == pytest.approx(math.log(2), abs=1e-5)
+    assert r["mi_nats"] == pytest.approx(math.log(2), abs=1e-5)
+
+    # independence: uniform over the full product -> MI = 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "12"], "a string, b string")
+    r = mutual_information(ind, "a", "b").collect()[0]
+    assert (r["n_obs"], r["n_cells"]) == (4, 4)
+    assert r["h_joint"] == pytest.approx(math.log(4), abs=1e-5)
+    assert r["mi_nats"] == pytest.approx(0.0, abs=1e-5)
+
+    # NULL rows in either column are excluded (no cell to count)
+    withnulls = spark.createDataFrame(
+        [("x", "1"), ("x", None), (None, "2")], "a string, b string")
+    r = mutual_information(withnulls, "a", "b").collect()[0]
+    assert (r["n_obs"], r["n_cells"]) == (1, 1)
+    assert r["mi_nats"] == pytest.approx(0.0, abs=1e-5)
