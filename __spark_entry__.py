@@ -9163,30 +9163,240 @@ FROM q
 """
 
 
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ranking-quality scorecard of the IVF ANN index against the
+    exact scan (similarity.py:ranking_metrics): recall@10 PLUS MRR@10
+    and nDCG@10 per query — ann_recall's recall alone cannot distinguish
+    "missed the 10th neighbor" from "missed the 1st"; nDCG weights the
+    head (graded gain 11 - exact_rank), MRR scores the first hit.  The
+    log2 position discounts are a shared integer micro-unit table
+    (similarity.py:inv_log2_micro) embedded as literals in BOTH engines,
+    so no libm log2 is ever evaluated inside either engine and every DCG
+    sum is exact integer arithmetic; the oracle composes the two
+    existing replay oracles verbatim, so any divergence localizes to
+    the metric layer."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        ivf_topk_from_index,
+        ranking_metrics,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, qs, k=10)
+    prefix = _ivf_index_if_absent(spark, sf_dir, emb)
+    approx = ivf_topk_from_index(spark, prefix, qs, k=10, n_probe=4)
+    return ranking_metrics(exact, approx, k=10)
+
+
+def _ranking_metric_values() -> tuple[str, str]:
+    """VALUES-list literals for the shared DCG discount tables — rendered
+    from the SAME Python source of truth the Spark plan embeds
+    (similarity.py:inv_log2_micro / cum_idcg_micro), so the two engines
+    cannot drift by a ulp of log2."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        cum_idcg_micro,
+        inv_log2_micro,
+    )
+
+    disc = ", ".join(f"({p}, {v})"
+                     for p, v in enumerate(inv_log2_micro(10), 1))
+    icum = ", ".join(f"({n}, {v})"
+                     for n, v in enumerate(cum_idcg_micro(10), 1))
+    return disc, icum
+
+
+_DISC_VALUES, _ICUM_VALUES = _ranking_metric_values()
+
+
+ORACLE_RETRIEVAL_EVAL = f"""
+WITH exact_side AS ({ORACLE_EMBEDDING_TOPK}),
+approx_side AS ({ORACLE_EMBEDDING_IVF_TOPK}),
+disc(p, inv_micro) AS (VALUES {_DISC_VALUES}),
+icum(n, cum_micro) AS (VALUES {_ICUM_VALUES}),
+rel AS (
+  SELECT a.query_id, a.rank AS arank, e.rank AS erank
+  FROM approx_side a LEFT JOIN exact_side e
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+),
+rel_agg AS (
+  SELECT rel.query_id,
+         CAST(SUM(CASE WHEN erank IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits,
+         CAST(SUM(CASE WHEN erank IS NOT NULL
+                       THEN CAST(11 - erank AS BIGINT) * d.inv_micro
+                       ELSE 0 END) AS BIGINT) AS dcg_micro,
+         MIN(CASE WHEN erank IS NOT NULL THEN arank END) AS first_hit
+  FROM rel JOIN disc d ON d.p = rel.arank
+  GROUP BY rel.query_id
+),
+ex_agg AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM exact_side GROUP BY query_id
+)
+SELECT e.query_id,
+       e.n_exact,
+       CAST(COALESCE(r.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(r.n_hits, 0) AS DOUBLE) / CAST(e.n_exact AS DOUBLE)
+         AS recall_at_k,
+       CAST(COALESCE(r.first_hit, 0) AS BIGINT) AS first_hit_rank,
+       CASE WHEN COALESCE(r.first_hit, 0) > 0
+            THEN CAST(1 AS DOUBLE) / CAST(r.first_hit AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS mrr_at_k,
+       CAST(COALESCE(r.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+       CAST(i.cum_micro AS BIGINT) AS idcg_micro,
+       CAST(COALESCE(r.dcg_micro, 0) AS DOUBLE)
+         / CAST(i.cum_micro AS DOUBLE) AS ndcg_at_k
+FROM ex_agg e
+LEFT JOIN rel_agg r ON e.query_id = r.query_id
+JOIN icum i ON i.n = LEAST(e.n_exact, 10)
+"""
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization
+    (extensions/analytics.py:quantile_normalize — Bolstad et al. 2003):
+    every row's n_chars mapped onto the GLOBAL length distribution at its
+    within-source quantile, the pre-step that makes one corpus-wide
+    filter threshold fair when sources score on different scales.
+    All-integer type-1 inverse-CDF semantics (within-source keyed window
+    rank, distributed prefix-sum global order statistic, ceil in
+    DECIMAL(38,0) `div` arithmetic), so both engines agree bit-for-bit
+    and the plan never runs a global window."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        quantile_normalize,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return quantile_normalize(docs, "source", "n_chars", "doc_id")
+
+
+ORACLE_QUANTILE_NORMALIZE = """
+WITH d AS (
+  SELECT doc_id, source, n_chars FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+),
+tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM d),
+s AS (
+  SELECT doc_id, source, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY n_chars, doc_id) AS BIGINT)
+           AS src_rank,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ng
+  FROM d
+),
+g AS (
+  SELECT n_chars AS normalized_value,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+           AS grank
+  FROM d
+),
+idx AS (
+  SELECT s.doc_id, s.source, s.n_chars, s.src_rank,
+         CAST((CAST(s.src_rank AS HUGEINT) * t.n + s.ng - 1) // s.ng
+              AS BIGINT) AS global_idx
+  FROM s CROSS JOIN tot t
+)
+SELECT idx.doc_id, idx.source, idx.n_chars, idx.src_rank,
+       idx.global_idx, g.normalized_value
+FROM idx JOIN g ON g.grank = idx.global_idx
+"""
+
+
+def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-1 / distinct-2 lexical diversity
+    (extensions/text.py:distinct_ngrams — the distinct-n metric of Li et
+    al., NAACL 2016): the cross-document boilerplate gauge next to
+    bigram_novelty's per-document one — a source whose distinct-2
+    collapses is template mass even when every doc passes per-doc
+    rules.  Totals from per-row token counts (no explode), type counts
+    from two hash aggregates with map-side partials, tiny broadcast
+    combine; integer counts + two final divisions, engine-exact."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        distinct_ngrams,
+    )
+
+    return distinct_ngrams(_t(spark, sf_dir, "documents"),
+                           "text", "source")
+
+
+ORACLE_DISTINCT_NGRAMS = f"""
+WITH tot AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN trim(text, {DUCK_WS}) = '' THEN 0
+                       ELSE len({DUCK_TOKS}) END) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN trim(text, {DUCK_WS}) = '' THEN 0
+                       ELSE greatest(len({DUCK_TOKS}) - 1, 0) END)
+              AS BIGINT) AS n_bigrams
+  FROM documents GROUP BY source
+),
+uni AS (
+  SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_tokens
+  FROM (SELECT source, unnest({DUCK_TOKS}) AS w FROM documents
+        WHERE trim(text, {DUCK_WS}) <> '')
+  GROUP BY source
+),
+bi AS (
+  SELECT source, CAST(COUNT(DISTINCT gram) AS BIGINT)
+           AS n_distinct_bigrams
+  FROM (SELECT source,
+               unnest(list_transform(range(1, len({DUCK_TOKS})),
+                      i -> array_to_string(({DUCK_TOKS})[i:i+1], ' ')))
+                 AS gram
+        FROM documents
+        WHERE trim(text, {DUCK_WS}) <> '' AND len({DUCK_TOKS}) >= 2)
+  GROUP BY source
+)
+SELECT t.source, t.n_tokens,
+       CAST(COALESCE(u.n_distinct_tokens, 0) AS BIGINT)
+         AS n_distinct_tokens,
+       CASE WHEN t.n_tokens > 0
+            THEN CAST(COALESCE(u.n_distinct_tokens, 0) AS DOUBLE)
+                 / CAST(t.n_tokens AS DOUBLE) END AS distinct_1,
+       t.n_bigrams,
+       CAST(COALESCE(b.n_distinct_bigrams, 0) AS BIGINT)
+         AS n_distinct_bigrams,
+       CASE WHEN t.n_bigrams > 0
+            THEN CAST(COALESCE(b.n_distinct_bigrams, 0) AS DOUBLE)
+                 / CAST(t.n_bigrams AS DOUBLE) END AS distinct_2
+FROM tot t
+LEFT JOIN uni u ON t.source = u.source
+LEFT JOIN bi b ON t.source = b.source
+"""
+
+
 # Round-13 rotation (freshness maintenance — `tools/audit_scorecard.py`
 # prints the latest-green-signature distribution these lists are built
 # from; a pytest asserts the composed scorecard stays consistent).  The
-# window fronts (a) the keys whose implementation changed this round
-# (round-12 ADVICE fixes + the image_histogram gate-safety rework) and
-# the one NEW key, (b) ALL 42 r09-stale keys that hit the <=4-round
-# bound exactly at r13 (named by the prospective fronting guard at
-# round-12 handoff), (c) the alphabetically first r10-stale key to fill
-# the window.
+# window fronts (a) ALL FOUR never-signed r13 keys (retrieval_eval,
+# quantile_normalize, distinct_ngrams, source_lang_mi — the consistency
+# pytest requires them in-window) plus mutual_knn_from_index and the
+# changed keys image_histogram (gate-safety rework) and mutual_knn
+# (shared _reciprocal_pairs change), (b) ALL 42 r09-stale keys that hit
+# the <=4-round bound exactly at r13 (named by the prospective fronting
+# guard at round-12 handoff).  Three r13-changed keys whose fixes are
+# bit-identical at gate scale (revenue_gini, source_entropy,
+# transition_entropy) ceded their slots to the new keys — see the note
+# inside _GATE_CHANGED.
 _GATE_CHANGED = [
     # gate-safety fix r13 (the ONE red row of rounds 1-12): bins now
     # ships as a ','-joined string on both engines — the driver's pandas
     # canonicalizer crashed sorting the old ARRAY<BIGINT> cell; one-retry
     # grace in audit_scorecard covers it until this artifact signs it
     "image_histogram",
-    # impl changed r13 (ADVICE): gini S1 casts each factor to
-    # DECIMAL(38,0) BEFORE multiplying (the rank*units product used to
-    # evaluate in int64 first — silent wrap at scale)
-    "revenue_gini",
-    # impl changed r13 (ADVICE): entropy_from_counts drops non-positive
-    # counts up front (ln(0) -> Long.MIN_VALUE poison under non-ANSI);
-    # both keys consume it
-    "source_entropy",
-    "transition_entropy",
+    # NEW keys r13 (depth work): each needs its first driver signature —
+    # the scorecard-consistency pytest requires never-signed keys to sit
+    # in-window.  They take the slots of three r13-changed keys
+    # (revenue_gini, source_entropy, transition_entropy) whose ADVICE
+    # fixes are bit-identical at gate scale (the gini decimal-cast and
+    # the entropy non-positive-count guard only change behavior on
+    # inputs the gate corpus cannot produce) — both re-verified green in
+    # this round's local both-ANSI oracle sweeps and signed r12; their
+    # r16 staleness bound is unaffected.
+    "retrieval_eval",
+    "quantile_normalize",
+    "distinct_ngrams",
     # impl changed r13: the reciprocity join's k*N top-k list is
     # materialized once (localCheckpoint) instead of recomputing per
     # join side — shared _reciprocal_pairs with the new index variant
@@ -9396,6 +9606,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentile": q_quality_percentile,
         "source_entropy": q_source_entropy,
         "source_lang_mi": q_source_lang_mi,
+        "retrieval_eval": q_retrieval_eval,
+        "quantile_normalize": q_quantile_normalize,
+        "distinct_ngrams": q_distinct_ngrams,
         "kfold_assign": q_kfold_assign,
         "transition_entropy": q_transition_entropy,
         "source_vocab_overlap": q_source_vocab_overlap,
@@ -9583,6 +9796,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_percentile": ORACLE_QUALITY_PERCENTILE,
         "source_entropy": ORACLE_SOURCE_ENTROPY,
         "source_lang_mi": ORACLE_SOURCE_LANG_MI,
+        "retrieval_eval": ORACLE_RETRIEVAL_EVAL,
+        "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
+        "distinct_ngrams": ORACLE_DISTINCT_NGRAMS,
         "kfold_assign": ORACLE_KFOLD_ASSIGN,
         "transition_entropy": ORACLE_TRANSITION_ENTROPY,
         "source_vocab_overlap": ORACLE_SOURCE_VOCAB_OVERLAP,

@@ -733,3 +733,80 @@ def mutual_information(df: DataFrame, col_a: str,
         h("__sab").alias("h_joint"),
         (h("__sa") + h("__sb") - h("__sab")).alias("mi_nats"),
     )
+
+
+def quantile_normalize(df: DataFrame, group_col: str, val_col: str,
+                       id_col: str) -> DataFrame:
+    """Quantile normalization (Bolstad et al., Bioinformatics 2003,
+    classic cross-array normalization — here cross-SOURCE): map each
+    row's value onto the GLOBAL distribution at the same within-group
+    quantile, so groups whose scores live on different scales (one
+    source's quality scorer is harsher, one language runs longer) become
+    comparable before a single corpus-wide threshold is applied.
+
+    Semantics are the exact type-1 (discontinuous inverse-CDF) form —
+    all-integer, so both engines agree bit-for-bit:
+
+    - ``r``   = 1-based rank of the row within its group under
+      ``(val, id)`` (the id tiebreak makes the order total),
+    - ``n_g`` = group size, ``N`` = total rows,
+    - ``global_idx``       = ``ceil(r * N / n_g)`` in integer arithmetic,
+    - ``normalized_value`` = the ``global_idx``-th smallest value in the
+      WHOLE table under the same ``(val, id)`` total order.
+
+    Plan shape at scale: the within-group rank is a keyed window
+    (hash-partitioned by group — no global window), the global order
+    statistic comes from ``packing.global_rank`` (ONE range exchange +
+    O(partitions) driver offsets — the scale-safe global ROW_NUMBER),
+    and the final lookup is an equi-join on the unique rank, so the
+    whole thing is two exchanges over the data and one integer-keyed
+    join.  Rows with a NULL id or NULL value are dropped (no total order
+    without the tiebreak, and engines disagree on default NULL sort
+    order — Spark puts ASC NULLs first, DuckDB last — so a NULL value
+    has no portable quantile).
+
+    Returns ``(id_col, group_col, val_col, src_rank, global_idx,
+    normalized_value)`` — one row per input row.
+    """
+    from pyspark.sql import Window
+
+    from .packing import global_rank
+
+    pts = df.select(id_col, group_col, val_col).filter(
+        F.col(id_col).isNotNull() & F.col(val_col).isNotNull()
+    )
+    wg = Window.partitionBy(group_col).orderBy(
+        F.col(val_col).asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(group_col)
+    ranked_g = pts.select(
+        id_col, group_col, val_col,
+        F.row_number().over(wg).cast("long").alias("src_rank"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("__ng"),
+    )
+    order_stat, n_total = global_rank(
+        pts.select(F.col(val_col).alias("__gval"),
+                   F.col(id_col).alias("__gid")),
+        [F.col("__gval").asc(), F.col("__gid").asc()],
+        out_col="__grank",
+    )
+    lookup = order_stat.select(
+        F.col("__grank"), F.col("__gval").alias("normalized_value")
+    )
+    # ceil(r * N / n_g) with every factor DECIMAL(38,0) BEFORE the
+    # product (r * N wraps int64 once N reaches ~3e9 rows); `div` on
+    # decimals is exact floor division returning BIGINT
+    with_idx = ranked_g.withColumn(
+        "global_idx",
+        F.expr(
+            f"(CAST(src_rank AS DECIMAL(38,0))"
+            f" * CAST({int(n_total)} AS DECIMAL(38,0))"
+            f" + CAST(__ng AS DECIMAL(38,0)) - 1)"
+            f" div CAST(__ng AS DECIMAL(38,0))"
+        ),
+    )
+    return (
+        with_idx.join(lookup, with_idx["global_idx"] == lookup["__grank"])
+        .select(id_col, group_col, val_col, "src_rank", "global_idx",
+                "normalized_value")
+    )

@@ -1728,3 +1728,111 @@ def rademacher_project(corpus: DataFrame, out_dim: int = 8,
         .withColumn("__q", quant)
         .select(F.col(id_col), F.posexplode(projs).alias("j", "proj_micro"))
     )
+
+
+def inv_log2_micro(k: int) -> list[int]:
+    """``round(1e6 / log2(p + 1))`` for positions ``p = 1..k`` — the DCG
+    position discounts as exact integer micro-units.  Computed once,
+    driver-side, and embedded as literals in BOTH the Spark plan and the
+    SQL oracle, so ranking metrics never evaluate ``log2`` inside either
+    engine (libm differs by 1 ulp between JVM and other runtimes on a few
+    percent of inputs; a shared integer table cannot)."""
+    import math
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return [int(math.floor(1e6 / math.log2(p + 1) + 0.5))
+            for p in range(1, k + 1)]
+
+
+def cum_idcg_micro(k: int) -> list[int]:
+    """Ideal-DCG lookup in micro-units: entry ``n-1`` (1-based ``n``) is
+    the DCG of the perfect ranking when ``n`` relevant items exist —
+    ``sum_{p=1..min(n,k)} (k + 1 - p) * inv_log2_micro(k)[p]`` with the
+    linear gain scale ``gain(rank r) = k + 1 - r``.  Integer, shared with
+    the SQL oracle like :func:`inv_log2_micro`."""
+    inv = inv_log2_micro(k)
+    out, run = [], 0
+    for p in range(1, k + 1):
+        run += (k + 1 - p) * inv[p - 1]
+        out.append(run)
+    return out
+
+
+def ranking_metrics(exact: DataFrame, approx: DataFrame, k: int = 10,
+                    query_id_col: str = "query_id",
+                    id_col: str = "vec_id",
+                    rank_col: str = "rank") -> DataFrame:
+    """Per-query ranking-quality scorecard of an approximate retrieval
+    run against the exact ground truth: recall@k, MRR@k, and nDCG@k
+    (Jarvelin & Kekalainen, TOIS 2002) in one pass — the eval table a
+    serving stack publishes before an ANN index replaces an exact scan
+    (recall alone hides WHERE in the ranking the misses live; nDCG
+    weights the head, MRR the first hit).
+
+    Both inputs carry ``(query_id_col, id_col, rank_col)`` with
+    ``rank_col`` a dense 1-based position (ties already broken — both
+    this module's exact and IVF top-k emit exactly that).  Relevance is
+    graded from the exact side: an approx item at exact rank ``r`` gains
+    ``k + 1 - r``; items outside the exact top-k gain 0.  All DCG terms
+    are integer products (gain times the shared micro-unit discount
+    table — see :func:`inv_log2_micro`), so the per-query sums are exact
+    under any shuffle order and an SQL oracle can replay them
+    bit-for-bit; the only floats are three final divisions.
+
+    One small join of two k-by-n_queries tables plus two aggregates —
+    nothing here touches the corpus, so cost scales with the query set,
+    not the data.  Queries with no approx hits score 0 (``first_hit_rank``
+    reported as 0, not NULL).
+
+    Returns one row per exact-side query: ``(query_id, n_exact, n_hits,
+    recall_at_k, first_hit_rank, mrr_at_k, dcg_micro, idcg_micro,
+    ndcg_at_k)``.
+    """
+    disc = F.array(*[F.lit(v) for v in inv_log2_micro(k)])
+    icum = F.array(*[F.lit(v) for v in cum_idcg_micro(k)])
+    rel = (
+        approx.filter(F.col(rank_col) <= k)
+        .select(query_id_col, id_col,
+                F.col(rank_col).cast("int").alias("__arank"))
+        .join(
+            exact.filter(F.col(rank_col) <= k)
+            .select(query_id_col, id_col,
+                    F.col(rank_col).cast("int").alias("__erank")),
+            [query_id_col, id_col], "left",
+        )
+    )
+    hit = F.col("__erank").isNotNull()
+    rel_agg = rel.groupBy(query_id_col).agg(
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("__hits"),
+        F.sum(
+            F.when(hit, (F.lit(k + 1) - F.col("__erank")).cast("long")
+                   * F.element_at(disc, F.col("__arank")))
+            .otherwise(F.lit(0).cast("long"))
+        ).cast("long").alias("__dcg"),
+        F.min(F.when(hit, F.col("__arank"))).alias("__first"),
+    )
+    ex_agg = exact.filter(F.col(rank_col) <= k).groupBy(query_id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    n_hits = F.coalesce(F.col("__hits"), F.lit(0).cast("long"))
+    dcg = F.coalesce(F.col("__dcg"), F.lit(0).cast("long"))
+    first = F.coalesce(F.col("__first"), F.lit(0)).cast("long")
+    idcg = F.element_at(icum, F.least(F.col("n_exact"), F.lit(k))
+                        .cast("int")).cast("long")
+    return (
+        ex_agg.join(rel_agg, query_id_col, "left")
+        .select(
+            query_id_col,
+            "n_exact",
+            n_hits.alias("n_hits"),
+            (n_hits.cast("double") / F.col("n_exact").cast("double"))
+            .alias("recall_at_k"),
+            first.alias("first_hit_rank"),
+            F.when(first > 0, F.lit(1.0) / first.cast("double"))
+            .otherwise(F.lit(0.0)).alias("mrr_at_k"),
+            dcg.alias("dcg_micro"),
+            idcg.alias("idcg_micro"),
+            (dcg.cast("double") / idcg.cast("double")).alias("ndcg_at_k"),
+        )
+    )

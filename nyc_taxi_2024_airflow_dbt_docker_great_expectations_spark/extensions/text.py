@@ -1233,3 +1233,66 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
         p_req.alias("pass_required_words"),
         (p_count & p_wl & p_sym & p_alpha & p_lines & p_req).alias("keep"),
     )
+
+
+def distinct_ngrams(df: DataFrame, text_col: str = "text",
+                    group_col: str = "source") -> DataFrame:
+    """Per-group distinct-1 / distinct-2 lexical diversity (the
+    distinct-n metric of Li et al., NAACL 2016 — the standard
+    low-diversity / mode-collapse gauge, applied per corpus slice): the
+    share of token positions, and of bigram positions, that are unique
+    types within the group.  A source whose distinct-2 collapses is
+    boilerplate- or template-heavy even when every document passes
+    per-doc quality rules — this is the cross-document redundancy signal
+    next to ``bigram_novelty``'s per-document one.
+
+    Totals come from per-row token counts (no explode — one narrow
+    aggregate over the corpus); type counts explode tokens / distinct
+    per-doc bigrams into two hash aggregates with map-side partials.
+    The group table is tiny, so the three-way combine is a broadcast
+    join.  Everything is an integer count except the two final
+    divisions, so engines agree bit-for-bit.
+
+    Returns ``(group_col, n_tokens, n_distinct_tokens, distinct_1,
+    n_bigrams, n_distinct_bigrams, distinct_2)`` — one row per group;
+    groups whose text is all blank keep ``n_tokens = 0`` and NULL
+    ratios (0/0).
+    """
+    base = df.select(group_col, text_col)
+    ntok = token_count(text_col)
+    totals = base.groupBy(group_col).agg(
+        F.sum(ntok).cast("long").alias("n_tokens"),
+        F.sum(F.greatest(ntok - F.lit(1), F.lit(0))).cast("long")
+        .alias("n_bigrams"),
+    )
+    nonblank = base.filter(_wtrim(F.col(text_col)) != "")
+    uni = nonblank.select(
+        group_col, F.explode(tokens(text_col)).alias("__tok")
+    ).groupBy(group_col).agg(
+        F.countDistinct("__tok").cast("long").alias("n_distinct_tokens")
+    )
+    bi = nonblank.select(
+        group_col,
+        F.explode(word_shingles(text_col, k=2)).alias("__gram"),
+    ).groupBy(group_col).agg(
+        F.countDistinct("__gram").cast("long").alias("n_distinct_bigrams")
+    )
+    zero = F.lit(0).cast("long")
+    ratio = (lambda num, den:
+             F.when(F.col(den) > 0,
+                    F.col(num).cast("double") / F.col(den).cast("double")))
+    return (
+        totals.join(F.broadcast(uni), group_col, "left")
+        .join(F.broadcast(bi), group_col, "left")
+        .select(
+            group_col,
+            "n_tokens",
+            F.coalesce("n_distinct_tokens", zero)
+            .alias("n_distinct_tokens"),
+            ratio("n_distinct_tokens", "n_tokens").alias("distinct_1"),
+            "n_bigrams",
+            F.coalesce("n_distinct_bigrams", zero)
+            .alias("n_distinct_bigrams"),
+            ratio("n_distinct_bigrams", "n_bigrams").alias("distinct_2"),
+        )
+    )

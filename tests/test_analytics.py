@@ -399,3 +399,46 @@ def test_mutual_information_known_distributions(spark):
     r = mutual_information(withnulls, "a", "b").collect()[0]
     assert (r["n_obs"], r["n_cells"]) == (1, 1)
     assert r["mi_nats"] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_quantile_normalize_semantics(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        quantile_normalize,
+    )
+
+    # two groups on different scales; global sorted values:
+    # [1, 2, 3, 100, 200, 300] (ids break the (val, id) ties)
+    df = spark.createDataFrame(
+        [(1, "lo", 1), (2, "lo", 2), (3, "lo", 3),
+         (4, "hi", 100), (5, "hi", 200), (6, "hi", 300),
+         (7, "hi", None), (None, "hi", 5)],  # dropped: NULL val / id
+        "doc_id int, source string, val int")
+    out = {r["doc_id"]: r
+           for r in quantile_normalize(df, "source", "val",
+                                       "doc_id").collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    # rank r of 3 in-group -> global idx ceil(r * 6 / 3) = 2r
+    glob = [1, 2, 3, 100, 200, 300]
+    for doc, rank in [(1, 1), (2, 2), (3, 3), (4, 1), (5, 2), (6, 3)]:
+        r = out[doc]
+        assert r["src_rank"] == rank
+        assert r["global_idx"] == 2 * rank
+        assert r["normalized_value"] == glob[2 * rank - 1]
+    # both groups land on the SAME normalized ladder — scale removed
+    assert ([out[d]["normalized_value"] for d in (1, 2, 3)]
+            == [out[d]["normalized_value"] for d in (4, 5, 6)])
+
+
+def test_quantile_normalize_single_group_identity(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        quantile_normalize,
+    )
+
+    # one group: within-group quantile IS the global quantile, so the
+    # map is the identity (idx = ceil(r * N / N) = r)
+    df = spark.createDataFrame(
+        [(i, "only", v) for i, v in enumerate([5, 3, 9, 3, 7])],
+        "doc_id int, source string, val int")
+    for r in quantile_normalize(df, "source", "val", "doc_id").collect():
+        assert r["normalized_value"] == r["val"]
+        assert r["global_idx"] == r["src_rank"]

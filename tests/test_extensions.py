@@ -2577,3 +2577,77 @@ def test_mutual_knn_from_index_recall_and_score_identity(spark):
     # separated clusters + half-the-lists probe: high recall
     recall = len(ann) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_ranking_metrics_known_values(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        cum_idcg_micro,
+        inv_log2_micro,
+        ranking_metrics,
+    )
+
+    inv = inv_log2_micro(3)
+    # q1: approx = [b, x, a] vs exact = [a, b, c]; q2: no approx rows at
+    # all (left join fills zeros); q3: approx entirely irrelevant
+    exact = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (1, "c", 3),
+         (2, "a", 1), (2, "b", 2),
+         (3, "a", 1), (3, "b", 2), (3, "c", 3)],
+        "query_id int, vec_id string, rank int")
+    approx = spark.createDataFrame(
+        [(1, "b", 1), (1, "x", 2), (1, "a", 3),
+         (3, "x", 1), (3, "y", 2), (3, "z", 3)],
+        "query_id int, vec_id string, rank int")
+    rows = {r["query_id"]: r
+            for r in ranking_metrics(exact, approx, k=3).collect()}
+    assert set(rows) == {1, 2, 3}
+
+    r1 = rows[1]
+    # gains: b at pos1 -> 3+1-2 = 2; x -> 0; a at pos3 -> 3
+    dcg = 2 * inv[0] + 3 * inv[2]
+    idcg = cum_idcg_micro(3)[2]
+    assert (r1["n_exact"], r1["n_hits"]) == (3, 2)
+    assert r1["recall_at_k"] == pytest.approx(2 / 3)
+    assert (r1["first_hit_rank"], r1["mrr_at_k"]) == (1, 1.0)
+    assert (r1["dcg_micro"], r1["idcg_micro"]) == (dcg, idcg)
+    assert r1["ndcg_at_k"] == dcg / idcg
+
+    r2 = rows[2]  # no approx rows: zeros, idcg from n_exact=2
+    assert (r2["n_hits"], r2["first_hit_rank"]) == (0, 0)
+    assert (r2["recall_at_k"], r2["mrr_at_k"], r2["ndcg_at_k"]) == (0, 0, 0)
+    assert r2["idcg_micro"] == cum_idcg_micro(3)[1]
+
+    r3 = rows[3]  # approx present but zero relevant
+    assert (r3["n_hits"], r3["dcg_micro"], r3["ndcg_at_k"]) == (0, 0, 0.0)
+
+
+def test_distinct_ngrams_known_counts(spark):
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        distinct_ngrams,
+    )
+
+    df = spark.createDataFrame(
+        [("s1", "a b a b"),      # 4 toks {a,b}; bigrams: a b, b a, a b
+         ("s1", "a b c"),        # 3 toks {a,b,c}; bigrams: a b, b c
+         ("s2", "x"),            # 1 tok, 0 bigrams
+         ("s2", "   "),          # blank: 0 tokens
+         ("s3", "")],            # blank group: NULL ratios
+        "source string, text string")
+    rows = {r["source"]: r for r in distinct_ngrams(df).collect()}
+
+    s1 = rows["s1"]
+    assert (s1["n_tokens"], s1["n_distinct_tokens"]) == (7, 3)
+    assert s1["distinct_1"] == 3 / 7
+    # positions: 3 + 2 = 5; types: {a b, b a, b c} = 3
+    assert (s1["n_bigrams"], s1["n_distinct_bigrams"]) == (5, 3)
+    assert s1["distinct_2"] == 3 / 5
+
+    s2 = rows["s2"]
+    assert (s2["n_tokens"], s2["n_distinct_tokens"]) == (1, 1)
+    assert s2["distinct_1"] == 1.0
+    assert (s2["n_bigrams"], s2["n_distinct_bigrams"]) == (0, 0)
+    assert s2["distinct_2"] is None
+
+    s3 = rows["s3"]
+    assert (s3["n_tokens"], s3["n_distinct_tokens"]) == (0, 0)
+    assert s3["distinct_1"] is None and s3["distinct_2"] is None

@@ -143,6 +143,12 @@ def main() -> int:
         spark.conf.set("spark.sql.ansi.enabled", "false")
     con = duck_connection(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
+    # a mistyped key (or an imagined flag like --keys) must not shrink
+    # the sweep to nothing and print a vacuous "all passed"
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: unknown key(s): {', '.join(sorted(unknown))}")
+        return 2
 
     failures = 0
     for name, fn in qs.items():
