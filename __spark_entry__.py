@@ -9397,10 +9397,16 @@ _GATE_CHANGED = [
     "retrieval_eval",
     "quantile_normalize",
     "distinct_ngrams",
-    # impl changed r13: the reciprocity join's k*N top-k list is
-    # materialized once (localCheckpoint) instead of recomputing per
-    # join side — shared _reciprocal_pairs with the new index variant
-    "mutual_knn",
+    # impl changed r13: positional grams now come from ONE narrow Arrow
+    # pass (text.py:positional_shingles) instead of the expression form
+    # that re-ran the regex split per gram position — 4.9s -> 2.0s warm
+    # at sf0.1, value-identical (oracle re-verified both ANSI modes).
+    # Takes the slot of mutual_knn, whose r13 change (one-time
+    # localCheckpoint of the shared top-k list) is perf-only with a
+    # pytest asserting bit-identical pairs — same displacement class as
+    # revenue_gini/source_entropy/transition_entropy above; mutual_knn
+    # stays signed r12-green, staleness bound r16.
+    "substring_removal",
     # NEW key r13 (verdict item 5): mutual k-NN served from the
     # persisted IVF index — needs its first driver signature
     "mutual_knn_from_index",

@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..execution import expand_member_pairs, materialize_once, rep_tags
 from .text import (
+    positional_shingles,
     shingle_postings,
     shingled_arrays,
     token_count,
@@ -1491,20 +1492,12 @@ def remove_duplicated_spans(df: DataFrame, n: int = 4,
     reps = tagged.filter(F.col(id_col) == F.col("__rep"))
     toks = tokens(text_col)
     n_toks = token_count(text_col)
-    gram_structs = F.when(
-        n_toks >= n,
-        F.transform(
-            F.sequence(F.lit(0), n_toks - n),
-            lambda i: F.struct(
-                i.alias("gpos"),
-                F.concat_ws(" ", F.slice(toks, i + 1, n)).alias("gram"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<gpos:int,gram:string>>"))
-    grams = reps.select(
-        F.col(id_col), F.explode(gram_structs).alias("__g")
-    ).select(id_col, F.col("__g.gpos").alias("gpos"),
-             F.col("__g.gram").alias("gram"))
+    # positional grams via ONE narrow Arrow pass — the expression form
+    # (transform over sequence with slice(tokens(...))) re-ran the regex
+    # split once per gram position (no CSE across lambda bodies),
+    # O(tokens^2) regex work per doc; measured 7x slower at sf0.1.
+    # Short/NULL docs yield no gram rows, same as the old WHEN guard.
+    grams = positional_shingles(reps, text_col, id_col, k=n)
     from pyspark.sql import Window
 
     owner = F.min(id_col).over(Window.partitionBy("gram"))

@@ -63,7 +63,15 @@ def token_count(col: Column | str) -> Column:
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct word k-gram shingles -> array<string>.  Documents shorter
-    than k tokens yield an empty array."""
+    than k tokens yield an empty array.
+
+    PERF: Catalyst does not common-subexpression-eliminate across lambda
+    bodies, so the ``slice(tokens(...))`` here re-runs the regex split
+    once per gram position — O(tokens²) regex work per document
+    (measured 7x slower than the Arrow pass at sf0.1).  Fine for
+    one-time index builds and small inputs; hot per-query paths should
+    use :func:`shingled_arrays` (distinct sets) or
+    :func:`positional_shingles` (occurrences with positions) instead."""
     toks = tokens(col)
     n = F.size(toks)
     return F.when(n < k, F.array().cast("array<string>")).otherwise(
@@ -284,6 +292,57 @@ def shingled_arrays(df: DataFrame, text_col: str = "text",
             )
 
     return df.select(id_col, text_col).mapInPandas(shingle, out_schema)
+
+
+def positional_shingles(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, gpos, gram) — every word ``k``-gram occurrence WITH its
+    0-based start position, as ONE narrow Arrow pass (``mapInPandas``,
+    no shuffle): the positional, non-distinct sibling of
+    :func:`shingled_arrays` for consumers that need to map grams back
+    onto token spans (substring-dedup removal).
+
+    The expression form (``transform(sequence(...), i -> concat_ws(' ',
+    slice(tokens(text), i, k)))``) re-evaluates the regex split once per
+    gram position — O(tokens²) regex work per document; measured 7x
+    slower at sf0.1 — because Catalyst does not common-subexpression-
+    eliminate across lambda bodies.  Here the tokenizer runs once per
+    document (same explicit Java-``\\s`` class as ``tokens()``).
+    Documents with NULL text or fewer than ``k`` tokens yield no rows.
+    """
+    import re
+
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    ws_re = re.compile("[" + re.escape(_WS_CHARS) + "]+")
+    id_field = df.schema[id_col]
+    out_schema = StructType([
+        id_field,
+        StructField("gpos", IntegerType(), False),
+        StructField("gram", StringType(), False),
+    ])
+    id_dtype = ("int64" if id_field.dataType.simpleString()
+                in ("bigint", "long", "int") else "object")
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids, poss, grams = [], [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                toks = ws_re.split(txt.strip(_WS_CHARS))
+                for p in range(len(toks) - k + 1):
+                    ids.append(i)
+                    poss.append(p)
+                    grams.append(" ".join(toks[p:p + k]))
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype=id_dtype),
+                "gpos": pd.Series(poss, dtype="int32"),
+                "gram": pd.Series(grams, dtype="object"),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
 
 
 def _count_matching(toks: Column, values: tuple[str, ...]) -> Column:
@@ -1247,11 +1306,14 @@ def distinct_ngrams(df: DataFrame, text_col: str = "text",
     next to ``bigram_novelty``'s per-document one.
 
     Totals come from per-row token counts (no explode — one narrow
-    aggregate over the corpus); type counts explode tokens / distinct
-    per-doc bigrams into two hash aggregates with map-side partials.
-    The group table is tiny, so the three-way combine is a broadcast
-    join.  Everything is an integer count except the two final
-    divisions, so engines agree bit-for-bit.
+    aggregate over the corpus); unigram types explode tokens into a
+    hash aggregate with map-side partials; bigram types ride
+    :func:`shingled_arrays` (ONE narrow Arrow pass — the expression
+    form re-evaluates the regex split once per gram position, O(tokens²)
+    regex work per document, measured 8x slower at sf0.1).  The group
+    table is tiny, so the three-way combine is a broadcast join.
+    Everything is an integer count except the two final divisions, so
+    engines agree bit-for-bit.
 
     Returns ``(group_col, n_tokens, n_distinct_tokens, distinct_1,
     n_bigrams, n_distinct_bigrams, distinct_2)`` — one row per group;
@@ -1271,9 +1333,11 @@ def distinct_ngrams(df: DataFrame, text_col: str = "text",
     ).groupBy(group_col).agg(
         F.countDistinct("__tok").cast("long").alias("n_distinct_tokens")
     )
-    bi = nonblank.select(
-        group_col,
-        F.explode(word_shingles(text_col, k=2)).alias("__gram"),
+    # shingled_arrays keys by its id_col — passing the GROUP column
+    # yields (group, per-doc distinct grams), exactly the explode input
+    # (blank/short/NULL docs are skipped inside: no bigrams to count)
+    bi = shingled_arrays(base, text_col, group_col, k=2).select(
+        group_col, F.explode("shingles").alias("__gram")
     ).groupBy(group_col).agg(
         F.countDistinct("__gram").cast("long").alias("n_distinct_bigrams")
     )

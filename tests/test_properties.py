@@ -1038,3 +1038,116 @@ def test_winsorized_mean_bounds(spark, vals, lo):
     assert r["p_lo"] - 1e-4 <= r["win_mean"] <= r["p_hi"] + 1e-4
     if lo == 0:  # p0/p100 clip nothing
         assert abs(r["win_mean"] - r["raw_mean"]) < 1e-9
+
+
+ranking_lists_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # query id (collisions)
+        st.integers(min_value=0, max_value=15),  # item id
+    ),
+    min_size=1, max_size=30,
+)
+
+
+@settings(**SETTINGS)
+@given(pairs=ranking_lists_strategy, k=st.integers(min_value=1, max_value=5))
+def test_ranking_metrics_properties(spark, pairs, k):
+    """Invariants of similarity.ranking_metrics against a python model:
+    identical rankings score perfect 1.0 everywhere; every metric sits in
+    [0, 1]; recall/MRR/nDCG match a brute-force recomputation from the
+    same shared integer discount tables."""
+    import itertools
+
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.similarity import (
+        cum_idcg_micro,
+        inv_log2_micro,
+        ranking_metrics,
+    )
+
+    # deterministic per-query ranked lists from the drawn pairs
+    by_q: dict[int, list[int]] = {}
+    for q, i in sorted(set(pairs)):
+        by_q.setdefault(q, []).append(i)
+    exact_rows = [(q, str(i), r + 1)
+                  for q, items in by_q.items()
+                  for r, i in enumerate(items[:k])]
+    # approx = the exact list REVERSED then truncated (worst head order)
+    approx_rows = [(q, str(i), r + 1)
+                   for q, items in by_q.items()
+                   for r, i in enumerate(list(reversed(items))[:k])]
+    exact = spark.createDataFrame(exact_rows,
+                                  "query_id int, vec_id string, rank int")
+    approx = spark.createDataFrame(approx_rows,
+                                   "query_id int, vec_id string, rank int")
+
+    # perfect self-ranking scores 1.0 on every metric
+    for r in ranking_metrics(exact, exact, k=k).collect():
+        assert r["recall_at_k"] == 1.0
+        assert r["mrr_at_k"] == 1.0
+        assert r["ndcg_at_k"] == 1.0
+        assert r["dcg_micro"] == r["idcg_micro"]
+
+    inv, cum = inv_log2_micro(k), cum_idcg_micro(k)
+    exact_rank = {(q, str(i)): r + 1
+                  for q, items in by_q.items()
+                  for r, i in enumerate(items[:k])}
+    for r in ranking_metrics(exact, approx, k=k).collect():
+        q = r["query_id"]
+        n_exact = len(by_q[q][:k])
+        model_dcg, first, hits = 0, 0, 0
+        for pos, i in enumerate(list(reversed(by_q[q]))[:k], 1):
+            er = exact_rank.get((q, str(i)))
+            if er is not None:
+                hits += 1
+                model_dcg += (k + 1 - er) * inv[pos - 1]
+                first = first or pos
+        assert r["n_exact"] == n_exact
+        assert r["n_hits"] == hits
+        assert r["dcg_micro"] == model_dcg
+        assert r["idcg_micro"] == cum[min(n_exact, k) - 1]
+        assert r["first_hit_rank"] == first
+        assert r["recall_at_k"] == hits / n_exact
+        assert r["mrr_at_k"] == (1.0 / first if first else 0.0)
+        assert 0.0 <= r["ndcg_at_k"] <= 1.0
+
+
+qnorm_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # group (collisions)
+        st.integers(min_value=-50, max_value=50),  # value (ties likely)
+    ),
+    min_size=1, max_size=25,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=qnorm_rows_strategy)
+def test_quantile_normalize_properties(spark, rows):
+    """Invariants of analytics.quantile_normalize against a python model:
+    exact type-1 inverse-CDF output per row, rank-monotone within each
+    group, and the normalized column is always drawn from the global
+    value multiset."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.analytics import (
+        quantile_normalize,
+    )
+
+    data = [(i, f"g{g}", v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id int, source string, val int")
+    out = quantile_normalize(df, "source", "val", "doc_id").collect()
+    assert len(out) == len(data)
+
+    glob = sorted((v, i) for i, _, v in data)
+    n = len(glob)
+    by_group: dict[str, list[tuple[int, int]]] = {}
+    for i, g, v in data:
+        by_group.setdefault(g, []).append((v, i))
+    model = {}
+    for g, items in by_group.items():
+        items.sort()
+        ng = len(items)
+        for r0, (v, i) in enumerate(items, 1):
+            idx = (r0 * n + ng - 1) // ng
+            model[i] = (r0, idx, glob[idx - 1][0])
+    for r in out:
+        assert (r["src_rank"], r["global_idx"],
+                r["normalized_value"]) == model[r["doc_id"]]
