@@ -166,14 +166,19 @@ def main() -> None:
     NOISE_FLOOR_SEC = 0.2
     noise_rounds = rounds[1:] if len(rounds) >= 3 else rounds
     noise_p50 = noise_p95 = None
-    spreads = sorted(
-        (max(vals) - min(vals)) / min(vals)
-        for vals in ([r[n] for r in noise_rounds] for n in timings)
+    named_spreads = sorted(
+        ((max(vals) - min(vals)) / min(vals), n)
+        for n, vals in ((n, [r[n] for r in noise_rounds]) for n in timings)
         if min(vals) >= NOISE_FLOOR_SEC
     ) if len(noise_rounds) >= 2 else []
+    spreads = [s for s, _ in named_spreads]
     if spreads:
         noise_p50 = round(spreads[int(0.50 * (len(spreads) - 1))], 3)
         noise_p95 = round(spreads[int(0.95 * (len(spreads) - 1))], 3)
+    # the worst offenders BY NAME: a high p95 with one or two named
+    # culprits is a query-level instability to chase; a high p95 spread
+    # across many names is machine noise (the r13 +16% drift tell)
+    noise_top = {n: round(s, 2) for s, n in named_spreads[-5:][::-1]}
 
     total = round(sum(timings.values()), 3)
     compact = {k: round(v, 2) for k, v in timings.items()}
@@ -201,6 +206,7 @@ def main() -> None:
             "noise_floor_sec": NOISE_FLOOR_SEC,
             "noise_n": len(spreads),
             "noise_rounds": len(noise_rounds),
+            "noise_top": noise_top,
             # adaptive tail repeats: queries under tail_threshold_sec
             # after the best-of-N pass got tail_extra_rounds extra
             # whole-subset rounds (reported time = best of
