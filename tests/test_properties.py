@@ -1151,3 +1151,49 @@ def test_quantile_normalize_properties(spark, rows):
     for r in out:
         assert (r["src_rank"], r["global_idx"],
                 r["normalized_value"]) == model[r["doc_id"]]
+
+
+docs_words_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # group
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=6),  # words
+    ),
+    min_size=1, max_size=12,
+)
+
+
+@settings(**SETTINGS)
+@given(docs=docs_words_strategy)
+def test_distinct_ngrams_matches_model(spark, docs):
+    """distinct_ngrams against a python model over tiny random corpora:
+    integer counts exact, ratios the one division, blank docs counted
+    into totals as zero."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        distinct_ngrams,
+    )
+
+    data = [(f"g{g}", " ".join(ws)) for g, ws in docs]
+    df = spark.createDataFrame(data, "source string, text string")
+    out = {r["source"]: r for r in distinct_ngrams(df).collect()}
+
+    model: dict[str, dict] = {}
+    for g, ws in docs:
+        m = model.setdefault(f"g{g}", {"nt": 0, "nb": 0,
+                                       "ut": set(), "ub": set()})
+        m["nt"] += len(ws)
+        m["nb"] += max(len(ws) - 1, 0)
+        m["ut"].update(ws)
+        m["ub"].update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    assert set(out) == set(model)
+    for g, m in model.items():
+        r = out[g]
+        assert (r["n_tokens"], r["n_distinct_tokens"]) == (m["nt"], len(m["ut"]))
+        assert (r["n_bigrams"], r["n_distinct_bigrams"]) == (m["nb"], len(m["ub"]))
+        if m["nt"]:
+            assert r["distinct_1"] == len(m["ut"]) / m["nt"]
+        else:
+            assert r["distinct_1"] is None
+        if m["nb"]:
+            assert r["distinct_2"] == len(m["ub"]) / m["nb"]
+        else:
+            assert r["distinct_2"] is None
