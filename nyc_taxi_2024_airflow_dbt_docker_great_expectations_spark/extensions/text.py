@@ -351,43 +351,68 @@ def _count_matching(toks: Column, values: tuple[str, ...]) -> Column:
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document token/char statistics (token counting operator)."""
-    toks = tokens(text_col)
-    t = F.trim(F.col(text_col))
-    n_toks = token_count(text_col)
-    return df.select(
+    """Per-document token/char statistics (token counting operator).
+
+    PERF: staged — the token array, the length-sum fold, and the distinct
+    count are materialized once; the single-select form re-ran the regex
+    split inside each HOF reference (array_distinct twice, the fold once)
+    because Catalyst does not CSE across lambda bodies."""
+    s1 = df.select(
+        F.col(id_col),
+        F.trim(F.col(text_col)).alias("__ts_t"),
+        _wtrim(F.col(text_col)).alias("__ts_w"),
+        tokens(text_col).alias("__ts_toks"),
+    )
+    toks1 = F.col("__ts_toks")
+    s2 = s1.select(
+        F.col(id_col),
+        F.length("__ts_t").alias("n_chars"),
+        F.when(F.col("__ts_w") == "", F.lit(0))
+        .otherwise(F.size(toks1)).alias("n_tokens"),
+        F.aggregate(
+            F.transform(toks1, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("__ts_lensum"),
+        F.size(F.array_distinct(toks1)).alias("n_unique_tokens"),
+    )
+    nt = F.col("n_tokens")
+    return s2.select(
         id_col,
-        F.length(t).alias("n_chars"),
-        n_toks.alias("n_tokens"),
-        (
-            F.aggregate(
-                F.transform(toks, lambda x: F.length(x)),
-                F.lit(0),
-                lambda acc, x: acc + x,
-            ).cast("double")
-            / n_toks.cast("double")
-        ).alias("avg_token_len"),
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
-        (
-            F.size(F.array_distinct(toks)).cast("double") / n_toks.cast("double")
-        ).alias("unique_ratio"),
+        "n_chars",
+        "n_tokens",
+        (F.col("__ts_lensum").cast("double") / nt.cast("double"))
+        .alias("avg_token_len"),
+        "n_unique_tokens",
+        (F.col("n_unique_tokens").cast("double") / nt.cast("double"))
+        .alias("unique_ratio"),
     )
 
 
-def _quality_components(text_col: str) -> dict[str, Column]:
-    """The shared quality-signal expressions — ONE definition feeds both
-    the per-component report and the combined score, so they can never
-    drift apart (or from the SQL oracle)."""
-    t = F.trim(_c(text_col))
+def _quality_counts(t: Column, w: Column, toks: Column) -> dict[str, Column]:
+    """The integer count layer of the quality signals, over the three text
+    primitives (``trim``'d text, whitespace-trim'd text, token array).
+    Split out so staged callers can materialize the counts ONCE: the
+    stopword filter is a lambda HOF, and Catalyst neither codegens nor
+    common-subexpression-eliminates lambda bodies, so the inline
+    expression form re-runs the regex split per reference (the same
+    O(duplication) trap word_shingles documents)."""
     n_chars = F.length(t)
-    toks = tokens(text_col)
-    n_toks = token_count(text_col)
-    punct = n_chars - F.length(F.regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))
-    digits = n_chars - F.length(F.regexp_replace(t, "[0-9]", ""))
-    stop_hits = _count_matching(toks, EN_STOPWORDS)
-    punct_ratio = punct.cast("double") / n_chars.cast("double")
-    digit_ratio = digits.cast("double") / n_chars.cast("double")
-    stop_ratio = stop_hits.cast("double") / n_toks.cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": F.when(w == "", F.lit(0)).otherwise(F.size(toks)),
+        "punct": n_chars - F.length(F.regexp_replace(t, "[^a-zA-Z0-9\\s]", "")),
+        "digits": n_chars - F.length(F.regexp_replace(t, "[0-9]", "")),
+        "stop_hits": _count_matching(toks, EN_STOPWORDS),
+    }
+
+
+def _quality_signals(counts: dict[str, Column]) -> dict[str, Column]:
+    """Ratios + combined score from the count layer — exactly the
+    arithmetic the SQL oracle mirrors, unchanged by the staging."""
+    punct_ratio = counts["punct"].cast("double") / counts["n_chars"].cast("double")
+    digit_ratio = counts["digits"].cast("double") / counts["n_chars"].cast("double")
+    stop_ratio = counts["stop_hits"].cast("double") / counts["n_tokens"].cast("double")
     score = (
         F.lit(1.0)
         - F.least(F.lit(1.0), punct_ratio * 4.0)
@@ -395,12 +420,27 @@ def _quality_components(text_col: str) -> dict[str, Column]:
         - F.least(F.lit(1.0), digit_ratio * 4.0) * F.lit(0.25)
     ) * (F.lit(0.5) + F.least(F.lit(0.5), stop_ratio * 2.0))
     return {
-        "n_chars": n_chars,
-        "n_tokens": n_toks,
         "punct_ratio": punct_ratio,
         "digit_ratio": digit_ratio,
         "stopword_ratio": stop_ratio,
         "quality_score": score,
+    }
+
+
+def _quality_components(text_col: str) -> dict[str, Column]:
+    """The shared quality-signal expressions — ONE definition feeds both
+    the per-component report and the combined score, so they can never
+    drift apart (or from the SQL oracle).  Inline (un-staged) column form
+    for embedding in arbitrary selects; DataFrame-level callers should
+    prefer :func:`quality_scores` / :func:`with_quality_score`, whose
+    staged projections evaluate each regex/HOF primitive once."""
+    c = _c(text_col)
+    counts = _quality_counts(F.trim(c), _wtrim(c), tokens(text_col))
+    sig = _quality_signals(counts)
+    return {
+        "n_chars": counts["n_chars"],
+        "n_tokens": counts["n_tokens"],
+        **sig,
     }
 
 
@@ -410,14 +450,75 @@ def quality_score_col(text_col: str = "text") -> Column:
     return _quality_components(text_col)["quality_score"]
 
 
+_QS_TMP = ("__qs_t", "__qs_w", "__qs_toks",
+           "__qs_nc", "__qs_nt", "__qs_pu", "__qs_di", "__qs_st")
+
+
+def _quality_staged(df: DataFrame, text_col: str) -> DataFrame:
+    """df + the ``__qs_*`` count columns, via two staged projections so the
+    trim/split/regex/HOF primitives are each evaluated ONCE per row.  The
+    multi-reference aliases are non-cheap expressions, so CollapseProject
+    leaves the staging in place (plan-asserted in tests)."""
+    c = _c(text_col)
+    s1 = df.withColumns({
+        "__qs_t": F.trim(c),
+        "__qs_w": _wtrim(c),
+        "__qs_toks": F.split(_wtrim(c), "\\s+"),
+    })
+    counts = _quality_counts(
+        F.col("__qs_t"), F.col("__qs_w"), F.col("__qs_toks"))
+    return s1.withColumns({
+        "__qs_nc": counts["n_chars"],
+        "__qs_nt": counts["n_tokens"],
+        "__qs_pu": counts["punct"],
+        "__qs_di": counts["digits"],
+        "__qs_st": counts["stop_hits"],
+    }).drop("__qs_t", "__qs_w", "__qs_toks")
+
+
+def _staged_signals() -> dict[str, Column]:
+    return _quality_signals({
+        "n_chars": F.col("__qs_nc"),
+        "n_tokens": F.col("__qs_nt"),
+        "punct": F.col("__qs_pu"),
+        "digits": F.col("__qs_di"),
+        "stop_hits": F.col("__qs_st"),
+    })
+
+
 def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic document-quality signals (length, punctuation density,
     digit density, stopword ratio) + a combined [0,1]-ish score.  The usual
-    pre-training corpus filter: cheap, scan-local, shuffle-free."""
-    comps = _quality_components(text_col)
-    return df.select(
-        id_col, *[col.alias(name) for name, col in comps.items()]
+    pre-training corpus filter: cheap, scan-local, shuffle-free.
+
+    PERF: staged projections (text primitives -> integer counts ->
+    ratios/score) so the regex split and the stopword-filter HOF run once
+    per row — the previous single-select form re-evaluated the lambda HOF
+    per referencing output column (Catalyst does not CSE across lambda
+    bodies)."""
+    staged = _quality_staged(df.select(F.col(id_col), _c(text_col)), text_col)
+    sig = _staged_signals()
+    return staged.select(
+        id_col,
+        F.col("__qs_nc").alias("n_chars"),
+        F.col("__qs_nt").alias("n_tokens"),
+        sig["punct_ratio"].alias("punct_ratio"),
+        sig["digit_ratio"].alias("digit_ratio"),
+        sig["stopword_ratio"].alias("stopword_ratio"),
+        sig["quality_score"].alias("quality_score"),
     )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text",
+                       out_col: str = "quality_score") -> DataFrame:
+    """``df`` + a staged ``quality_score`` column (same value as
+    :func:`quality_score_col`, each text primitive evaluated once) —
+    the form for callers that need the score next to other columns
+    without paying the inline expression's duplicated regex/HOF work."""
+    staged = _quality_staged(df, text_col)
+    return staged.withColumn(
+        out_col, _staged_signals()["quality_score"]
+    ).drop(*[c for c in _QS_TMP if c in staged.columns])
 
 
 def filter_funnel(df: DataFrame,
@@ -431,38 +532,73 @@ def filter_funnel(df: DataFrame,
     monotonically non-increasing by construction.  NULL predicates count
     as failing, matching SQL's CASE WHEN.  Returns
     (n_total, n_<stage1>, n_<stage2>, ...).
+
+    PERF: the cumulative AND-chain references stage i's predicate in
+    every later stage's conjunction, so predicates are materialized as
+    boolean columns in ONE staged projection first (an expensive stage-1
+    predicate — e.g. the quality score — would otherwise be evaluated
+    once per stage: Catalyst neither dedups lambda HOFs nor collapses
+    the duplicated trees away).
     """
+    staged = df.select(*[
+        pred.alias(f"__ff_{i}") for i, (_, pred) in enumerate(stages)
+    ])
     aggs = [F.count(F.lit(1)).alias("n_total")]
     cum = F.lit(True)
-    for name, pred in stages:
-        cum = cum & pred
+    for i, (name, _) in enumerate(stages):
+        cum = cum & F.col(f"__ff_{i}")
         aggs.append(
             F.sum(F.when(cum, 1).otherwise(0)).cast("long").alias(f"n_{name}")
         )
-    return df.agg(*aggs)
+    return staged.agg(*aggs)
 
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic language ID: CJK codepoints -> zh; else the stopword family
     with the most hits (deterministic preference order en > es > de > fr on
-    ties; 'und' = undetermined when nothing hits)."""
-    toks = tokens(text_col)
-    hits = {lang: _count_matching(toks, words) for lang, words in LANG_STOPWORDS.items()}
+    ties; 'und' = undetermined when nothing hits).
+
+    PERF: staged — tokenize+lowercase once into a temp array column, count
+    each family's hits into integer columns, and only then run the
+    preference cascade over the plain columns.  The single-select form
+    re-evaluated each ``size(filter(split(...)))`` HOF at every reference
+    (4 output columns + 11 references inside the cascade = 15 regex splits
+    per row; Catalyst does not CSE across lambda bodies)."""
+    lowtoks = F.transform(tokens(text_col), F.lower)
+    s1 = df.select(
+        F.col(id_col), _c(text_col).alias("__li_text"),
+        lowtoks.alias("__li_lt"),
+    )
+    # tokens are pre-lowered, so the per-family count is a plain
+    # array_contains filter — same counts as _count_matching (which lowers
+    # per reference) because lower() is idempotent and the word lists are
+    # lowercase
+    def _hits(words: tuple[str, ...]) -> Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(F.col("__li_lt"),
+                               lambda t: F.array_contains(arr, t)))
+
+    s2 = s1.select(
+        F.col(id_col), F.col("__li_text"),
+        *[_hits(words).alias(f"hits_{lang}")
+          for lang, words in LANG_STOPWORDS.items()],
+    )
+    h = {lang: F.col(f"hits_{lang}") for lang in LANG_STOPWORDS}
     best = (
-        F.when(_c(text_col).rlike(CJK_PATTERN), F.lit("zh"))
+        F.when(F.col("__li_text").rlike(CJK_PATTERN), F.lit("zh"))
         .when(
-            (hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"])
-            & (hits["en"] >= hits["fr"]) & (hits["en"] > 0), F.lit("en"))
-        .when((hits["es"] >= hits["de"]) & (hits["es"] >= hits["fr"])
-              & (hits["es"] > 0), F.lit("es"))
-        .when((hits["de"] >= hits["fr"]) & (hits["de"] > 0), F.lit("de"))
-        .when(hits["fr"] > 0, F.lit("fr"))
+            (h["en"] >= h["es"]) & (h["en"] >= h["de"])
+            & (h["en"] >= h["fr"]) & (h["en"] > 0), F.lit("en"))
+        .when((h["es"] >= h["de"]) & (h["es"] >= h["fr"])
+              & (h["es"] > 0), F.lit("es"))
+        .when((h["de"] >= h["fr"]) & (h["de"] > 0), F.lit("de"))
+        .when(h["fr"] > 0, F.lit("fr"))
         .otherwise(F.lit("und"))
     )
-    return df.select(
+    return s2.select(
         id_col,
         best.alias("detected_lang"),
-        *[hits[lang].alias(f"hits_{lang}") for lang in LANG_STOPWORDS],
+        *[f"hits_{lang}" for lang in LANG_STOPWORDS],
     )
 
 
@@ -1233,39 +1369,58 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     parallel shape as quality_scores.  Output: one row per document with
     the measured signals, each rule's boolean, and ``keep``.
     """
-    t = _wtrim(_c(text_col))
-    toks = tokens(text_col)
-    n = token_count(text_col)
-    nd = n.cast("double")
-    word_len_sum = F.aggregate(
-        F.transform(toks, lambda x: F.length(x)), F.lit(0),
-        lambda acc, x: acc + x,
+    # PERF: staged projections — text primitives (one wtrim, one split,
+    # one line split), then the integer count layer (each lambda HOF
+    # evaluated ONCE), then ratios/rules over plain columns.  The previous
+    # single-select form re-ran each HOF (and its embedded regex split)
+    # per referencing output/predicate: Catalyst does not CSE across
+    # lambda bodies.
+    s1 = df.select(
+        F.col(id_col),
+        _wtrim(_c(text_col)).alias("__g_t"),
+        tokens(text_col).alias("__g_toks"),
+        F.split(_wtrim(_c(text_col)), "\n").alias("__g_lines"),
     )
+    t1, toks1, lines1 = F.col("__g_t"), F.col("__g_toks"), F.col("__g_lines")
+    nc1 = F.length(t1)
+    s2 = s1.select(
+        F.col(id_col),
+        F.when(t1 == "", F.lit(0)).otherwise(F.size(toks1)).alias("__g_n"),
+        F.aggregate(
+            F.transform(toks1, lambda x: F.length(x)), F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("__g_wls"),
+        (nc1 - F.length(F.replace(t1, F.lit("#"), F.lit("")))).alias("__g_hash"),
+        (nc1 - F.length(F.replace(t1, F.lit("…"), F.lit("")))).alias("__g_uell"),
+        # chars removed by replacing '...' = 3 x occurrence count; keeping
+        # the x3 on the integer side makes the ratio ONE exactly-rounded
+        # division (engine-bit-exact) instead of a sum of two roundings
+        (nc1 - F.length(F.replace(t1, F.lit("..."), F.lit("")))).alias("__g_aell3"),
+        F.size(F.filter(toks1, lambda x: x.rlike("[A-Za-z]"))).alias("__g_alpha"),
+        F.size(lines1).alias("__g_nl"),
+        F.size(F.filter(lines1, lambda l: F.ltrim(l).rlike("^[-*•]")))
+        .alias("__g_bull"),
+        F.size(F.filter(lines1, lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$")))
+        .alias("__g_ell"),
+        F.size(F.array_intersect(
+            F.transform(toks1, lambda x: F.lower(x)),
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
+        )).alias("__g_req"),
+    )
+    n = F.col("__g_n")
+    nd = n.cast("double")
+    word_len_sum = F.col("__g_wls")
     mean_wl = word_len_sum.cast("double") / nd
-    n_chars = F.length(t)
-    hash_cnt = n_chars - F.length(F.replace(t, F.lit("#"), F.lit("")))
-    uni_ell = n_chars - F.length(F.replace(t, F.lit("…"), F.lit("")))
-    # chars removed by replacing '...' = 3 x occurrence count; keeping the
-    # x3 on the integer side makes the ratio ONE exactly-rounded division
-    # (engine-bit-exact) instead of a sum of two roundings
-    ascii_ell3 = n_chars - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    hash_cnt = F.col("__g_hash")
+    uni_ell = F.col("__g_uell")
+    ascii_ell3 = F.col("__g_aell3")
     symbol_ratio = ((hash_cnt + uni_ell) * F.lit(3) + ascii_ell3) \
         .cast("double") / (nd * F.lit(3.0))
-    alpha_frac = F.size(
-        F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
-    ).cast("double") / nd
-    lines = F.split(t, "\n")
-    n_lines = F.size(lines)
-    bullet_frac = F.size(
-        F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]"))
-    ).cast("double") / n_lines.cast("double")
-    ellipsis_frac = F.size(
-        F.filter(lines, lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$"))
-    ).cast("double") / n_lines.cast("double")
-    required_hits = F.size(F.array_intersect(
-        F.transform(toks, lambda x: F.lower(x)),
-        F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
-    ))
+    alpha_frac = F.col("__g_alpha").cast("double") / nd
+    n_lines = F.col("__g_nl")
+    bullet_frac = F.col("__g_bull").cast("double") / n_lines.cast("double")
+    ellipsis_frac = F.col("__g_ell").cast("double") / n_lines.cast("double")
+    required_hits = F.col("__g_req")
     nonempty = n > 0
     p_count = (n >= min_words) & (n <= max_words)
     p_wl = nonempty & (mean_wl >= min_mean_word_len) \
@@ -1275,7 +1430,7 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     p_lines = nonempty & (n_lines > 0) & (bullet_frac <= max_bullet_frac) \
         & (ellipsis_frac <= max_ellipsis_frac)
     p_req = nonempty & (required_hits >= min_required_words)
-    return df.select(
+    return s2.select(
         id_col,
         n.cast("int").alias("n_words"),
         F.when(nonempty, mean_wl).alias("mean_word_len"),

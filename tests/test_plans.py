@@ -731,3 +731,28 @@ def test_round12_addition_plan_shapes(spark):
     assert "Generate explode" in qt
     for bad in ("Join", "Window", "CartesianProduct"):
         assert bad not in qt
+
+
+def test_quality_family_staged_single_tokenize(spark):
+    """r13 OPT: the quality/lang-id/gopher family stages its text
+    primitives (trim/split/HOF) into narrow projections, so the regex
+    tokenizer appears a FIXED small number of times in each plan.  The
+    inline expression form re-evaluated split() at every lambda-HOF
+    reference (Catalyst does not CSE across lambda bodies): lang_id
+    carried 20 splits per row, quality_threshold_sweep 72, filter_funnel
+    28, gopher_rules 52 — measured 1.2-2.3x per query at sf0.1 when
+    staged (plans/r13/*_before|after.txt)."""
+    qs = entry.queries()
+    expected = {
+        "lang_id": 1,
+        "langid_confusion": 1,
+        "quality_scores": 1,
+        "text_stats": 1,
+        "quality_threshold_sweep": 1,
+        "gopher_rules": 2,   # token split + line split
+        "filter_funnel": 3,  # length-stage split + inline quality chain
+    }
+    for name, n in expected.items():
+        plan = _plan(qs[name](spark, SF))
+        got = plan.count("split(")
+        assert got == n, f"{name}: {got} split() evaluations, expected {n}"
