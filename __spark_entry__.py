@@ -227,6 +227,37 @@ def _corpus_shingles_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl
 
 
+def _posting_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus unigram posting list ``(doc_id, source, term, tf)``
+    as a build-once warehouse table, bucketed on the term — "tokenize
+    once per warehouse" for the token-statistics family the same way
+    ``_corpus_shingles_table`` is for shingles: ``cooccurrence_lift``,
+    ``tfidf_terms``, ``collocations`` (unigram side) and ``token_drift``
+    read this instead of each re-running explode(tokens(text)) over the
+    raw corpus (their r13 plans re-scanned ``documents`` 4–14x per
+    query; guide §6 "read once, reuse").
+
+    Semantics are EXACTLY one row per distinct (doc, whitespace-token)
+    with its occurrence count: blank documents contribute their single
+    ``''`` token (split('') = ['']) just like the inline explode did, so
+    every consumer's values are bit-identical to the re-tokenizing form;
+    ``source`` rides denormalized (it is functionally dependent on
+    doc_id) so per-source consumers never join back to the corpus."""
+    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
+        tokens,
+    )
+
+    return table_if_absent(
+        spark, f"tok_postings_{_sfx(sf_dir)}",
+        lambda: _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "source", "term")
+        .agg(F.count(F.lit(1)).alias("tf")),
+        keys=["term"],
+        props={"kind": "posting_table", "unit": "unigram"},
+    )
+
+
 def _minhash_bands_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-corpus MinHash band keys (doc_id, band_key), bucketed on the
     band key — the candidate join's key — as a build-once warehouse
@@ -4039,7 +4070,9 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacent-pair collocations by exact PMI lift — all-integer counts and
     ONE fixed-order double expression, so the score (not just the rank)
     is engine-exact, unlike ln-based tf-idf whose raw score had to be
-    excluded from the oracle contract."""
+    excluded from the oracle contract.  (r14: a posting-table unigram
+    feed was measured 0.2–0.4 s SLOWER than the single checkpointed
+    tokenize and reverted — see text.py:collocations PERF note.)"""
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
         collocations,
     )
@@ -4180,7 +4213,10 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
         tfidf_top_terms,
     )
-    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5).select(
+    # PERF (r14): tf/df aggregates read the persisted _posting_table
+    # (tokenize once per warehouse) instead of re-exploding the corpus
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5,
+                           postings=_posting_table(spark, sf_dir)).select(
         "doc_id", "term", "tf", "df", "rk"
     )
 
@@ -6683,16 +6719,24 @@ _DUCK_TOKS_LOWER = f"list_transform({DUCK_TOKS}, t -> lower(t))"
 
 
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked keyword retrieval (extensions/search.py:bm25_topk):
-    corpus statistics in one 1-row aggregate, map-side scoring against
-    the broadcast stats, global top-k via TakeOrdered.  The corpus-audit
-    /eval-slice search a training-data warehouse needs."""
+    """BM25 ranked keyword retrieval — the corpus-audit / eval-slice
+    search a training-data warehouse needs.
+
+    PERF (r14): served from the PERSISTED inverted index
+    (search.py:probe_bm25_index — term-bucketed postings + 1-row stats),
+    bit-identical to the direct two-scan ``bm25_topk`` form by
+    construction (pytest-asserted and oracle-shared since round 9): the
+    r13 direct plan scanned the corpus twice and re-ran the tokenize +
+    per-term HOF filter chain ~8x per row; the probe touches only the
+    query terms' posting rows.  ``bm25_vs_index`` keeps exercising the
+    same probe path against the same oracle."""
     from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.search import (
-        bm25_topk,
+        probe_bm25_index,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    return bm25_topk(docs, BM25_TERMS, k=BM25_K, k1=BM25_K1, b=BM25_B)
+    prefix = _bm25_index_if_absent(spark, sf_dir)
+    return probe_bm25_index(spark, prefix, BM25_TERMS, k=BM25_K,
+                            k1=BM25_K1, b=BM25_B)
 
 
 def _oracle_bm25() -> str:
@@ -7027,8 +7071,11 @@ def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_drift_chisq,
     )
 
+    # PERF (r14): tf-weighted sums over the persisted _posting_table
+    # (source rides denormalized) — no corpus scan at all
     return token_drift_chisq(_t(spark, sf_dir, "documents"),
-                             source_col="source", top_k=DRIFT_TOP_K)
+                             source_col="source", top_k=DRIFT_TOP_K,
+                             postings=_posting_table(spark, sf_dir))
 
 
 def _oracle_token_drift() -> str:
@@ -7395,16 +7442,19 @@ def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer arithmetic: ``df * 100 <= pct * D``).
     Exactness: all counts integer; the lift is one double division of
     two int64-exact products; top-k via TakeOrdered with (lift desc,
-    token) tiebreaks."""
-    from nyc_taxi_2024_airflow_dbt_docker_great_expectations_spark.extensions.text import (
-        tokens,
-    )
+    token) tiebreaks.
 
+    PERF (r14): the distinct (doc, token) posting list comes from the
+    persisted ``_posting_table`` — the r13 plan re-planned the
+    explode+distinct subtree for the df branch and BOTH self-join sides
+    (14 parquet scans of ``documents``); now the corpus tokenizes once
+    per warehouse and the only corpus scan left is the 1-row doc count."""
     docs = _t(spark, sf_dir, "documents")
     d_total = docs.agg(F.count(F.lit(1)).alias("__d"))
-    doc_tok = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .distinct()
+    # one row per distinct (doc, token) by construction — the posting
+    # table's groupBy is the old explode().distinct()
+    doc_tok = _posting_table(spark, sf_dir).select(
+        "doc_id", F.col("term").alias("tok")
     )
     df_cnt = doc_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     vocab = (
@@ -9488,6 +9538,7 @@ def warm_persisted(spark: SparkSession, sf_dir: str) -> None:
     plumbing.  Invoked by bench.py before its timed pass; queries behave
     identically without it (they build/adopt on demand)."""
     _corpus_shingles_table(spark, sf_dir)
+    _posting_table(spark, sf_dir)
     _minhash_bands_table(spark, sf_dir)
     _lsh_exact_pairs_table(spark, sf_dir)
     _neardup_pairs_table(spark, sf_dir)

@@ -322,7 +322,8 @@ def chisq_chain(k: int) -> str:
 
 
 def token_drift_chisq(df: DataFrame, source_col: str = "source",
-                      text_col: str = "text", top_k: int = 20) -> DataFrame:
+                      text_col: str = "text", top_k: int = 20,
+                      postings: DataFrame | None = None) -> DataFrame:
     """Per-source token-distribution drift: the chi-square statistic of
     each source's observed counts over the corpus-wide top-``top_k``
     token vocabulary against the corpus-share expectation — the standard
@@ -343,13 +344,28 @@ def token_drift_chisq(df: DataFrame, source_col: str = "source",
     source's mass WITHIN the vocabulary), so sources sharing the corpus
     distribution score near 0 regardless of size.  Returns
     ``(source_col, sn, chisq)``.
+
+    ``postings`` (optional): a pre-tokenized posting list carrying
+    ``(source_col, term, tf)`` — one row per distinct (doc, term) with
+    its occurrence count.  When given, every occurrence count becomes a
+    tf-weighted sum over the posting rows (integer-identical to counting
+    exploded occurrences) and the corpus text is never read — the r13
+    plan re-ran the explode for the vocabulary and the per-source pass
+    (6 corpus scans).
     """
     from .text import tokens
 
-    toks = df.select(
-        F.col(source_col), F.explode(tokens(text_col)).alias("__tok")
-    )
-    glob = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    if postings is not None:
+        toks = postings.select(
+            F.col(source_col), F.col("term").alias("__tok"),
+            F.col("tf").alias("__w"),
+        )
+    else:
+        toks = df.select(
+            F.col(source_col), F.explode(tokens(text_col)).alias("__tok"),
+            F.lit(1).cast("long").alias("__w"),
+        )
+    glob = toks.groupBy("__tok").agg(F.sum("__w").cast("long").alias("__c"))
     topk = glob.orderBy(F.col("__c").desc(), F.col("__tok")).limit(top_k)
     from pyspark.sql import Window
     ranked = topk.select(
@@ -361,11 +377,11 @@ def token_drift_chisq(df: DataFrame, source_col: str = "source",
     joined = toks.join(F.broadcast(ranked), "__tok")
     obs = joined.groupBy(source_col).agg(
         *[
-            F.sum(F.when(F.col("__r") == i, 1).otherwise(0))
+            F.sum(F.when(F.col("__r") == i, F.col("__w")).otherwise(0))
             .cast("long").alias(f"o_{i}")
             for i in range(top_k)
         ],
-        F.count(F.lit(1)).cast("long").alias("sn"),
+        F.sum("__w").cast("long").alias("sn"),
     )
     gl = ranked.agg(
         *[

@@ -873,6 +873,13 @@ def collocations(df: DataFrame, text_col: str = "text",
     cross-join, TakeOrdered top-k.  ``min_count`` prunes the long tail
     before the joins — the df-cut that keeps the bigram table sparse at
     100 TB.
+    PERF note (r14, measured): serving the unigram side from the persisted
+    posting table (the r14 ``_posting_table`` pattern) was tried and
+    REVERTED — head-to-head warm A/B at sf0.1/local[32] read 0.84–0.88 s
+    for this form vs 1.0–1.3 s for the posting-fed split: the bigram
+    branch needs the token arrays regardless, so the one checkpointed
+    tokenize already serves every consumer and the posting reads were
+    pure extra work.  See OPTIMIZATION_r14.md.
     """
     # tokenize ONCE: the unigram and bigram aggregates both read the
     # materialized token arrays instead of re-running the split over the
@@ -999,7 +1006,8 @@ def redact_pii(df: DataFrame, text_col: str = "text",
 # --- tf-idf ----------------------------------------------------------------
 
 def tfidf_top_terms(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id", k: int = 5) -> DataFrame:
+                    id_col: str = "doc_id", k: int = 5,
+                    postings: DataFrame | None = None) -> DataFrame:
     """Top-k terms per document by tf-idf (tf * ln(N/df)).
 
     Three codegen'd hash aggregates (term counts, document frequencies, and
@@ -1008,11 +1016,24 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     size) is the one scalar driver action, same class as the watermark MAX.
     Deterministic: ln over identical doubles on every engine, total order
     via (tfidf desc, term).
+
+    ``postings`` (optional): a pre-tokenized posting list carrying
+    ``(id_col, term, tf)`` — one row per distinct (doc, term) with its
+    occurrence count, exactly ``explode(tokens(text)).groupBy.count``.
+    When given, the term-count aggregate reads it instead of re-exploding
+    the corpus (the r13 plan scanned ``df`` 4x: the tf subtree was
+    re-planned for the df branch and the join side).  N still counts
+    ``df`` — the posting list drops NULL-text docs the same way the
+    inline explode did, but corpus size must not.
     """
     from pyspark.sql import Window
 
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if postings is not None:
+        tf = postings.select(F.col(id_col), "term", "tf")
+    else:
+        toks = df.select(F.col(id_col),
+                         F.explode(tokens(text_col)).alias("term"))
+        tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = float(df.count())
     scored = tf.join(dfreq, "term").withColumn(

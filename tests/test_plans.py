@@ -176,6 +176,22 @@ def test_round6_addition_plan_shapes(spark):
     assert "Exchange" not in qe and "BatchEvalPython" not in qe
 
 
+def test_posting_family_served_from_posting_table(spark):
+    """r14: the token-statistics family (cooccurrence_lift, tfidf_terms,
+    token_drift) reads the persisted unigram posting table
+    (``_posting_table`` — tokenize once per warehouse) instead of
+    re-exploding the raw corpus per consumer subtree: their r13 plans
+    re-scanned ``documents`` 4–14x with a regex split in every scan.
+    Guard: the posting scan is present and NO tokenizing split() remains
+    anywhere in the plan (cooccurrence's surviving documents scans are
+    count-only for the 1-row corpus total)."""
+    qs = entry.queries()
+    for name in ("cooccurrence_lift", "tfidf_terms", "token_drift"):
+        plan = _plan(qs[name](spark, SF))
+        assert "tok_postings" in plan, name
+        assert "split(" not in plan, name
+
+
 def test_median_price_streams_the_group_sort(spark):
     """Exact per-group percentiles run as a PARTITIONED window row_number
     (streaming sort, bounded memory at any group size) — never the
@@ -189,9 +205,11 @@ def test_median_price_streams_the_group_sort(spark):
 def test_round4_retrieval_and_mixture_plans(spark):
     """Round-4 query shapes hold their scale-critical plan properties:
 
-    - bm25_search: the only nested-loop join is the 1-row corpus-stats
-      broadcast, and the top-k is a TakeOrdered (per-partition heaps),
-      never a global Sort+Limit;
+    - bm25_search (r14: served from the persisted inverted index — the
+      same probe plan as bm25_vs_index): the only nested-loop joins are
+      the TWO provably-1-row broadcasts (corpus stats, pivoted per-term
+      df), and the top-k is a TakeOrdered (per-partition heaps), never a
+      global Sort+Limit;
     - mixture_sample: exactly one data exchange (the source-partitioned
       running-sum window), no global window;
     - substring_dedup: served from the persisted df-banded gram profile —
@@ -201,8 +219,15 @@ def test_round4_retrieval_and_mixture_plans(spark):
     """
     bm25 = _plan(entry.queries()["bm25_search"](spark, SF))
     assert "TakeOrderedAndProject" in bm25
-    assert bm25.count("BroadcastNestedLoopJoin") <= 1  # 1-row stats only
+    # 1-row stats + 1-row df pivot only (the registry-wide invariant
+    # proves both build sides <=1-row post-aggregate)
+    assert bm25.count("BroadcastNestedLoopJoin") <= 2
     assert "CartesianProduct" not in bm25
+    # probe form: no corpus scan, no re-tokenization — the only scans are
+    # the term-bucketed postings, the 1-row stats, and the member map
+    assert "tok_postings" not in bm25  # unigram posting table is NOT this
+    assert "bm25_idx" in bm25
+    assert "split(" not in bm25
 
     mix = _plan(entry.queries()["mixture_sample"](spark, SF))
     assert mix.count("Exchange") - mix.count("BroadcastExchange") == 1
