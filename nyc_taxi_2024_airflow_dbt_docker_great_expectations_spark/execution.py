@@ -31,13 +31,25 @@ def materialize_once(df: DataFrame, storage: str = "memory") -> DataFrame:
     ``storage="memory"``: eager ``localCheckpoint`` (MEMORY_AND_DISK cache,
     lineage truncated).  ``storage="disk"``: eager ``persist(DISK_ONLY)`` —
     the escape hatch for intermediates larger than cluster memory.
+    ``storage="lazy"``: ``localCheckpoint(eager=False)`` — the first
+    ACTION over the result materializes the cache, so a caller whose very
+    next statement is itself an action (the prefix-sum offset collects in
+    packing.py) pays ONE job where the eager form pays two (materialize,
+    then aggregate-from-cache); r12's MEASUREMENTS table showed the same
+    eager-vs-lazy split was the 6.6x culprit in the iterative CC rounds.
+    Only safe when the caller serializes its own first action before any
+    fan-out — concurrent first consumers of a lazy checkpoint would race
+    to compute it.
     """
     if storage == "disk":
         out = df.persist(StorageLevel.DISK_ONLY)
         out.count()  # eager: populate before fan-out so consumers never race
         return out
+    if storage == "lazy":
+        return df.localCheckpoint(eager=False)
     if storage != "memory":
-        raise ValueError(f"storage must be 'memory' or 'disk', got {storage!r}")
+        raise ValueError(
+            f"storage must be 'memory', 'disk' or 'lazy', got {storage!r}")
     return df.localCheckpoint(eager=True)
 
 

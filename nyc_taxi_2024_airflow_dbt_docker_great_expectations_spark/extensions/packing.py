@@ -70,10 +70,16 @@ def _with_prefix_sum(df: DataFrame, order_col: str, val_col: str,
     batches arrive in partition row order, so the per-partition running
     sum is a sequential fold over the batches.
     """
+    # LAZY checkpoint (r14): the offsets collect right below is the
+    # first action and materializes the cache in ITS job — the eager form
+    # paid a second, serial materialization job per call (guide §2: remove
+    # the barrier; the range boundaries still come from ONE sampling, so
+    # both phases keep identical partitioning)
     ranged = materialize_once(
         df.repartitionByRange(F.col(order_col))
         .sortWithinPartitions(order_col)
-        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__pid", F.spark_partition_id()),
+        storage="lazy",
     )
     # one row per partition: metadata-sized regardless of data volume
     totals = {
@@ -133,10 +139,14 @@ def global_rank(df: DataFrame, order, out_col: str = "rank"):
     the call eager.
     """
     order = list(order)
+    # lazy checkpoint: the counts collect below materializes it (r14 —
+    # one job per call instead of the eager form's two; see
+    # _with_prefix_sum)
     ranged = materialize_once(
         df.repartitionByRange(*order)
         .sortWithinPartitions(*order)
-        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__pid", F.spark_partition_id()),
+        storage="lazy",
     )
     counts = {
         r["__pid"]: r["n"]
@@ -203,10 +213,12 @@ def grouped_global_rank(df: DataFrame, group_col: str, order,
     row count; the phase-1 materialization makes the call eager.
     """
     order = list(order)
+    # lazy checkpoint: the cells collect below materializes it (r14)
     ranged = materialize_once(
         df.repartitionByRange(F.col(group_col), *order)
         .sortWithinPartitions(F.col(group_col), *order)
-        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__pid", F.spark_partition_id()),
+        storage="lazy",
     )
     cells = (
         ranged.groupBy("__pid", group_col)

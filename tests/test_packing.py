@@ -44,6 +44,26 @@ def test_global_rank_matches_window_row_number(spark):
         assert got[k] == pos
 
 
+def test_global_rank_stable_across_repeated_actions(spark):
+    """r14 lazy-checkpoint guard: the phase-1 range layout is sampled ONCE
+    and cached by the offsets collect, so ranks must be identical — not
+    just valid — across repeated actions on the returned frame (a
+    re-sampled range exchange could legally shift partition boundaries,
+    which with stale offsets would corrupt border ranks)."""
+    df = spark.createDataFrame(
+        [(i, (i * 29) % 11) for i in range(500)], "k long, v long"
+    ).repartition(16)
+    ranked, n = global_rank(df, [F.col("v"), F.col("k")], out_col="r")
+    assert n == 500
+    first = sorted((r["k"], r["r"]) for r in ranked.collect())
+    for _ in range(3):
+        again = sorted((r["k"], r["r"]) for r in ranked.collect())
+        assert again == first
+    expected = sorted(range(500), key=lambda i: ((i * 29) % 11, i))
+    assert first == sorted(
+        (k, pos) for pos, k in enumerate(expected, start=1))
+
+
 def test_pack_sequences_splits_and_tiles(spark):
     # budget 10: doc 1 (7 toks) fills [0,7), doc 2 (8 toks) spans the cut
     df = _docs(spark, [
