@@ -1780,10 +1780,19 @@ def ranking_metrics(exact: DataFrame, approx: DataFrame, k: int = 10,
     under any shuffle order and an SQL oracle can replay them
     bit-for-bit; the only floats are three final divisions.
 
-    One small join of two k-by-n_queries tables plus two aggregates —
+    One small join of two k-by-n_queries tables plus one aggregate —
     nothing here touches the corpus, so cost scales with the query set,
-    not the data.  Queries with no approx hits score 0 (``first_hit_rank``
-    reported as 0, not NULL).
+    not the data.  The join is FULL OUTER so the ``exact`` subtree is
+    referenced exactly once: the split rel/ex_agg form planned the
+    ground-truth side twice, and when ``exact`` is a brute-force
+    :func:`cosine_topk` that duplicated the entire corpus-scoring scan
+    in-plan (r14 plan audit: two FlatMapCoGroupsInPandas subtrees over
+    the embeddings scan; one after this rewrite).  Per-query
+    ``n_exact`` counts the exact rows of the joined frame, hits/DCG the
+    both-sides rows, and approx-only queries (no exact row anywhere —
+    impossible when both sides share the query set, but kept exact) are
+    dropped just as the old ex_agg-driven output did.  Queries with no
+    approx hits score 0 (``first_hit_rank`` reported as 0, not NULL).
 
     Returns one row per exact-side query: ``(query_id, n_exact, n_hits,
     recall_at_k, first_hit_rank, mrr_at_k, dcg_micro, idcg_micro,
@@ -1799,11 +1808,13 @@ def ranking_metrics(exact: DataFrame, approx: DataFrame, k: int = 10,
             exact.filter(F.col(rank_col) <= k)
             .select(query_id_col, id_col,
                     F.col(rank_col).cast("int").alias("__erank")),
-            [query_id_col, id_col], "left",
+            [query_id_col, id_col], "full_outer",
         )
     )
-    hit = F.col("__erank").isNotNull()
-    rel_agg = rel.groupBy(query_id_col).agg(
+    hit = F.col("__erank").isNotNull() & F.col("__arank").isNotNull()
+    agg = rel.groupBy(query_id_col).agg(
+        F.sum(F.when(F.col("__erank").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_exact"),
         F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("__hits"),
         F.sum(
             F.when(hit, (F.lit(k + 1) - F.col("__erank")).cast("long")
@@ -1812,16 +1823,13 @@ def ranking_metrics(exact: DataFrame, approx: DataFrame, k: int = 10,
         ).cast("long").alias("__dcg"),
         F.min(F.when(hit, F.col("__arank"))).alias("__first"),
     )
-    ex_agg = exact.filter(F.col(rank_col) <= k).groupBy(query_id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_exact")
-    )
     n_hits = F.coalesce(F.col("__hits"), F.lit(0).cast("long"))
     dcg = F.coalesce(F.col("__dcg"), F.lit(0).cast("long"))
     first = F.coalesce(F.col("__first"), F.lit(0)).cast("long")
     idcg = F.element_at(icum, F.least(F.col("n_exact"), F.lit(k))
                         .cast("int")).cast("long")
     return (
-        ex_agg.join(rel_agg, query_id_col, "left")
+        agg.filter(F.col("n_exact") > 0)
         .select(
             query_id_col,
             "n_exact",
